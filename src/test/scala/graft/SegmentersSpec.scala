@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Segmenters
+
+/** Golden values from the reference (`fdi_flow/preprocessing/segmenters.py`,
+  * pandas Series path — the 1-D ndarray path crashes on a missing
+  * `_segment_1d`).
+  */
+class SegmentersSpec extends SparkSpec {
+
+  val ramp = (0 until 10).map(_.toDouble)
+
+  private def windows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+    df.orderBy(col("window_id"), col("offset"))
+      .select(col("window_id"), col("value"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).toSeq }
+
+  test("G1 w=4 step=1 dropLast yields 7 windows") {
+    val df = Segmenters.segment(seriesDf("a" -> ramp), Seq("series_id"), Seq("t"), 4, 1)
+    val w = windows(df)
+    assert(w.size == 7)
+    assert(w(0L) == Seq(0.0, 1.0, 2.0, 3.0))
+    assert(w(6L) == Seq(6.0, 7.0, 8.0, 9.0))
+  }
+
+  test("G1 w=4 step=3 dropLast=false appends (duplicate) tail window") {
+    val df = Segmenters.segment(seriesDf("a" -> ramp), Seq("series_id"), Seq("t"),
+      4, 3, dropLast = false)
+    val w = windows(df)
+    assert(w.size == 4)
+    assert(w(0L) == Seq(0.0, 1.0, 2.0, 3.0))
+    assert(w(1L) == Seq(3.0, 4.0, 5.0, 6.0))
+    assert(w(2L) == Seq(6.0, 7.0, 8.0, 9.0))
+    assert(w(3L) == Seq(6.0, 7.0, 8.0, 9.0)) // reference duplicates the tail
+  }
+
+  test("G1 w=4 step=2 dropLast=false matches reference") {
+    val df = Segmenters.segment(seriesDf("a" -> ramp), Seq("series_id"), Seq("t"),
+      4, 2, dropLast = false)
+    val w = windows(df)
+    assert(w.size == 5)
+    assert(w(1L) == Seq(2.0, 3.0, 4.0, 5.0))
+    assert(w(4L) == Seq(6.0, 7.0, 8.0, 9.0))
+  }
+
+  test("G1 w=4 step=3 dropLast=true has no tail") {
+    val df = Segmenters.segment(seriesDf("a" -> ramp), Seq("series_id"), Seq("t"), 4, 3)
+    assert(windows(df).size == 3)
+  }
+
+  test("G1 series shorter than window yields no windows (documented deviation)") {
+    val df = Segmenters.segment(seriesDf("a" -> Seq(1.0, 2.0)), Seq("series_id"), Seq("t"), 4)
+    assert(df.count() == 0)
+  }
+
+  test("G2 linear resample 10 -> 5") {
+    val df = Segmenters.resample(seriesDf("a" -> ramp), Seq("series_id"), Seq("t"), "value", 5)
+    val got = df.orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    assertSeqAlmost(got, Seq(0.0, 2.25, 4.5, 6.75, 9.0), 1e-12)
+  }
+
+  test("G2 nearest resample ties break DOWNWARD (scipy semantics)") {
+    val df = Segmenters.resample(seriesDf("a" -> ramp), Seq("series_id"), Seq("t"), "value", 5,
+      method = "nearest")
+    val got = df.orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    // pos = 0, 2.25, 4.5, 6.75, 9 -> nearest (tie at 4.5 goes DOWN) = 0, 2, 4, 7, 9
+    assertSeqAlmost(got, Seq(0.0, 2.0, 4.0, 7.0, 9.0))
+  }
+
+  test("G2 cubic resample reproduces a cubic polynomial exactly (not-a-knot)") {
+    // f(t) = t^3 sampled at 7 points; NAK spline through cubic samples == f
+    val ys = (0 until 7).map(i => math.pow(i, 3))
+    val df = Segmenters.resample(seriesDf("a" -> ys), Seq("series_id"), Seq("t"), "value", 13,
+      method = "cubic")
+    val got = df.orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    val exp = (0 until 13).map(j => math.pow(j * 6.0 / 12.0, 3)).toSeq
+    assertSeqAlmost(got, exp, 1e-8)
+  }
+
+  test("G3 degree-1 upsample is linear interpolation") {
+    val df = Segmenters.splineUpsample(seriesDf("a" -> Seq(0.0, 1.0, 4.0, 9.0, 16.0)),
+      Seq("series_id"), Seq("t"), "value", 9, degree = 1)
+    val got = df.orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    assertSeqAlmost(got, Seq(0.0, 0.5, 1.0, 2.5, 4.0, 6.5, 9.0, 12.5, 16.0), 1e-12)
+  }
+
+  test("G4 failure encoder: mode of non-zero when ratio >= threshold") {
+    val f = Seq(0.0, 2.0, 0.0, 2.0, 0.0, 3.0, 2.0, 0.0, 0.0, 0.0)
+    val df = Segmenters.failureEncode(seriesDf("a" -> f), Seq("series_id"), Seq("t"), "value", 10.0)
+    assert(df.collect().head.getAs[Double]("failure_code") == 2.0)
+    val df2 = Segmenters.failureEncode(seriesDf("a" -> f), Seq("series_id"), Seq("t"), "value", 50.0)
+    assert(df2.collect().head.getAs[Double]("failure_code") == 0.0)
+  }
+
+  test("G4 failure encoder: count ties break by first encounter") {
+    val f = Seq(0.0, 3.0, 0.0, 2.0, 0.0, 2.0, 3.0, 0.0, 0.0, 0.0)
+    val df = Segmenters.failureEncode(seriesDf("a" -> f), Seq("series_id"), Seq("t"), "value", 10.0)
+    assert(df.collect().head.getAs[Double]("failure_code") == 3.0)
+  }
+
+  test("G4 all-zero series encodes 0") {
+    val df = Segmenters.failureEncode(seriesDf("a" -> Seq(0.0, 0.0)), Seq("series_id"), Seq("t"), "value")
+    assert(df.collect().head.getAs[Double]("failure_code") == 0.0)
+  }
+}

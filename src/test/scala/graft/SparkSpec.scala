@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession + long-format fixture helpers. */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** One or more named series → long frame (series_id, t, value). */
+  def seriesDf(series: (String, Seq[Double])*): DataFrame = {
+    val rows = series.flatMap { case (id, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (id, i.toLong, v) }
+    }
+    import spark.implicits._
+    rows.toDF("series_id", "t", "value")
+  }
+
+  /** Collect one series' outCol ordered by t. */
+  def outSeries(df: DataFrame, id: String, outCol: String): Seq[Double] = {
+    import org.apache.spark.sql.functions._
+    df.filter(col("series_id") === id).orderBy(col("t"))
+      .select(col(outCol)).collect().map(_.getDouble(0)).toSeq
+  }
+
+  def assertSeqAlmost(got: Seq[Double], exp: Seq[Double], tol: Double = 1e-9): Unit = {
+    assert(got.length == exp.length, s"length ${got.length} != ${exp.length}: $got vs $exp")
+    got.zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) <= tol, s"idx $i: $g != $e (got $got, exp $exp)")
+    }
+  }
+}
