@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
+import graft.text.TextOps
+import graft.forecast.Forecast
+import graft.ml.Knn
+import graft.similarity.Ann
 
 /** Named query registry binding every implemented operator to the driver
   * tables (TESTDATA.md), with a DuckDB-equivalent oracle SQL wherever the
@@ -97,6 +101,496 @@ object Queries {
           round(avg(l_discount), 6) AS avg_disc,
           count(*) AS count_order
         FROM lineitem GROUP BY l_returnflag, l_linestatus
+      """.stripMargin.trim)),
+
+    // ── F1: EWMA — final smoothed value per series (fold parity with
+    //    DuckDB list_reduce; full series covered by unit tests) ──
+    QueryDef(
+      "f1_ewma_last",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sm = Filters.exponentialSmoothing(
+          ev(s, dir), Seq("event_type"), Seq("ts", "event_id"), "value", "__ewma", 0.3)
+        sm.withColumn("__rk", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__rk") === 1)
+          .select(col("event_type"), round(col("__ewma"), 6).as("ewma_last"))
+      },
+      Some("""
+        SELECT event_type,
+          round(list_reduce(list(value ORDER BY ts, event_id),
+            (a, b) -> CAST(0.3 AS DOUBLE) * b + (1 - CAST(0.3 AS DOUBLE)) * a), 6) AS ewma_last
+        FROM events GROUP BY event_type
+      """.stripMargin.trim)),
+
+    // ── F2: Holt — final level+trend per series (struct-accumulator fold
+    //    replicating the reference recurrence verbatim, incl. the
+    //    x0+(x1−x0) float-op order of the first step) ──
+    QueryDef(
+      "f2_holt_last",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sm = Filters.doubleExponentialSmoothing(
+          ev(s, dir), Seq("event_type"), Seq("ts", "event_id"), "value", "__holt",
+          alpha = 0.4, beta = 0.2)
+        sm.withColumn("__rk", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__rk") === 1)
+          .select(col("event_type"), round(col("__holt"), 6).as("holt_last"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT event_type, list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY event_type
+        ), f AS (
+          SELECT event_type,
+            list_reduce(
+              list_transform(vs, v -> [v, CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]),
+              (a, e) -> CASE WHEN a[3] = 0 THEN
+                [CAST(0.4 AS DOUBLE) * e[1] + (1 - CAST(0.4 AS DOUBLE)) * (a[1] + (e[1] - a[1])),
+                 CAST(0.2 AS DOUBLE) * ((CAST(0.4 AS DOUBLE) * e[1] + (1 - CAST(0.4 AS DOUBLE)) * (a[1] + (e[1] - a[1]))) - a[1])
+                   + (1 - CAST(0.2 AS DOUBLE)) * (e[1] - a[1]),
+                 CAST(1 AS DOUBLE)]
+              ELSE
+                [CAST(0.4 AS DOUBLE) * e[1] + (1 - CAST(0.4 AS DOUBLE)) * (a[1] + a[2]),
+                 CAST(0.2 AS DOUBLE) * ((CAST(0.4 AS DOUBLE) * e[1] + (1 - CAST(0.4 AS DOUBLE)) * (a[1] + a[2])) - a[1])
+                   + (1 - CAST(0.2 AS DOUBLE)) * a[2],
+                 CAST(1 AS DOUBLE)]
+              END) AS st
+          FROM s
+        )
+        SELECT event_type, round(st[1] + st[2], 6) AS holt_last FROM f
+      """.stripMargin.trim)),
+
+    // ── F6: scalar Kalman — final filtered value per series (fold with
+    //    (x,p) struct state; p<0 is the "first step" sentinel since p0>0) ──
+    QueryDef(
+      "f6_kalman_last",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val sm = Filters.kalmanScalar(
+          ev(s, dir), Seq("event_type"), Seq("ts", "event_id"), "value", "__k",
+          q = 0.5, r = 2.0, x0 = None, p0 = 1.0)
+        sm.withColumn("__rk", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("__rk") === 1)
+          .select(col("event_type"), round(col("__k"), 6).as("kalman_last"))
+      },
+      Some("""
+        WITH s AS (
+          SELECT event_type, list(value ORDER BY ts, event_id) AS vs
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+          round(list_reduce(
+            list_transform(vs, v -> [v, CAST(-1 AS DOUBLE)]),
+            (a, e) ->
+              [a[1] + (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE))
+                 / (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE)) + CAST(2.0 AS DOUBLE)))
+                 * (e[1] - a[1]),
+               (1 - (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE))
+                 / (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE)) + CAST(2.0 AS DOUBLE))))
+                 * ((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE))])[1], 6) AS kalman_last
+        FROM s
+      """.stripMargin.trim)),
+
+    // ── F3: edge-replicated centered moving average (w=7) ──
+    QueryDef(
+      "f3_moving_average",
+      (s, dir) => {
+        Filters.movingAveragePadded(
+          ev(s, dir), Seq("event_type"), Seq("ts", "event_id"), "value", "__ma", 7)
+          .select(col("event_id"), col("event_type"), round(col("__ma"), 6).as("ma_value"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_id, event_type, value,
+            row_number() OVER w AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n,
+            sum(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s,
+            first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+            last_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT event_id, event_type,
+          round((s + greatest(0, 3 - (rn - 1)) * fv + greatest(0, rn + 3 - n) * lv) / 7, 6) AS ma_value
+        FROM b
+      """.stripMargin.trim)),
+
+    // ── F4: centered median filter (w=5, edge-replicated) via clamped
+    //    position multi-join in the oracle ──
+    QueryDef(
+      "f4_median_filter",
+      (s, dir) => {
+        Filters.medianFilter(
+          ev(s, dir), Seq("event_type"), Seq("ts", "event_id"), "value", "__med", 5)
+          .select(col("event_id"), col("event_type"), round(col("__med"), 6).as("med_value"))
+      },
+      Some("""
+        WITH idx AS (
+          SELECT event_id, event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), ex AS (
+          SELECT a.event_id, a.event_type,
+            least(greatest(a.rn + k.k, 1), a.n) AS brn
+          FROM idx a, unnest(generate_series(-2, 2)) k(k)
+        )
+        SELECT ex.event_id, ex.event_type, round(median(b.value), 6) AS med_value
+        FROM ex JOIN idx b ON b.event_type = ex.event_type AND b.rn = ex.brn
+        GROUP BY ex.event_id, ex.event_type
+      """.stripMargin.trim)),
+
+    // ── G1: sliding-window segmentation (w=50, step=25, keep tail) with
+    //    per-window stats ──
+    QueryDef(
+      "g1_segment_stats",
+      (s, dir) => {
+        Segmenters.segment(ev(s, dir), Seq("event_type"), Seq("ts", "event_id"),
+          50, 25, dropLast = false)
+          .groupBy(col("event_type"), col("window_id"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            round(avg(col("value")), 6).as("avg_value"),
+            round(min(col("value")), 6).as("min_value"),
+            round(max(col("value")), 6).as("max_value"))
+      },
+      Some("""
+        WITH idx AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), reg AS (
+          SELECT event_type, value, rn, n,
+            unnest(generate_series(
+              greatest(0, CAST(ceil((rn - 49) / 25.0) AS BIGINT)),
+              least((n - 50) // 25, rn // 25))) AS window_id
+          FROM idx WHERE n >= 50
+        ), tail AS (
+          SELECT event_type, value, rn, n,
+            ((n - 50) // 25 + 1) AS window_id
+          FROM idx
+          WHERE n >= 50 AND n - ((n - 50) // 25 + 1) * 25 > 0 AND rn >= n - 50
+        ), allw AS (
+          SELECT * FROM reg UNION ALL SELECT * FROM tail
+        )
+        SELECT event_type, window_id, count(*) AS n_rows,
+          round(avg(value), 6) AS avg_value,
+          round(min(value), 6) AS min_value,
+          round(max(value), 6) AS max_value
+        FROM allw GROUP BY event_type, window_id
+      """.stripMargin.trim)),
+
+    // ── G2: linear resample to 100 points per series (bracketing join) ──
+    QueryDef(
+      "g2_resample_linear",
+      (s, dir) => {
+        Segmenters.resample(ev(s, dir), Seq("event_type"), Seq("ts", "event_id"),
+          "value", 100, "linear")
+          .select(col("event_type"), col("idx"), round(col("value"), 6).as("value"))
+      },
+      Some("""
+        WITH idx AS (
+          SELECT event_type, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), grid AS (
+          SELECT event_type, n, unnest(generate_series(0, 99)) AS gi
+          FROM (SELECT DISTINCT event_type, n FROM idx)
+        ), pos AS (
+          SELECT event_type, gi,
+            gi * CAST(n - 1 AS DOUBLE) / 99 AS p,
+            greatest(0, least(CAST(floor(gi * CAST(n - 1 AS DOUBLE) / 99) AS BIGINT), n - 2)) AS k
+          FROM grid
+        )
+        SELECT p.event_type, p.gi AS idx,
+          round(a.value + (b.value - a.value) * (p.p - p.k), 6) AS value
+        FROM pos p
+        JOIN idx a ON a.event_type = p.event_type AND a.rn = p.k + 1
+        JOIN idx b ON b.event_type = p.event_type AND b.rn = p.k + 2
+      """.stripMargin.trim)),
+
+    // ── G4: failure encoder over thresholded fault codes ──
+    QueryDef(
+      "g4_failure_encoder",
+      (s, dir) => {
+        val coded = ev(s, dir).withColumn("fault_code",
+          when(col("value") >= 150d, 2d).when(col("value") >= 100d, 1d).otherwise(0d))
+        Segmenters.failureEncode(coded, Seq("event_type"), Seq("ts", "event_id"),
+          "fault_code", failureThreshold = 5.0)
+      },
+      Some("""
+        WITH c AS (
+          SELECT event_type,
+            CASE WHEN value >= 150 THEN 2.0 WHEN value >= 100 THEN 1.0 ELSE 0.0 END AS v,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events
+        ), tot AS (
+          SELECT event_type, count(*) AS total,
+            count(CASE WHEN v <> 0 THEN 1 END) AS nz
+          FROM c GROUP BY event_type
+        ), vc AS (
+          SELECT event_type, v, count(*) AS cnt, min(rn) AS frn
+          FROM c WHERE v <> 0 GROUP BY event_type, v
+        ), md AS (
+          SELECT event_type, v FROM (
+            SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, frn ASC) AS rk
+            FROM vc) WHERE rk = 1
+        )
+        SELECT t.event_type,
+          CAST(CASE WHEN t.nz = 0 THEN 0.0
+            WHEN 100.0 * t.nz / t.total >= 5.0 THEN m.v
+            ELSE 0.0 END AS DOUBLE) AS failure_code
+        FROM tot t LEFT JOIN md m USING (event_type)
+      """.stripMargin.trim)),
+
+    // ── T1: supervised lag/lead windows (timeSteps=5, outputStep=2) ──
+    QueryDef(
+      "t1_lag_features",
+      (s, dir) => {
+        Forecast.lagFeatures(ev(s, dir), Seq("event_type"), Seq("ts", "event_id"),
+          "value", 5, 2)
+          .select(col("event_id"), col("event_type"),
+            col("x0"), col("x1"), col("x2"), col("x3"), col("x4"),
+            col("y1"), col("y2"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT event_id, event_type,
+            lag(value, 4) OVER w AS x0, lag(value, 3) OVER w AS x1,
+            lag(value, 2) OVER w AS x2, lag(value, 1) OVER w AS x3,
+            value AS x4,
+            lead(value, 1) OVER w AS y1, lead(value, 2) OVER w AS y2
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        )
+        SELECT * FROM b WHERE x0 IS NOT NULL AND y2 IS NOT NULL
+      """.stripMargin.trim)),
+
+    // ── X1: exact dedup summary per source (md5 of normalized text) ──
+    QueryDef(
+      "x1_exact_dedup",
+      (s, dir) => TextOps.dedupSummary(Tables.documents(s, dir), "text", Seq("source")),
+      Some("""
+        SELECT source, count(*) AS n_docs,
+          count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_unique,
+          count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS n_dupes
+        FROM documents GROUP BY source
+      """.stripMargin.trim)),
+
+    // ── X5: token stats per (source, lang) ──
+    QueryDef(
+      "x5_token_stats",
+      (s, dir) => {
+        TextOps.tokenStats(Tables.documents(s, dir), "text", Seq("source", "lang"))
+          .select(col("source"), col("lang"), col("n_docs"),
+            round(col("avg_tokens"), 6).as("avg_tokens"),
+            round(col("avg_chars"), 6).as("avg_chars"))
+      },
+      Some("""
+        SELECT source, lang, count(*) AS n_docs,
+          round(avg(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)), 6) AS avg_tokens,
+          round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+        FROM documents GROUP BY source, lang
+      """.stripMargin.trim)),
+
+    // ── X6: heuristic quality score per document ──
+    QueryDef(
+      "x6_quality_score",
+      (s, dir) => {
+        TextOps.qualityScore(Tables.documents(s, dir), "text", "__q")
+          .select(col("doc_id"), round(col("__q"), 6).as("quality"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x IN (${TextOps.langStopwords.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) AS DOUBLE) AS nchar
+          FROM documents
+        )
+        SELECT doc_id,
+          round(1 / (1 + exp(-(0.2 * ln(1 + ntok) + 2 * (nstop / greatest(ntok, 1))
+            - 8 * (npunct / greatest(nchar, 1)) - 1))), 6) AS quality
+        FROM t
+      """.stripMargin.trim)),
+
+    // ── X7: stopword-vote language ID per document ──
+    QueryDef(
+      "x7_language_id",
+      (s, dir) => {
+        TextOps.languageId(Tables.documents(s, dir), "text", "pred_lang")
+          .select(col("doc_id"), col("lang"), col("pred_lang"))
+      },
+      Some {
+        val hits = TextOps.langStopwords.map { case (lang, ws) =>
+          s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS h_$lang"
+        }.mkString(", ")
+        s"""
+        WITH h AS (SELECT doc_id, lang, $hits FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+               WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+               WHEN h_fr >= h_es THEN 'fr'
+               ELSE 'es' END AS pred_lang
+        FROM h
+        """.stripMargin.trim
+      }),
+
+    // ── X9: gap-based sessionization (30 min) per user ──
+    QueryDef(
+      "x9_sessionize",
+      (s, dir) => {
+        // DuckDB reads the parquet ns-timestamps truncated to MICROsecond
+        // TIMESTAMPs, so the comparable time basis is ts div 1000
+        Sessionize.sessionStats(
+          ev(s, dir).withColumn("ts_us", expr("ts div 1000")),
+          Seq("user_id"), "ts_us", Seq("ts_us", "event_id"), gap = 1800000000L)
+          .select(col("user_id"), col("session_id").cast("long").as("session_id"),
+            col("n_events"), col("duration").cast("long").as("duration_us"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS tns, event_id FROM events
+        ), m AS (
+          SELECT user_id, tns,
+            CASE WHEN lag(tns) OVER w IS NULL OR tns - lag(tns) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS nw
+          FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+        ), s AS (
+          SELECT user_id, tns,
+            sum(nw) OVER (PARTITION BY user_id ORDER BY tns
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+          FROM m
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+          count(*) AS n_events,
+          CAST(max(tns) - min(tns) AS BIGINT) AS duration_us
+        FROM s GROUP BY user_id, session_id
+      """.stripMargin.trim)),
+
+    // ── X10: tumbling hourly aggregate (integer-div bucketing on
+    //    epoch-nanos — no double division at 1e18 magnitude) ──
+    QueryDef(
+      "x10_hourly_agg",
+      (s, dir) => {
+        Sessionize.tumblingAgg(ev(s, dir), Seq("event_type"), "ts", "value",
+          widthNanos = 3600000000000L)
+          .select(col("event_type"), col("bucket_start_s"), col("n_events"),
+            round(col("sum_value"), 6).as("sum_value"),
+            round(col("avg_value"), 6).as("avg_value"))
+      },
+      Some("""
+        SELECT event_type,
+          (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start_s,
+          count(*) AS n_events,
+          round(sum(value), 6) AS sum_value,
+          round(avg(value), 6) AS avg_value
+        FROM events GROUP BY event_type, bucket_start_s
+      """.stripMargin.trim)),
+
+    // ── Q5-style: revenue per supplier nation in ASIA (multi-join;
+    //    nation/region auto-broadcast) ──
+    QueryDef(
+      "q5_revenue_by_nation",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val nat = Tables.nation(s, dir)
+        val reg = Tables.region(s, dir)
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT n_name,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+      """.stripMargin.trim)),
+
+    // ── D1: exact KNN classify (k=5, squared euclidean, deterministic
+    //    tie-breaks) — test split vec_id % 20 = 0 ──
+    QueryDef(
+      "d1_knn",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val test = emb.filter(col("vec_id") % 20 === 0)
+        val train = emb.filter(col("vec_id") % 20 =!= 0)
+        Knn.classify(train, test, "embedding", "label", "vec_id", "vec_id", k = 5)
+          .select(col("vec_id"), col("pred_label").cast("int").as("pred_label"),
+            col("n_votes"))
+      },
+      Some("""
+        WITH test AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+        ), train AS (
+          SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 20 <> 0
+        ), d AS (
+          SELECT t.vec_id AS vec_id, tr.vec_id AS tid, tr.label,
+            list_reduce(list_transform(
+              list_zip(t.embedding::DOUBLE[], tr.embedding::DOUBLE[]),
+              p -> (p[1] - p[2]) * (p[1] - p[2])),
+              (x, y) -> x + y) AS d2
+          FROM test t CROSS JOIN train tr
+        ), topk AS (
+          SELECT vec_id, label FROM (
+            SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, tid ASC) AS rk
+            FROM d) WHERE rk <= 5
+        ), votes AS (
+          SELECT vec_id, label, count(*) AS n_votes FROM topk GROUP BY vec_id, label
+        )
+        SELECT vec_id, CAST(label AS INT) AS pred_label, n_votes FROM (
+          SELECT vec_id, label, n_votes,
+            row_number() OVER (PARTITION BY vec_id ORDER BY n_votes DESC, label ASC) AS vrk
+          FROM votes) WHERE vrk = 1
+      """.stripMargin.trim)),
+
+    // ── X4: brute-force cosine top-3 for query vectors vec_id < 20 ──
+    QueryDef(
+      "x4_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Ann.cosineTopK(emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings
+        ), d AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN c WHERE cid <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d) WHERE rank <= 3
       """.stripMargin.trim))
   )
 

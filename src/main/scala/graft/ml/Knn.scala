@@ -1,0 +1,82 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact k-nearest-neighbour classification as a top-k-per-group query
+  * (reference D1, `fdi_flow/detectors/sklearn_detectors.py:19-253`).
+  *
+  * Plan shape: broadcast the (small) test side against the train side,
+  * compute the distance as a codegen'd higher-order-function expression
+  * over the embedding arrays, rank per test row, majority-vote. The train
+  * side never shuffles — at 100 TB the train scan streams once and only
+  * `k·|test|` rows survive to the (tiny) vote aggregate. Beyond exact
+  * scale, swap in the LSH variant ([[graft.similarity.Ann]]).
+  */
+object Knn {
+
+  /** Σ (a−b)² over two float/double array columns, computed in double,
+    * sequential left-to-right — matches DuckDB `list_distance`² exactly.
+    */
+  def squaredDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0d),
+      (acc, d) => acc + d)
+
+  /** Classify each `test` row by majority label of its `k` nearest train
+    * rows (squared-euclidean on `featCol` arrays); distance ties break on
+    * `trainIdCol`, vote ties on the smallest label — fully deterministic.
+    *
+    * Output: testIdCol, `pred_label`, `n_votes` (votes for the winner).
+    */
+  def classify(
+      train: DataFrame,
+      test: DataFrame,
+      featCol: String,
+      labelCol: String,
+      testIdCol: String,
+      trainIdCol: String,
+      k: Int): DataFrame = {
+    val t = broadcast(test.select(col(testIdCol), col(featCol).as("__qf")))
+    val joined = train
+      .select(col(trainIdCol).as("__tid"), col(labelCol).as("__lbl"), col(featCol).as("__tf"))
+      .crossJoin(t)
+      .withColumn("__d2", squaredDistance(col("__qf"), col("__tf")))
+    val ranked = joined.withColumn("__rk",
+      row_number().over(Window.partitionBy(col(testIdCol))
+        .orderBy(col("__d2").asc, col("__tid").asc)))
+      .filter(col("__rk") <= k)
+    val votes = ranked.groupBy(col(testIdCol), col("__lbl"))
+      .agg(count(lit(1)).as("n_votes"))
+    votes.withColumn("__vrk",
+      row_number().over(Window.partitionBy(col(testIdCol))
+        .orderBy(col("n_votes").desc, col("__lbl").asc)))
+      .filter(col("__vrk") === 1)
+      .select(col(testIdCol), col("__lbl").as("pred_label"), col("n_votes"))
+  }
+
+  /** k nearest neighbours themselves (rank + id + squared distance). */
+  def neighbors(
+      train: DataFrame,
+      test: DataFrame,
+      featCol: String,
+      testIdCol: String,
+      trainIdCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val t = broadcast(test.select(col(testIdCol).as("__qid"), col(featCol).as("__qf")))
+    val joined = train
+      .select(col(trainIdCol).as("__tid"), col(featCol).as("__tf"))
+      .crossJoin(t)
+      .filter(if (excludeSelf) col("__tid") =!= col("__qid") else lit(true))
+      .withColumn("__d2", squaredDistance(col("__qf"), col("__tf")))
+    joined.withColumn("rank",
+      row_number().over(Window.partitionBy(col("__qid"))
+        .orderBy(col("__d2").asc, col("__tid").asc)))
+      .filter(col("rank") <= k)
+      .select(col("__qid").as(testIdCol), col("rank"),
+        col("__tid").as("neighbor_id"), col("__d2").as("dist2"))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis / deduplication operators for LLM-data-pipeline work over
+  * the `documents` table (north-star extras, SURVEY §2.8). All pure
+  * Catalyst expressions — codegen'd, no UDFs, shuffle only at the final
+  * aggregate, so they scale to a 100 TB corpus as a single map + agg pass.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Canonical normalized form for exact dedup: lowercase, collapse
+    * whitespace runs, trim.
+    */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** 128-bit content fingerprint of the normalized text (md5 hex —
+    * identical in DuckDB, so oracle-able).
+    */
+  def contentHash(text: Column): Column = md5(normalize(text))
+
+  /** Exact deduplication: keep one row per normalized-content hash.
+    * `keepBy` orders candidates (first wins) — deterministic, unlike
+    * `dropDuplicates`. One shuffle on the hash.
+    */
+  def exactDedup(df: DataFrame, textCol: String, keepBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(contentHash(col(textCol)))
+      .orderBy(keepBy.map(col): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+  }
+
+  /** Per-group dedup summary: documents vs distinct normalized contents. */
+  def dedupSummary(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(contentHash(col(textCol))).as("n_unique"))
+      .withColumn("n_dupes", col("n_docs") - col("n_unique"))
+
+  /** Language-ID stopword tables (tiny, inlined as literals so the whole
+    * operator stays a codegen'd expression; n-gram heuristic per SURVEY
+    * §2.8). Order matters: ties break in this order.
+    */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "dans"),
+    "es" -> Seq("el", "la", "los", "que", "es", "no", "una", "con"))
+
+  private def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isInCollection(words)))
+
+  /** Heuristic language ID: argmax of per-language stopword hits over the
+    * token stream, ties broken by [[langStopwords]] order. Appends
+    * `predCol`.
+    */
+  def languageId(df: DataFrame, textCol: String, predCol: String = "pred_lang"): DataFrame = {
+    val hits = langStopwords.map { case (lang, ws) =>
+      lang -> stopwordHits(col(textCol), ws)
+    }
+    // sequential argmax: en wins ties vs all, then de vs rest, ...
+    val pred = hits.zipWithIndex.foldRight(lit(hits.last._1)) {
+      case (((lang, h), i), elseCol) =>
+        val rest = hits.drop(i + 1)
+        if (rest.isEmpty) elseCol
+        else when(rest.map { case (_, h2) => h >= h2 }.reduce(_ && _), lit(lang))
+          .otherwise(elseCol)
+    }
+    df.withColumn(predCol, pred)
+  }
+
+  /** Heuristic quality score in (0,1): logistic blend of length,
+    * stopword ratio (any language) and punctuation ratio — the
+    * length/punct/stopword recipe of SURVEY §2.8.
+    */
+  def qualityScore(df: DataFrame, textCol: String, outCol: String = "quality"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks).cast("double")
+    val allStops = langStopwords.flatMap(_._2).distinct
+    val stopRatio = size(filter(tokens(lower(t)), x => x.isInCollection(allStops)))
+      .cast("double") / greatest(nTok, lit(1d))
+    val punct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
+    val punctRatio = punct / greatest(length(t).cast("double"), lit(1d))
+    val z = lit(0.2) * log(lit(1d) + nTok) + lit(2d) * stopRatio - lit(8d) * punctRatio - lit(1d)
+    df.withColumn(outCol, lit(1d) / (lit(1d) + exp(-z)))
+  }
+
+  /** Token statistics per group: doc count, mean whitespace-token count,
+    * mean char length.
+    */
+  def tokenStats(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(size(tokens(col(textCol))).cast("double")).as("avg_tokens"),
+        avg(length(col(textCol)).cast("double")).as("avg_chars"))
+
+  /** Character shingles (n-grams) of the normalized text, as a distinct
+    * array — the unit set for Jaccard/MinHash near-dup.
+    */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = normalize(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(length(norm) - n, lit(0))),
+        i => norm.substr(i + 1, lit(n))))
+  }
+
+  /** BPE-ish token count: splits on word/punct boundaries then counts
+    * ceil(len/4) subword units per long word — a deterministic stand-in
+    * for a real BPE vocab (SURVEY §2.8 token counting).
+    */
+  def bpeishTokenCount(text: Column): Column = {
+    val words = split(trim(text), "\\s+")
+    aggregate(words, lit(0L),
+      (acc, w2) => acc + ceil(length(w2).cast("double") / 4d).cast("long"))
+  }
+}

@@ -56,7 +56,7 @@ for name in sorted(oracle):
             if not same.all():
                 kind = "EXACT-MISMATCH" if close.all() else "VALUE-MISMATCH"
                 bad = int((~same).sum())
-                i = int(np.argmax(~same.values))
+                i = int(np.argmax(~np.asarray(same)))
                 print(f"FAIL {name}: col {c} {kind} ({bad} rows), e.g. "
                       f"{g.iloc[i]!r} vs {e.iloc[i]!r}")
                 ok = False
