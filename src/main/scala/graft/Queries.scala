@@ -217,7 +217,9 @@ object Queries {
           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
         )
         SELECT event_id, event_type,
-          round((s + greatest(0, 3 - (rn - 1)) * fv + greatest(0, rn + 3 - n) * lv) / 7, 6) AS ma_value
+          round(CASE WHEN n < 7 THEN value
+            ELSE (s + greatest(0, 3 - (rn - 1)) * fv + greatest(0, rn + 3 - n) * lv) / 7
+            END, 6) AS ma_value
         FROM b
       """.stripMargin.trim)),
 
@@ -463,13 +465,13 @@ object Queries {
         WITH o AS (
           SELECT user_id, epoch_us(ts) AS tns, event_id FROM events
         ), m AS (
-          SELECT user_id, tns,
+          SELECT user_id, tns, event_id,
             CASE WHEN lag(tns) OVER w IS NULL OR tns - lag(tns) OVER w > 1800000000
               THEN 1 ELSE 0 END AS nw
           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
         ), s AS (
           SELECT user_id, tns,
-            sum(nw) OVER (PARTITION BY user_id ORDER BY tns
+            sum(nw) OVER (PARTITION BY user_id ORDER BY tns, event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
           FROM m
         )

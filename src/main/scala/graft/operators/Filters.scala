@@ -59,9 +59,14 @@ object Filters {
     val vIdx = withNext.schema.fieldIndex(valueCol)
     val nIdx = withNext.schema.fieldIndex(nextCol)
     // state = (level, trend); emit level + trend
+    // NULL samples propagate as NaN (numpy parity) instead of NPE-ing.
+    def num(r: org.apache.spark.sql.Row, i: Int): Double = {
+      val n = r.getAs[Number](i)
+      if (n == null) Double.NaN else n.doubleValue()
+    }
     Recurrence.rowScan[(Double, Double)](withNext, keyCols, orderCols,
       Seq(org.apache.spark.sql.types.StructField(outCol, DoubleType, nullable = false))) { r =>
-      val x0 = r.getAs[Number](vIdx).doubleValue()
+      val x0 = num(r, vIdx)
       if (r.isNullAt(nIdx)) ((x0, 0d), Seq(x0)) // n < 2: unchanged
       else {
         val trend0 = r.getDouble(nIdx) - x0
@@ -69,7 +74,7 @@ object Filters {
       }
     } { (s, r) =>
       val (level, trend) = s
-      val x = r.getAs[Number](vIdx).doubleValue()
+      val x = num(r, vIdx)
       val level2 = alpha * x + (1 - alpha) * (level + trend)
       val trend2 = beta * (level2 - level) + (1 - beta) * trend
       ((level2, trend2), Seq(level2 + trend2))

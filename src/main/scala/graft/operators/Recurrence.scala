@@ -67,11 +67,14 @@ object Recurrence {
     val tmp = "__scan_v"
     val withV = df.withColumn(tmp, col(valueCol).cast(DoubleType))
     val vIdx = withV.schema.fieldIndex(tmp)
+    // NULL samples enter the recurrence as NaN (numpy parity: the reference
+    // propagates NaN through the arithmetic instead of crashing).
+    def v(r: Row): Double = if (r.isNullAt(vIdx)) Double.NaN else r.getDouble(vIdx)
     rowScan[S](withV, keyCols, orderCols,
       Seq(StructField(outCol, DoubleType, nullable = false))) { r =>
-      val (s, o) = init(r.getDouble(vIdx)); (s, Seq(o))
+      val (s, o) = init(v(r)); (s, Seq(o))
     } { (s, r) =>
-      val (s2, o) = step(s, r.getDouble(vIdx)); (s2, Seq(o))
+      val (s2, o) = step(s, v(r)); (s2, Seq(o))
     }.drop(tmp)
   }
 }

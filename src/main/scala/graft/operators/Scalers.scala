@@ -18,6 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Scalers {
 
+  /** Join per-group stats back onto the fact rows with NULL-SAFE key
+    * equality (`<=>`): a plain inner join would silently drop rows whose
+    * group key is NULL, whereas the reference (and SQL `PARTITION BY`)
+    * treats NULL as its own series.
+    */
+  private def joinStats(df: DataFrame, stats: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val renamed = groupCols.foldLeft(stats)((s, c) => s.withColumnRenamed(c, s"__g_$c"))
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(renamed, cond).drop(groupCols.map(c => s"__g_$c"): _*)
+  }
+
   /** Z-score per series: `(x − mean) / std` with **population** std
     * (ddof=0), matching `np.std` at reference `scalers.py:42-77`. A series
     * with zero std is centered but not divided (guard at `scalers.py:74-76`).
@@ -38,7 +49,7 @@ object Scalers {
       .agg(
         avg(col(valueCol)).as("__mean"),
         stddev_pop(col(valueCol)).as("__std"))
-    val joined = df.join(stats, groupCols)
+    val joined = joinStats(df, stats, groupCols)
     val centered = if (withMean) col(valueCol) - col("__mean") else col(valueCol)
     val scaled =
       if (withStd) when(col("__std") > 0d, centered / col("__std")).otherwise(centered)
@@ -60,7 +71,7 @@ object Scalers {
     val stats = df
       .groupBy(groupCols.map(col): _*)
       .agg(min(col(valueCol)).as("__min"), max(col(valueCol)).as("__max"))
-    val joined = df.join(stats, groupCols)
+    val joined = joinStats(df, stats, groupCols)
     val scaled = when(col("__max") === col("__min"), lit((lo + hi) / 2d))
       .otherwise((col(valueCol) - col("__min")) / (col("__max") - col("__min")) * (hi - lo) + lo)
     joined.withColumn(outCol, scaled).drop("__min", "__max")
@@ -86,7 +97,7 @@ object Scalers {
         expr(s"percentile($valueCol, 0.5)").as("__med"),
         expr(s"percentile($valueCol, 0.25)").as("__p25"),
         expr(s"percentile($valueCol, 0.75)").as("__p75"))
-    val joined = df.join(stats, groupCols)
+    val joined = joinStats(df, stats, groupCols)
     val centered = if (withCentering) col(valueCol) - col("__med") else col(valueCol)
     val iqr = col("__p75") - col("__p25")
     val scaled =
