@@ -1,18 +1,23 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.{Scored, TopKAgg}
 
 /** Exact k-nearest-neighbour classification as a top-k-per-group query
   * (reference D1, `fdi_flow/detectors/sklearn_detectors.py:19-253`).
   *
   * Plan shape: broadcast the (small) test side against the train side,
   * compute the distance as a codegen'd higher-order-function expression
-  * over the embedding arrays, rank per test row, majority-vote. The train
-  * side never shuffles — at 100 TB the train scan streams once and only
-  * `k·|test|` rows survive to the (tiny) vote aggregate. Beyond exact
-  * scale, swap in the LSH variant ([[graft.similarity.Ann]]).
+  * over the embedding arrays, then reduce to k candidates per test row
+  * with the bounded [[graft.functions.TopKAgg]] — partial (map-side)
+  * aggregation keeps at most k rows per (partition, test row), so the
+  * train side never shuffles its full cross product; only `k·P·|test|`
+  * candidate rows reach the exchange, and the vote aggregate downstream
+  * is tiny. Beyond exact scale, swap in the LSH variant
+  * ([[graft.similarity.Ann]]).
   */
 object Knn {
 
@@ -24,6 +29,10 @@ object Knn {
       zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0d),
       (acc, d) => acc + d)
+
+  /** Bounded top-k of (score asc, id asc) with a rider payload column. */
+  private[graft] def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TopKAgg(k), Encoders.product[Scored])
 
   /** Classify each `test` row by majority label of its `k` nearest train
     * rows (squared-euclidean on `featCol` arrays); distance ties break on
@@ -44,11 +53,11 @@ object Knn {
       .select(col(trainIdCol).as("__tid"), col(labelCol).as("__lbl"), col(featCol).as("__tf"))
       .crossJoin(t)
       .withColumn("__d2", squaredDistance(col("__qf"), col("__tf")))
-    val ranked = joined.withColumn("__rk",
-      row_number().over(Window.partitionBy(col(testIdCol))
-        .orderBy(col("__d2").asc, col("__tid").asc)))
-      .filter(col("__rk") <= k)
-    val votes = ranked.groupBy(col(testIdCol), col("__lbl"))
+    val topk = joined.groupBy(col(testIdCol))
+      .agg(topK(k)(col("__d2"), col("__tid").cast("long"), col("__lbl").cast("long")).as("__tk"))
+    val votes = topk
+      .select(col(testIdCol), explode(col("__tk.hits.payload")).as("__lbl"))
+      .groupBy(col(testIdCol), col("__lbl"))
       .agg(count(lit(1)).as("n_votes"))
     votes.withColumn("__vrk",
       row_number().over(Window.partitionBy(col(testIdCol))
@@ -72,11 +81,10 @@ object Knn {
       .crossJoin(t)
       .filter(if (excludeSelf) col("__tid") =!= col("__qid") else lit(true))
       .withColumn("__d2", squaredDistance(col("__qf"), col("__tf")))
-    joined.withColumn("rank",
-      row_number().over(Window.partitionBy(col("__qid"))
-        .orderBy(col("__d2").asc, col("__tid").asc)))
-      .filter(col("rank") <= k)
-      .select(col("__qid").as(testIdCol), col("rank"),
-        col("__tid").as("neighbor_id"), col("__d2").as("dist2"))
+    joined.groupBy(col("__qid"))
+      .agg(topK(k)(col("__d2"), col("__tid").cast("long"), lit(0L)).as("__tk"))
+      .select(col("__qid"), posexplode(col("__tk.hits")).as(Seq("__pos", "__h")))
+      .select(col("__qid").as(testIdCol), (col("__pos") + 1).cast("int").as("rank"),
+        col("__h.id").as("neighbor_id"), col("__h.score").as("dist2"))
   }
 }
