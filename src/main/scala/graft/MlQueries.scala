@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ml._
+
+/** Detector queries (D2–D8) over the `embeddings` table: seeded 80/20
+  * split on `vec_id % 5`, fit on train, predict test, and report the
+  * confusion matrix (true label × predicted label × count). Fitted tree
+  * models are not ANSI-SQL-expressible, so these are declared WITHOUT
+  * `oracleSql` (driver records the rows-only check per the contract);
+  * semantic parity is covered by `DetectorsSpec` on the FIXTURES
+  * `clf-blobs` scenario.
+  *
+  * Sizing note: each query trains a deliberately small model — the point
+  * is end-to-end distributed fit/predict through the driver harness, not
+  * model quality on the synthetic embeddings.
+  */
+object MlQueries {
+
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  /** confusion matrix of det on the vec_id%5 split, labels restricted to
+    * `maxLabel` classes when the model is OneVsRest-expensive.
+    */
+  private def confusion(
+      det: FaultDetector,
+      s: SparkSession, dir: String,
+      maxLabel: Int = Int.MaxValue,
+      minLabel: Int = 0): DataFrame = {
+    val all = emb(s, dir).filter(col("label") >= minLabel && col("label") < maxLabel)
+    val train = all.filter(col("vec_id") % 5 =!= 0)
+    val test = all.filter(col("vec_id") % 5 === 0)
+    det.fit(train, "embedding", "label")
+    det.predict(test, "embedding")
+      .groupBy(col("label"), col("pred_label").cast("int").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── D2: random forest (multiclass-native) ──
+    QueryDef(
+      "d2_rf_detector",
+      (s, dir) => confusion(
+        new RandomForestFaultDetector(
+          nEstimators = 20, maxDepth = Some(5), randomState = 7L), s, dir),
+      None),
+
+    // ── D3: SVM — RBF via random Fourier features + OneVsRest LinearSVC ──
+    QueryDef(
+      "d3_svm_detector",
+      (s, dir) => confusion(
+        new SVMFaultDetector(maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
+      None),
+
+    // ── D4: gradient boosting (binary GBT on a 2-class slice) ──
+    QueryDef(
+      "d4_gbt_detector",
+      (s, dir) => confusion(
+        new GradientBoostingFaultDetector(
+          nEstimators = 10, maxDepth = 3, randomState = 7L), s, dir, maxLabel = 2),
+      None),
+
+    // ── D5: XGB-parity wrapper (column subsampling + split-gain) ──
+    QueryDef(
+      "d5_xgb_detector",
+      (s, dir) => confusion(
+        new XGBFaultDetector(
+          nEstimators = 10, maxDepth = 3, colsampleBytree = 0.8,
+          randomState = 7L), s, dir, maxLabel = 4, minLabel = 2),
+      None),
+
+    // ── D6: LGBM-parity wrapper (num_leaves→depth, auto obj switch) ──
+    QueryDef(
+      "d6_lgbm_detector",
+      (s, dir) => confusion(
+        new LGBMFaultDetector(
+          nEstimators = 10, numLeaves = 15, minChildSamples = 5,
+          randomState = 7L), s, dir, maxLabel = 6, minLabel = 4),
+      None),
+
+    // ── D7: CatBoost-parity wrapper (overfit-detector early stop) ──
+    QueryDef(
+      "d7_catboost_detector",
+      (s, dir) => confusion(
+        new CatBoostFaultDetector(
+          iterations = 10, learningRate = 0.3, depth = 3,
+          randomState = 7L), s, dir, maxLabel = 8, minLabel = 6),
+      None),
+
+    // ── D8: seeded random-search CV; output = best point + CV accuracy ──
+    QueryDef(
+      "d8_hyper_search",
+      (s, dir) => {
+        val all = emb(s, dir).filter(col("label") < 4)
+        val train = all.filter(col("vec_id") % 5 =!= 0)
+        val det = new RandomForestFaultDetector(
+          paramSearchSpace = Map(
+            "n_estimators" -> Seq(5, 15),
+            "max_depth" -> Seq(2, 6)),
+          nIter = 3, cvFolds = 3, randomState = 42L)
+        det.fit(train, "embedding", "label", optimize = true)
+        import s.implicits._
+        det.bestParams.toSeq.sortBy(_._1)
+          .map { case (k, v) => (k, v.toString) }
+          .toDF("param", "best_value")
+      },
+      None)
+  )
+}

@@ -596,9 +596,12 @@ object Queries {
       """.stripMargin.trim))
   )
 
+  /** Full registry: core operator queries + the ML detector queries. */
+  def all: Seq[QueryDef] = defs ++ MlQueries.defs
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map(d => d.name -> d.run).toMap
+    all.map(d => d.name -> d.run).toMap
 
   def oracleSql: Map[String, String] =
-    defs.flatMap(d => d.oracle.map(d.name -> _)).toMap
+    all.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

@@ -1,0 +1,529 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.classification.{
+  ClassificationModel, Classifier, GBTClassificationModel, GBTClassifier,
+  LinearSVC, OneVsRest, OneVsRestModel, RandomForestClassificationModel,
+  RandomForestClassifier}
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{StandardScaler => MlStandardScaler}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.param.{ParamMap, ParamPair, Params}
+import org.apache.spark.ml.tuning.CrossValidator
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Trainable fault detectors (reference D2–D8) re-expressed as MLlib
+  * Pipelines over DataFrames.
+  *
+  * Reference surface (identical across all seven detectors,
+  * `detectors/sklearn_detectors.py:73-253`): `fit(X, y, optimize)`,
+  * `predict`, `predict_proba`, `score` (accuracy), `get_params`,
+  * `get_feature_importances`, with hyper-search over a
+  * `param_search_space` dict. Here `X` is a DataFrame with an
+  * `array<numeric>` feature column (the engine's embedding/window shape)
+  * plus a label column; training and prediction are distributed jobs —
+  * tree aggregation for forests/boosting, L-BFGS for the SVM — so fit
+  * scales with executors instead of a single process.
+  *
+  * Label handling follows sklearn's `LabelEncoder` semantics (sorted
+  * unique values → 0..K−1) so arbitrary integer fault codes work, and
+  * `predict` maps back to the original codes.
+  */
+abstract class FaultDetector(
+    val paramSearchSpace: Map[String, Seq[Any]],
+    val nIter: Int,
+    val cvFolds: Int,
+    val randomState: Long) extends Serializable {
+
+  protected var pipelineModel: Option[PipelineModel] = None
+  protected var labelValues: Array[Double] = Array.empty
+  /** Best point found by `fit(optimize = true)` (reference `best_params_`). */
+  var bestParams: Map[String, Any] = Map.empty
+  /** CV accuracy of the best point (reference `avgMetrics` analogue). */
+  var cvAccuracy: Option[Double] = None
+
+  /** The final classifier stage for `k` classes (possibly OneVsRest). */
+  protected def buildClassifier(k: Int): PipelineStage
+  /** Feature-prep stages inserted before the classifier. */
+  protected def preStages(k: Int): Seq[PipelineStage] = Nil
+  /** The Params object hyper-search points apply to (inner classifier
+    * when OneVsRest-wrapped — ParamMaps propagate through
+    * `Pipeline.copy` → `OneVsRest.copy` → `classifier.copy`).
+    */
+  protected def tunable(stage: PipelineStage): Params = stage match {
+    case o: OneVsRest => o.getClassifier
+    case p: Params    => p
+  }
+  /** Translate one reference-named search param to an MLlib ParamPair. */
+  protected def translate(p: Params, name: String, value: Any): ParamPair[_]
+  /** Constructor params (reference `get_params()` when not optimized). */
+  def params: Map[String, Any]
+  /** Extra training-only column (e.g. a validation-split indicator). */
+  protected def trainExtraCol: Option[(String, Column)] = None
+
+  def getParams: Map[String, Any] = if (bestParams.nonEmpty) bestParams else params
+
+  private def prepFeatures(df: DataFrame, featCol: String): DataFrame =
+    df.withColumn("features", array_to_vector(col(featCol).cast("array<double>")))
+
+  private def labelIdx(c: Column): Column = {
+    val m = map(labelValues.zipWithIndex.flatMap { case (l, i) =>
+      Seq(lit(l), lit(i.toDouble)) }: _*)
+    element_at(m, c.cast("double"))
+  }
+
+  def fit(df: DataFrame, featCol: String, labelCol: String,
+          optimize: Boolean = false): this.type = {
+    labelValues = df.select(col(labelCol).cast("double").as("__l"))
+      .filter(col("__l").isNotNull).distinct().orderBy("__l")
+      .collect().map(_.getDouble(0))
+    val k = labelValues.length
+    require(k >= 2, s"need >= 2 classes, got $k")
+    var prep = prepFeatures(df, featCol)
+      .withColumn("label", labelIdx(col(labelCol)))
+    trainExtraCol.foreach { case (n, c) => prep = prep.withColumn(n, c) }
+    val clf = buildClassifier(k)
+    val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
+    if (optimize && paramSearchSpace.nonEmpty) {
+      val points = FaultDetector.samplePoints(paramSearchSpace, nIter, randomState)
+      val grid = points.map { pt =>
+        val pm = ParamMap.empty
+        pt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
+        pm
+      }.toArray
+      val cv = new CrossValidator()
+        .setEstimator(pipe)
+        .setEstimatorParamMaps(grid)
+        .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
+        .setNumFolds(cvFolds)
+        .setSeed(randomState)
+        .setParallelism(2)
+      val cvm = cv.fit(prep)
+      val best = cvm.avgMetrics.zipWithIndex.maxBy(_._1)._2
+      bestParams = points(best)
+      cvAccuracy = Some(cvm.avgMetrics(best))
+      pipelineModel = Some(cvm.bestModel.asInstanceOf[PipelineModel])
+    } else {
+      pipelineModel = Some(pipe.fit(prep))
+    }
+    this
+  }
+
+  protected def transformed(df: DataFrame, featCol: String): DataFrame = {
+    val m = pipelineModel.getOrElse(
+      throw new IllegalStateException("Model must be fitted before prediction"))
+    m.transform(prepFeatures(df, featCol))
+  }
+
+  /** Input rows + `pred_label` (original label domain, double). */
+  def predict(df: DataFrame, featCol: String): DataFrame = {
+    val lbls = array(labelValues.map(lit): _*)
+    transformed(df, featCol)
+      .withColumn("pred_label", element_at(lbls, col("prediction").cast("int") + 1))
+      .drop("features", "rawPrediction", "probability", "prediction",
+        FaultDetector.ScaledCol, FaultDetector.RffCol)
+  }
+
+  /** Input rows + `proba` (array<double> over classes in sorted-label
+    * order). Only for probabilistic models (reference raises for
+    * `SVC(probability=False)` likewise).
+    */
+  def predictProba(df: DataFrame, featCol: String): DataFrame = {
+    val out = transformed(df, featCol)
+    require(out.columns.contains("probability"),
+      s"${getClass.getSimpleName} does not expose class probabilities")
+    out.withColumn("proba", vector_to_array(col("probability")))
+      .drop("features", "rawPrediction", "probability", "prediction",
+        FaultDetector.ScaledCol, FaultDetector.RffCol)
+  }
+
+  /** Accuracy on labelled data (reference `score`). */
+  def score(df: DataFrame, featCol: String, labelCol: String): Double =
+    predict(df, featCol)
+      .select(avg(when(col("pred_label") === col(labelCol).cast("double"), 1d)
+        .otherwise(0d)).as("acc"))
+      .head().getDouble(0)
+
+  /** Normalized importances (tree models; averaged across the OneVsRest
+    * binary models for multiclass boosting).
+    */
+  def featureImportances: Option[Vector] = pipelineModel.flatMap { m =>
+    m.stages.last match {
+      case rf: RandomForestClassificationModel => Some(rf.featureImportances)
+      case g: GBTClassificationModel           => Some(g.featureImportances)
+      case ovr: OneVsRestModel =>
+        val per = ovr.models.toSeq.collect {
+          case g: GBTClassificationModel           => g.featureImportances
+          case r: RandomForestClassificationModel  => r.featureImportances
+        }
+        if (per.isEmpty) None
+        else {
+          val sum = new Array[Double](per.head.size)
+          per.foreach(_.foreachActive((i, x) => sum(i) += x))
+          val tot = sum.sum
+          Some(Vectors.dense(if (tot > 0) sum.map(_ / tot) else sum))
+        }
+      case _ => None
+    }
+  }
+
+  protected def asInt(v: Any): Int = v match {
+    case i: Int => i; case l: Long => l.toInt; case d: Double => d.toInt
+    case other  => other.toString.toInt
+  }
+  protected def asDouble(v: Any): Double = v match {
+    case d: Double => d; case i: Int => i.toDouble; case l: Long => l.toDouble
+    case other     => other.toString.toDouble
+  }
+  protected def asBool(v: Any): Boolean = v match {
+    case b: Boolean => b; case other => other.toString.toBoolean
+  }
+}
+
+object FaultDetector {
+  val ScaledCol = "__scaled"
+  val RffCol = "__rff"
+
+  /** Random-search sampling over the reference's search-space convention
+    * (`sklearn_detectors.py:112-136`): a 2-element [lo, hi] of ints draws
+    * uniform ints (hi inclusive), of doubles draws uniform doubles;
+    * anything else is a categorical choice list. Seeded — the same space,
+    * nIter and seed reproduce the same candidate grid everywhere.
+    */
+  def samplePoints(space: Map[String, Seq[Any]], n: Int, seed: Long): Seq[Map[String, Any]] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      space.toSeq.sortBy(_._1).map { case (name, vals) =>
+        name -> (vals match {
+          case Seq(lo: Int, hi: Int)       => lo + rnd.nextInt(hi - lo + 1)
+          case Seq(lo: Double, hi: Double) => lo + rnd.nextDouble() * (hi - lo)
+          case cats                        => cats(rnd.nextInt(cats.length))
+        })
+      }.toMap
+    }
+  }
+}
+
+/** D2 — reference `RandomForestFaultDetector`
+  * (`detectors/sklearn_detectors.py:256-518`). Multiclass-native;
+  * `max_depth=None` maps to MLlib's depth cap (30).
+  */
+class RandomForestFaultDetector(
+    nEstimators: Int = 100,
+    criterion: String = "gini",
+    maxDepth: Option[Int] = None,
+    minSamplesLeaf: Int = 1,
+    maxFeatures: String = "sqrt",
+    bootstrap: Boolean = true,
+    randomState: Long = 42L,
+    paramSearchSpace: Map[String, Seq[Any]] = Map.empty,
+    nIter: Int = 10,
+    cvFolds: Int = 5)
+  extends FaultDetector(paramSearchSpace, nIter, cvFolds, randomState) {
+
+  override protected def buildClassifier(k: Int): PipelineStage =
+    new RandomForestClassifier()
+      .setNumTrees(nEstimators)
+      .setImpurity(criterion)
+      .setMaxDepth(maxDepth.map(math.min(_, 30)).getOrElse(30))
+      .setMinInstancesPerNode(minSamplesLeaf)
+      .setFeatureSubsetStrategy(maxFeatures match {
+        case "sqrt" | "log2" | "auto" => maxFeatures
+        case _                        => "all"
+      })
+      .setBootstrap(bootstrap)
+      .setSeed(randomState)
+
+  override protected def translate(p: Params, name: String, v: Any): ParamPair[_] = {
+    val rf = p.asInstanceOf[RandomForestClassifier]
+    name match {
+      case "n_estimators"     => ParamPair(rf.numTrees, asInt(v))
+      case "max_depth"        => ParamPair(rf.maxDepth, math.min(asInt(v), 30))
+      case "min_samples_leaf" => ParamPair(rf.minInstancesPerNode, asInt(v))
+      case "criterion"        => ParamPair(rf.impurity, v.toString)
+      case "max_features"     => ParamPair(rf.featureSubsetStrategy, v.toString)
+      case "bootstrap"        => ParamPair(rf.bootstrap, asBool(v))
+      case other => throw new IllegalArgumentException(s"unsupported search param: $other")
+    }
+  }
+
+  override def params: Map[String, Any] = Map(
+    "n_estimators" -> nEstimators, "criterion" -> criterion,
+    "max_depth" -> maxDepth, "min_samples_leaf" -> minSamplesLeaf,
+    "max_features" -> maxFeatures, "bootstrap" -> bootstrap)
+}
+
+/** D3 — reference `SVMFaultDetector`
+  * (`detectors/sklearn_detectors.py:521-815`). The default RBF kernel is
+  * linearized via [[RandomFourierFeatures]] feeding `LinearSVC` (the
+  * scalable substitution for kernel SVC — documented in SURVEY §2.6);
+  * `kernel="linear"` skips the RFF stage. Internal standardization
+  * mirrors the reference's `scale_features=True`. The reference's
+  * double-scaling bug in `score()` (`:779-800`) is intentionally NOT
+  * replicated (SURVEY §7.5).
+  */
+class SVMFaultDetector(
+    c: Double = 1.0,
+    kernel: String = "rbf",
+    gamma: Double = 0.0, // <= 0 → sklearn 'scale' (1/d on standardized input)
+    maxIter: Int = 100,
+    tol: Double = 1e-6,
+    scaleFeatures: Boolean = true,
+    rffFeatures: Int = 128,
+    randomState: Long = 42L,
+    paramSearchSpace: Map[String, Seq[Any]] = Map.empty,
+    nIter: Int = 10,
+    cvFolds: Int = 5)
+  extends FaultDetector(paramSearchSpace, nIter, cvFolds, randomState) {
+
+  require(kernel == "rbf" || kernel == "linear",
+    s"kernel must be rbf|linear (poly/sigmoid not supported), got $kernel")
+
+  private val rffStage = new RandomFourierFeatures()
+    .setNumFeatures(rffFeatures).setGamma(gamma).setSeed(randomState)
+
+  private def svcFeaturesCol: String =
+    if (kernel == "rbf") FaultDetector.RffCol
+    else if (scaleFeatures) FaultDetector.ScaledCol
+    else "features"
+
+  override protected def preStages(k: Int): Seq[PipelineStage] = {
+    val scale =
+      if (scaleFeatures)
+        Seq(new MlStandardScaler().setInputCol("features")
+          .setOutputCol(FaultDetector.ScaledCol).setWithMean(true).setWithStd(true))
+      else Nil
+    val rff =
+      if (kernel == "rbf")
+        Seq(rffStage.setInputCol(if (scaleFeatures) FaultDetector.ScaledCol else "features")
+          .setOutputCol(FaultDetector.RffCol))
+      else Nil
+    scale ++ rff
+  }
+
+  override protected def buildClassifier(k: Int): PipelineStage = {
+    val svc = new LinearSVC()
+      .setFeaturesCol(svcFeaturesCol)
+      .setRegParam(1.0 / c)
+      .setMaxIter(maxIter)
+      .setTol(tol)
+    if (k > 2) new OneVsRest().setClassifier(svc).setFeaturesCol(svcFeaturesCol)
+    else svc
+  }
+
+  override protected def translate(p: Params, name: String, v: Any): ParamPair[_] = {
+    name match {
+      case "C"        => val svc = p.asInstanceOf[LinearSVC]; ParamPair(svc.regParam, 1.0 / asDouble(v))
+      case "max_iter" => val svc = p.asInstanceOf[LinearSVC]; ParamPair(svc.maxIter, asInt(v))
+      case "tol"      => val svc = p.asInstanceOf[LinearSVC]; ParamPair(svc.tol, asDouble(v))
+      case "gamma"    => ParamPair(rffStage.gamma, asDouble(v))
+      case other => throw new IllegalArgumentException(s"unsupported search param: $other")
+    }
+  }
+
+  override def params: Map[String, Any] = Map(
+    "C" -> c, "kernel" -> kernel, "gamma" -> gamma, "max_iter" -> maxIter,
+    "scale_features" -> scaleFeatures, "rff_features" -> rffFeatures)
+}
+
+/** Shared base of the four boosted-tree detectors (D4–D7): MLlib
+  * `GBTClassifier` (binary) wrapped in `OneVsRest` for multiclass — the
+  * same substitution SURVEY §2.6 documents for sklearn-GB, XGBoost,
+  * LightGBM and CatBoost (regularized boosted trees; library-specific
+  * regularizers recorded in `params` but not re-implemented).
+  */
+abstract class GbtBackedDetector(
+    space: Map[String, Seq[Any]], nIter: Int, cvFolds: Int, seed: Long)
+  extends FaultDetector(space, nIter, cvFolds, seed) {
+
+  protected def gbt(): GBTClassifier
+
+  /** Fraction held out as the early-stop validation set when enabled. */
+  protected def validationFraction: Option[Double] = None
+
+  override protected def trainExtraCol: Option[(String, Column)] =
+    validationFraction.map(f => ("__val", rand(randomState) < f))
+
+  override protected def buildClassifier(k: Int): PipelineStage = {
+    val g = gbt().setSeed(randomState)
+    validationFraction.foreach(_ => g.setValidationIndicatorCol("__val"))
+    if (k > 2) new OneVsRest().setClassifier(g) else g
+  }
+
+  override protected def translate(p: Params, name: String, v: Any): ParamPair[_] = {
+    val g = p.asInstanceOf[GBTClassifier]
+    name match {
+      case "n_estimators" | "iterations"     => ParamPair(g.maxIter, asInt(v))
+      case "learning_rate"                   => ParamPair(g.stepSize, asDouble(v))
+      case "max_depth" | "depth"             => ParamPair(g.maxDepth, math.min(asInt(v), 30))
+      case "subsample"                       => ParamPair(g.subsamplingRate, asDouble(v))
+      case "min_samples_leaf" | "min_child_samples" => ParamPair(g.minInstancesPerNode, asInt(v))
+      case "gamma" | "min_split_gain"        => ParamPair(g.minInfoGain, asDouble(v))
+      case other => throw new IllegalArgumentException(s"unsupported search param: $other")
+    }
+  }
+}
+
+/** D4 — reference `GradientBoostingFaultDetector`
+  * (`detectors/sklearn_detectors.py:818-1163`).
+  */
+class GradientBoostingFaultDetector(
+    nEstimators: Int = 100,
+    learningRate: Double = 0.1,
+    maxDepth: Int = 3,
+    subsample: Double = 1.0,
+    minSamplesLeaf: Int = 1,
+    randomState: Long = 42L,
+    paramSearchSpace: Map[String, Seq[Any]] = Map.empty,
+    nIter: Int = 10,
+    cvFolds: Int = 5)
+  extends GbtBackedDetector(paramSearchSpace, nIter, cvFolds, randomState) {
+
+  override protected def gbt(): GBTClassifier = new GBTClassifier()
+    .setMaxIter(nEstimators).setStepSize(learningRate).setMaxDepth(maxDepth)
+    .setSubsamplingRate(subsample).setMinInstancesPerNode(minSamplesLeaf)
+
+  override def params: Map[String, Any] = Map(
+    "n_estimators" -> nEstimators, "learning_rate" -> learningRate,
+    "max_depth" -> maxDepth, "subsample" -> subsample,
+    "min_samples_leaf" -> minSamplesLeaf)
+}
+
+/** D5 — reference `XGBFaultDetector` (`detectors/xgb_detectors.py:17-374`).
+  * Capability-parity wrapper: regularized boosted trees with column
+  * subsampling (`colsample_bytree` → `featureSubsetStrategy`), split gain
+  * threshold (`gamma` → `minInfoGain`) and optional early stopping on a
+  * held-out set. `reg_alpha`/`reg_lambda` are recorded but MLlib GBT has
+  * no elastic-net leaf regularizer (documented gap).
+  */
+class XGBFaultDetector(
+    maxDepth: Int = 3,
+    learningRate: Double = 0.1,
+    nEstimators: Int = 100,
+    gamma: Double = 0.0,
+    subsample: Double = 1.0,
+    colsampleBytree: Double = 1.0,
+    regLambda: Double = 1.0,
+    randomState: Long = 42L,
+    earlyStoppingRounds: Option[Int] = None,
+    paramSearchSpace: Map[String, Seq[Any]] = Map.empty,
+    nIter: Int = 10,
+    cvFolds: Int = 5)
+  extends GbtBackedDetector(paramSearchSpace, nIter, cvFolds, randomState) {
+
+  override protected def validationFraction: Option[Double] =
+    earlyStoppingRounds.map(_ => 0.1)
+
+  override protected def gbt(): GBTClassifier = new GBTClassifier()
+    .setMaxIter(nEstimators).setStepSize(learningRate).setMaxDepth(maxDepth)
+    .setMinInfoGain(gamma).setSubsamplingRate(subsample)
+    .setFeatureSubsetStrategy(
+      if (colsampleBytree >= 1.0) "all" else colsampleBytree.toString)
+
+  override def params: Map[String, Any] = Map(
+    "max_depth" -> maxDepth, "learning_rate" -> learningRate,
+    "n_estimators" -> nEstimators, "gamma" -> gamma, "subsample" -> subsample,
+    "colsample_bytree" -> colsampleBytree, "reg_lambda" -> regLambda,
+    "early_stopping_rounds" -> earlyStoppingRounds)
+}
+
+/** D6 — reference `LGBMFaultDetector` (`detectors/lgbm_detectors.py:15-364`).
+  * The reference's automatic binary↔multiclass objective switch
+  * (`:134-138`) is the base class's k>2 OneVsRest wrap. `num_leaves` maps
+  * to an equivalent depth (⌈log2(leaves)⌉) when `max_depth` is
+  * unlimited (−1).
+  */
+class LGBMFaultDetector(
+    numLeaves: Int = 31,
+    maxDepth: Int = -1,
+    learningRate: Double = 0.1,
+    nEstimators: Int = 100,
+    minChildSamples: Int = 20,
+    minSplitGain: Double = 0.0,
+    subsample: Double = 1.0,
+    randomState: Long = 42L,
+    earlyStoppingRounds: Option[Int] = None,
+    paramSearchSpace: Map[String, Seq[Any]] = Map.empty,
+    nIter: Int = 10,
+    cvFolds: Int = 5)
+  extends GbtBackedDetector(paramSearchSpace, nIter, cvFolds, randomState) {
+
+  override protected def validationFraction: Option[Double] =
+    earlyStoppingRounds.map(_ => 0.1)
+
+  private def depth: Int =
+    if (maxDepth > 0) math.min(maxDepth, 30)
+    else math.max(2, math.ceil(math.log(numLeaves.toDouble) / math.log(2.0)).toInt)
+
+  override protected def gbt(): GBTClassifier = new GBTClassifier()
+    .setMaxIter(nEstimators).setStepSize(learningRate).setMaxDepth(depth)
+    .setMinInstancesPerNode(minChildSamples).setMinInfoGain(minSplitGain)
+    .setSubsamplingRate(subsample)
+
+  override def params: Map[String, Any] = Map(
+    "num_leaves" -> numLeaves, "max_depth" -> maxDepth,
+    "learning_rate" -> learningRate, "n_estimators" -> nEstimators,
+    "min_child_samples" -> minChildSamples, "subsample" -> subsample,
+    "early_stopping_rounds" -> earlyStoppingRounds)
+}
+
+/** D7 — reference `CatBoostFaultDetector`
+  * (`detectors/catboost_detector.py:15-297`). The overfitting detector
+  * (`od_type='Iter'`, `od_wait`) maps to GBT validation-set early
+  * stopping on a 10% seeded holdout.
+  */
+class CatBoostFaultDetector(
+    iterations: Int = 500,
+    learningRate: Double = 0.03,
+    depth: Int = 6,
+    l2LeafReg: Double = 3.0,
+    odType: String = "Iter",
+    odWait: Int = 20,
+    randomState: Long = 42L,
+    earlyStoppingRounds: Option[Int] = None,
+    paramSearchSpace: Map[String, Seq[Any]] = Map.empty,
+    nIter: Int = 10,
+    cvFolds: Int = 5)
+  extends GbtBackedDetector(paramSearchSpace, nIter, cvFolds, randomState) {
+
+  override protected def validationFraction: Option[Double] =
+    if (earlyStoppingRounds.isDefined || odType == "Iter") Some(0.1) else None
+
+  override protected def gbt(): GBTClassifier = new GBTClassifier()
+    .setMaxIter(iterations).setStepSize(learningRate)
+    .setMaxDepth(math.min(depth, 30))
+
+  override def params: Map[String, Any] = Map(
+    "iterations" -> iterations, "learning_rate" -> learningRate,
+    "depth" -> depth, "l2_leaf_reg" -> l2LeafReg, "od_type" -> odType,
+    "od_wait" -> odWait, "early_stopping_rounds" -> earlyStoppingRounds)
+}
+
+/** D1 as a class surface — reference `KNNFaultDetector`
+  * (`detectors/sklearn_detectors.py:19-253`) — delegating to the
+  * distributed top-k plan in [[Knn]] (lazy learner: `fit` just pins the
+  * training frame).
+  */
+class KNNFaultDetector(nNeighbors: Int = 5) extends Serializable {
+  private var train: Option[(DataFrame, String, String, String)] = None
+
+  def fit(df: DataFrame, featCol: String, labelCol: String, idCol: String): this.type = {
+    train = Some((df, featCol, labelCol, idCol)); this
+  }
+
+  /** testIdCol, pred_label, n_votes per test row. */
+  def predict(test: DataFrame, featCol: String, idCol: String): DataFrame = {
+    val (tr, f, l, tid) = train.getOrElse(
+      throw new IllegalStateException("Model must be fitted before prediction"))
+    Knn.classify(tr, test, f, l, idCol, tid, nNeighbors)
+  }
+
+  def score(test: DataFrame, featCol: String, labelCol: String, idCol: String): Double = {
+    val pred = predict(test, featCol, idCol)
+    pred.join(test.select(col(idCol), col(labelCol).cast("long").as("__y")), idCol)
+      .select(avg(when(col("pred_label") === col("__y"), 1d).otherwise(0d)).as("acc"))
+      .head().getDouble(0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ml._
+
+/** D2–D8 detector suite on the FIXTURES `clf-blobs` scenario: 1000×5,
+  * 3 separable classes (class c centered at 4c per feature, unit-ish
+  * deterministic noise from the hash-RNG), 80/20 split, seed 42.
+  * Quality floor: accuracy well above 1/3 (reference
+  * `examples/detectors.ipynb` demonstrates the same shape).
+  */
+class DetectorsSpec extends SparkSpec {
+
+  /** Deterministic blobs: no RNG state, every run identical. */
+  lazy val blobs: DataFrame = {
+    import spark.implicits._
+    val rows = (0 until 1000).map { i =>
+      val cls = i % 3
+      // orthogonal class centers (class c high in features j ≡ c mod 3) so
+      // the scenario is separable for one-vs-rest LINEAR boundaries too
+      val feat = (0 until 5).map { j =>
+        (if (j % 3 == cls) 4.0 else 0.0) + Rff.gaussian(42L, i.toLong, j.toLong)
+      }.toArray
+      (i.toLong, feat, cls)
+    }
+    rows.toDF("id", "feat", "fault_class")
+  }
+  lazy val trainDf: DataFrame = blobs.filter(col("id") % 5 =!= 0).cache()
+  lazy val testDf: DataFrame = blobs.filter(col("id") % 5 === 0).cache()
+
+  private def checkDetector(det: FaultDetector, floor: Double = 0.9): Double = {
+    det.fit(trainDf, "feat", "fault_class")
+    val acc = det.score(testDf, "feat", "fault_class")
+    assert(acc >= floor, s"${det.getClass.getSimpleName} accuracy $acc < $floor")
+    acc
+  }
+
+  test("D2 random forest: fit/predict/score + importances") {
+    val det = new RandomForestFaultDetector(nEstimators = 20, maxDepth = Some(5))
+    checkDetector(det)
+    val imp = det.featureImportances.get
+    assert(math.abs(imp.toArray.sum - 1.0) < 1e-6)
+    assert(imp.size == 5)
+    // proba rows sum to 1 (FIXTURES clf-rand invariant)
+    val proba = det.predictProba(testDf, "feat")
+      .select(aggregate(col("proba"), lit(0d), (a, x) => a + x).as("s"))
+      .collect().map(_.getDouble(0))
+    proba.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("D3 SVM (RBF via random Fourier features, OneVsRest multiclass)") {
+    val det = new SVMFaultDetector(maxIter = 30)
+    checkDetector(det)
+    // predict_proba must refuse (probability=False parity)
+    intercept[IllegalArgumentException] { det.predictProba(testDf, "feat") }
+  }
+
+  test("D3 SVM linear kernel") {
+    val det = new SVMFaultDetector(kernel = "linear", maxIter = 30)
+    checkDetector(det)
+  }
+
+  test("D4 gradient boosting (OneVsRest over binary GBT)") {
+    val det = new GradientBoostingFaultDetector(nEstimators = 10, maxDepth = 3)
+    checkDetector(det)
+    val imp = det.featureImportances.get
+    assert(imp.size == 5 && math.abs(imp.toArray.sum - 1.0) < 1e-6)
+  }
+
+  test("D4 binary classification uses plain GBT with probabilities") {
+    val bin = blobs.filter(col("fault_class") < 2)
+    val det = new GradientBoostingFaultDetector(nEstimators = 10)
+    det.fit(bin.filter(col("id") % 5 =!= 0), "feat", "fault_class")
+    val acc = det.score(bin.filter(col("id") % 5 === 0), "feat", "fault_class")
+    assert(acc >= 0.95, s"binary GBT accuracy $acc")
+    val proba = det.predictProba(bin.filter(col("id") % 5 === 0), "feat")
+    assert(proba.select(size(col("proba"))).head().getInt(0) == 2)
+  }
+
+  test("D5/D6/D7 boosted-tree wrappers") {
+    checkDetector(new XGBFaultDetector(nEstimators = 10))
+    checkDetector(new LGBMFaultDetector(nEstimators = 10))
+    checkDetector(new CatBoostFaultDetector(iterations = 10, learningRate = 0.3))
+  }
+
+  test("predict maps back to original (non-contiguous) label codes") {
+    // labels {1, 5, 9}: sklearn LabelEncoder semantics (sorted unique)
+    val shifted = blobs.withColumn("fault_class", col("fault_class") * 4 + 1)
+    val det = new RandomForestFaultDetector(nEstimators = 10, maxDepth = Some(5))
+    det.fit(shifted.filter(col("id") % 5 =!= 0), "feat", "fault_class")
+    val preds = det.predict(shifted.filter(col("id") % 5 === 0), "feat")
+      .select(collect_set(col("pred_label"))).head().getSeq[Double](0).toSet
+    assert(preds.subsetOf(Set(1d, 5d, 9d)), s"unexpected labels $preds")
+    assert(det.score(shifted.filter(col("id") % 5 === 0), "feat", "fault_class") >= 0.9)
+  }
+
+  test("D8 random-search CV finds params in space and reports accuracy") {
+    val det = new RandomForestFaultDetector(
+      paramSearchSpace = Map(
+        "n_estimators" -> Seq(5, 15),
+        "max_depth" -> Seq(2, 6)),
+      nIter = 3, cvFolds = 3, randomState = 42L)
+    det.fit(trainDf, "feat", "fault_class", optimize = true)
+    val bp = det.bestParams
+    assert(bp.keySet == Set("n_estimators", "max_depth"))
+    val n = bp("n_estimators").asInstanceOf[Int]
+    val d = bp("max_depth").asInstanceOf[Int]
+    assert(n >= 5 && n <= 15 && d >= 2 && d <= 6)
+    assert(det.cvAccuracy.get >= 0.9, s"cv accuracy ${det.cvAccuracy}")
+    assert(det.score(testDf, "feat", "fault_class") >= 0.9)
+    assert(det.getParams == bp)
+  }
+
+  test("D8 sampling is seeded and reproducible") {
+    val space = Map[String, Seq[Any]](
+      "a" -> Seq(1, 10), "b" -> Seq(0.0, 1.0), "c" -> Seq("x", "y"))
+    val p1 = FaultDetector.samplePoints(space, 5, 7L)
+    val p2 = FaultDetector.samplePoints(space, 5, 7L)
+    assert(p1 == p2)
+    p1.foreach { pt =>
+      val a = pt("a").asInstanceOf[Int]
+      assert(a >= 1 && a <= 10)
+      val b = pt("b").asInstanceOf[Double]
+      assert(b >= 0.0 && b <= 1.0)
+      assert(Set("x", "y")(pt("c").asInstanceOf[String]))
+    }
+  }
+
+  test("D1 KNN class surface") {
+    val det = new KNNFaultDetector(nNeighbors = 5)
+    det.fit(trainDf, "feat", "fault_class", "id")
+    assert(det.score(testDf, "feat", "fault_class", "id") >= 0.9)
+  }
+}
