@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Simulators
+import graft.sources.Simulators._
+
+/** Simulator queries (M1–M5). The Euler/discrete recurrences of scalar
+  * linear systems have closed forms (geometric series), so m1/m2 are
+  * FULLY oracle-checked: DuckDB recomputes the trajectory endpoint with
+  * `power()` while Spark integrates step-by-step — agreement to 6
+  * decimals proves the integrator semantics (including the reference's
+  * post-update output quirk). The Monte-Carlo generator (m5) uses the
+  * hash RNG, not SQL-expressible → rows-only.
+  */
+object SimQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── M1: linear continuous, euler; deterministic grid of 10 sims ──
+    // x0_i = -1 + 2i/9, u_i = 0.5 + 0.05i; dx = -0.5x + u, y = 2x;
+    // dt=0.05, tFinal=5 → 100 steps; report the endpoint.
+    QueryDef(
+      "m1_linear_sim",
+      (s, _) => {
+        import s.implicits._
+        val model = LinearContinuous(
+          Array(Array(-0.5)), Array(Array(1.0)), Array(Array(2.0)), Array(Array(0.0)))
+        val n = 100
+        val sims = s.range(10).as[Long].mapPartitions(_.flatMap { i =>
+          val x0 = -1.0 + 2.0 * i / 9.0
+          val u = IndexedSeq.fill(n)(Array(0.5 + 0.05 * i))
+          model.simulate(i, u, Array(x0), tFinal = 5.0, dt = 0.05)
+        })
+        sims.toDF().filter(col("step") === n - 1)
+          .select(col("sim_id"),
+            round(element_at(col("state"), 1), 6).as("x_last"),
+            round(element_at(col("output"), 1), 6).as("y_last"))
+      },
+      // Euler closed form: x_k = r^{k+1}·x0 + u·dt·(1−r^{k+1})/(1−r) with
+      // r = 1 + a·dt (states are post-update, so step 99 holds x_100)
+      Some("""
+        WITH s AS (
+          SELECT i AS sim_id, -1.0 + 2.0*i/9.0 AS x0, 0.5 + 0.05*i AS u
+          FROM generate_series(0, 9) t(i)
+        ), e AS (
+          SELECT sim_id,
+            power(0.975, 100)*x0 + u*0.05*(1 - power(0.975, 100))/0.025 AS x
+          FROM s
+        )
+        SELECT sim_id, round(x, 6) AS x_last, round(2.0*x, 6) AS y_last FROM e
+      """.stripMargin.trim)),
+
+    // ── M2: linear discrete (pre-update states, engine default) ──
+    // x[k+1] = 0.9x + 0.1u, y = x; 50 steps; endpoint = state at k=49
+    QueryDef(
+      "m2_discrete_sim",
+      (s, _) => {
+        import s.implicits._
+        val model = Simulators.linearDiscrete(
+          Array(Array(0.9)), Array(Array(0.1)), Array(Array(1.0)), Array(Array(0.0)))
+        val n = 50
+        val sims = s.range(8).as[Long].mapPartitions(_.flatMap { i =>
+          val x0 = i.toDouble / 4.0
+          val u = IndexedSeq.fill(n)(Array(1.0 + 0.25 * i))
+          model.simulate(i, u, Array(x0), tFinal = 0, dt = 1.0)
+        })
+        sims.toDF().filter(col("step") === n - 1)
+          .select(col("sim_id"),
+            round(element_at(col("state"), 1), 6).as("x_last"),
+            round(element_at(col("output"), 1), 6).as("y_last"))
+      },
+      // x_k = 0.9^k·x0 + u·(1−0.9^k); pre-update ⇒ step 49 holds x_49
+      Some("""
+        WITH s AS (
+          SELECT i AS sim_id, i/4.0 AS x0, 1.0 + 0.25*i AS u
+          FROM generate_series(0, 7) t(i)
+        ), e AS (
+          SELECT sim_id, power(0.9, 49)*x0 + u*(1 - power(0.9, 49)) AS x FROM s
+        )
+        SELECT sim_id, round(x, 6) AS x_last, round(x, 6) AS y_last FROM e
+      """.stripMargin.trim)),
+
+    // ── M5: Monte-Carlo generator source (hash-seeded → rows-only) ──
+    QueryDef(
+      "m5_generator",
+      (s, _) => {
+        val model = LinearContinuous(
+          Array(Array(-1.0, 0.5), Array(0.0, -2.0)),
+          Array(Array(1.0), Array(0.5)),
+          Array(Array(1.0, 0.0)), Array(Array(0.0)))
+        Simulators.generate(
+          s, model,
+          x0Low = Array(-1.0, -1.0), x0High = Array(1.0, 1.0),
+          numSimulations = 20,
+          signal = SineSignal(frequency = 0.5),
+          tFinal = 2.0, dt = 0.02, seed = 42L)
+          .toDF()
+          .groupBy(col("sim_id"))
+          .agg(count(lit(1)).as("n_steps"),
+            round(avg(element_at(col("output"), 1)), 6).as("y_mean"),
+            round(max(abs(element_at(col("state"), 1))), 6).as("x1_absmax"))
+      },
+      None)
+  )
+}

@@ -77,7 +77,9 @@ class RandomFourierFeatures(override val uid: String)
 }
 
 object Rff {
-  val twoPi: Double = 2.0 * math.Pi
+  import graft.functions.HashRandom
+
+  val twoPi: Double = HashRandom.twoPi
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(Long, Int, Int, Double), (Array[Array[Double]], Array[Double])]
@@ -93,26 +95,9 @@ object Rff {
       (w, b)
     })
 
-  /** SplitMix64 finalizer (public-domain mixing function, Steele et al.
-    * "Fast Splittable Pseudorandom Number Generators", OOPSLA 2014).
-    */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** Deterministic U(0,1) from (seed, i, j) — see [[HashRandom]]. */
+  def uniform(seed: Long, i: Long, j: Long): Double = HashRandom.uniform(seed, i, j)
 
-  /** Deterministic U(0,1) from (seed, i, j). */
-  def uniform(seed: Long, i: Long, j: Long): Double = {
-    val h = mix(mix(mix(seed) ^ i) ^ j)
-    ((h >>> 11).toDouble + 0.5) / (1L << 53).toDouble
-  }
-
-  /** Deterministic standard normal via Box–Muller on two hashed uniforms. */
-  def gaussian(seed: Long, i: Long, j: Long): Double = {
-    val u1 = uniform(seed, i, 2 * j)
-    val u2 = uniform(seed, i, 2 * j + 1)
-    math.sqrt(-2.0 * math.log(u1)) * math.cos(twoPi * u2)
-  }
+  /** Deterministic standard normal — see [[HashRandom]]. */
+  def gaussian(seed: Long, i: Long, j: Long): Double = HashRandom.gaussian(seed, i, j)
 }

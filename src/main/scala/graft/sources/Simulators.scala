@@ -1,0 +1,261 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.functions.HashRandom
+
+/** Dynamic-system simulation sources (reference M1–M5,
+  * `fdi_flow/models/linear_models.py:4-147`, `nonlinear_models.py:5-126`,
+  * `data_generators.py:3-90`).
+  *
+  * Spark mapping (SURVEY §2.4): a simulation batch is
+  * `spark.range(numSimulations).mapPartitions(integrate)` — embarrassingly
+  * parallel across simulations (the engine's native data-generator
+  * source); a single trajectory streams its steps through an iterator
+  * (O(state) memory, no per-sim buffering). All randomness is
+  * [[HashRandom]]-derived per (seed, simId, dim) so any simulation is
+  * reproducible on any executor without RNG state.
+  *
+  * Integration methods: fixed-step explicit Euler (bit-parity with the
+  * reference's `'euler'` branch, including its post-update output quirk)
+  * and classic RK4 with zero-order-hold input as the fixed-step
+  * substitution for the reference's adaptive `solve_ivp` branch
+  * (SURVEY §7.4 — notebooks use smooth systems where fixed-step at the
+  * same grid is adequate). The solver branch emits states at the eval
+  * grid starting from x0 (matching `solve_ivp(t_eval=time)`), while the
+  * Euler branch emits post-update states (`linear_models.py:62-64`).
+  */
+object Simulators {
+
+  /** One simulation step (long-format trajectory row). */
+  final case class SimStep(
+      sim_id: Long, step: Long, time: Double,
+      state: Array[Double], input: Array[Double], output: Array[Double])
+
+  // ── tiny dense linear algebra (row-major; n,m,p are small) ──
+  private[graft] def matVec(a: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) {
+      val row = a(i); var s = 0d; var j = 0
+      while (j < row.length) { s += row(j) * x(j); j += 1 }
+      out(i) = s; i += 1
+    }
+    out
+  }
+  private def addScaled(x: Array[Double], d: Array[Double], h: Double): Array[Double] = {
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) { out(i) = x(i) + d(i) * h; i += 1 }
+    out
+  }
+  private def add2(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = new Array[Double](a.length)
+    var i = 0
+    while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
+    out
+  }
+
+  /** Common simulate surface: `u` is (nSteps, m); continuous models use
+    * `tFinal`/`dt`, discrete ones step over `u` with `dt` spacing.
+    */
+  trait StateSpaceModel extends Serializable {
+    def inputDim: Int
+    def simulate(simId: Long, u: IndexedSeq[Array[Double]], x0: Array[Double],
+                 tFinal: Double, dt: Double): Iterator[SimStep]
+  }
+
+  /** np.linspace(0, tFinal, n) — endpoint included (`linear_models.py:44`). */
+  private def linspace(tFinal: Double, n: Int)(i: Int): Double =
+    if (n > 1) i.toDouble * tFinal / (n - 1) else 0.0
+
+  /** ZOH input lookup `u_interp` (`linear_models.py:46-48`). */
+  private def zoh(u: IndexedSeq[Array[Double]], dt: Double)(t: Double): Array[Double] =
+    u(math.min((t / dt).toInt, u.length - 1))
+
+  /** Shared continuous integrator over a RHS f(x, u, t). */
+  private def integrate(
+      simId: Long, f: (Array[Double], Array[Double], Double) => Array[Double],
+      out: (Array[Double], Array[Double], Double) => Array[Double],
+      u: IndexedSeq[Array[Double]], x0: Array[Double],
+      tFinal: Double, dt: Double, method: String): Iterator[SimStep] = {
+    val nSteps = (tFinal / dt).toInt
+    val t = linspace(tFinal, nSteps) _
+    val uAt = zoh(u, dt) _
+    method match {
+      case "euler" =>
+        // reference quirk (`linear_models.py:60-68`): x is updated BEFORE
+        // the output, so states[i]/outputs[i] reflect the post-step state;
+        // the input indexes the raw step counter, not the linspace grid
+        var x = x0
+        Iterator.tabulate(nSteps) { i =>
+          val ui = u(math.min(i, u.length - 1))
+          x = addScaled(x, f(x, ui, t(i)), dt)
+          SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
+        }
+      case "rk4" =>
+        // solve_ivp branch shape: states at the eval grid, states[0] = x0
+        var x = x0
+        Iterator.tabulate(nSteps) { i =>
+          if (i > 0) {
+            val h = t(i) - t(i - 1)
+            val t0 = t(i - 1)
+            val k1 = f(x, uAt(t0), t0)
+            val k2 = f(addScaled(x, k1, h / 2), uAt(t0 + h / 2), t0 + h / 2)
+            val k3 = f(addScaled(x, k2, h / 2), uAt(t0 + h / 2), t0 + h / 2)
+            val k4 = f(addScaled(x, k3, h), uAt(t0 + h), t0 + h)
+            // x += h/6 · (k1 + 2k2 + 2k3 + k4)
+            x = addScaled(x, add2(k1, addScaled(k4, add2(k2, k3), 2.0)), h / 6)
+          }
+          val ui = uAt(t(i))
+          SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
+        }
+      case other => throw new IllegalArgumentException(s"method must be euler|rk4, got $other")
+    }
+  }
+
+  /** M1 — `LinearContinuousStateSpaceModel` (`linear_models.py:4-82`):
+    * dx = Ax + Bu, y = Cx + Du.
+    */
+  final case class LinearContinuous(
+      a: Array[Array[Double]], b: Array[Array[Double]],
+      c: Array[Array[Double]], d: Array[Array[Double]],
+      method: String = "euler") extends StateSpaceModel {
+    override def inputDim: Int = b(0).length
+    override def simulate(simId: Long, u: IndexedSeq[Array[Double]], x0: Array[Double],
+                          tFinal: Double, dt: Double): Iterator[SimStep] =
+      integrate(simId,
+        (x, ui, _) => add2(matVec(a, x), matVec(b, ui)),
+        (x, ui, _) => add2(matVec(c, x), matVec(d, ui)),
+        u, x0, tFinal, dt, method)
+  }
+
+  /** M3 — `NonlinearStateSpaceModel` (`nonlinear_models.py:5-62`):
+    * user-supplied f(x,u,t), g(x,u,t); fixed-step RK4 for the reference's
+    * solve_ivp default.
+    */
+  final case class NonlinearContinuous(
+      f: (Array[Double], Array[Double], Double) => Array[Double],
+      g: (Array[Double], Array[Double], Double) => Array[Double],
+      override val inputDim: Int,
+      method: String = "rk4") extends StateSpaceModel {
+    override def simulate(simId: Long, u: IndexedSeq[Array[Double]], x0: Array[Double],
+                          tFinal: Double, dt: Double): Iterator[SimStep] =
+      integrate(simId, f, g, u, x0, tFinal, dt, method)
+  }
+
+  /** M2/M4 — discrete systems. The reference is asymmetric: the LINEAR
+    * discrete model stores the post-update state x[k+1] in states[k]
+    * (`linear_models.py:133-138`) while the NONLINEAR one stores the
+    * pre-update x[k] (`nonlinear_models.py:111-119`). The engine
+    * standardizes on pre-update (M4 semantics); `postUpdateState = true`
+    * reproduces M2 exactly (SURVEY §7.5.3). Outputs always use the
+    * pre-update state in both.
+    */
+  final case class Discrete(
+      f: (Array[Double], Array[Double], Long) => Array[Double],
+      g: (Array[Double], Array[Double], Long) => Array[Double],
+      override val inputDim: Int,
+      postUpdateState: Boolean = false) extends StateSpaceModel {
+    override def simulate(simId: Long, u: IndexedSeq[Array[Double]], x0: Array[Double],
+                          tFinal: Double, dt: Double): Iterator[SimStep] = {
+      var x = x0
+      Iterator.tabulate(u.length) { k =>
+        val uk = u(k)
+        val yk = g(x, uk, k.toLong)
+        val xNext = f(x, uk, k.toLong)
+        val stored = if (postUpdateState) xNext else x
+        x = xNext
+        SimStep(simId, k.toLong, k * dt, stored, uk, yk)
+      }
+    }
+  }
+
+  /** M2 — `LinearDiscreteStateSpaceModel` (`linear_models.py:84-147`). */
+  def linearDiscrete(
+      a: Array[Array[Double]], b: Array[Array[Double]],
+      c: Array[Array[Double]], d: Array[Array[Double]],
+      postUpdateState: Boolean = false): Discrete =
+    Discrete(
+      (x, uk, _) => add2(matVec(a, x), matVec(b, uk)),
+      (x, uk, _) => add2(matVec(c, x), matVec(d, uk)),
+      b(0).length, postUpdateState)
+
+  // ── M5 — DynamicSystemDataGenerator (`data_generators.py:3-90`) ──
+
+  sealed trait InputSignal extends Serializable
+  /** Constant input per simulation, drawn uniform on [minVal,maxVal] or
+    * normal(μ=(min+max)/2, σ=(max−min)/6) (`data_generators.py:54-66`).
+    */
+  final case class ConstantSignal(
+      minVal: Double = -1.0, maxVal: Double = 1.0,
+      distribution: String = "uniform") extends InputSignal
+  /** Per-channel random amplitude/offset/phase sine
+    * (`data_generators.py:68-81`).
+    */
+  final case class SineSignal(
+      amplitudeRange: (Double, Double) = (0.5, 1.0),
+      offsetRange: (Double, Double) = (-1.0, 1.0),
+      phaseRange: (Double, Double) = (0.0, HashRandom.twoPi),
+      frequency: Double = 1.0) extends InputSignal
+
+  // draw-stream tags so x0 / signal params never collide
+  private val X0Stream = 0L
+  private val ConstStream = 1L
+  private val AmpStream = 2L
+  private val OffStream = 3L
+  private val PhaseStream = 4L
+
+  /** Monte-Carlo batch: `numSimulations` trajectories of `model` with
+    * x0 ~ U(x0Low, x0High) and the given input signal, distributed over
+    * `spark.range` partitions. Deterministic in `seed` (per-sim streams
+    * are `mix(seed ^ simId)`-derived).
+    */
+  def generate(
+      spark: SparkSession,
+      model: StateSpaceModel,
+      x0Low: Array[Double], x0High: Array[Double],
+      numSimulations: Int,
+      signal: InputSignal = ConstantSignal(),
+      tFinal: Double = 10.0,
+      dt: Double = 0.01,
+      seed: Long = 42L): Dataset[SimStep] = {
+    import spark.implicits._
+    val m = model.inputDim
+    spark.range(numSimulations.toLong).as[Long].mapPartitions { ids =>
+      ids.flatMap { simId =>
+        val simSeed = HashRandom.mix(seed ^ simId)
+        val x0 = Array.tabulate(x0Low.length)(j =>
+          HashRandom.uniform(simSeed, X0Stream, j.toLong, x0Low(j), x0High(j)))
+        val nSteps = (tFinal / dt).toInt
+        val u: IndexedSeq[Array[Double]] = signal match {
+          case ConstantSignal(lo, hi, dist) =>
+            val uVal = Array.tabulate(m) { j =>
+              if (dist == "uniform") HashRandom.uniform(simSeed, ConstStream, j.toLong, lo, hi)
+              else (lo + hi) / 2 + (hi - lo) / 6 * HashRandom.gaussian(simSeed, ConstStream, j.toLong)
+            }
+            IndexedSeq.fill(nSteps)(uVal)
+          case SineSignal(ampR, offR, phR, freq) =>
+            val amp = Array.tabulate(m)(j => HashRandom.uniform(simSeed, AmpStream, j.toLong, ampR._1, ampR._2))
+            val off = Array.tabulate(m)(j => HashRandom.uniform(simSeed, OffStream, j.toLong, offR._1, offR._2))
+            val ph = Array.tabulate(m)(j => HashRandom.uniform(simSeed, PhaseStream, j.toLong, phR._1, phR._2))
+            val t = linspace(tFinal, nSteps) _
+            IndexedSeq.tabulate(nSteps) { i =>
+              Array.tabulate(m)(j => off(j) + amp(j) * math.sin(HashRandom.twoPi * freq * t(i) + ph(j)))
+            }
+        }
+        model.simulate(simId, u, x0, tFinal, dt)
+      }
+    }
+  }
+
+  /** Single-trajectory convenience (reference `model.simulate` surface). */
+  def simulateOne(
+      spark: SparkSession,
+      model: StateSpaceModel,
+      u: IndexedSeq[Array[Double]], x0: Array[Double],
+      tFinal: Double, dt: Double): Dataset[SimStep] = {
+    import spark.implicits._
+    spark.createDataset(model.simulate(0L, u, x0, tFinal, dt).toSeq)
+  }
+}

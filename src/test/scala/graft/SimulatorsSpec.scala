@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Simulators
+import graft.sources.Simulators._
+
+/** M1–M5 simulator parity tests, scenarios mirroring the reference
+  * notebooks (`examples/linear_models.ipynb`, `nonlinear_models.ipynb`,
+  * `data_generators.ipynb`).
+  */
+class SimulatorsSpec extends SparkSpec {
+
+  private def mat(rows: Array[Double]*): Array[Array[Double]] = rows.toArray
+
+  test("M1 euler bit-matches a direct replay of the reference loop") {
+    // dx = -0.5x + u, y = 2x; the reference updates x BEFORE computing y
+    // (linear_models.py:60-68)
+    val model = LinearContinuous(
+      mat(Array(-0.5)), mat(Array(1.0)), mat(Array(2.0)), mat(Array(0.0)))
+    val dt = 0.05; val tFinal = 5.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.7))
+    val steps = model.simulate(0L, u, Array(1.0), tFinal, dt).toArray
+
+    // literal replay of the reference euler kernel
+    var x = 1.0
+    val expState = new Array[Double](n); val expOut = new Array[Double](n)
+    for (i <- 0 until n) {
+      val dx = -0.5 * x + 1.0 * 0.7
+      x = x + dx * dt
+      expState(i) = x; expOut(i) = 2.0 * x
+    }
+    assert(steps.length == n)
+    assertSeqAlmost(steps.map(_.state(0)).toSeq, expState.toSeq, 0.0) // bit-exact
+    assertSeqAlmost(steps.map(_.output(0)).toSeq, expOut.toSeq, 0.0)
+    // linspace time grid (endpoint included)
+    assert(math.abs(steps.last.time - tFinal) < 1e-12)
+  }
+
+  test("M1 rk4 tracks e^{-t} to 1e-8 where euler only manages 1e-2") {
+    val model = LinearContinuous(
+      mat(Array(-1.0)), mat(Array(0.0)), mat(Array(1.0)), mat(Array(0.0)))
+    val dt = 0.01; val tFinal = 2.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    def lastState(method: String) =
+      model.copy(method = method).simulate(0L, u, Array(1.0), tFinal, dt)
+        .toSeq.last.state(0)
+    val exact = math.exp(-tFinal)
+    assert(math.abs(lastState("rk4") - exact) < 1e-8)
+    val eulerErr = math.abs(lastState("euler") - exact)
+    assert(eulerErr > 1e-4 && eulerErr < 2e-2) // first-order error scale
+  }
+
+  test("M2 discrete double integrator step response + post/pre-update asymmetry") {
+    // x[k+1] = [[1,1],[0,1]]x + [0,1]u; y = x1 (examples/linear_models.ipynb)
+    val a = mat(Array(1.0, 1.0), Array(0.0, 1.0))
+    val b = mat(Array(0.0), Array(1.0))
+    val c = mat(Array(1.0, 0.0)); val d = mat(Array(0.0))
+    val u = IndexedSeq.fill(5)(Array(1.0))
+    // pre-update (engine default, M4 semantics): states[k] = x[k], x[0]=0
+    val pre = Simulators.linearDiscrete(a, b, c, d)
+      .simulate(0L, u, Array(0.0, 0.0), 0, 1.0).toArray
+    // position follows 0,0,1,3,6 (discrete double integration of 1)
+    assertSeqAlmost(pre.map(_.state(0)).toSeq, Seq(0d, 0d, 1d, 3d, 6d))
+    assertSeqAlmost(pre.map(_.output(0)).toSeq, Seq(0d, 0d, 1d, 3d, 6d))
+    // post-update (M2 exact semantics, linear_models.py:133-138):
+    // states[k] = x[k+1], outputs still pre-update
+    val post = Simulators.linearDiscrete(a, b, c, d, postUpdateState = true)
+      .simulate(0L, u, Array(0.0, 0.0), 0, 1.0).toArray
+    assertSeqAlmost(post.map(_.state(0)).toSeq, Seq(0d, 1d, 3d, 6d, 10d))
+    assertSeqAlmost(post.map(_.output(0)).toSeq, Seq(0d, 0d, 1d, 3d, 6d))
+  }
+
+  test("M3 nonlinear pendulum conserves energy under rk4") {
+    // dx = [x2, -sin(x1)] (examples/nonlinear_models.ipynb pendulum)
+    val model = NonlinearContinuous(
+      (x, _, _) => Array(x(1), -math.sin(x(0))),
+      (x, _, _) => Array(x(0)),
+      inputDim = 1)
+    val dt = 0.01; val tFinal = 10.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val steps = model.simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    def energy(x: Array[Double]) = 0.5 * x(1) * x(1) + (1 - math.cos(x(0)))
+    val e0 = energy(Array(1.0, 0.0))
+    steps.foreach(s => assert(math.abs(energy(s.state) - e0) < 1e-6))
+  }
+
+  test("M4 nonlinear discrete logistic map stores pre-update states") {
+    val model = Discrete(
+      (x, _, _) => Array(3.5 * x(0) * (1 - x(0))),
+      (x, _, _) => Array(x(0)),
+      inputDim = 1)
+    val u = IndexedSeq.fill(4)(Array(0.0))
+    val steps = model.simulate(0L, u, Array(0.4), 0, 1.0).toArray
+    val exp = Iterator.iterate(0.4)(v => 3.5 * v * (1 - v)).take(4).toSeq
+    assertSeqAlmost(steps.map(_.state(0)).toSeq, exp)
+    assertSeqAlmost(steps.map(_.output(0)).toSeq, exp)
+  }
+
+  test("M5 generator: distributed, deterministic, respects bounds") {
+    val model = LinearContinuous(
+      mat(Array(-1.0, 0.5), Array(0.0, -2.0)),
+      mat(Array(1.0), Array(0.5)),
+      mat(Array(1.0, 0.0)), mat(Array(0.0)))
+    def run() = Simulators.generate(
+      spark, model,
+      x0Low = Array(-1.0, -1.0), x0High = Array(1.0, 1.0),
+      numSimulations = 20,
+      signal = SineSignal(frequency = 0.5),
+      tFinal = 2.0, dt = 0.02, seed = 7L)
+    val ds = run()
+    assert(ds.count() == 20L * 100)
+    assert(ds.select(countDistinct(col("sim_id"))).head().getLong(0) == 20)
+    // deterministic replay
+    val h1 = ds.select(sum(abs(element_at(col("state"), 1)))).head().getDouble(0)
+    val h2 = run().select(sum(abs(element_at(col("state"), 1)))).head().getDouble(0)
+    assert(h1 == h2)
+    // sine inputs bounded by offset ± amplitude
+    val maxU = ds.select(max(abs(element_at(col("input"), 1)))).head().getDouble(0)
+    assert(maxU <= 2.0 + 1e-12)
+  }
+
+  test("M5 constant-normal inputs center on (min+max)/2") {
+    val model = LinearContinuous(
+      mat(Array(-1.0)), mat(Array(1.0)), mat(Array(1.0)), mat(Array(0.0)))
+    val ds = Simulators.generate(
+      spark, model, Array(0.0), Array(0.0), numSimulations = 200,
+      signal = ConstantSignal(2.0, 4.0, "normal"), tFinal = 0.1, dt = 0.05, seed = 11L)
+    val mean = ds.filter(col("step") === 0)
+      .select(avg(element_at(col("input"), 1))).head().getDouble(0)
+    assert(math.abs(mean - 3.0) < 0.1, s"mean input $mean")
+    // σ = (max-min)/6 → essentially everything within (min,max)
+    val mx = ds.select(max(element_at(col("input"), 1))).head().getDouble(0)
+    assert(mx < 4.5)
+  }
+}
