@@ -596,8 +596,8 @@ object Queries {
       """.stripMargin.trim))
   )
 
-  /** Full registry: core operator queries + ML detectors + simulators. */
-  def all: Seq[QueryDef] = defs ++ MlQueries.defs ++ SimQueries.defs
+  /** Full registry: core ops + ML detectors + simulators + observers. */
+  def all: Seq[QueryDef] = defs ++ MlQueries.defs ++ SimQueries.defs ++ ObsQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

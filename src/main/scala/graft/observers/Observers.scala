@@ -1,0 +1,284 @@
+package graft.observers
+
+import breeze.linalg.{eig, svd, DenseMatrix}
+import breeze.math.Complex
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StructField}
+
+import graft.functions.Mat
+import graft.operators.Recurrence
+
+/** State observers (reference O1–O3, `state_observers/kalman.py:3-91`,
+  * `luenberger.py:4-102`, `sliding_mode.py:4-100`): row-at-a-time matrix
+  * recurrences over a measurement stream.
+  *
+  * Spark mapping (SURVEY §2.5): the per-step `predict/update` loops ride
+  * the keyed secondary-sort [[Recurrence.rowScan]] kernel with `(x, P)`
+  * (or `x̂`) as the per-series state — O(state) memory per series, series
+  * sharded across executors, no driver collect. Gain design (pole
+  * placement, spectral norms) happens ONCE at construction on the driver:
+  * breeze eig/svd there, never in the per-row kernel (whose arithmetic is
+  * fixed-order [[Mat]] so scalar instances are DuckDB-replayable).
+  *
+  * Gain design parity (SURVEY §7.4): user-supplied `L` is used verbatim
+  * (as the reference allows, `luenberger.py:39-41`); designed gains use
+  * Ackermann's formula for single-output systems — exact pole placement,
+  * and for p=1 the observer gain is unique, so it matches scipy
+  * `place_poles` to rounding. Multi-output gain design is out of scope
+  * (pass `L`).
+  */
+object Observers {
+
+  // ── gain design (driver-side, breeze) ──
+  object Gains {
+
+    def eigenvalues(a: Array[Array[Double]]): Seq[Complex] = {
+      val e = eig(DenseMatrix(a: _*))
+      (0 until e.eigenvalues.length).map(i =>
+        Complex(e.eigenvalues(i), e.eigenvaluesComplex(i)))
+    }
+
+    /** Reference default observer poles: `eig(A) − 1`
+      * (`luenberger.py:43-46`, `sliding_mode.py:34-39`).
+      */
+    def defaultPoles(a: Array[Array[Double]]): Seq[Complex] =
+      eigenvalues(a).map(_ - Complex(1, 0))
+
+    /** Ackermann observer gain for single-output systems:
+      * `L = φ(A) · O⁻¹ · e_n` with O the observability matrix. Returns the
+      * n×1 gain column.
+      */
+    def ackermannObserver(
+        a: Array[Array[Double]], c: Array[Double],
+        poles: Seq[Complex]): Array[Double] = {
+      val n = a.length
+      require(poles.length == n, s"need $n poles, got ${poles.length}")
+      // observability matrix rows: c, cA, ..., cA^{n-1}
+      val rows = new Array[Array[Double]](n)
+      var row = c
+      for (i <- 0 until n) { rows(i) = row; row = Mat.matVec(Mat.transpose(a), row) }
+      val oInv = Mat.inv(rows)
+      val en = Array.tabulate(n)(i => if (i == n - 1) 1.0 else 0.0)
+      val oCol = Mat.matVec(oInv, en)
+      // φ(A) = A^n + c_{n-1}A^{n-1} + … + c0·I  (Horner over A)
+      val cs = polyCoeffsAscending(poles)
+      var phi = Mat.identity(n) // starts as leading coefficient 1
+      for (k <- (0 until n).reverse) {
+        phi = Mat.matMul(phi, a)
+        for (i <- 0 until n) phi(i)(i) += cs(k)
+      }
+      Mat.matVec(phi, oCol)
+    }
+
+    /** c0..c_{n-1} (ascending powers) of the monic Π(s − pᵢ). */
+    def polyCoeffsAscending(poles: Seq[Complex]): Array[Double] = {
+      var coeffs = Array(Complex(1, 0)) // descending powers, leading first
+      poles.foreach { p =>
+        val next = Array.fill(coeffs.length + 1)(Complex(0, 0))
+        for (i <- coeffs.indices) {
+          next(i) = next(i) + coeffs(i)
+          next(i + 1) = next(i + 1) - p * coeffs(i)
+        }
+        coeffs = next
+      }
+      coeffs.drop(1).reverse.map(_.real) // ascending: c0, c1, …, c_{n-1}
+    }
+
+    def spectralNorm(m: Array[Array[Double]]): Double =
+      breeze.linalg.max(svd(DenseMatrix(m: _*)).S)
+
+    def maxRealEig(m: Array[Array[Double]]): Double =
+      eigenvalues(m).map(_.real).max
+  }
+
+  // ── O1: matrix Kalman filter (`kalman.py:3-91`) ──
+
+  /** predict: x←Fx(+Bu), P←FPFᵀ+Q; update: y=z−Hx, S=HPHᵀ+R,
+    * K=PHᵀS⁻¹, x←x+Ky, P←(I−KH)P. `step` = predict∘update.
+    */
+  final case class MatrixKalman(
+      f: Array[Array[Double]], b: Array[Array[Double]],
+      h: Array[Array[Double]], q: Array[Array[Double]],
+      r: Array[Array[Double]]) extends Serializable {
+
+    def predict(x: Array[Double], p: Array[Array[Double]],
+                u: Option[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+      val x1 = u match {
+        case Some(uv) => Mat.addV(Mat.matVec(f, x), Mat.matVec(b, uv))
+        case None     => Mat.matVec(f, x)
+      }
+      val p1 = Mat.addM(Mat.matMul(Mat.matMul(f, p), Mat.transpose(f)), q)
+      (x1, p1)
+    }
+
+    def update(x: Array[Double], p: Array[Array[Double]],
+               z: Array[Double]): (Array[Double], Array[Array[Double]]) = {
+      val y = Mat.subV(z, Mat.matVec(h, x))
+      val s = Mat.addM(Mat.matMul(Mat.matMul(h, p), Mat.transpose(h)), r)
+      val k = Mat.matMul(Mat.matMul(p, Mat.transpose(h)), Mat.inv(s))
+      val x1 = Mat.addV(x, Mat.matVec(k, y))
+      val n = p.length
+      val kh = Mat.matMul(k, h)
+      val ikh = Array.tabulate(n, n)((i, j) =>
+        (if (i == j) 1.0 else 0.0) - kh(i)(j))
+      (x1, Mat.matMul(ikh, p))
+    }
+
+    def step(x: Array[Double], p: Array[Array[Double]], z: Array[Double],
+             u: Option[Array[Double]] = None): (Array[Double], Array[Array[Double]]) = {
+      val (xp, pp) = predict(x, p, u)
+      update(xp, pp, z)
+    }
+  }
+
+  // ── O2: Luenberger observer (`luenberger.py:4-102`) ──
+
+  /** x̂ ← x̂ + (Ax̂ + Bu − L(Cx̂ − y))·dt. Gain precedence: user `L`,
+    * else Ackermann at `desiredPoles`, else default poles eig(A)−1.
+    */
+  final case class LuenbergerObserver(
+      a: Array[Array[Double]], b: Array[Array[Double]], c: Array[Array[Double]],
+      dt: Double,
+      l: Option[Array[Array[Double]]] = None,
+      desiredPoles: Option[Seq[Double]] = None) extends Serializable {
+
+    val gain: Array[Array[Double]] = l.getOrElse {
+      require(c.length == 1,
+        "designed gains need a single-output system (pass L for p > 1)")
+      val poles = desiredPoles.map(_.map(Complex(_, 0)))
+        .getOrElse(Gains.defaultPoles(a))
+      Gains.ackermannObserver(a, c(0), poles).map(Array(_))
+    }
+
+    def update(xHat: Array[Double], u: Array[Double], y: Array[Double]): Array[Double] = {
+      val drive = Mat.addV(Mat.matVec(a, xHat), Mat.matVec(b, u))
+      val innov = Mat.matVec(gain, Mat.subV(Mat.matVec(c, xHat), y))
+      Array.tabulate(xHat.length)(i => xHat(i) + (drive(i) - innov(i)) * dt)
+    }
+  }
+
+  // ── O3: sliding-mode observer (`sliding_mode.py:4-100`) ──
+
+  /** x̂ ← x̂ + (Ax̂ + Bu + LS + K·tanh(S/ε))·dt with S = y − Cx̂.
+    * Gains at init exactly per the reference heuristic (`:42-62`):
+    * L by pole placement; α = −max Re eig(A−LC); e_max =
+    * max(1, 1.5/α)·1.5; K = (‖C‖₂·‖A−LC‖₂·e_max + η)·𝟙.
+    */
+  final case class SlidingModeObserver(
+      a: Array[Array[Double]], b: Array[Array[Double]], c: Array[Array[Double]],
+      desiredPoles: Option[Seq[Double]] = None,
+      eta: Double = 1.0,
+      eps: Double = 0.1) extends Serializable {
+
+    require(c.length == 1, "sliding-mode observer supports single-output systems")
+
+    val gain: Array[Array[Double]] = {
+      val poles = desiredPoles.map(_.map(Complex(_, 0)))
+        .getOrElse(Gains.defaultPoles(a))
+      Gains.ackermannObserver(a, c(0), poles).map(Array(_))
+    }
+
+    val kGain: Array[Double] = {
+      val lc = Mat.matMul(gain, c)
+      val aMinusLc = Array.tabulate(a.length, a.length)((i, j) => a(i)(j) - lc(i)(j))
+      val alpha = -Gains.maxRealEig(aMinusLc)
+      val eMax = math.max(1.0, (1.5 / alpha) * 1.0) * 1.5
+      val k = Gains.spectralNorm(c) * Gains.spectralNorm(aMinusLc) * eMax + eta
+      Array.fill(a.length)(k)
+    }
+
+    def step(xHat: Array[Double], y: Array[Double], dt: Double,
+             u: Array[Double]): Array[Double] = {
+      val s = Mat.subV(y, Mat.matVec(c, xHat))
+      val drive = Mat.addV(Mat.matVec(a, xHat), Mat.matVec(b, u))
+      val ls = Mat.matVec(gain, s)
+      val sw = Mat.matVec(kGain.map(Array(_)), s.map(v => math.tanh(v / eps)))
+      Array.tabulate(xHat.length)(i => xHat(i) + ((drive(i) + ls(i)) + sw(i)) * dt)
+    }
+  }
+
+  // ── DataFrame operators (keyed recurrence over measurement streams) ──
+
+  private def num(r: Row, i: Int): Double = {
+    val v = r.getAs[Number](i)
+    if (v == null) Double.NaN else v.doubleValue()
+  }
+
+  private def xhatField(outCol: String) =
+    Seq(StructField(outCol, ArrayType(DoubleType), nullable = false))
+
+  /** Filter each series' measurements `zCols` (+ optional controls
+    * `uCols`) through a matrix Kalman; appends `outCol` =
+    * array<double> state estimate after each step.
+    */
+  def kalman(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      zCols: Seq[String], uCols: Seq[String],
+      kf: MatrixKalman, x0: Array[Double], p0: Array[Array[Double]],
+      outCol: String = "x_hat"): DataFrame = {
+    val zIdx = zCols.map(df.schema.fieldIndex)
+    val uIdx = uCols.map(df.schema.fieldIndex)
+    def zu(r: Row) = (
+      zIdx.map(num(r, _)).toArray,
+      if (uIdx.isEmpty) None else Some(uIdx.map(num(r, _)).toArray))
+    Recurrence.rowScan[(Array[Double], Array[Array[Double]])](
+      df, keyCols, orderCols, xhatField(outCol)) { r =>
+      val (z, u) = zu(r)
+      val st = kf.step(x0, p0, z, u)
+      (st, Seq(st._1.toSeq))
+    } { (st, r) =>
+      val (z, u) = zu(r)
+      val st2 = kf.step(st._1, st._2, z, u)
+      (st2, Seq(st2._1.toSeq))
+    }
+  }
+
+  /** Luenberger tracking of each series (`yCols` measurements, optional
+    * `uCols` controls); appends the post-update estimate.
+    */
+  def luenberger(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      yCols: Seq[String], uCols: Seq[String],
+      obs: LuenbergerObserver, xHat0: Array[Double],
+      outCol: String = "x_hat"): DataFrame = {
+    val yIdx = yCols.map(df.schema.fieldIndex)
+    val uIdx = uCols.map(df.schema.fieldIndex)
+    val uZero = Array.fill(obs.b(0).length)(0.0)
+    def yu(r: Row) = (
+      yIdx.map(num(r, _)).toArray,
+      if (uIdx.isEmpty) uZero else uIdx.map(num(r, _)).toArray)
+    Recurrence.rowScan[Array[Double]](df, keyCols, orderCols, xhatField(outCol)) { r =>
+      val (y, u) = yu(r)
+      val x = obs.update(xHat0, u, y)
+      (x, Seq(x.toSeq))
+    } { (x0v, r) =>
+      val (y, u) = yu(r)
+      val x = obs.update(x0v, u, y)
+      (x, Seq(x.toSeq))
+    }
+  }
+
+  /** Sliding-mode tracking of each series; appends the estimate. */
+  def slidingMode(
+      df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      yCols: Seq[String], uCols: Seq[String],
+      obs: SlidingModeObserver, xHat0: Array[Double], dt: Double,
+      outCol: String = "x_hat"): DataFrame = {
+    val yIdx = yCols.map(df.schema.fieldIndex)
+    val uIdx = uCols.map(df.schema.fieldIndex)
+    val uZero = Array.fill(obs.b(0).length)(0.0)
+    def yu(r: Row) = (
+      yIdx.map(num(r, _)).toArray,
+      if (uIdx.isEmpty) uZero else uIdx.map(num(r, _)).toArray)
+    Recurrence.rowScan[Array[Double]](df, keyCols, orderCols, xhatField(outCol)) { r =>
+      val (y, u) = yu(r)
+      val x = obs.step(xHat0, y, dt, u)
+      (x, Seq(x.toSeq))
+    } { (x0v, r) =>
+      val (y, u) = yu(r)
+      val x = obs.step(x0v, y, dt, u)
+      (x, Seq(x.toSeq))
+    }
+  }
+}
