@@ -388,6 +388,68 @@ object Queries {
         FROM documents GROUP BY source
       """.stripMargin.trim)),
 
+    // ── X2: near-dup pairs via banded MinHash LSH + exact Jaccard ──
+    //    FULL oracle: the md5-minhash, banding and Jaccard formula are
+    //    engine-portable, so DuckDB replays the entire LSH pipeline —
+    //    candidate generation included — and must produce the same pairs.
+    QueryDef(
+      "x2_neardup",
+      (s, dir) => {
+        TextOps.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 5, numHashes = 12, bands = 4, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(0, greatest(length(norm)-5, 0)),
+              i -> substr(norm, i+1, 5))) AS s
+          FROM d
+        ), sig AS (
+          SELECT doc_id, s,
+            list_transform(generate_series(0, 11), k ->
+              list_aggregate(list_transform(s, x -> md5(k::VARCHAR || ':' || x)), 'min')) AS sig
+          FROM sh
+        ), banded AS (
+          SELECT doc_id, b.b AS band,
+            md5(array_to_string(sig[(b.b*3+1):(b.b*3+3)], '|')) AS key
+          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+        ), j AS (
+          SELECT id_a, id_b,
+            len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jac
+          FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
+                     JOIN sh b ON pairs.id_b = b.doc_id
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+      """.stripMargin.trim)),
+
+    // ── X3: LSH-bucketed approximate cosine top-k (the 100 TB ANN path;
+    //    xxhash64 hyperplanes are not SQL-portable → rows-only check;
+    //    recall vs the exact path is asserted in AnnSpec) ──
+    QueryDef(
+      "x3_ann_lsh",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // short bands: the synthetic embeddings are near-orthogonal
+        // (max cos ≈ 0.49), so long bands would yield zero candidates;
+        // 8×4 bits probes ~1/3 of the corpus — still bucketed, not
+        // all-pairs, and recall on clustered data is covered by AnnSpec
+        Ann.cosineTopKLsh(emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3, dim = 64, bands = 8, bitsPerBand = 4)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      None),
+
     // ── X5: token stats per (source, lang) ──
     QueryDef(
       "x5_token_stats",

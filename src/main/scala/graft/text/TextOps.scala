@@ -114,6 +114,74 @@ object TextOps {
         i => norm.substr(i + 1, lit(n))))
   }
 
+  /** MinHash signature over the shingle set: element k is the
+    * lexicographic minimum of `md5(k || ":" || shingle)` — each hash
+    * function is a uniformly random total order on shingles, which is all
+    * MinHash needs, and md5-hex min is reproducible verbatim in DuckDB
+    * (no engine-specific integer hash). `P(sig_a[k] = sig_b[k]) =
+    * jaccard(a, b)` (Broder 1997, "On the resemblance and containment of
+    * documents").
+    */
+  def minHashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
+    val sh = charShingles(text, shingleN)
+    array((0 until numHashes).map { k =>
+      array_min(transform(sh, s => md5(concat(lit(s"$k:"), s))))
+    }: _*)
+  }
+
+  /** Jaccard similarity of two (distinct-element) array columns, via the
+    * portable `|filter(a ∈ b)| / (|a| + |b| − |∩|)` formula.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(filter(a, x => array_contains(b, x))).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** Near-duplicate pairs by banded MinHash LSH + exact Jaccard re-rank
+    * (SURVEY §2.8; the standard shingle→minhash→band→bucket-join
+    * pipeline).
+    *
+    * Scale shape: the banded rows carry only (id, band, key) — `bands`
+    * rows per document — so the candidate self-join shuffles keys, not
+    * shingle sets; shingles are joined back only for the (rare) candidate
+    * pairs before the exact Jaccard filter. Never all-pairs.
+    *
+    * Output: `id_a`, `id_b` (id_a < id_b), `jaccard` (≥ threshold).
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashes: Int = 12,
+      bands: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val base = df.select(
+      col(idCol).as("__id"),
+      charShingles(col(textCol), shingleN).as("__sh"),
+      minHashSignature(col(textCol), shingleN, numHashes).as("__sig"))
+    val banded = base.select(
+      col("__id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", slice(col("__sig"), b * rows + 1, rows))).as("key"))
+      }: _*)).as("__b"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    val pairs = banded.as("l")
+      .join(banded.as("r"), col("l.__band") === col("r.__band") && col("l.__key") === col("r.__key"))
+      .filter(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val shA = base.select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val shB = base.select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** BPE-ish token count: splits on word/punct boundaries then counts
     * ceil(len/4) subword units per long word — a deterministic stand-in
     * for a real BPE vocab (SURVEY §2.8 token counting).

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashRandom
+import graft.similarity.Ann
+import graft.text.TextOps
+
+/** Near-dup dedup (MinHash LSH) and ANN (hyperplane LSH) quality tests:
+  * the scale paths must actually FIND what the exact paths find.
+  */
+class AnnSpec extends SparkSpec {
+
+  test("minhash signature equality rate tracks jaccard") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    val b = "the quick brown fox jumps over the lazy cat and runs away fast"
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val sig = df.select(TextOps.minHashSignature(col("text"), 5, 64).as("s"))
+      .collect().map(_.getSeq[String](0))
+    val agree = sig(0).zip(sig(1)).count { case (x, y) => x == y }.toDouble / 64
+    val jac = df.agg(TextOps.jaccard(
+      first(TextOps.charShingles(col("text"), 5)),
+      last(TextOps.charShingles(col("text"), 5)))).head().getDouble(0)
+    assert(math.abs(agree - jac) < 0.2, s"minhash agreement $agree vs jaccard $jac")
+  }
+
+  test("nearDupPairs finds planted near-dups and nothing else") {
+    import spark.implicits._
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    // 30 random docs + 3 near-dup pairs (one-word edits)
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 40).map(j =>
+        vocab((HashRandom.uniform(5L, i.toLong, j.toLong) * vocab.size).toInt))
+      (i.toLong, words.mkString(" "))
+    }
+    val dups = Seq(100L -> docs(0)._2.replaceFirst("alpha", "omega"),
+      101L -> docs(5)._2.replaceFirst("beta", "omega"),
+      102L -> docs(9)._2.replaceFirst("gamma", "omega"))
+    val df = (docs ++ dups).toDF("doc_id", "text")
+    val pairs = TextOps.nearDupPairs(df, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 100L)), s"missing planted pair in $pairs")
+    assert(pairs.contains((5L, 101L)))
+    assert(pairs.contains((9L, 102L)))
+    // no spurious pairs among the 30 independent random docs
+    assert(!pairs.exists { case (x, y) => x < 100 && y < 100 })
+  }
+
+  /** Clustered embeddings: 20 base directions, 5 perturbed copies each. */
+  private def clustered: DataFrame = {
+    import spark.implicits._
+    val dim = 16
+    val rows = for (c <- 0 until 20; rep <- 0 until 5) yield {
+      val base = Array.tabulate(dim)(j => HashRandom.gaussian(13L, c.toLong, j.toLong))
+      val eps = if (rep == 0) 0.0 else 0.05
+      val v = Array.tabulate(dim)(j =>
+        (base(j) + eps * HashRandom.gaussian(17L, (c * 5 + rep).toLong, j.toLong)).toFloat)
+      ((c * 5 + rep).toLong, v)
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("LSH cosine top-k reaches recall ≥ 0.9 on clustered data") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0) // the 20 base vectors
+    val k = 4
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    val lsh = resultSet(Ann.cosineTopKLsh(df, queries, "embedding", "vec_id", "vec_id",
+      k, dim = 16, bands = 8, bitsPerBand = 6))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall (${(exact & lsh).size}/${exact.size})")
+    // and the found neighbors are overwhelmingly in-cluster
+    val inCluster = exact.count { case (q, n) => q / 5 == n / 5 }
+    assert(inCluster >= exact.size * 0.9)
+  }
+
+  test("x2_neardup query finds the corpus's planted near-dups at sf0.001") {
+    val q = Queries.all.find(_.name == "x2_neardup").get
+    val out = q.run(spark, "/root/testdata/sf0.001")
+    val n = out.count()
+    assert(n > 0, "expected planted near-dups in the documents corpus")
+    assert(out.agg(min(col("jaccard"))).head().getDouble(0) >= 0.8)
+  }
+}
