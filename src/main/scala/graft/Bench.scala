@@ -20,11 +20,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // 128-wide minhash aggregates must stay inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", 256)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query-name filter for targeted local timing
+    // (unset by the round driver → full registry).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)

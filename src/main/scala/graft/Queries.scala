@@ -396,7 +396,7 @@ object Queries {
       "x2_neardup",
       (s, dir) => {
         TextOps.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
-          shingleN = 5, numHashes = 12, bands = 4, threshold = 0.8)
+          shingleN = 5, numHashes = 128, bands = 16, threshold = 0.8)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       },
       Some("""
@@ -409,23 +409,28 @@ object Queries {
               generate_series(0, greatest(length(norm)-5, 0)),
               i -> substr(norm, i+1, 5))) AS s
           FROM d
+        ), ab AS (
+          SELECT doc_id, s,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
         ), sig AS (
           SELECT doc_id, s,
-            list_transform(generate_series(0, 11), k ->
-              list_aggregate(list_transform(s, x -> md5(k::VARCHAR || ':' || x)), 'min')) AS sig
-          FROM sh
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
         ), banded AS (
-          SELECT doc_id, b.b AS band,
-            md5(array_to_string(sig[(b.b*3+1):(b.b*3+3)], '|')) AS key
-          FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) b
+          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
         ), pairs AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
             AND l.doc_id < r.doc_id
         ), j AS (
           SELECT id_a, id_b,
-            len(list_filter(a.s, x -> list_contains(b.s, x)))::DOUBLE /
-            (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jac
+            len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
           FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
                      JOIN sh b ON pairs.id_b = b.doc_id
         )
@@ -658,8 +663,11 @@ object Queries {
       """.stripMargin.trim))
   )
 
-  /** Full registry: core ops + ML detectors + simulators + observers. */
-  def all: Seq[QueryDef] = defs ++ MlQueries.defs ++ SimQueries.defs ++ ObsQueries.defs
+  /** Full registry: core ops + ML detectors + simulators + observers +
+    * round-1 ops that needed driver registration.
+    */
+  def all: Seq[QueryDef] =
+    defs ++ MlQueries.defs ++ SimQueries.defs ++ ObsQueries.defs ++ ExtraQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming execution mode for the keyed recurrence operators
+  * (SURVEY §2.9). The reference has no streaming runtime — its observers
+  * are row-at-a-time objects with mutable state
+  * (`fdi_flow/state_observers/kalman.py:17-24` `predict/update/step`),
+  * which is exactly the `GroupState` contract — so these are the same
+  * recurrences as [[graft.operators.Filters]] re-hosted on Structured
+  * Streaming: `groupByKey(series)` → `flatMapGroupsWithState` with O(1)
+  * state per series, one output row per input row (Append mode).
+  *
+  * Ordering: within a micro-batch each group's rows are sorted by `t`
+  * before entering the recurrence; cross-batch order is the arrival
+  * order. For event-time correctness feed an ordered-per-key source
+  * (e.g. Kafka partitions keyed by series) or pre-sort with a watermark
+  * stage — same contract as any stateful streaming recurrence.
+  *
+  * State is a tiny case-class per series (product encoder, no kryo), so
+  * the state store scales with #series, not #rows — the 100 TB shape.
+  */
+object StreamingOps {
+
+  /** Long-format streaming sample: one point of one series. */
+  case class SeriesPoint(series_id: String, t: Long, value: Double)
+
+  /** Input point + recurrence output. */
+  case class ScanOut(series_id: String, t: Long, value: Double, out: Double)
+
+  /** EWMA state / scalar-Kalman state as product types (StateStore-encodable). */
+  case class EwmaState(s: Double)
+  case class KalmanState(x: Double, p: Double)
+
+  /** Streaming EWMA — identical recurrence to
+    * `Filters.exponentialSmoothing` (reference `filters.py:69-74`):
+    * `s[0]=x[0]; s[i]=α·x[i]+(1−α)·s[i−1]`, state carried across
+    * micro-batches per series.
+    */
+  def ewmaStream(ds: Dataset[SeriesPoint], alpha: Double = 0.3): Dataset[ScanOut] = {
+    require(alpha > 0 && alpha < 1, "Alpha must be between 0 and 1")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.series_id)
+      .flatMapGroupsWithState[EwmaState, ScanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SeriesPoint], state: GroupState[EwmaState]) =>
+          val sorted = rows.toArray.sortBy(_.t)
+          var st = state.getOption
+          val out = sorted.map { p =>
+            val s2 = st match {
+              case None => p.value
+              case Some(EwmaState(s)) => alpha * p.value + (1 - alpha) * s
+            }
+            st = Some(EwmaState(s2))
+            ScanOut(p.series_id, p.t, p.value, s2)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming scalar Kalman — identical recurrence to
+    * `Filters.kalmanScalar` (reference `filters.py:332-356`): first output
+    * is the initial state (not measurement-updated), then
+    * `p+=q; K=p/(p+r); x+=K(z−x); p=(1−K)p`.
+    */
+  def kalmanStream(
+      ds: Dataset[SeriesPoint],
+      q: Double = 1.0,
+      r: Double = 1.0,
+      x0: Option[Double] = None,
+      p0: Double = 1.0): Dataset[ScanOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.series_id)
+      .flatMapGroupsWithState[KalmanState, ScanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[SeriesPoint], state: GroupState[KalmanState]) =>
+          val sorted = rows.toArray.sortBy(_.t)
+          var st = state.getOption
+          val out = sorted.map { p =>
+            val (st2, o) = st match {
+              case None =>
+                val x = x0.getOrElse(p.value)
+                (KalmanState(x, p0), x)
+              case Some(KalmanState(x, pp)) =>
+                val pPred = pp + q
+                val k = pPred / (pPred + r)
+                val x2 = x + k * (p.value - x)
+                (KalmanState(x2, (1 - k) * pPred), x2)
+            }
+            st = Some(st2)
+            ScanOut(p.series_id, p.t, p.value, o)
+          }
+          st.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Event-time session windows over a timestamped frame — works on both
+    * batch and streaming DataFrames (`session_window` + watermark). The
+    * batch analogue is `Sessionize.sessionize`; in streaming the watermark
+    * bounds state: sessions close `gap` after their last event, late rows
+    * beyond `delay` are dropped.
+    */
+  def sessionAgg(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      gap: String = "30 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    wm.groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("avg_value")): _*)
+  }
+
+  /** Watermarked tumbling-window aggregate (streaming analogue of the
+    * batch `Sessionize.tumbling` buckets).
+    */
+  def tumblingAgg(
+      df: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      width: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame = {
+    val wm = if (df.isStreaming) df.withWatermark(tsCol, delay) else df
+    wm.groupBy(window(col(tsCol), width) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), avg(col("value")).as("avg_value"))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("n_events"), col("avg_value")): _*)
+  }
+}

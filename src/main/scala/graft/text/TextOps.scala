@@ -107,33 +107,91 @@ object TextOps {
     * array — the unit set for Jaccard/MinHash near-dup.
     */
   def charShingles(text: Column, n: Int): Column = {
-    val norm = normalize(text)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(length(norm) - n, lit(0))),
-        i => norm.substr(i + 1, lit(n))))
+    // Bind the normalized string ONCE as a lambda variable (outer
+    // single-element transform): referencing `normalize(text)` directly
+    // inside the inner lambda would re-evaluate the regexp per element —
+    // interpreted HOF lambdas re-run their whole body per item.
+    element_at(
+      transform(array(normalize(text)), s =>
+        array_distinct(
+          transform(
+            sequence(lit(0), greatest(length(s) - n, lit(0))),
+            i => s.substr(i + 1, lit(n))))),
+      1)
   }
 
-  /** MinHash signature over the shingle set: element k is the
-    * lexicographic minimum of `md5(k || ":" || shingle)` — each hash
-    * function is a uniformly random total order on shingles, which is all
-    * MinHash needs, and md5-hex min is reproducible verbatim in DuckDB
-    * (no engine-specific integer hash). `P(sig_a[k] = sig_b[k]) =
-    * jaccard(a, b)` (Broder 1997, "On the resemblance and containment of
-    * documents").
+  /** MinHash prime: smallest prime > 2^32, so `(a + k·b) mod P` with
+    * 32-bit `a`,`b` stays collision-light and fits a long for k ≤ ~2^30.
+    */
+  val MinHashP = 4294967311L
+
+  /** MinHash signature over the shingle set, one md5 per shingle.
+    *
+    * Each shingle is hashed ONCE (md5 → two 32-bit halves `a`,`b`); the k
+    * hash functions are the double-hashing family `h_k = (a + k·b) mod P`
+    * (Kirsch–Mitzenmacher 2006, "Less hashing, same performance"), and
+    * `sig[k] = min over shingles of h_k`. `P(sig_a[k] = sig_b[k]) ≈
+    * jaccard(a, b)` (Broder 1997). The whole signature is a single
+    * `aggregate` expression — one pass over the shingle array with an
+    * O(numHashes) accumulator — so Catalyst projection-collapse can't
+    * duplicate the md5 work per hash function, and cost is
+    * `|shingles| · (1 md5 + numHashes mults)` instead of
+    * `|shingles| · numHashes` md5s. Reproducible verbatim in DuckDB
+    * (`('0x' || substring(md5(x), …))::BIGINT`).
     */
   def minHashSignature(text: Column, shingleN: Int, numHashes: Int): Column = {
     val sh = charShingles(text, shingleN)
-    array((0 until numHashes).map { k =>
-      array_min(transform(sh, s => md5(concat(lit(s"$k:"), s))))
-    }: _*)
+    val ab = transform(sh, s => {
+      val m = md5(s)
+      struct(
+        conv(substring(m, 1, 8), 16, 10).cast("long").as("a"),
+        conv(substring(m, 9, 8), 16, 10).cast("long").as("b"))
+    })
+    aggregate(
+      ab,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, p) => zip_with(
+        acc,
+        sequence(lit(0), lit(numHashes - 1)),
+        (m, k) => least(m, (p.getField("a") + k * p.getField("b")) % MinHashP)))
   }
 
-  /** Jaccard similarity of two (distinct-element) array columns, via the
-    * portable `|filter(a ∈ b)| / (|a| + |b| − |∩|)` formula.
+  /** Row-wise MinHash signatures: `(idCol, __sig array<long>)`, one row
+    * per input row. Same hash family and values as [[minHashSignature]],
+    * but computed as explode(shingles) → 128 codegen'd `min` aggregates
+    * instead of interpreted array-HOF folds — whole-stage codegen end to
+    * end, map-side partial mins before the single shuffle on the id. This
+    * is the shape that survives 100 TB: per-row state is `numHashes`
+    * longs, no interpreted lambda on the hot path.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      numHashes: Int): DataFrame = {
+    val exploded = df.select(
+      col(idCol).as("__id"),
+      explode(charShingles(col(textCol), shingleN)).as("__s"))
+    val m = md5(col("__s"))
+    val withAb = exploded.select(
+      col("__id"),
+      conv(substring(m, 1, 8), 16, 10).cast("long").as("__a"),
+      conv(substring(m, 9, 8), 16, 10).cast("long").as("__b"))
+    val mins = (0 until numHashes).map(k =>
+      min((col("__a") + lit(k) * col("__b")) % MinHashP).as(s"__h$k"))
+    withAb.groupBy(col("__id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(k => col(s"__h$k")): _*).as("__sig"))
+  }
+
+  /** Jaccard similarity of two distinct-element array columns.
+    * `array_intersect` is hash-set based (O(|a|+|b|)), not a nested scan —
+    * this sits on the hot path of the near-dup re-rank.
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(filter(a, x => array_contains(b, x))).cast("double")
+    val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - inter)
   }
 
@@ -146,6 +204,13 @@ object TextOps {
     * shingle sets; shingles are joined back only for the (rare) candidate
     * pairs before the exact Jaccard filter. Never all-pairs.
     *
+    * Band sizing: P(two docs collide in ≥1 band) = 1−(1−j^rows)^bands.
+    * The 16×8 default keeps background pairs (j≈0.3 on random text,
+    * 16·0.3^8 ≈ 1e-3) out of the candidate join while catching
+    * j ≥ 0.8 near-dups with ~95% probability — at 12M potential pairs
+    * per 5k docs the candidate count is what decides whether this
+    * finishes; rows-per-band is the scale knob, not an accuracy nicety.
+    *
     * Output: `id_a`, `id_b` (id_a < id_b), `jaccard` (≥ threshold).
     */
   def nearDupPairs(
@@ -153,29 +218,28 @@ object TextOps {
       idCol: String,
       textCol: String,
       shingleN: Int = 5,
-      numHashes: Int = 12,
-      bands: Int = 4,
+      numHashes: Int = 128,
+      bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val base = df.select(
-      col(idCol).as("__id"),
-      charShingles(col(textCol), shingleN).as("__sh"),
-      minHashSignature(col(textCol), shingleN, numHashes).as("__sig"))
-    val banded = base.select(
+    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val banded = sigs.select(
       col("__id"),
       explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|", slice(col("__sig"), b * rows + 1, rows))).as("key"))
+        struct(lit(b).as("band"), slice(col("__sig"), b * rows + 1, rows).as("key"))
       }: _*)).as("__b"))
       .select(col("__id"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+    // identical subplans on both sides → the (band,key) shuffle is written
+    // once and re-read (ReusedExchange); signatures are not computed twice
     val pairs = banded.as("l")
       .join(banded.as("r"), col("l.__band") === col("r.__band") && col("l.__key") === col("r.__key"))
       .filter(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val shA = base.select(col("__id").as("id_a"), col("__sh").as("__sha"))
-    val shB = base.select(col("__id").as("id_b"), col("__sh").as("__shb"))
+    val sh = df.select(col(idCol).as("__id"), charShingles(col(textCol), shingleN).as("__sh"))
+    val shA = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
+    val shB = sh.select(col("__id").as("id_b"), col("__sh").as("__shb"))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)

@@ -18,7 +18,7 @@ class AnnSpec extends SparkSpec {
     val b = "the quick brown fox jumps over the lazy cat and runs away fast"
     val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
     val sig = df.select(TextOps.minHashSignature(col("text"), 5, 64).as("s"))
-      .collect().map(_.getSeq[String](0))
+      .collect().map(_.getSeq[Long](0))
     val agree = sig(0).zip(sig(1)).count { case (x, y) => x == y }.toDouble / 64
     val jac = df.agg(TextOps.jaccard(
       first(TextOps.charShingles(col("text"), 5)),

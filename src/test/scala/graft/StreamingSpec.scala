@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Filters
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.SeriesPoint
+
+/** Streaming recurrences must produce EXACTLY the batch results when fed
+  * the same rows — state carries across micro-batch boundaries.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def runStream(
+      batches: Seq[Seq[SeriesPoint]],
+      mk: org.apache.spark.sql.Dataset[SeriesPoint] => org.apache.spark.sql.Dataset[StreamingOps.ScanOut]
+  ): Seq[StreamingOps.ScanOut] = {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SeriesPoint]
+    val q = mk(mem.toDS())
+      .writeStream.format("memory").queryName("scanout")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table("scanout").as[StreamingOps.ScanOut]
+        .collect().sortBy(p => (p.series_id, p.t)).toSeq
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS scanout")
+    }
+  }
+
+  val vals = Seq(5.0, 1.0, 4.0, 2.0, 8.0, 3.0)
+
+  test("streaming EWMA across micro-batches matches batch EWMA") {
+    val pts = vals.zipWithIndex.map { case (v, i) => SeriesPoint("a", i.toLong, v) }
+    // split mid-series: state must survive the batch boundary
+    val got = runStream(Seq(pts.take(2), pts.slice(2, 5), pts.drop(5)),
+      ds => StreamingOps.ewmaStream(ds, alpha = 0.3))
+    val batch = Filters.exponentialSmoothing(
+      seriesDf("a" -> vals), Seq("series_id"), Seq("t"), "value", "out", alpha = 0.3)
+    assertSeqAlmost(got.map(_.out), outSeries(batch, "a", "out"))
+  }
+
+  test("streaming Kalman across micro-batches matches batch Kalman") {
+    val pts = vals.zipWithIndex.map { case (v, i) => SeriesPoint("a", i.toLong, v) }
+    val got = runStream(Seq(pts.take(1), pts.slice(1, 4), pts.drop(4)),
+      ds => StreamingOps.kalmanStream(ds, q = 0.5, r = 2.0))
+    val batch = Filters.kalmanScalar(
+      seriesDf("a" -> vals), Seq("series_id"), Seq("t"), "value", "out",
+      q = 0.5, r = 2.0)
+    assertSeqAlmost(got.map(_.out), outSeries(batch, "a", "out"))
+  }
+
+  test("streaming keeps independent state per series") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(10.0, 20.0)
+    val pts = a.zipWithIndex.map { case (v, i) => SeriesPoint("a", i.toLong, v) } ++
+      b.zipWithIndex.map { case (v, i) => SeriesPoint("b", i.toLong, v) }
+    val got = runStream(Seq(pts.take(2), pts.drop(2)),
+      ds => StreamingOps.ewmaStream(ds, alpha = 0.5))
+    val batch = Filters.exponentialSmoothing(
+      seriesDf("a" -> a, "b" -> b), Seq("series_id"), Seq("t"), "value", "out",
+      alpha = 0.5)
+    assertSeqAlmost(got.filter(_.series_id == "a").map(_.out), outSeries(batch, "a", "out"))
+    assertSeqAlmost(got.filter(_.series_id == "b").map(_.out), outSeries(batch, "b", "out"))
+  }
+
+  test("sessionAgg groups rows separated by less than the gap (batch mode)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", Timestamp.valueOf("2026-01-01 00:00:00"), 1.0),
+      ("u1", Timestamp.valueOf("2026-01-01 00:10:00"), 2.0),
+      ("u1", Timestamp.valueOf("2026-01-01 02:00:00"), 3.0), // new session
+      ("u2", Timestamp.valueOf("2026-01-01 00:05:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val out = StreamingOps.sessionAgg(rows, "ts", Seq("user_id"), gap = "30 minutes")
+    val u1 = out.filter(col("user_id") === "u1").orderBy(col("session_start")).collect()
+    assert(u1.length == 2)
+    assert(u1(0).getAs[Long]("n_events") == 2)
+    assert(u1(1).getAs[Long]("n_events") == 1)
+    assert(out.filter(col("user_id") === "u2").count() == 1)
+  }
+
+  test("tumblingAgg buckets by fixed windows (batch mode)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", Timestamp.valueOf("2026-01-01 00:15:00"), 2.0),
+      ("u1", Timestamp.valueOf("2026-01-01 00:45:00"), 4.0),
+      ("u1", Timestamp.valueOf("2026-01-01 01:05:00"), 6.0)
+    ).toDF("user_id", "ts", "value")
+    val out = StreamingOps.tumblingAgg(rows, "ts", Seq("user_id"), width = "1 hour")
+    val got = out.orderBy(col("window_start")).collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(0).getAs[Double]("avg_value") == 3.0)
+    assert(got(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("streaming session window emits closed sessions under watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = StreamingOps.sessionAgg(df, "ts", Seq("user_id"),
+      gap = "10 minutes", delay = "1 minute")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2026-01-01 00:00:00"), "u1", 1.0),
+        (Timestamp.valueOf("2026-01-01 00:05:00"), "u1", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the session gap → session closes
+      mem.addData((Timestamp.valueOf("2026-01-01 01:00:00"), "u1", 9.0))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2026-01-01 02:00:00"), "u1", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+      assert(rows.exists(r => r.getAs[Long]("n_events") == 2),
+        s"expected the 2-event session to be emitted, got ${rows.mkString(";")}")
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS sess")
+    }
+  }
+}
