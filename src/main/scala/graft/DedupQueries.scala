@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+import graft.text.TextOps
+
+/** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
+  * Jaccard, embedding-cosine near-dup. Exact dedup is `x1`, char-shingle
+  * MinHash LSH is `x2`; these are `x12`–`x14`.
+  */
+object DedupQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ── X12: SimHash near-dup (banded fingerprint join + Hamming verify);
+    //    the DuckDB oracle replays the whole pipeline bit-for-bit ──
+    QueryDef(
+      "x12_simhash_dup",
+      (s, dir) => {
+        TextOps.simHashDupPairs(Tables.documents(s, dir), "doc_id",
+          TextOps.charShingles(col("text"), 5), maxDist = 3)
+          .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(0, greatest(length(norm)-5, 0)),
+              i -> substr(norm, i+1, 5))) AS s
+          FROM d
+        ), e AS (
+          SELECT doc_id, unnest(s) AS x FROM sh
+        ), h AS (
+          SELECT doc_id,
+            ('0x' || substring(md5(x),1,8))::BIGINT AS a,
+            ('0x' || substring(md5(x),9,8))::BIGINT AS b
+          FROM e
+        ), bits AS (
+          SELECT doc_id, j.j AS j,
+            sum((CASE WHEN j.j < 32 THEN (a >> j.j) & 1
+                      ELSE (b >> (j.j - 32)) & 1 END) * 2 - 1) AS cnt
+          FROM h, (SELECT unnest(generate_series(0, 63)) AS j) j
+          GROUP BY doc_id, j.j
+        ), sim AS (
+          SELECT doc_id,
+            bit_or(CASE WHEN cnt <= 0 THEN 0
+                        WHEN j = 63 THEN (-9223372036854775807 - 1)
+                        ELSE (1::BIGINT << j) END) AS f
+          FROM bits GROUP BY doc_id
+        ), banded AS (
+          SELECT doc_id, f, b.b AS band, (f >> (b.b*16)) & 65535 AS v
+          FROM sim, (SELECT unnest(generate_series(0, 3)) AS b) b
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+            l.f AS fa, r.f AS fb
+          FROM banded l JOIN banded r ON l.band = r.band AND l.v = r.v
+            AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+        FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+      """.stripMargin.trim)),
+
+    // ── X13: word 3-gram Jaccard near-dup via the generalized MinHash
+    //    banding; full DuckDB replay ──
+    QueryDef(
+      "x13_worddup",
+      (s, dir) => {
+        TextOps.nearDupPairsBy(Tables.documents(s, dir), "doc_id",
+          TextOps.wordShingles(col("text"), 3),
+          numHashes = 128, bands = 16, threshold = 0.8)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(norm, ' ') AS w FROM d
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM w WHERE len(w) >= 3
+        ), ab AS (
+          SELECT doc_id, s,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id, s,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+        ), j AS (
+          SELECT id_a, id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+          FROM pairs JOIN sh a ON pairs.id_a = a.doc_id
+                     JOIN sh b ON pairs.id_b = b.doc_id
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+      """.stripMargin.trim)),
+
+    // ── X14: embedding-cosine near-dup, exact on a bounded slice so DuckDB
+    //    can replay it (list arithmetic); the LSH-bucketed scale path
+    //    (Ann.cosineDupPairs) is recall-tested against this exact baseline
+    //    in AnnSpec. The synthetic embeddings are near-orthogonal (max
+    //    cos ≈ 0.5), so the demo threshold is 0.4. ──
+    QueryDef(
+      "x14_embed_dup",
+      (s, dir) => {
+        val slice = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+        Ann.cosineDupPairsExact(slice, "vec_id", "embedding", threshold = 0.4)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding AS a FROM embeddings WHERE vec_id < 500
+        ), p AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+            list_aggregate(list_transform(generate_series(1, len(l.a)),
+              i -> l.a[i]::DOUBLE * r.a[i]::DOUBLE), 'sum') /
+            (sqrt(list_aggregate(list_transform(generate_series(1, len(l.a)),
+              i -> l.a[i]::DOUBLE * l.a[i]::DOUBLE), 'sum')) *
+             sqrt(list_aggregate(list_transform(generate_series(1, len(r.a)),
+              i -> r.a[i]::DOUBLE * r.a[i]::DOUBLE), 'sum'))) AS cos
+          FROM e l JOIN e r ON l.vec_id < r.vec_id
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+      """.stripMargin.trim))
+  )
+}

@@ -667,7 +667,8 @@ object Queries {
     * round-1 ops that needed driver registration.
     */
   def all: Seq[QueryDef] =
-    defs ++ MlQueries.defs ++ SimQueries.defs ++ ObsQueries.defs ++ ExtraQueries.defs
+    defs ++ MlQueries.defs ++ SimQueries.defs ++ ObsQueries.defs ++
+      ExtraQueries.defs ++ DedupQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

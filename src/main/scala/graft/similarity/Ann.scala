@@ -68,34 +68,61 @@ object Ann {
     rankTopK(cands, queryIdCol, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for LSH: a unit-free
-    * ±hash value per (plane, dimension), derived from xxhash64 — no RNG
-    * state, reproducible across executors.
+  /** Deterministic Gaussian hyperplane matrix (`nPlanes × dim`), minted
+    * driver-side from [[HashRandom]] — a pure function of the seed, so
+    * identical on every executor/run, and shipped as a literal instead of
+    * being re-derived per row (the previous per-element xxhash64 formula
+    * cost `rows × planes × dim` interpreted hash calls).
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (xxhash64(lit(plane), dim) % 1000).cast("double") / 1000d
+  private def planeMatrix(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] =
+    (0 until nPlanes).map(p =>
+      (0 until dim).map(d => graft.functions.HashRandom.gaussian(seed, p.toLong, d.toLong)))
 
-  /** Random-hyperplane (SimHash) signature of an embedding: `nPlanes`
-    * sign bits packed into a long. Rows whose signatures share a bucket
-    * are near-duplicate candidates; join on the bucket instead of the
-    * full cross product — this is the piece that scales.
+  /** Row-wise random-hyperplane (SimHash) signatures: `(__id, __sig)` with
+    * `nPlanes` sign bits packed into a long. Computed as
+    * posexplode(embedding) → `nPlanes` codegen'd `sum(x·w[p][d])`
+    * aggregates — whole-stage codegen, map-side partial sums, no
+    * interpreted lambda per element. Rows whose signatures share a banded
+    * bucket are near-duplicate candidates; joining on the bucket instead
+    * of the full cross product is the piece that scales.
+    *
+    * Vector length is validated per row (`assert_true`) — a short/long
+    * embedding raises instead of silently collapsing into one bucket.
     */
-  def hyperplaneSignature(feat: Column, dim: Int, nPlanes: Int): Column = {
+  def hyperplaneSignatures(
+      df: DataFrame,
+      idCol: String,
+      featCol: String,
+      dim: Int,
+      nPlanes: Int,
+      seed: Long = 42L): DataFrame = {
     require(nPlanes <= 63)
-    val bits = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(feat, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i)),
-        lit(0d), (acc, d) => acc + d)
-      when(proj >= 0d, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
+    val w = planeMatrix(dim, nPlanes, seed)
+    val ex = df.select(
+      col(idCol).as("__id"),
+      posexplode(
+        when(assert_true(size(col(featCol)) === dim).isNull, col(featCol)))
+        .as(Seq("__d", "__x")))
+    val projs = (0 until nPlanes).map(p =>
+      sum(col("__x").cast("double") *
+        element_at(typedlit(w(p)), col("__d") + 1)).as(s"__p$p"))
+    ex.groupBy(col("__id"))
+      .agg(projs.head, projs.tail: _*)
+      .select(col("__id"),
+        (0 until nPlanes).map(p =>
+          when(col(s"__p$p") >= 0d, lit(1L << p)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("__sig"))
   }
 
   /** LSH-bucketed approximate cosine top-k: candidates = pairs sharing a
     * signature band; exact cosine re-ranking within candidates only.
     * `bands` × `bitsPerBand` ≤ 63. Recall grows with bands; cost stays
     * |bucket|² instead of |corpus|².
+    *
+    * Plan: banded (id, band, bucket) rows — ids only, vectors are NOT
+    * dragged through the banding — one broadcast join on (band, bucket)
+    * against the banded queries, candidate-id dedup, then one join back
+    * to each side's (vector, norm) for the exact re-rank.
     */
   def cosineTopKLsh(
       corpus: DataFrame,
@@ -106,31 +133,86 @@ object Ann {
       k: Int,
       dim: Int,
       bands: Int = 4,
-      bitsPerBand: Int = 12): DataFrame = {
+      bitsPerBand: Int = 12,
+      seed: Long = 42L): DataFrame = {
     require(bands * bitsPerBand <= 63)
-    val sig = hyperplaneSignature(col(featCol), dim, bands * bitsPerBand)
     val mask = (1L << bitsPerBand) - 1
-    val c = corpus
-      .withColumn("__sig", sig)
-      .select(
-        col(corpusIdCol).as("__cid") +: col(featCol).as("__cf") +:
-          (0 until bands).map(b =>
-            (shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(mask)).as(s"__band$b")): _*)
-      .withColumn("__cn", norm(col("__cf")))
-    val q = queries
-      .withColumn("__sig", sig)
-      .select(
-        col(queryIdCol).as("__qid") +: col(featCol).as("__qf") +:
-          (0 until bands).map(b =>
-            (shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(mask)).as(s"__band$b")): _*)
-      .withColumn("__qn", norm(col("__qf")))
-    // candidate pairs: union over bands of same-band joins, dedup'd
-    val cands = (0 until bands).map { b =>
-      c.join(broadcast(q.select(col("__qid"), col("__qf"), col("__qn"), col(s"__band$b"))),
-          Seq(s"__band$b"))
-        .select(col("__cid"), col("__cf"), col("__cn"), col("__qid"), col("__qf"), col("__qn"))
-    }.reduce(_.unionByName(_)).dropDuplicates("__cid", "__qid")
+    def banded(df: DataFrame, idCol2: String, out: String) =
+      hyperplaneSignatures(df, idCol2, featCol, dim, bands * bitsPerBand, seed)
+        .select(col("__id").as(out),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(mask).as("v"))
+          }: _*)).as("__b"))
+        .select(col(out), col("__b.band").as("__band"), col("__b.v").as("__bv"))
+    val candIds = banded(corpus, corpusIdCol, "__cid")
+      .join(broadcast(banded(queries, queryIdCol, "__qid")), Seq("__band", "__bv"))
       .filter(col("__cid") =!= col("__qid"))
+      .select(col("__cid"), col("__qid"))
+      .dropDuplicates("__cid", "__qid")
+    val cf = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__cn", norm(col("__cf")))
+    val qf = queries.select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
+      .withColumn("__qn", norm(col("__qf")))
+    val cands = candIds.join(cf, "__cid").join(broadcast(qf), "__qid")
     rankTopK(cands, queryIdCol, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: `(id_a < id_b, cosine)` with
+    * cosine ≥ threshold (SURVEY §2.8 embedding-cosine near-dup). Candidates
+    * from a banded hyperplane-signature self-join (ids only through the
+    * shuffle), exact-cosine verify on the candidates — never all-pairs.
+    * Recall follows the hyperplane collision rate `(1 − θ/π)^bitsPerBand`
+    * per band; use [[cosineDupPairsExact]] as the small-scale oracle.
+    */
+  def cosineDupPairs(
+      df: DataFrame,
+      idCol: String,
+      featCol: String,
+      dim: Int,
+      threshold: Double,
+      bands: Int = 16,
+      bitsPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(bands * bitsPerBand <= 63)
+    val mask = (1L << bitsPerBand) - 1
+    val banded = hyperplaneSignatures(df, idCol, featCol, dim, bands * bitsPerBand, seed)
+      .select(col("__id"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(mask).as("v"))
+        }: _*)).as("__b"))
+      .select(col("__id"), col("__b.band").as("__band"), col("__b.v").as("__bv"))
+    val candIds = banded.as("l")
+      .join(banded.as("r"), col("l.__band") === col("r.__band") && col("l.__bv") === col("r.__bv"))
+      .filter(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val f = df.select(col(idCol).as("__fid"), col(featCol).as("__f"))
+      .withColumn("__n", norm(col("__f")))
+    candIds
+      .join(f.select(col("__fid").as("id_a"), col("__f").as("__fa"), col("__n").as("__na")), "id_a")
+      .join(f.select(col("__fid").as("id_b"), col("__f").as("__fb"), col("__n").as("__nb")), "id_b")
+      .withColumn("cosine", dot(col("__fa"), col("__fb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Exact all-pairs variant of [[cosineDupPairs]] — the quadratic
+    * baseline for oracle checks and recall measurement on bounded slices.
+    */
+  def cosineDupPairsExact(
+      df: DataFrame,
+      idCol: String,
+      featCol: String,
+      threshold: Double): DataFrame = {
+    val f = df.select(col(idCol).as("__fid"), col(featCol).as("__f"))
+      .withColumn("__n", norm(col("__f")))
+    val a = f.select(col("__fid").as("id_a"), col("__f").as("__fa"), col("__n").as("__na"))
+    val b = f.select(col("__fid").as("id_b"), col("__f").as("__fb"), col("__n").as("__nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", dot(col("__fa"), col("__fb")) / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -120,6 +120,21 @@ object TextOps {
       1)
   }
 
+  /** Word shingles (n-grams of whitespace tokens of the normalized text),
+    * space-joined, as a distinct array — the coarser dedup unit for
+    * paraphrase-ish near-dups (SURVEY §2.8 n-gram Jaccard).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    element_at(
+      transform(array(split(normalize(text), " ")), w =>
+        when(size(w) < n, array().cast("array<string>"))
+          .otherwise(array_distinct(
+            transform(
+              sequence(lit(1), size(w) - (n - 1)),
+              i => concat_ws(" ", slice(w, i, lit(n))))))),
+      1)
+  }
+
   /** MinHash prime: smallest prime > 2^32, so `(a + k·b) mod P` with
     * 32-bit `a`,`b` stays collision-light and fits a long for k ≤ ~2^30.
     */
@@ -169,10 +184,20 @@ object TextOps {
       idCol: String,
       textCol: String,
       shingleN: Int,
+      numHashes: Int): DataFrame =
+    minHashSignaturesBy(df, idCol, charShingles(col(textCol), shingleN), numHashes)
+
+  /** [[minHashSignatures]] over an arbitrary shingle-array expression
+    * (char n-grams, word n-grams, …).
+    */
+  def minHashSignaturesBy(
+      df: DataFrame,
+      idCol: String,
+      shingles: Column,
       numHashes: Int): DataFrame = {
     val exploded = df.select(
       col(idCol).as("__id"),
-      explode(charShingles(col(textCol), shingleN)).as("__s"))
+      explode(shingles).as("__s"))
     val m = md5(col("__s"))
     val withAb = exploded.select(
       col("__id"),
@@ -220,10 +245,23 @@ object TextOps {
       shingleN: Int = 5,
       numHashes: Int = 128,
       bands: Int = 16,
+      threshold: Double = 0.8): DataFrame =
+    nearDupPairsBy(df, idCol, charShingles(col(textCol), shingleN),
+      numHashes, bands, threshold)
+
+  /** [[nearDupPairs]] over an arbitrary shingle-array expression — word
+    * n-gram Jaccard dedup is `nearDupPairsBy(df, id, wordShingles(text, 3))`.
+    */
+  def nearDupPairsBy(
+      df: DataFrame,
+      idCol: String,
+      shingles: Column,
+      numHashes: Int = 128,
+      bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val sigs = minHashSignaturesBy(df, idCol, shingles, numHashes)
     val banded = sigs.select(
       col("__id"),
       explode(array((0 until bands).map { b =>
@@ -237,13 +275,84 @@ object TextOps {
       .filter(col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = df.select(col(idCol).as("__id"), charShingles(col(textCol), shingleN).as("__sh"))
+    val sh = df.select(col(idCol).as("__id"), shingles.as("__sh"))
     val shA = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
     val shB = sh.select(col("__id").as("id_b"), col("__sh").as("__shb"))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprints: `(idCol, __sim)` (Charikar 2002,
+    * "Similarity estimation techniques from rounding algorithms" — the
+    * Manku/Jain/Sarma WWW'07 web-dedup construction). Each shingle's
+    * md5 supplies 64 bits (two 32-bit halves); bit j of the fingerprint
+    * is the sign of Σ over shingles of ±1 for that bit. Same codegen'd
+    * explode → 64 sum-aggregates shape as [[minHashSignatures]] —
+    * whole-stage codegen with map-side partials, reproducible verbatim
+    * in DuckDB.
+    */
+  def simHashes(
+      df: DataFrame,
+      idCol: String,
+      shingles: Column): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"), explode(shingles).as("__s"))
+    val m = md5(col("__s"))
+    val withHalves = exploded.select(
+      col("__id"),
+      conv(substring(m, 1, 8), 16, 10).cast("long").as("__a"),
+      conv(substring(m, 9, 8), 16, 10).cast("long").as("__b"))
+    def bitSum(src: Column, j: Int) =
+      sum(shiftright(src, j).bitwiseAND(1) * 2 - 1)
+    val sums = (0 until 64).map { j =>
+      val s = if (j < 32) bitSum(col("__a"), j) else bitSum(col("__b"), j - 32)
+      s.as(s"__c$j")
+    }
+    withHalves.groupBy(col("__id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("__id"),
+        (0 until 64).map(j =>
+          when(col(s"__c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("__sim"))
+  }
+
+  /** SimHash near-dup pairs: fingerprints within Hamming distance
+    * `maxDist`. Candidates come from a banded self-join — the fingerprint
+    * is cut into `maxDist + 1` equal-width bands, and by pigeonhole two
+    * fingerprints within `maxDist` agree exactly on at least one band
+    * (Manku et al.'s table construction) — then verified with
+    * `bit_count(xor)`. Banded rows carry only (id, band, key): the join
+    * shuffles 16-bit keys, never fingerprint pairs, and is exact — unlike
+    * MinHash banding there is no recall loss within `maxDist`.
+    *
+    * Output: `id_a < id_b`, `hamming` (≤ maxDist).
+    */
+  def simHashDupPairs(
+      df: DataFrame,
+      idCol: String,
+      shingles: Column,
+      maxDist: Int = 3): DataFrame = {
+    val nBands = maxDist + 1
+    val width = 64 / nBands
+    val sims = simHashes(df, idCol, shingles)
+    val banded = sims.select(
+      col("__id"), col("__sim"),
+      explode(array((0 until nBands).map { b =>
+        // last band absorbs the remainder bits
+        val w = if (b == nBands - 1) 64 - b * width else width
+        val mask = if (w == 64) lit(-1L) else lit((1L << w) - 1)
+        struct(lit(b).as("band"),
+          shiftright(col("__sim"), b * width).bitwiseAND(mask).as("v"))
+      }: _*)).as("__b"))
+      .select(col("__id"), col("__sim"), col("__b.band").as("__band"), col("__b.v").as("__bv"))
+    banded.as("l")
+      .join(banded.as("r"), col("l.__band") === col("r.__band") && col("l.__bv") === col("r.__bv"))
+      .filter(col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
   }
 
   /** BPE-ish token count: splits on word/punct boundaries then counts

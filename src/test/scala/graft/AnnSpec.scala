@@ -79,6 +79,42 @@ class AnnSpec extends SparkSpec {
     assert(inCluster >= exact.size * 0.9)
   }
 
+  test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
+    val df = clustered.cache()
+    def pairSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = pairSet(Ann.cosineDupPairsExact(df, "vec_id", "embedding", 0.9))
+    assert(exact.nonEmpty, "clustered fixture should contain cos>=0.9 pairs")
+    val lsh = pairSet(Ann.cosineDupPairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.9, bands = 16, bitsPerBand = 3))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"cosine-dup recall $recall")
+    assert(lsh.subsetOf(exact), "LSH pairs are exact-verified, never spurious")
+  }
+
+  test("simHashDupPairs flags a one-word edit and not unrelated docs") {
+    import spark.implicits._
+    val base = (0 until 60).map(j =>
+      ("w" + (HashRandom.uniform(3L, 1L, j.toLong) * 1000).toInt)).mkString(" ")
+    val edited = base.replaceFirst("w", "v")
+    val other = (0 until 60).map(j =>
+      ("w" + (HashRandom.uniform(3L, 2L, j.toLong) * 1000).toInt)).mkString(" ")
+    val df = Seq((1L, base), (2L, edited), (3L, other)).toDF("doc_id", "text")
+    val pairs = TextOps.simHashDupPairs(df, "doc_id",
+      TextOps.charShingles(col("text"), 5), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("wordShingles emits space-joined n-grams and handles short docs") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox"), (2L, "ab")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.wordShingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("the quick brown", "quick brown fox"))
+    assert(got(2L).isEmpty)
+  }
+
   test("x2_neardup query finds the corpus's planted near-dups at sf0.001") {
     val q = Queries.all.find(_.name == "x2_neardup").get
     val out = q.run(spark, "/root/testdata/sf0.001")
