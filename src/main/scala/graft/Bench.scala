@@ -30,6 +30,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     var failed = List.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Warm the JVM/codegen/parquet-footer paths once so the first timed
+    // query doesn't absorb several seconds of one-off session cost.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      Tables.events(spark, sfDir).limit(1).collect()
+    } catch { case _: Throwable => }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.multimodal.Multimodal
 import graft.similarity.Ann
 import graft.text.TextOps
 
 /** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
-  * Jaccard, embedding-cosine near-dup. Exact dedup is `x1`, char-shingle
-  * MinHash LSH is `x2`; these are `x12`–`x14`.
+  * Jaccard, embedding-cosine near-dup, plus the multimodal binary-payload
+  * feature surface. Exact dedup is `x1`, char-shingle MinHash LSH is
+  * `x2`; these are `x12`–`x15`.
   */
 object DedupQueries {
 
@@ -139,6 +141,39 @@ object DedupQueries {
           FROM e l JOIN e r ON l.vec_id < r.vec_id
         )
         SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+      """.stripMargin.trim)),
+
+    // ── X15: multimodal binary payloads — documents' text re-encoded as
+    //    opaque binary (the corpus has no real images/audio; the decode
+    //    step is a documented stub), then byte-distribution feature
+    //    extraction (Shannon entropy + totals) per source ──
+    QueryDef(
+      "x15_payload_entropy",
+      (s, dir) => {
+        val payloads = Tables.documents(s, dir)
+          .withColumn("content", encode(col("text"), "UTF-8"))
+        Multimodal.byteEntropy(payloads, Seq("source"), "content")
+          .select(col("source"), col("total_bytes"),
+            round(col("entropy_bits"), 6).as("entropy_bits"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT source, encode(text) AS c FROM documents
+        ), h AS (
+          SELECT source, hex(c) AS hx, octet_length(c) AS n FROM p
+        ), b AS (
+          SELECT source, ('0x' || substring(hx, i.i*2-1, 2))::INT AS byte
+          FROM h, (SELECT unnest(generate_series(1, n)) AS i) i
+        ), hist AS (
+          SELECT source, byte, count(*) AS cnt FROM b GROUP BY 1, 2
+        ), w AS (
+          SELECT source, cnt,
+            cnt::DOUBLE / sum(cnt) OVER (PARTITION BY source) AS pr
+          FROM hist
+        )
+        SELECT source, sum(cnt) AS total_bytes,
+          round(-sum(pr * log2(pr)), 6) AS entropy_bits
+        FROM w GROUP BY source
       """.stripMargin.trim))
   )
 }
