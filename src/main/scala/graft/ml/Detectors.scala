@@ -99,7 +99,7 @@ abstract class FaultDetector(
         .setEvaluator(new MulticlassClassificationEvaluator().setMetricName("accuracy"))
         .setNumFolds(cvFolds)
         .setSeed(randomState)
-        .setParallelism(2)
+        .setParallelism(8)
       val cvm = cv.fit(prep)
       val best = cvm.avgMetrics.zipWithIndex.maxBy(_._1)._2
       bestParams = points(best)
@@ -310,6 +310,7 @@ class SVMFaultDetector(
       .setMaxIter(maxIter)
       .setTol(tol)
     if (k > 2) new OneVsRest().setClassifier(svc).setFeaturesCol(svcFeaturesCol)
+      .setParallelism(8)
     else svc
   }
 
