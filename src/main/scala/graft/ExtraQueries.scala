@@ -91,6 +91,18 @@ object ExtraQueries {
         FROM g JOIN o ON g.event_type = o.event_type AND g.rn = o.rn
       """.stripMargin.trim)),
 
+    // ── G2 cubic resampling (not-a-knot spline through the grid points;
+    //    tridiagonal solve → rows-only, unit-tested vs analytic cubics) ──
+    QueryDef(
+      "g2_resample_cubic",
+      (s, dir) => {
+        Segmenters.resample(ev(s, dir), Seq("event_type"),
+          Seq("ts", "event_id"), "value", targetSize = 100, method = "cubic")
+          .select(col("event_type"), col("idx"),
+            round(col("value"), 6).as("value"))
+      },
+      None),
+
     // ── G3: interpolating spline upsample (not-a-knot cubic); the
     //    tridiagonal solve is not reasonably ANSI-expressible → rows-only
     //    (unit-tested against analytic polynomials in SegmentersSpec) ──

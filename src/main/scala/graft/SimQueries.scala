@@ -81,6 +81,73 @@ object SimQueries {
         SELECT sim_id, round(x, 6) AS x_last, round(x, 6) AS y_last FROM e
       """.stripMargin.trim)),
 
+    // ── M3: nonlinear continuous, user-lambda f/g, euler method so the
+    //    oracle can REPLAY the integrator exactly: DuckDB list_reduce
+    //    runs the same x += dt·(−x³ + u) recurrence bit-for-bit ──
+    QueryDef(
+      "m3_nonlinear_sim",
+      (s, _) => {
+        import s.implicits._
+        val model = NonlinearContinuous(
+          f = (x, u, _) => Array(-x(0) * x(0) * x(0) + u(0)),
+          g = (x, _, _) => Array(x(0)),
+          inputDim = 1, method = "euler")
+        val n = 100
+        val sims = s.range(10).as[Long].mapPartitions(_.flatMap { i =>
+          val x0 = -1.0 + 2.0 * i / 9.0
+          val u = IndexedSeq.fill(n)(Array(0.5 + 0.05 * i))
+          model.simulate(i, u, Array(x0), tFinal = 5.0, dt = 0.05)
+        })
+        sims.toDF().filter(col("step") === n - 1)
+          .select(col("sim_id"), round(element_at(col("state"), 1), 6).as("x_last"))
+      },
+      // states are post-update ⇒ step 99 holds x after 100 Euler steps
+      Some("""
+        WITH s AS (
+          SELECT i AS sim_id, (-1.0 + 2.0*i/9.0)::DOUBLE AS x0,
+            (0.5 + 0.05*i)::DOUBLE AS u
+          FROM generate_series(0, 9) t(i)
+        )
+        SELECT sim_id,
+          round(list_reduce(
+            list_prepend(x0, list_transform(generate_series(1, 100), k -> 0.0)),
+            (acc, x) -> acc + 0.05*(-pow(acc, 3) + u)), 6) AS x_last
+        FROM s
+      """.stripMargin.trim)),
+
+    // ── M4: nonlinear discrete (logistic map), pre-update states ──
+    QueryDef(
+      "m4_discrete_nonlinear",
+      (s, _) => {
+        import s.implicits._
+        val model = Discrete(
+          f = (x, u, _) => Array(u(0) * x(0) * (1.0 - x(0))),
+          g = (x, _, _) => Array(x(0)),
+          inputDim = 1)
+        val n = 50
+        val sims = s.range(8).as[Long].mapPartitions(_.flatMap { i =>
+          val x0 = 0.2 + 0.05 * i
+          val r = 2.5 + 0.1 * i
+          val u = IndexedSeq.fill(n)(Array(r))
+          model.simulate(i, u, Array(x0), tFinal = 0, dt = 1.0)
+        })
+        sims.toDF().filter(col("step") === n - 1)
+          .select(col("sim_id"), round(element_at(col("state"), 1), 6).as("x_last"))
+      },
+      // pre-update ⇒ step 49 holds x_49 (49 applications of the map)
+      Some("""
+        WITH s AS (
+          SELECT i AS sim_id, (0.2 + 0.05*i)::DOUBLE AS x0,
+            (2.5 + 0.1*i)::DOUBLE AS r
+          FROM generate_series(0, 7) t(i)
+        )
+        SELECT sim_id,
+          round(list_reduce(
+            list_prepend(x0, list_transform(generate_series(1, 49), k -> 0.0)),
+            (acc, x) -> r * acc * (1.0 - acc)), 6) AS x_last
+        FROM s
+      """.stripMargin.trim)),
+
     // ── M5: Monte-Carlo generator source (hash-seeded → rows-only) ──
     QueryDef(
       "m5_generator",

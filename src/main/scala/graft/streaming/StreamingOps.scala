@@ -98,6 +98,53 @@ object StreamingOps {
       }
   }
 
+  /** Vector measurement point of one series (`z` = measurement, `u` =
+    * optional control input).
+    */
+  case class VecPoint(series_id: String, t: Long, z: Seq[Double], u: Seq[Double])
+
+  /** Matrix-observer output: the state estimate after this measurement. */
+  case class VecScanOut(series_id: String, t: Long, xhat: Seq[Double])
+
+  /** Matrix-Kalman state: `x̂` and the flattened covariance `P`
+    * (product-encodable for the state store; p is small — n² doubles).
+    */
+  case class MatKalmanState(x: Seq[Double], pFlat: Seq[Double])
+
+  /** Streaming matrix Kalman observer (O1) — the same
+    * `predict(u)`/`update(z)` recurrence as `Observers.kalman`
+    * (reference `state_observers/kalman.py:26-90`) hosted on
+    * `flatMapGroupsWithState`: per-series `(x̂, P)` state across
+    * micro-batches. The reference's row-at-a-time `step()` object IS this
+    * contract — mutable per-object state advanced one measurement at a
+    * time.
+    */
+  def matrixKalmanStream(
+      ds: Dataset[VecPoint],
+      kf: graft.observers.Observers.MatrixKalman,
+      x0: Seq[Double],
+      p0: Seq[Seq[Double]]): Dataset[VecScanOut] = {
+    import ds.sparkSession.implicits._
+    val n = x0.length
+    ds.groupByKey(_.series_id)
+      .flatMapGroupsWithState[MatKalmanState, VecScanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[VecPoint], state: GroupState[MatKalmanState]) =>
+          val sorted = rows.toArray.sortBy(_.t)
+          var st = state.getOption.getOrElse(
+            MatKalmanState(x0, p0.flatten))
+          val out = sorted.map { pt =>
+            val p = Array.tabulate(n, n)((i, j) => st.pFlat(i * n + j))
+            val u = if (pt.u == null || pt.u.isEmpty) None else Some(pt.u.toArray)
+            val (x2, p2) = kf.step(st.x.toArray, p, pt.z.toArray, u)
+            st = MatKalmanState(x2.toSeq, p2.flatten.toSeq)
+            VecScanOut(pt.series_id, pt.t, x2.toSeq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Event-time session windows over a timestamped frame — works on both
     * batch and streaming DataFrames (`session_window` + watermark). The
     * batch analogue is `Sessionize.sessionize`; in streaming the watermark

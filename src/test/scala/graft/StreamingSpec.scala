@@ -70,6 +70,42 @@ class StreamingSpec extends SparkSpec {
     assertSeqAlmost(got.filter(_.series_id == "b").map(_.out), outSeries(batch, "b", "out"))
   }
 
+  test("streaming matrix Kalman matches the batch observer across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.observers.Observers
+    // 2-state constant-velocity model observed through position
+    val kf = Observers.MatrixKalman(
+      f = Array(Array(1.0, 0.1), Array(0.0, 1.0)),
+      b = Array(Array(0.0), Array(0.0)),
+      h = Array(Array(1.0, 0.0)),
+      q = Array(Array(0.01, 0.0), Array(0.0, 0.01)),
+      r = Array(Array(0.5)))
+    val x0 = Array(0.0, 0.0)
+    val p0 = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val zs = Seq(0.1, 0.25, 0.45, 0.6, 0.82, 1.01)
+    val pts = zs.zipWithIndex.map { case (z, i) =>
+      StreamingOps.VecPoint("a", i.toLong, Seq(z), Seq.empty)
+    }
+    val mem = MemoryStream[StreamingOps.VecPoint]
+    val q = StreamingOps.matrixKalmanStream(mem.toDS(), kf, x0.toSeq, p0.map(_.toSeq).toSeq)
+      .writeStream.format("memory").queryName("mkal").outputMode("append").start()
+    val got = try {
+      Seq(pts.take(2), pts.slice(2, 5), pts.drop(5)).foreach { b =>
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+      spark.table("mkal").as[StreamingOps.VecScanOut]
+        .collect().sortBy(_.t).map(_.xhat).toSeq
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS mkal") }
+    val batchDf = Observers.kalman(
+      seriesDf("a" -> zs), Seq("series_id"), Seq("t"), Seq("value"), Nil,
+      kf, x0, p0)
+    val exp = batchDf.orderBy(col("t")).select(col("x_hat"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) => assertSeqAlmost(g, e) }
+  }
+
   test("sessionAgg groups rows separated by less than the gap (batch mode)") {
     import spark.implicits._
     val rows = Seq(
