@@ -23,12 +23,11 @@ object Knn {
 
   /** Σ (a−b)² over two float/double array columns, computed in double,
     * sequential left-to-right — matches DuckDB `list_distance`² exactly.
+    * Native codegen'd expression ([[graft.functions.ArraySqDist]]): one
+    * fused loop per pair instead of interpreted zip_with/aggregate lambdas.
     */
   def squaredDistance(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0d),
-      (acc, d) => acc + d)
+    graft.functions.ArraySqDist(a, b)
 
   /** Bounded top-k of (score asc, id asc) with a rider payload column. */
   private[graft] def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =

@@ -19,11 +19,13 @@ import graft.functions.{Scored, TopKAgg}
   */
 object Ann {
 
-  /** Sequential double-precision dot product of two array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0d), (acc, d) => acc + d)
+  /** Sequential double-precision dot product of two array columns — the
+    * native codegen'd [[graft.functions.ArrayDot]] expression (same
+    * left-to-right summation order as the composed
+    * `aggregate(zip_with(...))` form and the DuckDB oracles, so results
+    * are bit-identical; ~an order of magnitude less per-pair overhead).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
