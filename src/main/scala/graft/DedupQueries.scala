@@ -13,6 +13,11 @@ import graft.text.TextOps
   */
 object DedupQueries {
 
+  /** DuckDB replica of the unrolled Rabin–Karp polynomial over `g`. */
+  private val rollPoly: String =
+    (1 to 8).foldLeft("0::BIGINT")((acc, j) =>
+      s"(($acc * 257 + ord(substr(g, $j, 1))) % 1000000007)")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── X12: SimHash near-dup (banded fingerprint join + Hamming verify);
@@ -174,6 +179,43 @@ object DedupQueries {
         SELECT source, sum(cnt) AS total_bytes,
           round(-sum(pr * log2(pr)), 6) AS entropy_bits
         FROM w GROUP BY source
+      """.stripMargin.trim)),
+
+    // ── X16: winnowing fingerprints (Rabin–Karp rolling hash + window
+    //    minima) — near-dup pairs by shared-fingerprint count; the oracle
+    //    replays the polynomial, the winnow selection, and the pair join ──
+    QueryDef(
+      "x16_winnow_dup",
+      (s, dir) => {
+        TextOps.winnowDupPairs(Tables.documents(s, dir), "doc_id", "text",
+          k = 8, w = 4, minShared = 10, maxDf = 16)
+      },
+      Some(s"""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        ), g AS (
+          SELECT doc_id, i.i AS pos, substr(norm, i.i, 8) AS g,
+            length(norm) - 7 AS np
+          FROM d, (SELECT unnest(generate_series(1, length(norm) - 7)) AS i) i
+          WHERE length(norm) >= 8
+        ), h AS (
+          SELECT doc_id, pos, np, $rollPoly AS hh FROM g
+        ), win AS (
+          SELECT doc_id, pos, np,
+            min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+          FROM h
+        ), fps AS (
+          SELECT DISTINCT doc_id, fp FROM win WHERE pos <= np - 3
+        ), keep AS (
+          SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 16
+        ), f2 AS (
+          SELECT fps.doc_id, fps.fp FROM fps JOIN keep USING (fp)
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
+        FROM f2 l JOIN f2 r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 10
       """.stripMargin.trim))
   )
 }

@@ -364,4 +364,86 @@ object TextOps {
     aggregate(words, lit(0L),
       (acc, w2) => acc + ceil(length(w2).cast("double") / 4d).cast("long"))
   }
+
+  /** Rolling-hash base/modulus (Rabin–Karp polynomial hash; B > any
+    * codepoint byte, P prime keeps products in long range:
+    * (P−1)·B + cp < 2^63).
+    */
+  val RollB = 257L
+  val RollP = 1000000007L
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken 2003,
+    * "Winnowing: local algorithms for document fingerprinting"):
+    * Rabin–Karp polynomial hash of every k-gram of the normalized text,
+    * then the minimum hash of each w-wide window of consecutive positions
+    * (full windows only), deduplicated — a compact position-robust
+    * fingerprint set. Guarantee: two docs sharing a run of ≥ w+k−1 chars
+    * share at least one fingerprint.
+    *
+    * Plan: posexplode the k-gram positions, hash with the unrolled
+    * `h = h·B + cp (mod P)` polynomial (k codegen'd multiply-adds — the
+    * "rolling" update across positions, expressed per-gram so it stays
+    * inside whole-stage codegen), window-min over position, distinct.
+    * Output: `(__id, __fp)`.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0)
+    val grams = df.select(
+      col(idCol).as("__id"),
+      posexplode(element_at(
+        transform(array(normalize(col(textCol))), s =>
+          when(length(s) < k, array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(1), length(s) - (k - 1)),
+              i => s.substr(i, lit(k))))),
+        1)).as(Seq("__pos", "__g")))
+    // unrolled polynomial: h = (((cp_1·B + cp_2)·B + …) mod P each step
+    val h = (1 to k).foldLeft(lit(0L)) { (acc, j) =>
+      (acc * RollB + ascii(substring(col("__g"), j, 1))) % RollP
+    }
+    val hashed = grams.select(col("__id"), col("__pos"), h.as("__h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__pos"))
+      .rowsBetween(0, w - 1)
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
+    hashed
+      .withColumn("__np", count(lit(1)).over(n))
+      .withColumn("__fp", min(col("__h")).over(win))
+      .filter(col("__pos") <= col("__np") - w) // full windows only (__pos is 0-based)
+      .select(col("__id"), col("__fp"))
+      .distinct()
+  }
+
+  /** Near-dup candidates by shared winnowing fingerprints: pairs of docs
+    * sharing ≥ `minShared` fingerprints, with the shared count. The join
+    * shuffles (fingerprint, id) rows — never document pairs — and
+    * fingerprints occurring in more than `maxDf` documents are dropped
+    * first (stop-fingerprint removal): ubiquitous fingerprints carry no
+    * near-dup signal but dominate the self-join fan-out (Σ df² blow-up);
+    * capping df is what keeps this bounded on a templated/boilerplate
+    * corpus at scale.
+    */
+  def winnowDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 10,
+      maxDf: Int = 16): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+    val rare = fp.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select(col("__fp"))
+    val kept = fp.join(rare, "__fp")
+    kept.as("l").join(kept.as("r"), col("l.__fp") === col("r.__fp"))
+      .filter(col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -115,6 +115,19 @@ class AnnSpec extends SparkSpec {
     assert(got(2L).isEmpty)
   }
 
+  test("winnowing: shared long run guarantees a shared fingerprint; edits drop overlap") {
+    import spark.implicits._
+    val shared = "the common stretch of text that both documents contain verbatim here"
+    val a = s"unique prefix alpha $shared unique suffix beta"
+    val b = s"different opening gamma $shared other closing delta"
+    val c = "completely unrelated content with no overlap at all whatsoever in it"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val pairs = TextOps.winnowDupPairs(df, "doc_id", "text", k = 8, w = 4, minShared = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.contains((1L, 2L)), s"docs sharing a ${shared.length}-char run must pair, got $pairs")
+    assert(!pairs.keys.exists { case (x, y) => y == 3L || x == 3L })
+  }
+
   test("x2_neardup query finds the corpus's planted near-dups at sf0.001") {
     val q = Queries.all.find(_.name == "x2_neardup").get
     val out = q.run(spark, "/root/testdata/sf0.001")
