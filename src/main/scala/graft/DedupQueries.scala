@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.Multimodal
-import graft.similarity.Ann
+import graft.similarity.{Ann, Ivf}
 import graft.text.TextOps
 
 /** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
@@ -216,6 +216,20 @@ object DedupQueries {
         SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared
         FROM f2 l JOIN f2 r ON l.fp = r.fp AND l.doc_id < r.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 10
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X17: IVF-Flat ANN (KMeans coarse quantizer + nprobe cells,
+    //    exact re-rank) — second scale path beside the LSH x3; quantizer
+    //    cells are model-derived → rows-only, recall asserted in AnnSpec ──
+    QueryDef(
+      "x17_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Ivf.cosineTopKIvf(emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3, nlist = 8, nprobe = 3, seed = 7L)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      None)
   )
 }

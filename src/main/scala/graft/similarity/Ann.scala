@@ -39,7 +39,7 @@ object Ann {
     * ascending bounded heap yields descending similarity; ties break on
     * the smaller corpus id, matching `ORDER BY cos DESC, cid ASC`.
     */
-  private def rankTopK(cands: DataFrame, queryIdCol: String, k: Int): DataFrame =
+  private[similarity] def rankTopK(cands: DataFrame, queryIdCol: String, k: Int): DataFrame =
     cands
       .withColumn("__cos", dot(col("__qf"), col("__cf")) / (col("__qn") * col("__cn")))
       .groupBy(col("__qid"))

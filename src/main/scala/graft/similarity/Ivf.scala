@@ -1,0 +1,73 @@
+package graft.similarity
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArraySqDist
+
+/** IVF (inverted-file) approximate nearest neighbours — the second scale
+  * path alongside hyperplane LSH ([[Ann.cosineTopKLsh]]): a KMeans coarse
+  * quantizer partitions the corpus into `nlist` cells; each query probes
+  * only its `nprobe` nearest cells and re-ranks exactly inside them
+  * (IVF-Flat, as in the public FAISS design — Johnson, Douze & Jégou
+  * 2017, "Billion-scale similarity search with GPUs").
+  *
+  * Scale shape: the quantizer trains once (MLlib distributed KMeans,
+  * seeded); cell assignment is a per-row `model.transform`; the probe
+  * join shuffles on the cell id so each query only meets |corpus|/nlist ×
+  * nprobe candidates. Centroids (nlist × dim doubles) ship as a broadcast
+  * literal — the only driver-sized state. At 100 TB you'd persist the
+  * assigned corpus bucketed by cell; the query path is unchanged.
+  */
+object Ivf {
+
+  /** Nearest-`nprobe` cell ids for a feature column, computed against the
+    * centroid literal with the native codegen'd distance.
+    */
+  private def probeCells(
+      feat: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val cells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(ArraySqDist(feat, typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
+    }: _*)
+    slice(array_sort(cells), 1, nprobe).getField("cell")
+  }
+
+  /** Approximate cosine top-k: build the quantizer on the corpus, assign
+    * cells, probe `nprobe` cells per query, exact-cosine re-rank (bounded
+    * top-k aggregate). Output: queryId, rank, neighbor_id, cosine — same
+    * contract as [[Ann.cosineTopK]]/[[Ann.cosineTopKLsh]].
+    */
+  def cosineTopKIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      queryIdCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 7L,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= nlist)
+    val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+    val model = km.fit(vecs)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(vecs)
+      .select(col("__cid"), col("__cf"), col("__cell"))
+      .withColumn("__cn", Ann.norm(col("__cf")))
+    val q = broadcast(
+      queries.select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
+        .withColumn("__qn", Ann.norm(col("__qf")))
+        .withColumn("__cell", explode(probeCells(col("__qf"), centroids, nprobe))))
+    val cands = assigned.join(q, Seq("__cell"))
+      .filter(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__qf"), col("__qn"),
+        col("__cid"), col("__cf"), col("__cn"))
+    Ann.rankTopK(cands, queryIdCol, k)
+  }
+}

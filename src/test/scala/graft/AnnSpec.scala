@@ -79,6 +79,19 @@ class AnnSpec extends SparkSpec {
     assert(inCluster >= exact.size * 0.9)
   }
 
+  test("IVF cosine top-k reaches recall ≥ 0.9 on clustered data") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    val ivf = resultSet(graft.similarity.Ivf.cosineTopKIvf(
+      df, queries, "embedding", "vec_id", "vec_id", k, nlist = 10, nprobe = 3))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall (${(exact & ivf).size}/${exact.size})")
+  }
+
   test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
     val df = clustered.cache()
     def pairSet(r: DataFrame) = r.collect()
