@@ -247,6 +247,15 @@ object Filters {
     * Output schema: keyCols ++ (orderCols head order index) ++ valueCol,
     * outCol — non-key columns are not preserved (frequency-domain ops are
     * whole-series rewrites).
+    *
+    * Scale bound: unlike the streaming recurrence kernels, this op
+    * materializes ONE FULL SERIES per row (inherent to the frequency
+    * domain — every output sample depends on every input sample). Memory
+    * per task is O(series length); a 10M-sample double series is ~80 MB
+    * of array plus FFT workspace, which bounds the practical series
+    * length to tens of millions of samples per series regardless of
+    * cluster size. Series COUNT scales freely. The same bound applies to
+    * the spline/resampling whole-series ops in [[Segmenters]].
     */
   def bandpass(
       df: DataFrame,
