@@ -268,12 +268,19 @@ object TextOps {
         struct(lit(b).as("band"), slice(col("__sig"), b * rows + 1, rows).as("key"))
       }: _*)).as("__b"))
       .select(col("__id"), col("__b.band").as("__band"), col("__b.key").as("__key"))
-    // identical subplans on both sides → the (band,key) shuffle is written
-    // once and re-read (ReusedExchange); signatures are not computed twice
-    val pairs = banded.as("l")
-      .join(banded.as("r"), col("l.__band") === col("r.__band") && col("l.__key") === col("r.__key"))
-      .filter(col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    // bucket-grouped pair generation instead of a self-join: one shuffle of
+    // (id, band, key) rows, in-bucket ordered pairs via array HOFs — the
+    // signature pipeline is computed ONCE (a self-join would re-run it per
+    // side; exchange reuse is at the planner's mercy)
+    val bucketed = banded.groupBy(col("__band"), col("__key"))
+      .agg(collect_list(col("__id")).as("__xs"))
+      .filter(size(col("__xs")) > 1)
+    val sorted = array_sort(col("__xs"))
+    val pairs = bucketed
+      .select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sh = df.select(col(idCol).as("__id"), shingles.as("__sh"))
     val shA = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
@@ -346,11 +353,18 @@ object TextOps {
           shiftright(col("__sim"), b * width).bitwiseAND(mask).as("v"))
       }: _*)).as("__b"))
       .select(col("__id"), col("__sim"), col("__b.band").as("__band"), col("__b.v").as("__bv"))
-    banded.as("l")
-      .join(banded.as("r"), col("l.__band") === col("r.__band") && col("l.__bv") === col("r.__bv"))
-      .filter(col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
-        bit_count(col("l.__sim").bitwiseXOR(col("r.__sim"))).as("hamming"))
+    // bucket-grouped pair generation (see nearDupPairsBy): fingerprints are
+    // computed once; pairs mint inside each (band, value) bucket
+    val bucketed = banded.groupBy(col("__band"), col("__bv"))
+      .agg(collect_list(struct(col("__id"), col("__sim"))).as("__xs"))
+      .filter(size(col("__xs")) > 1)
+    val sorted = array_sort(col("__xs"))
+    bucketed
+      .select(explode(flatten(transform(sorted, (x, i) =>
+        transform(slice(sorted, i + 2, size(sorted)),
+          y => struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
+            bit_count(x.getField("__sim").bitwiseXOR(y.getField("__sim"))).as("hamming")))))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"), col("__p.hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }
