@@ -275,11 +275,16 @@ object TextOps {
     val bucketed = banded.groupBy(col("__band"), col("__key"))
       .agg(collect_list(col("__id")).as("__xs"))
       .filter(size(col("__xs")) > 1)
-    val sorted = array_sort(col("__xs"))
+    // sorted array bound once via the outer single-element transform —
+    // interpreted HOF lambdas re-evaluate referenced outer expressions
+    // (here the sort) per element otherwise
     val pairs = bucketed
-      .select(explode(flatten(transform(sorted, (x, i) =>
-        transform(slice(sorted, i + 2, size(sorted)),
-          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(explode(element_at(
+        transform(array(array_sort(col("__xs"))), s =>
+          flatten(transform(s, (x, i) =>
+            transform(slice(s, i + 2, size(s)),
+              y => struct(x.as("a"), y.as("b")))))),
+        1)).as("__p"))
       .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sh = df.select(col(idCol).as("__id"), shingles.as("__sh"))
@@ -358,12 +363,14 @@ object TextOps {
     val bucketed = banded.groupBy(col("__band"), col("__bv"))
       .agg(collect_list(struct(col("__id"), col("__sim"))).as("__xs"))
       .filter(size(col("__xs")) > 1)
-    val sorted = array_sort(col("__xs"))
     bucketed
-      .select(explode(flatten(transform(sorted, (x, i) =>
-        transform(slice(sorted, i + 2, size(sorted)),
-          y => struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
-            bit_count(x.getField("__sim").bitwiseXOR(y.getField("__sim"))).as("hamming")))))).as("__p"))
+      .select(explode(element_at(
+        transform(array(array_sort(col("__xs"))), s =>
+          flatten(transform(s, (x, i) =>
+            transform(slice(s, i + 2, size(s)),
+              y => struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
+                bit_count(x.getField("__sim").bitwiseXOR(y.getField("__sim"))).as("hamming")))))),
+        1)).as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"), col("__p.hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
@@ -421,6 +428,10 @@ object TextOps {
       (acc * RollB + ascii(substring(col("__g"), j, 1))) % RollP
     }
     val hashed = grams.select(col("__id"), col("__pos"), h.as("__h"))
+    // position count via a window count over the (already shuffled) grams:
+    // deriving it as length(normalize(text)) pre-explode looks cheaper but
+    // projection collapse floats that regexp ABOVE the Generate, re-running
+    // it once per gram row instead of once per document
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__id")).orderBy(col("__pos"))
       .rowsBetween(0, w - 1)
@@ -451,12 +462,23 @@ object TextOps {
       minShared: Int = 10,
       maxDf: Int = 16): DataFrame = {
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
-    val rare = fp.groupBy(col("__fp")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select(col("__fp"))
-    val kept = fp.join(rare, "__fp")
-    kept.as("l").join(kept.as("r"), col("l.__fp") === col("r.__fp"))
-      .filter(col("l.__id") < col("r.__id"))
-      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+    // bucket per fingerprint: DF cap and pair generation in one grouped
+    // pass — fingerprints computed once, no self-join (see nearDupPairsBy)
+    val bucketed = fp.groupBy(col("__fp"))
+      .agg(collect_list(col("__id")).as("__xs"))
+      .filter(size(col("__xs")).between(2, maxDf))
+      // bind the SORTED array once (outer single-element transform) — the
+      // nested pair lambdas reference it per element, and interpreted HOFs
+      // re-evaluate their whole body per item (array_sort would re-sort
+      // per outer element otherwise)
+      .select(explode(element_at(
+        transform(array(array_sort(col("__xs"))), s =>
+          flatten(transform(s, (x, i) =>
+            transform(slice(s, i + 2, size(s)),
+              y => struct(x.as("a"), y.as("b")))))),
+        1)).as("__p"))
+    bucketed
+      .groupBy(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
