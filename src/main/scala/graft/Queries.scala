@@ -597,6 +597,65 @@ object Queries {
         GROUP BY n_name
       """.stripMargin.trim)),
 
+    // ── TPC-H-style q3: top unshipped-revenue orders for one segment —
+    //    fact-fact join with a broadcast dim filter and a deterministic
+    //    top-10 (revenue desc, orderkey asc) ──
+    QueryDef(
+      "q3_unshipped_orders",
+      (s, dir) => {
+        val pivot = to_timestamp(lit("1998-06-01"))
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val o = Tables.orders(s, dir).filter(col("o_orderdate") < pivot)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > pivot)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1d) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+          .select(col("l_orderkey"), col("revenue"), col("o_date"))
+      },
+      Some("""
+        SELECT l_orderkey,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY 1, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10
+      """.stripMargin.trim)),
+
+    // ── TPC-H-style q6: pure filter + agg — the predicate-pushdown probe
+    //    (all four predicates reach the parquet scan) ──
+    QueryDef(
+      "q6_forecast_revenue",
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1999-01-01")) &&
+            col("l_discount").between(0.02, 0.06) &&
+            col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.06
+          AND l_quantity < 24
+      """.stripMargin.trim)),
+
     // ── D1: exact KNN classify (k=5, squared euclidean, deterministic
     //    tie-breaks) — test split vec_id % 20 = 0 ──
     QueryDef(
