@@ -176,7 +176,7 @@ object DedupQueries {
             cnt::DOUBLE / sum(cnt) OVER (PARTITION BY source) AS pr
           FROM hist
         )
-        SELECT source, sum(cnt) AS total_bytes,
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS total_bytes,
           round(-sum(pr * log2(pr)), 6) AS entropy_bits
         FROM w GROUP BY source
       """.stripMargin.trim)),

@@ -126,9 +126,9 @@ object ExtraQueries {
       },
       Some("""
         SELECT source,
-          sum(list_aggregate(
+          CAST(sum(list_aggregate(
             list_transform(string_split_regex(trim(text), '\s+'),
-              w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum')) AS total_tokens,
+              w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum')) AS BIGINT) AS total_tokens,
           count(*) AS n_docs
         FROM documents GROUP BY source
       """.stripMargin.trim)),
@@ -201,7 +201,7 @@ object ExtraQueries {
       },
       Some("""
         SELECT event_type, count(*) AS n,
-          sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
         FROM events GROUP BY event_type
       """.stripMargin.trim))

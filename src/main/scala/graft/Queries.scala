@@ -693,6 +693,96 @@ object Queries {
           FROM votes) WHERE vrk = 1
       """.stripMargin.trim)),
 
+    // ── D1b: KNN with the reference's full surface — minkowski p=1
+    //    (manhattan) + distance-weighted votes + sklearn zero-distance
+    //    rule (sklearn_detectors.py:19-64) ──
+    QueryDef(
+      "d1_knn_weighted",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val test = emb.filter(col("vec_id") % 20 === 0)
+        val train = emb.filter(col("vec_id") % 20 =!= 0)
+        Knn.classifyWeighted(train, test, "embedding", "label", "vec_id", "vec_id",
+          k = 5, p = 1.0, weights = "distance")
+          .select(col("vec_id"), col("pred_label"),
+            round(col("vote_weight"), 6).as("vote_weight"))
+      },
+      Some("""
+        WITH test AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+        ), train AS (
+          SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 20 <> 0
+        ), d AS (
+          SELECT t.vec_id AS vec_id, tr.vec_id AS tid, tr.label,
+            list_reduce(list_transform(
+              list_zip(t.embedding::DOUBLE[], tr.embedding::DOUBLE[]),
+              p -> abs(p[1] - p[2])),
+              (x, y) -> x + y) AS d1
+          FROM test t CROSS JOIN train tr
+        ), topk AS (
+          SELECT vec_id, tid, label, d1 FROM (
+            SELECT vec_id, tid, label, d1,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d1 ASC, tid ASC) AS rk
+            FROM d) WHERE rk <= 5
+        ), wts AS (
+          SELECT vec_id, tid, label, d1,
+            CASE WHEN min(d1) OVER (PARTITION BY vec_id) = 0
+              THEN CASE WHEN d1 = 0 THEN 1.0 ELSE 0.0 END
+              ELSE 1.0 / d1 END AS w
+          FROM topk
+        ), byclass AS (
+          SELECT vec_id, label, list_sum(list(w ORDER BY d1 ASC, tid ASC)) AS vw
+          FROM wts GROUP BY vec_id, label
+        )
+        SELECT vec_id, CAST(label AS BIGINT) AS pred_label,
+          round(vw, 6) AS vote_weight
+        FROM (
+          SELECT vec_id, label, vw,
+            row_number() OVER (PARTITION BY vec_id ORDER BY vw DESC, label ASC) AS vrk
+          FROM byclass) WHERE vrk = 1
+      """.stripMargin.trim)),
+
+    // ── D1c: KNN predict_proba — per-class vote fractions over the full
+    //    train label domain (sklearn_detectors.py:206-219) ──
+    QueryDef(
+      "d1_knn_proba",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val test = emb.filter(col("vec_id") % 20 === 0)
+        val train = emb.filter(col("vec_id") % 20 =!= 0)
+        Knn.predictProba(train, test, "embedding", "label", "vec_id", "vec_id",
+          k = 5, p = 2.0, weights = "uniform")
+          .select(col("vec_id"), col("label"), round(col("proba"), 6).as("proba"))
+      },
+      Some("""
+        WITH test AS (
+          SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+        ), train AS (
+          SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 20 <> 0
+        ), d AS (
+          SELECT t.vec_id AS vec_id, tr.vec_id AS tid, tr.label,
+            list_reduce(list_transform(
+              list_zip(t.embedding::DOUBLE[], tr.embedding::DOUBLE[]),
+              p -> (p[1] - p[2]) * (p[1] - p[2])),
+              (x, y) -> x + y) AS d2
+          FROM test t CROSS JOIN train tr
+        ), topk AS (
+          SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, tid ASC) AS rk
+            FROM d) WHERE rk <= 5
+        ), counts AS (
+          SELECT vec_id, CAST(label AS BIGINT) AS label, count(*) AS c
+          FROM topk GROUP BY 1, 2
+        ), labels AS (
+          SELECT DISTINCT CAST(label AS BIGINT) AS label FROM train
+        )
+        SELECT t.vec_id, l.label, round(COALESCE(c.c, 0) / 5.0, 6) AS proba
+        FROM (SELECT DISTINCT vec_id FROM test) t
+        CROSS JOIN labels l
+        LEFT JOIN counts c ON c.vec_id = t.vec_id AND c.label = l.label
+      """.stripMargin.trim)),
+
     // ── X4: brute-force cosine top-3 for query vectors vec_id < 20 ──
     QueryDef(
       "x4_cosine_topk",

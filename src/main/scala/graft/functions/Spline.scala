@@ -98,6 +98,141 @@ object Spline {
     }
   }
 
+  /** Interpolating quadratic (k=2) B-spline through (xs, ys), evaluated
+    * at `at` — the textbook construction scipy's `splrep(k=2, s=0)` /
+    * `make_interp_spline(k=2)` implement (reference G3 uses it for
+    * `spline_degree=2`, `segmenters.py:215-225`):
+    *
+    *  - clamped knot vector `t0..t_{n+2}` with triple boundary knots and
+    *    interior knots at the data midpoints `(x_j + x_{j+1})/2`,
+    *    `j = 1..n−3` (the even-degree interpolation knot choice that
+    *    satisfies Schoenberg–Whitney);
+    *  - B-spline coefficients from the banded collocation solve
+    *    `B c = y` (bandwidth ≤ k; totally positive, so no pivoting —
+    *    de Boor, "A Practical Guide to Splines");
+    *  - evaluation via the Cox–de Boor basis recursion.
+    *
+    * O(n) per series. `n = 2` falls back to the line through the points
+    * (scipy requires n > k).
+    */
+  def quadratic(xs: Array[Double], ys: Array[Double], at: Array[Double]): Array[Double] = {
+    val n = xs.length
+    require(n >= 2, "spline needs at least 2 points")
+    if (n == 2) return linear(xs, ys, at)
+    val k = 2
+    val t = new Array[Double](n + k + 1)
+    var i = 0
+    while (i <= k) { t(i) = xs(0); t(n + i) = xs(n - 1); i += 1 }
+    var j = 1
+    while (j <= n - 3) { t(k + j) = (xs(j) + xs(j + 1)) / 2d; j += 1 }
+    val c = collocationSolve(t, k, xs, ys)
+    at.map { x =>
+      val span = findSpan(t, k, n, x)
+      val bas = basis(t, k, span, x)
+      var s = 0d
+      var r = 0
+      while (r <= k) { s += bas(r) * c(span - k + r); r += 1 }
+      s
+    }
+  }
+
+  /** Knot span index: largest `span` in [k, n−1] with t(span) ≤ x
+    * (clamped right so x = t(n) lands in the last interval).
+    */
+  private def findSpan(t: Array[Double], k: Int, n: Int, x: Double): Int = {
+    if (x >= t(n)) return n - 1
+    if (x <= t(k)) return k
+    var lo = k
+    var hi = n
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (t(mid) <= x) lo = mid else hi = mid
+    }
+    lo
+  }
+
+  /** Nonzero B-spline basis values `B_{span−k..span, k}(x)` — the Cox–de
+    * Boor recursion (Piegl–Tiller "The NURBS Book", algorithm A2.2).
+    */
+  private def basis(t: Array[Double], k: Int, span: Int, x: Double): Array[Double] = {
+    val left = new Array[Double](k + 1)
+    val right = new Array[Double](k + 1)
+    val out = new Array[Double](k + 1)
+    out(0) = 1d
+    var j = 1
+    while (j <= k) {
+      left(j) = x - t(span + 1 - j)
+      right(j) = t(span + j) - x
+      var saved = 0d
+      var r = 0
+      while (r < j) {
+        val tmp = out(r) / (right(r + 1) + left(j - r))
+        out(r) = saved + right(r + 1) * tmp
+        saved = left(j - r) * tmp
+        r += 1
+      }
+      out(j) = saved
+      j += 1
+    }
+    out
+  }
+
+  /** Solve the banded collocation system `B c = y` (row i = basis values
+    * at x_i): banded Gaussian elimination without pivoting, bandwidth k
+    * each side — O(n·k²).
+    */
+  private def collocationSolve(
+      t: Array[Double], k: Int, xs: Array[Double], ys: Array[Double]): Array[Double] = {
+    val n = xs.length
+    val w = 2 * k + 1
+    val ab = Array.ofDim[Double](n, w) // ab(i)(j − i + k) = B(i, j)
+    val rhs = ys.clone()
+    var i = 0
+    while (i < n) {
+      val span = findSpan(t, k, n, xs(i))
+      val bas = basis(t, k, span, xs(i))
+      var r = 0
+      while (r <= k) {
+        val col = span - k + r
+        ab(i)(col - i + k) = bas(r)
+        r += 1
+      }
+      i += 1
+    }
+    var m = 0
+    while (m < n) {
+      val piv = ab(m)(k)
+      var r = m + 1
+      while (r <= math.min(m + k, n - 1)) {
+        val f = ab(r)(m - r + k) / piv
+        if (f != 0d) {
+          var col = m
+          while (col <= math.min(m + k, n - 1)) {
+            ab(r)(col - r + k) -= f * ab(m)(col - m + k)
+            col += 1
+          }
+          rhs(r) -= f * rhs(m)
+        }
+        ab(r)(m - r + k) = 0d
+        r += 1
+      }
+      m += 1
+    }
+    val c = new Array[Double](n)
+    i = n - 1
+    while (i >= 0) {
+      var s = rhs(i)
+      var col = i + 1
+      while (col <= math.min(i + k, n - 1)) {
+        s -= ab(i)(col - i + k) * c(col)
+        col += 1
+      }
+      c(i) = s / ab(i)(k)
+      i -= 1
+    }
+    c
+  }
+
   /** Linear interpolation with extrapolation (splrep k=1 / interp1d linear). */
   def linear(xs: Array[Double], ys: Array[Double], at: Array[Double]): Array[Double] = {
     val n = xs.length

@@ -76,14 +76,26 @@ abstract class FaultDetector(
 
   def fit(df: DataFrame, featCol: String, labelCol: String,
           optimize: Boolean = false): this.type = {
-    labelValues = df.select(col(labelCol).cast("double").as("__l"))
-      .filter(col("__l").isNotNull).distinct().orderBy("__l")
-      .collect().map(_.getDouble(0))
+    // one job for both the label domain (small by construction — fault
+    // codes) and the row count that decides the small-fit layout below
+    val head = df.select(
+      sort_array(collect_set(col(labelCol).cast("double"))).as("__ls"),
+      count(col(labelCol)).as("__n")).head()
+    labelValues = head.getSeq[Double](0).toArray
+    val nRows = head.getLong(1)
     val k = labelValues.length
     require(k >= 2, s"need >= 2 classes, got $k")
     var prep = prepFeatures(df, featCol)
       .withColumn("label", labelIdx(col(labelCol)))
     trainExtraCol.foreach { case (n, c) => prep = prep.withColumn(n, c) }
+    // Small-frame fit hygiene: every boosting iteration / CV fold launches
+    // a full stage over the training frame, so a tiny frame spread over 32
+    // partitions pays 32× task-scheduling overhead per iteration (hundreds
+    // of stages for GBT×OneVsRest×CV). Coalesce small frames to a few
+    // partitions and pin them in memory; big frames (the 100 TB case, where
+    // per-iteration stages are the point) keep their partitioning.
+    val small = nRows <= FaultDetector.SmallFitRows
+    if (small) prep = prep.coalesce(4).cache()
     val clf = buildClassifier(k)
     val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
     if (optimize && paramSearchSpace.nonEmpty) {
@@ -108,6 +120,7 @@ abstract class FaultDetector(
     } else {
       pipelineModel = Some(pipe.fit(prep))
     }
+    if (small) prep.unpersist(blocking = false)
     this
   }
 
@@ -185,6 +198,11 @@ abstract class FaultDetector(
 object FaultDetector {
   val ScaledCol = "__scaled"
   val RffCol = "__rff"
+
+  /** Training frames at or below this row count are coalesced to a few
+    * partitions and cached for the duration of the fit (see `fit`).
+    */
+  val SmallFitRows = 100000L
 
   /** Random-search sampling over the reference's search-space convention
     * (`sklearn_detectors.py:112-136`): a 2-element [lo, hi] of ints draws
@@ -507,18 +525,37 @@ class CatBoostFaultDetector(
   * distributed top-k plan in [[Knn]] (lazy learner: `fit` just pins the
   * training frame).
   */
-class KNNFaultDetector(nNeighbors: Int = 5) extends Serializable {
+class KNNFaultDetector(
+    nNeighbors: Int = 5,
+    weights: String = "uniform",
+    p: Double = 2.0) extends Serializable {
+  require(weights == "uniform" || weights == "distance",
+    s"weights must be uniform|distance, got $weights")
   private var train: Option[(DataFrame, String, String, String)] = None
 
   def fit(df: DataFrame, featCol: String, labelCol: String, idCol: String): this.type = {
     train = Some((df, featCol, labelCol, idCol)); this
   }
 
-  /** testIdCol, pred_label, n_votes per test row. */
+  /** testIdCol, pred_label, n_votes per test row (uniform majority vote —
+    * the reference default path).
+    */
   def predict(test: DataFrame, featCol: String, idCol: String): DataFrame = {
     val (tr, f, l, tid) = train.getOrElse(
       throw new IllegalStateException("Model must be fitted before prediction"))
-    Knn.classify(tr, test, f, l, idCol, tid, nNeighbors)
+    if (weights == "uniform" && p == 2.0)
+      Knn.classify(tr, test, f, l, idCol, tid, nNeighbors)
+    else
+      Knn.classifyWeighted(tr, test, f, l, idCol, tid, nNeighbors, p, weights)
+  }
+
+  /** testIdCol, label, proba per (test row, train class) — sklearn
+    * `predict_proba` vote fractions (`sklearn_detectors.py:206-219`).
+    */
+  def predictProba(test: DataFrame, featCol: String, idCol: String): DataFrame = {
+    val (tr, f, l, tid) = train.getOrElse(
+      throw new IllegalStateException("Model must be fitted before prediction"))
+    Knn.predictProba(tr, test, f, l, idCol, tid, nNeighbors, p, weights)
   }
 
   def score(test: DataFrame, featCol: String, labelCol: String, idCol: String): Double = {

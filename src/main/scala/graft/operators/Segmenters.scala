@@ -140,9 +140,10 @@ object Segmenters {
 
   /** Spline upsampler (reference `segmenters.py:215-225`): fit an
     * interpolating spline of `degree` on the [0,1] grid and evaluate on the
-    * `targetSize` grid. Degree 1 = linear; degree 2/3 = cubic not-a-knot
-    * spline (degree-2 B-splines are approximated by the cubic — documented
-    * deviation, SURVEY §7.5; `smoothing > 0` is out of scope).
+    * `targetSize` grid. Degree 1 = linear (`splrep k=1`); degree 2 = true
+    * interpolating quadratic B-spline with midpoint interior knots
+    * (`splrep(k=2, s=0)`); degree 3 = not-a-knot cubic (`splrep(k=3, s=0)`).
+    * `smoothing > 0` is out of scope (documented, SURVEY §7.5).
     */
   def splineUpsample(
       df: DataFrame,
@@ -172,6 +173,7 @@ object Segmenters {
           if (targetSize == 1) 0d else j.toDouble / (targetSize - 1))
         val out =
           if (degree == 1) Spline.linear(xs, ys.toArray, at)
+          else if (degree == 2) Spline.quadratic(xs, ys.toArray, at)
           else Spline.cubic(xs, ys.toArray, at)
         out.toSeq
       }

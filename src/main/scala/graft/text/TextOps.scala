@@ -173,10 +173,12 @@ object TextOps {
 
   /** Row-wise MinHash signatures: `(idCol, __sig array<long>)`, one row
     * per input row. Same hash family and values as [[minHashSignature]],
-    * but computed as explode(shingles) → 128 codegen'd `min` aggregates
-    * instead of interpreted array-HOF folds — whole-stage codegen end to
-    * end, map-side partial mins before the single shuffle on the id. This
-    * is the shape that survives 100 TB: per-row state is `numHashes`
+    * but computed as explode(shingles) → ONE single-pass
+    * [[graft.functions.MinHashAgg]] holding all `numHashes` running minima
+    * in a primitive array (one update call per shingle row, incremental
+    * modular stepping — no per-hash expression re-evaluation), with
+    * map-side partial signatures before the single shuffle on the id.
+    * This is the shape that survives 100 TB: per-key state is `numHashes`
     * longs, no interpreted lambda on the hot path.
     */
   def minHashSignatures(
@@ -203,12 +205,9 @@ object TextOps {
       col("__id"),
       conv(substring(m, 1, 8), 16, 10).cast("long").as("__a"),
       conv(substring(m, 9, 8), 16, 10).cast("long").as("__b"))
-    val mins = (0 until numHashes).map(k =>
-      min((col("__a") + lit(k) * col("__b")) % MinHashP).as(s"__h$k"))
     withAb.groupBy(col("__id"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("__id"),
-        array((0 until numHashes).map(k => col(s"__h$k")): _*).as("__sig"))
+      .agg(graft.functions.MinHashAgg(col("__a"), col("__b"), numHashes, MinHashP)
+        .as("__sig"))
   }
 
   /** Jaccard similarity of two distinct-element array columns.
@@ -300,10 +299,11 @@ object TextOps {
     * "Similarity estimation techniques from rounding algorithms" — the
     * Manku/Jain/Sarma WWW'07 web-dedup construction). Each shingle's
     * md5 supplies 64 bits (two 32-bit halves); bit j of the fingerprint
-    * is the sign of Σ over shingles of ±1 for that bit. Same codegen'd
-    * explode → 64 sum-aggregates shape as [[minHashSignatures]] —
-    * whole-stage codegen with map-side partials, reproducible verbatim
-    * in DuckDB.
+    * is the sign of Σ over shingles of ±1 for that bit. Same
+    * explode-then-aggregate shape as [[minHashSignatures]] — one
+    * single-pass [[graft.functions.SimHashAgg]] holding the 64 bit
+    * counters in a primitive array, map-side partials before the single
+    * shuffle on the id, reproducible verbatim in DuckDB.
     */
   def simHashes(
       df: DataFrame,
@@ -315,18 +315,8 @@ object TextOps {
       col("__id"),
       conv(substring(m, 1, 8), 16, 10).cast("long").as("__a"),
       conv(substring(m, 9, 8), 16, 10).cast("long").as("__b"))
-    def bitSum(src: Column, j: Int) =
-      sum(shiftright(src, j).bitwiseAND(1) * 2 - 1)
-    val sums = (0 until 64).map { j =>
-      val s = if (j < 32) bitSum(col("__a"), j) else bitSum(col("__b"), j - 32)
-      s.as(s"__c$j")
-    }
     withHalves.groupBy(col("__id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("__id"),
-        (0 until 64).map(j =>
-          when(col(s"__c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("__sim"))
+      .agg(graft.functions.SimHashAgg(col("__a"), col("__b")).as("__sim"))
   }
 
   /** SimHash near-dup pairs: fingerprints within Hamming distance

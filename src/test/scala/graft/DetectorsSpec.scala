@@ -133,4 +133,56 @@ class DetectorsSpec extends SparkSpec {
     det.fit(trainDf, "feat", "fault_class", "id")
     assert(det.score(testDf, "feat", "fault_class", "id") >= 0.9)
   }
+
+  test("D1 KNN distance-weighted class surface tracks the uniform accuracy") {
+    val det = new KNNFaultDetector(nNeighbors = 5, weights = "distance", p = 1.0)
+    det.fit(trainDf, "feat", "fault_class", "id")
+    assert(det.score(testDf, "feat", "fault_class", "id") >= 0.9)
+  }
+
+  /** Tiny 1-D golden scenario for the full sklearn KNN surface. */
+  private def knnGolden = {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Array(0.0), 0), (2L, Array(1.0), 1),
+      (3L, Array(3.0), 1), (4L, Array(7.0), 0))
+      .toDF("id", "feat", "lbl")
+    (train, (q: Double) => Seq((100L, Array(q))).toDF("qid", "feat"))
+  }
+
+  test("D1 KNN minkowski p=1 + distance weights: hand-computed golden") {
+    val (train, testAt) = knnGolden
+    // q=2: d1 = [2(l0), 1(l1), 1(l1), 5(l0)]; top3 = ids 2,3 (d=1), 1 (d=2)
+    // weights 1, 1, 0.5 → class1 = 2.0, class0 = 0.5
+    val out = Knn.classifyWeighted(train, testAt(2.0), "feat", "lbl",
+      "qid", "id", k = 3, p = 1.0, weights = "distance").head()
+    assert(out.getAs[Long]("pred_label") == 1L)
+    assert(math.abs(out.getAs[Double]("vote_weight") - 2.0) < 1e-12)
+  }
+
+  test("D1 KNN zero-distance rule: exact match takes all the weight") {
+    val (train, testAt) = knnGolden
+    // q=1: distances 1, 0, 2, 6 — sklearn rule: zero-distance neighbours
+    // get weight 1, all others 0
+    val out = Knn.classifyWeighted(train, testAt(1.0), "feat", "lbl",
+      "qid", "id", k = 3, p = 1.0, weights = "distance").head()
+    assert(out.getAs[Long]("pred_label") == 1L)
+    assert(out.getAs[Double]("vote_weight") == 1.0)
+    val proba = Knn.predictProba(train, testAt(1.0), "feat", "lbl",
+      "qid", "id", k = 3, p = 1.0, weights = "distance")
+      .orderBy("label").collect()
+    assert(proba.map(_.getAs[Long]("label")).toSeq == Seq(0L, 1L))
+    assert(proba.map(_.getAs[Double]("proba")).toSeq == Seq(0.0, 1.0))
+  }
+
+  test("D1 KNN predict_proba uniform: vote fractions over label domain") {
+    val (train, testAt) = knnGolden
+    // q=2, p=2: d2 = [4, 1, 1, 25]; top3 = ids 2,3 (l1), 1 (l0)
+    val proba = Knn.predictProba(train, testAt(2.0), "feat", "lbl",
+      "qid", "id", k = 3, p = 2.0, weights = "uniform")
+      .orderBy("label").collect()
+    val got = proba.map(r => r.getAs[Long]("label") -> r.getAs[Double]("proba")).toMap
+    assert(math.abs(got(0L) - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(1L) - 2.0 / 3) < 1e-12)
+  }
 }

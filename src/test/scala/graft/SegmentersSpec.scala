@@ -87,6 +87,42 @@ class SegmentersSpec extends SparkSpec {
     assertSeqAlmost(got, Seq(0.0, 0.5, 1.0, 2.5, 4.0, 6.5, 9.0, 12.5, 16.0), 1e-12)
   }
 
+  test("G3 degree-2 upsample reproduces a quadratic polynomial exactly") {
+    // f(t) = 3t² − 2t + 1 sampled at 6 points on [0,1]; the interpolating
+    // quadratic B-spline contains all degree-≤2 polynomials for any knot
+    // vector, so the upsample must reproduce f on the target grid exactly
+    def f(x: Double) = 3 * x * x - 2 * x + 1
+    val ys = (0 until 6).map(i => f(i / 5.0))
+    val df = Segmenters.splineUpsample(seriesDf("a" -> ys),
+      Seq("series_id"), Seq("t"), "value", 11, degree = 2)
+    val got = df.orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    val exp = (0 until 11).map(j => f(j / 10.0)).toSeq
+    assertSeqAlmost(got, exp, 1e-10)
+  }
+
+  test("G3 degree-2 upsample interpolates the data points (non-polynomial)") {
+    // n=5 on grid i/4; target grid j/8 hits every data point at even j —
+    // the k=2 interpolating spline must pass through the data exactly
+    val ys = Seq(1.0, -2.0, 0.5, 4.0, 3.0)
+    val df = Segmenters.splineUpsample(seriesDf("a" -> ys),
+      Seq("series_id"), Seq("t"), "value", 9, degree = 2)
+    val got = df.orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    (0 until 5).foreach { i =>
+      assert(math.abs(got(2 * i) - ys(i)) < 1e-10,
+        s"data point $i: got ${got(2 * i)}, want ${ys(i)}")
+    }
+    // and differs from both the linear and the cubic interpolant between
+    // knots (it is genuinely the quadratic spline, not a substitute)
+    val lin = Segmenters.splineUpsample(seriesDf("a" -> ys),
+      Seq("series_id"), Seq("t"), "value", 9, degree = 1)
+      .orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    val cub = Segmenters.splineUpsample(seriesDf("a" -> ys),
+      Seq("series_id"), Seq("t"), "value", 9, degree = 3)
+      .orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0)).toSeq
+    assert((0 until 9).exists(j => math.abs(got(j) - lin(j)) > 1e-6))
+    assert((0 until 9).exists(j => math.abs(got(j) - cub(j)) > 1e-6))
+  }
+
   test("G4 failure encoder: mode of non-zero when ratio >= threshold") {
     val f = Seq(0.0, 2.0, 0.0, 2.0, 0.0, 3.0, 2.0, 0.0, 0.0, 0.0)
     val df = Segmenters.failureEncode(seriesDf("a" -> f), Seq("series_id"), Seq("t"), "value", 10.0)
