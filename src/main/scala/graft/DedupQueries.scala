@@ -230,6 +230,23 @@ object DedupQueries {
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
+      None),
+
+    // ── X18: persisted IVF index — corpus written bucketed by quantizer
+    //    cell, query path reads ONLY the probed cells' partitions (static
+    //    IN-list partition pruning; the probed set is bounded by nlist).
+    //    Same quantizer seed as x17 → identical results; rows-only ──
+    QueryDef(
+      "x18_ann_ivf_indexed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+        Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L)
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
       None)
   )
 }

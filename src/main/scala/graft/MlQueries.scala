@@ -107,6 +107,26 @@ object MlQueries {
           .map { case (k, v) => (k, v.toString) }
           .toDF("param", "best_value")
       },
+      None),
+
+    // ── D8b: adaptive hyper-search — seeded successive halving (the
+    //    Optuna-TPE capability stand-in; same output schema as d8) ──
+    QueryDef(
+      "d8_hyper_adaptive",
+      (s, dir) => {
+        val all = emb(s, dir).filter(col("label") < 4)
+        val train = all.filter(col("vec_id") % 5 =!= 0)
+        val det = new RandomForestFaultDetector(
+          paramSearchSpace = Map(
+            "n_estimators" -> Seq(5, 15),
+            "max_depth" -> Seq(2, 6)),
+          nIter = 4, randomState = 42L)
+        det.fitSuccessiveHalving(train, "embedding", "label")
+        import s.implicits._
+        det.bestParams.toSeq.sortBy(_._1)
+          .map { case (k, v) => (k, v.toString) }
+          .toDF("param", "best_value")
+      },
       None)
   )
 }

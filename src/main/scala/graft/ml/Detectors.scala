@@ -124,6 +124,84 @@ abstract class FaultDetector(
     this
   }
 
+  /** Adaptive hyper-search by seeded successive halving (Jamieson–Talwalkar
+    * AISTATS'16; the Hyperband rung structure) — the engine's stand-in for
+    * the reference's Optuna TPE mode (`sklearn_detectors.py:138-189`,
+    * `search_method='optuna'`): instead of Bayesian proposals, the
+    * adaptivity is in the budget allocation — all `nIter` sampled points
+    * start on a small seeded sample of the training data, and each rung
+    * keeps the top `1/eta` of candidates by held-out accuracy while
+    * multiplying the data budget by `eta`, until one survivor is fit on
+    * the full training frame. Fully deterministic under `randomState`
+    * (seeded sampling, seeded splits, index tie-breaks).
+    *
+    * Scale shape: early rungs fit many models on small samples (cheap,
+    * parallel over the cluster); only the few survivors see the full
+    * data — the same property that makes Hyperband practical at scale.
+    */
+  def fitSuccessiveHalving(
+      df: DataFrame, featCol: String, labelCol: String,
+      eta: Int = 2): this.type = {
+    require(eta >= 2, s"eta must be >= 2, got $eta")
+    require(paramSearchSpace.nonEmpty, "paramSearchSpace is empty")
+    val head = df.select(
+      sort_array(collect_set(col(labelCol).cast("double"))).as("__ls"),
+      count(col(labelCol)).as("__n")).head()
+    labelValues = head.getSeq[Double](0).toArray
+    val k = labelValues.length
+    require(k >= 2, s"need >= 2 classes, got $k")
+    var prep = prepFeatures(df, featCol)
+      .withColumn("label", labelIdx(col(labelCol)))
+    trainExtraCol.foreach { case (n, c) => prep = prep.withColumn(n, c) }
+    val small = head.getLong(1) <= FaultDetector.SmallFitRows
+    if (small) prep = prep.coalesce(4).cache()
+    // fixed 80/20 train/validation split, seeded
+    val Array(trainAll, valid) = prep.randomSplit(Array(0.8, 0.2), randomState)
+    val validC = valid.cache()
+    val points = FaultDetector.samplePoints(paramSearchSpace, nIter, randomState)
+    val evaluator = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    def accuracy(m: PipelineModel): Double = evaluator.evaluate(m.transform(validC))
+    val nRungs = math.max(1,
+      math.ceil(math.log(points.length.toDouble) / math.log(eta.toDouble)).toInt)
+    var frac = math.pow(eta.toDouble, -(nRungs - 1).toDouble)
+    var alive: Seq[(Map[String, Any], Int)] = points.zipWithIndex
+    var lastScores: Map[Int, Double] = Map.empty
+    var rung = 0
+    while (alive.length > 1) {
+      val sample =
+        if (frac >= 1.0) trainAll
+        else trainAll.sample(withReplacement = false, frac, randomState + rung)
+      val sampleC = sample.cache()
+      val scored = alive.map { case (pt, idx) =>
+        val clf = buildClassifier(k)
+        val pm = ParamMap.empty
+        pt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
+        val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
+        val acc = accuracy(pipe.fit(sampleC, pm))
+        (pt, idx, acc)
+      }
+      sampleC.unpersist(blocking = false)
+      lastScores = scored.map { case (_, idx, acc) => idx -> acc }.toMap
+      val keep = math.max(1, math.ceil(alive.length.toDouble / eta).toInt)
+      // accuracy desc, sampled index asc as the deterministic tie-break
+      alive = scored.sortBy { case (_, idx, acc) => (-acc, idx) }
+        .take(keep).map { case (pt, idx, _) => (pt, idx) }
+      frac = math.min(1.0, frac * eta)
+      rung += 1
+    }
+    val (bestPt, bestIdx) = alive.head
+    bestParams = bestPt
+    cvAccuracy = lastScores.get(bestIdx)
+    val clf = buildClassifier(k)
+    val pm = ParamMap.empty
+    bestPt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
+    val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
+    pipelineModel = Some(pipe.fit(prep, pm))
+    validC.unpersist(blocking = false)
+    if (small) prep.unpersist(blocking = false)
+    this
+  }
+
   protected def transformed(df: DataFrame, featCol: String): DataFrame = {
     val m = pipelineModel.getOrElse(
       throw new IllegalStateException("Model must be fitted before prediction"))

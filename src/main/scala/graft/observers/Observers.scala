@@ -25,8 +25,11 @@ import graft.operators.Recurrence
   * (as the reference allows, `luenberger.py:39-41`); designed gains use
   * Ackermann's formula for single-output systems — exact pole placement,
   * and for p=1 the observer gain is unique, so it matches scipy
-  * `place_poles` to rounding. Multi-output gain design is out of scope
-  * (pass `L`).
+  * `place_poles` to rounding. Multi-output systems (p > 1) use the
+  * dyadic unity-rank reduction ([[Gains.dyadicObserver]]) — the placed
+  * spectrum is identical to `place_poles`' (exact), though the gain
+  * matrix itself is the rank-1 solution rather than scipy's
+  * robustness-optimized one (the gain is non-unique for p > 1).
   */
 object Observers {
 
@@ -83,6 +86,51 @@ object Observers {
         coeffs = next
       }
       coeffs.drop(1).reverse.map(_.real) // ascending: c0, c1, …, c_{n-1}
+    }
+
+    /** Multi-output observer pole placement by dyadic reduction (Chen,
+      * "Linear System Theory and Design" §8; the classical unity-rank
+      * design): for a combination vector `f` of the outputs, the
+      * single-output pair `(A, c̃ = fᵀC)` is observable for almost every
+      * `f` when `(A, C)` is observable and A is cyclic. Design the
+      * single-output Ackermann gain `l` for `c̃` and return `L = l·fᵀ`;
+      * then `A − LC = A − l·c̃`, so the placement is exact. `f` is chosen
+      * deterministically as the best-conditioned candidate (largest
+      * σ_min of the observability matrix) among the unit vectors, the
+      * all-ones vector, and a few fixed harmonic mixes — seeded-free and
+      * reproducible.
+      */
+    def dyadicObserver(
+        a: Array[Array[Double]], cm: Array[Array[Double]],
+        poles: Seq[Complex]): Array[Array[Double]] = {
+      val n = a.length
+      val p = cm.length
+      if (p == 1) return ackermannObserver(a, cm(0), poles).map(Array(_))
+      def ctilde(f: Array[Double]): Array[Double] =
+        Array.tabulate(n)(j => {
+          var s = 0.0; var i = 0
+          while (i < p) { s += f(i) * cm(i)(j); i += 1 }
+          s
+        })
+      def obsMatrix(ct: Array[Double]): Array[Array[Double]] = {
+        val rows = new Array[Array[Double]](n)
+        var row = ct
+        for (i <- 0 until n) { rows(i) = row; row = Mat.matVec(Mat.transpose(a), row) }
+        rows
+      }
+      def sigmaMin(m: Array[Array[Double]]): Double =
+        breeze.linalg.min(svd(DenseMatrix(m: _*)).S)
+      val candidates: Seq[Array[Double]] =
+        (0 until p).map(i => Array.tabulate(p)(j => if (j == i) 1.0 else 0.0)) ++
+          Seq(Array.fill(p)(1.0)) ++
+          (1 to 3).map(s => Array.tabulate(p)(j => 1.0 / (1 + (j + s) % p)))
+      val f = candidates.maxBy(f0 => sigmaMin(obsMatrix(ctilde(f0))))
+      val ct = ctilde(f)
+      require(sigmaMin(obsMatrix(ct)) > 1e-12,
+        "no output combination yields an observable single-output pair " +
+          "(is (A, C) observable?)")
+      val l = ackermannObserver(a, ct, poles)
+      Array.tabulate(n, p)((i, j) => l(i) * f(j))
     }
 
     def spectralNorm(m: Array[Array[Double]]): Double =
@@ -144,11 +192,9 @@ object Observers {
       desiredPoles: Option[Seq[Double]] = None) extends Serializable {
 
     val gain: Array[Array[Double]] = l.getOrElse {
-      require(c.length == 1,
-        "designed gains need a single-output system (pass L for p > 1)")
       val poles = desiredPoles.map(_.map(Complex(_, 0)))
         .getOrElse(Gains.defaultPoles(a))
-      Gains.ackermannObserver(a, c(0), poles).map(Array(_))
+      Gains.dyadicObserver(a, c, poles)
     }
 
     def update(xHat: Array[Double], u: Array[Double], y: Array[Double]): Array[Double] = {

@@ -70,4 +70,76 @@ object Ivf {
         col("__cid"), col("__cf"), col("__cn"))
     Ann.rankTopK(cands, queryIdCol, k)
   }
+
+  /** Persist an IVF-Flat index — the 100 TB layout the header describes:
+    *
+    *  - `<path>/corpus/` — the cell-assigned corpus (`__cid`, `__cf`,
+    *    precomputed norm `__cn`) written `partitionBy("__cell")`, so each
+    *    cell is its own directory and a probe's scan never opens
+    *    unprobed cells' files;
+    *  - `<path>/centroids/` — the `nlist` quantizer centroids (one tiny
+    *    file; the only state the query path must load).
+    *
+    * Build once, query many times ([[cosineTopKIndexed]]) — the quantizer
+    * KMeans (the expensive part) never reruns on the query path.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      path: String,
+      nlist: Int = 16,
+      seed: Long = 7L): Unit = {
+    val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("__cell")
+    val model = km.fit(vecs)
+    model.transform(vecs)
+      .select(col("__cid"), col("__cf"), col("__cell"))
+      .withColumn("__cn", Ann.norm(col("__cf")))
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/corpus")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Approximate cosine top-k over a persisted index: load the centroids
+    * (nlist × dim — driver-small by construction), compute each query's
+    * `nprobe` cells, and read ONLY the probed cells' partitions of the
+    * bucketed corpus. The probed-cell set is collected for a static
+    * `IN`-list partition filter — it is bounded by `nlist` (never by
+    * |queries|), so the pruning predicate stays tiny and the scan's
+    * `PartitionFilters` provably excludes unprobed directories; no
+    * reliance on runtime DPP. Output contract = [[cosineTopKIvf]].
+    */
+  def cosineTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      featCol: String,
+      queryIdCol: String,
+      k: Int,
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    require(nprobe <= cents.length)
+    val q = broadcast(
+      queries.select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
+        .withColumn("__qn", Ann.norm(col("__qf")))
+        .withColumn("__cell", explode(probeCells(col("__qf"), cents, nprobe))))
+    val probed = q.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val assigned = spark.read.parquet(s"$path/corpus")
+      .filter(col("__cell").isin(probed.map(Int.box): _*))
+    val cands = assigned.join(q, Seq("__cell"))
+      .filter(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .select(col("__qid"), col("__qf"), col("__qn"),
+        col("__cid"), col("__cf"), col("__cn"))
+    Ann.rankTopK(cands, queryIdCol, k)
+  }
 }

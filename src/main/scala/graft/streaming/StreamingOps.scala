@@ -145,6 +145,71 @@ object StreamingOps {
       }
   }
 
+  /** Observer estimate state: just `x̂` (Luenberger / sliding-mode carry
+    * no covariance).
+    */
+  case class XhatState(x: Seq[Double])
+
+  /** Streaming Luenberger observer (O2) — the same per-measurement
+    * `x̂ ← x̂ + (Ax̂ + Bu − L(Cx̂ − y))·dt` recurrence as
+    * `Observers.luenberger` (reference `state_observers/luenberger.py:
+    * 77-102`) hosted on `flatMapGroupsWithState`: per-series `x̂` across
+    * micro-batches, gain designed once at construction on the driver.
+    * `VecPoint.z` carries the measurement `y`; empty `u` → zero control.
+    */
+  def luenbergerStream(
+      ds: Dataset[VecPoint],
+      obs: graft.observers.Observers.LuenbergerObserver,
+      xHat0: Seq[Double]): Dataset[VecScanOut] = {
+    import ds.sparkSession.implicits._
+    val uZero = Seq.fill(obs.b(0).length)(0.0)
+    ds.groupByKey(_.series_id)
+      .flatMapGroupsWithState[XhatState, VecScanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[VecPoint], state: GroupState[XhatState]) =>
+          val sorted = rows.toArray.sortBy(_.t)
+          var st = state.getOption.getOrElse(XhatState(xHat0))
+          val out = sorted.map { pt =>
+            val u = if (pt.u == null || pt.u.isEmpty) uZero else pt.u
+            val x = obs.update(st.x.toArray, u.toArray, pt.z.toArray)
+            st = XhatState(x.toSeq)
+            VecScanOut(pt.series_id, pt.t, st.x)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Streaming sliding-mode observer (O3) — the same per-measurement
+    * `x̂ ← x̂ + (Ax̂ + Bu + LS + K·tanh(S/ε))·dt` recurrence as
+    * `Observers.slidingMode` (reference `state_observers/sliding_mode.py:
+    * 64-100`) on `flatMapGroupsWithState`; gains (L by pole placement,
+    * K by the reference's norm heuristic) fixed at construction.
+    */
+  def slidingModeStream(
+      ds: Dataset[VecPoint],
+      obs: graft.observers.Observers.SlidingModeObserver,
+      xHat0: Seq[Double],
+      dt: Double): Dataset[VecScanOut] = {
+    import ds.sparkSession.implicits._
+    val uZero = Seq.fill(obs.b(0).length)(0.0)
+    ds.groupByKey(_.series_id)
+      .flatMapGroupsWithState[XhatState, VecScanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[VecPoint], state: GroupState[XhatState]) =>
+          val sorted = rows.toArray.sortBy(_.t)
+          var st = state.getOption.getOrElse(XhatState(xHat0))
+          val out = sorted.map { pt =>
+            val u = if (pt.u == null || pt.u.isEmpty) uZero else pt.u
+            val x = obs.step(st.x.toArray, pt.z.toArray, dt, u.toArray)
+            st = XhatState(x.toSeq)
+            VecScanOut(pt.series_id, pt.t, st.x)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Event-time session windows over a timestamped frame — works on both
     * batch and streaming DataFrames (`session_window` + watermark). The
     * batch analogue is `Sessionize.sessionize`; in streaming the watermark

@@ -92,6 +92,29 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall (${(exact & ivf).size}/${exact.size})")
   }
 
+  test("persisted IVF index matches the in-memory IVF and prunes to probed cells") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_spec"
+    graft.similarity.Ivf.writeIndex(df, "embedding", "vec_id", path,
+      nlist = 10, seed = 7L)
+    val indexed = graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 3)
+    val inMem = graft.similarity.Ivf.cosineTopKIvf(
+      df, queries, "embedding", "vec_id", "vec_id", k, nlist = 10, nprobe = 3,
+      seed = 7L)
+    def rows(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    // same quantizer seed → identical candidates → identical top-k
+    assert(rows(indexed) == rows(inMem))
+    // the bucketed scan carries a partition filter on __cell — unprobed
+    // cell directories are excluded at planning time, not post-scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [__cell"),
+      s"expected a __cell partition filter in:\n$plan")
+  }
+
   test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
     val df = clustered.cache()
     def pairSet(r: DataFrame) = r.collect()

@@ -128,6 +128,29 @@ class DetectorsSpec extends SparkSpec {
     }
   }
 
+  test("D8b successive halving finds params in space, deterministic under seed") {
+    def run(): (Map[String, Any], Option[Double], Double) = {
+      val det = new RandomForestFaultDetector(
+        paramSearchSpace = Map(
+          "n_estimators" -> Seq(5, 20),
+          "max_depth" -> Seq(2, 8)),
+        nIter = 4, randomState = 42L)
+      det.fitSuccessiveHalving(trainDf, "feat", "fault_class")
+      (det.bestParams, det.cvAccuracy, det.score(testDf, "feat", "fault_class"))
+    }
+    val (params, cvAcc, acc) = run()
+    // best point comes from the sampled space
+    assert(params.keySet == Set("n_estimators", "max_depth"))
+    val ne = params("n_estimators").asInstanceOf[Int]
+    val md = params("max_depth").asInstanceOf[Int]
+    assert(ne >= 5 && ne <= 20 && md >= 2 && md <= 8)
+    assert(cvAcc.exists(a => a > 0.5 && a <= 1.0))
+    assert(acc >= 0.9)
+    // deterministic: same seed → same winner
+    val (params2, _, _) = run()
+    assert(params2 == params)
+  }
+
   test("D1 KNN class surface") {
     val det = new KNNFaultDetector(nNeighbors = 5)
     det.fit(trainDf, "feat", "fault_class", "id")

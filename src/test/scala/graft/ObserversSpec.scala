@@ -42,6 +42,44 @@ class ObserversSpec extends SparkSpec {
     assert(math.abs(got.last._2 - 2.0) < 1e-9)
   }
 
+  test("dyadic gain places the poles exactly for a 2-output 3-state plant") {
+    val a = mat(
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0),
+      Array(-6.0, -11.0, -6.0))
+    val c = mat(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val poles = Seq(Complex(-4, 0), Complex(-5, 0), Complex(-7, 0))
+    val l = Gains.dyadicObserver(a, c, poles)
+    assert(l.length == 3 && l(0).length == 2)
+    val lc = Mat.matMul(l, c)
+    val aLc = Array.tabulate(3, 3)((i, j) => a(i)(j) - lc(i)(j))
+    val eigs = Gains.eigenvalues(aLc).map(_.real).sorted
+    assertSeqAlmost(eigs, Seq(-7.0, -5.0, -4.0), 1e-8)
+  }
+
+  test("Luenberger designed gain tracks a 2-output plant (reference shape)") {
+    // both states measured (p = 2) — the place_poles path in the
+    // reference (`luenberger.py:73-75`); engine designs L dyadically
+    val a = mat(Array(0.0, 1.0), Array(-2.0, -0.5))
+    val b = mat(Array(0.0), Array(1.0))
+    val c = mat(Array(1.0, 0.0), Array(0.0, 1.0))
+    val dt = 0.01
+    val plant = LinearContinuous(a, b, c, mat(Array(0.0), Array(0.0)))
+    val n = 500
+    val u = IndexedSeq.tabulate(n)(i => Array(math.sin(0.02 * i)))
+    val steps = plant.simulate(0L, u, Array(1.0, 0.0), n * dt, dt).toArray
+    val obs = LuenbergerObserver(a, b, c, dt, desiredPoles = Some(Seq(-8.0, -9.0)))
+    // designed spectrum really is (-8, -9)
+    val lc = Mat.matMul(obs.gain, c)
+    val aLc = Array.tabulate(2, 2)((i, j) => a(i)(j) - lc(i)(j))
+    assertSeqAlmost(Gains.eigenvalues(aLc).map(_.real).sorted, Seq(-9.0, -8.0), 1e-8)
+    var xh = Array(0.0, 0.0)
+    steps.foreach { s => xh = obs.update(xh, s.input, s.output) }
+    val xTrue = steps.last.state
+    assert(math.abs(xh(0) - xTrue(0)) < 0.02, s"${xh.toSeq} vs ${xTrue.toSeq}")
+    assert(math.abs(xh(1) - xTrue(1)) < 0.05, s"${xh.toSeq} vs ${xTrue.toSeq}")
+  }
+
   test("1-state MatrixKalman matches the hand scalar predict/update loop") {
     val kf = MatrixKalman(
       mat(Array(1.0)), mat(Array(0.0)), mat(Array(1.0)),

@@ -106,6 +106,69 @@ class StreamingSpec extends SparkSpec {
     got.zip(exp).foreach { case (g, e) => assertSeqAlmost(g, e) }
   }
 
+  test("streaming Luenberger matches the batch observer across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.observers.Observers
+    val a = Array(Array(0.0, 1.0), Array(-2.0, -0.5))
+    val b = Array(Array(0.0), Array(1.0))
+    val c = Array(Array(1.0, 0.0))
+    val obs = Observers.LuenbergerObserver(a, b, c, dt = 0.01,
+      desiredPoles = Some(Seq(-8.0, -9.0)))
+    val ys = Seq(1.0, 0.9, 0.85, 0.7, 0.6, 0.45, 0.3, 0.2)
+    val pts = ys.zipWithIndex.map { case (y, i) =>
+      StreamingOps.VecPoint("a", i.toLong, Seq(y), Seq.empty)
+    }
+    val mem = MemoryStream[StreamingOps.VecPoint]
+    val q = StreamingOps.luenbergerStream(mem.toDS(), obs, Seq(0.0, 0.0))
+      .writeStream.format("memory").queryName("luen").outputMode("append").start()
+    val got = try {
+      Seq(pts.take(3), pts.slice(3, 6), pts.drop(6)).foreach { bb =>
+        mem.addData(bb: _*); q.processAllAvailable()
+      }
+      spark.table("luen").as[StreamingOps.VecScanOut]
+        .collect().sortBy(_.t).map(_.xhat).toSeq
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS luen") }
+    val batchDf = Observers.luenberger(
+      seriesDf("a" -> ys), Seq("series_id"), Seq("t"), Seq("value"), Nil,
+      obs, Array(0.0, 0.0))
+    val exp = batchDf.orderBy(col("t")).select(col("x_hat"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) => assertSeqAlmost(g, e) }
+  }
+
+  test("streaming sliding-mode matches the batch observer across batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.observers.Observers
+    val a = Array(Array(-1.0)); val b = Array(Array(1.0)); val c = Array(Array(1.0))
+    val dt = 0.01
+    val obs = Observers.SlidingModeObserver(a, b, c, desiredPoles = Some(Seq(-3.0)))
+    val ys = Seq(2.0, 1.8, 1.65, 1.5, 1.38, 1.25, 1.15, 1.05)
+    val pts = ys.zipWithIndex.map { case (y, i) =>
+      StreamingOps.VecPoint("a", i.toLong, Seq(y), Seq(0.5))
+    }
+    val mem = MemoryStream[StreamingOps.VecPoint]
+    val q = StreamingOps.slidingModeStream(mem.toDS(), obs, Seq(0.0), dt)
+      .writeStream.format("memory").queryName("smo").outputMode("append").start()
+    val got = try {
+      Seq(pts.take(2), pts.slice(2, 5), pts.drop(5)).foreach { bb =>
+        mem.addData(bb: _*); q.processAllAvailable()
+      }
+      spark.table("smo").as[StreamingOps.VecScanOut]
+        .collect().sortBy(_.t).map(_.xhat).toSeq
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS smo") }
+    val batchDf = Observers.slidingMode(
+      seriesDf("a" -> ys).withColumn("u", lit(0.5)),
+      Seq("series_id"), Seq("t"), Seq("value"), Seq("u"),
+      obs, Array(0.0), dt)
+    val exp = batchDf.orderBy(col("t")).select(col("x_hat"))
+      .collect().map(_.getSeq[Double](0)).toSeq
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) => assertSeqAlmost(g, e) }
+  }
+
   test("sessionAgg groups rows separated by less than the gap (batch mode)") {
     import spark.implicits._
     val rows = Seq(
