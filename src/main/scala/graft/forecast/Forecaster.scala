@@ -51,9 +51,15 @@ class TimeSeriesForecaster(
     * (as produced by [[Forecast.lagFeatures]]).
     */
   def fit(train: DataFrame): this.type = {
-    val slim = assemble(train)
+    // small-frame fit hygiene (same rationale as FaultDetector.fit): each
+    // boosting iteration / horizon model launches a stage over this frame,
+    // so a tiny frame on many partitions pays per-iteration scheduling
+    // overhead; big frames keep their partitioning
+    val nRows = train.count()
+    val base = assemble(train)
       .select(col("__features") +: (1 to outputStep).map(j => col(s"y$j")): _*)
-      .cache()
+    val slim = (if (nRows <= graft.ml.FaultDetector.SmallFitRows) base.coalesce(4)
+                else base).cache()
     try {
       models = (1 to outputStep).map { j =>
         val reg = modelType match {

@@ -17,13 +17,15 @@ import graft.functions.HashRandom
   * reproducible on any executor without RNG state.
   *
   * Integration methods: fixed-step explicit Euler (bit-parity with the
-  * reference's `'euler'` branch, including its post-update output quirk)
-  * and classic RK4 with zero-order-hold input as the fixed-step
-  * substitution for the reference's adaptive `solve_ivp` branch
-  * (SURVEY §7.4 — notebooks use smooth systems where fixed-step at the
-  * same grid is adequate). The solver branch emits states at the eval
-  * grid starting from x0 (matching `solve_ivp(t_eval=time)`), while the
-  * Euler branch emits post-update states (`linear_models.py:62-64`).
+  * reference's `'euler'` branch, including its post-update output quirk),
+  * classic fixed-step RK4, and adaptive Dormand–Prince `'rk45'` — the
+  * same embedded pair as the reference's `solve_ivp` default
+  * (`linear_models.py:70-75`), with error-controlled internal sub-steps
+  * between eval-grid points so fast dynamics stay stable on coarse
+  * grids. Solver branches emit states at the eval grid starting from x0
+  * (matching `solve_ivp(t_eval=time)`), while the Euler branch emits
+  * post-update states (`linear_models.py:62-64`). Implicit stiff
+  * solvers (Radau) remain out of scope (documented, SURVEY §7.4).
   */
 object Simulators {
 
@@ -110,8 +112,107 @@ object Simulators {
           val ui = uAt(t(i))
           SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
         }
-      case other => throw new IllegalArgumentException(s"method must be euler|rk4, got $other")
+      case "rk45" =>
+        // adaptive branch: states at the eval grid, states[0] = x0, each
+        // interval advanced by adaptive Dormand–Prince sub-steps
+        var x = x0
+        Iterator.tabulate(nSteps) { i =>
+          if (i > 0) x = rk45Advance(f, uAt, x, t(i - 1), t(i))
+          val ui = uAt(t(i))
+          SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
+        }
+      case other => throw new IllegalArgumentException(s"method must be euler|rk4|rk45, got $other")
     }
+  }
+
+  /** Advance from `t0` to `t1` with adaptive Dormand–Prince 5(4) steps —
+    * the same embedded pair scipy's `solve_ivp(method='RK45')` uses
+    * (Dormand & Prince 1980; tableau is public knowledge). Error control
+    * per scipy's convention: RMS of the component errors scaled by
+    * `atol + rtol·max(|x|, |x_new|)`, accept when ≤ 1, step factor
+    * `0.9·err^{−1/5}` clamped to [0.2, 5]. Sub-steps land exactly on
+    * `t1`, so grid states need no dense-output interpolant. This is the
+    * adaptive substitute for the reference's `solve_ivp` branch
+    * (`linear_models.py:70-75`): unlike fixed-step RK4 it keeps fast
+    * dynamics stable on a coarse eval grid by shrinking the internal
+    * step. (Implicit stiff solvers — Radau — remain out of scope.)
+    */
+  private def rk45Advance(
+      f: (Array[Double], Array[Double], Double) => Array[Double],
+      uAt: Double => Array[Double],
+      x0: Array[Double], t0: Double, t1: Double,
+      rtol: Double = 1e-6, atol: Double = 1e-9): Array[Double] = {
+    val n = x0.length
+    // Dormand–Prince coefficients
+    val c = Array(0d, 0.2, 0.3, 0.8, 8d / 9, 1d, 1d)
+    val a = Array(
+      Array.empty[Double],
+      Array(0.2),
+      Array(3d / 40, 9d / 40),
+      Array(44d / 45, -56d / 15, 32d / 9),
+      Array(19372d / 6561, -25360d / 2187, 64448d / 6561, -212d / 729),
+      Array(9017d / 3168, -355d / 33, 46732d / 5247, 49d / 176, -5103d / 18656),
+      Array(35d / 384, 0d, 500d / 1113, 125d / 192, -2187d / 6784, 11d / 84))
+    val b5 = Array(35d / 384, 0d, 500d / 1113, 125d / 192, -2187d / 6784, 11d / 84, 0d)
+    val b4 = Array(5179d / 57600, 0d, 7571d / 16695, 393d / 640,
+      -92097d / 339200, 187d / 2100, 1d / 40)
+    var x = x0
+    var t = t0
+    var h = t1 - t0
+    val hMin = math.max(1e-14 * (t1 - t0), java.lang.Double.MIN_NORMAL)
+    while (t < t1) {
+      if (h > t1 - t) h = t1 - t
+      val k = new Array[Array[Double]](7)
+      var s = 0
+      while (s < 7) {
+        val xs =
+          if (s == 0) x
+          else {
+            val acc = x.clone()
+            var j = 0
+            while (j < s) {
+              val kj = k(j); val aj = a(s)(j)
+              if (aj != 0d) { var i = 0; while (i < n) { acc(i) += h * aj * kj(i); i += 1 } }
+              j += 1
+            }
+            acc
+          }
+        val ts = t + c(s) * h
+        k(s) = f(xs, uAt(ts), ts)
+        s += 1
+      }
+      val x5 = x.clone()
+      val x4 = x.clone()
+      var j = 0
+      while (j < 7) {
+        val kj = k(j)
+        var i = 0
+        while (i < n) {
+          x5(i) += h * b5(j) * kj(i)
+          x4(i) += h * b4(j) * kj(i)
+          i += 1
+        }
+        j += 1
+      }
+      var errSq = 0d
+      var i = 0
+      while (i < n) {
+        val sc = atol + rtol * math.max(math.abs(x(i)), math.abs(x5(i)))
+        val e = (x5(i) - x4(i)) / sc
+        errSq += e * e
+        i += 1
+      }
+      val err = math.sqrt(errSq / n)
+      if (err <= 1d || h <= hMin) {
+        t += h
+        x = x5
+      }
+      val factor =
+        if (err == 0d) 5d
+        else math.min(5d, math.max(0.2, 0.9 * math.pow(err, -0.2)))
+      h = math.max(h * factor, hMin)
+    }
+    x
   }
 
   /** M1 — `LinearContinuousStateSpaceModel` (`linear_models.py:4-82`):

@@ -51,6 +51,42 @@ class SimulatorsSpec extends SparkSpec {
     assert(eulerErr > 1e-4 && eulerErr < 2e-2) // first-order error scale
   }
 
+  test("M1 rk45 adaptive: accurate on a coarse grid where fixed RK4 is not") {
+    // dx = -50x on a dt=0.1 grid: fixed RK4's stability limit is
+    // h ≈ 2.78/50 = 0.056, so it diverges at h=0.1; adaptive rk45
+    // sub-steps inside each grid interval and tracks e^{-50t}
+    val a = mat(Array(-50.0))
+    val mkModel = (m: String) => LinearContinuous(
+      a, mat(Array(0.0)), mat(Array(1.0)), mat(Array(0.0)), method = m)
+    val dt = 0.1; val tFinal = 1.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val t = (i: Int) => i * tFinal / (n - 1)
+    val rk45 = mkModel("rk45").simulate(0L, u, Array(1.0), tFinal, dt).toArray
+    rk45.zipWithIndex.foreach { case (s, i) =>
+      assert(math.abs(s.state(0) - math.exp(-50.0 * t(i))) < 1e-4,
+        s"rk45 at t=${t(i)}: ${s.state(0)}")
+    }
+    val rk4 = mkModel("rk4").simulate(0L, u, Array(1.0), tFinal, dt).toArray
+    assert(math.abs(rk4.last.state(0)) > 1e3,
+      s"fixed rk4 should diverge at this grid, got ${rk4.last.state(0)}")
+  }
+
+  test("M3 rk45 matches rk4 on a smooth slow system (both converged)") {
+    val f = (x: Array[Double], u: Array[Double], _: Double) =>
+      Array(x(1), -math.sin(x(0)))
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.01; val tFinal = 5.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val r4 = NonlinearContinuous(f, g, 1, method = "rk4")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    val r45 = NonlinearContinuous(f, g, 1, method = "rk45")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    r4.zip(r45).foreach { case (s4, s45) =>
+      assert(math.abs(s4.state(0) - s45.state(0)) < 1e-5)
+      assert(math.abs(s4.state(1) - s45.state(1)) < 1e-5)
+    }
+  }
+
   test("M2 discrete double integrator step response + post/pre-update asymmetry") {
     // x[k+1] = [[1,1],[0,1]]x + [0,1]u; y = x1 (examples/linear_models.ipynb)
     val a = mat(Array(1.0, 1.0), Array(0.0, 1.0))
