@@ -247,6 +247,52 @@ object DedupQueries {
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None)
+      None),
+
+    // ── X19: per-label embedding centroids + each vector's cosine to its
+    //    label centroid — the label-noise / outlier screen of a training-
+    //    data pipeline (low cos_centroid ⇒ suspect label). Scale shape:
+    //    posexplode → (label, pos) hash agg with map-side partials → tiny
+    //    centroid table (labels × dim) broadcast back; the corpus is
+    //    touched in exactly two narrow passes ──
+    QueryDef(
+      "x19_embed_centroid",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("__emb"))
+        val cent = e
+          .select(col("label"), posexplode(col("__emb")).as(Seq("__pos", "__v")))
+          .groupBy(col("label"), col("__pos")).agg(avg(col("__v")).as("__m"))
+          .groupBy(col("label"))
+          .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+          .select(col("label"),
+            transform(col("__pm"), x => x.getField("__m")).as("__cent"))
+        val dot = graft.functions.ArrayDot.apply(col("__emb"), col("__cent"))
+        val na = sqrt(graft.functions.ArrayDot.apply(col("__emb"), col("__emb")))
+        val nc = sqrt(graft.functions.ArrayDot.apply(col("__cent"), col("__cent")))
+        e.join(broadcast(cent), "label")
+          .select(col("vec_id"), col("label"),
+            round(dot / (na * nc), 6).as("cos_centroid"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+        ), ex AS (
+          SELECT label, i.i AS pos, emb[i.i] AS v
+          FROM e, (SELECT unnest(generate_series(1, len(emb))) AS i) i
+        ), c AS (
+          SELECT label, pos, avg(v) AS m FROM ex GROUP BY 1, 2
+        ), cent AS (
+          SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY label
+        )
+        SELECT e.vec_id, e.label,
+          round(
+            list_reduce(list_transform(list_zip(emb, centroid), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(emb, emb), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(centroid, centroid), p -> p[1] * p[2]), (x, y) -> x + y))),
+            6) AS cos_centroid
+        FROM e JOIN cent USING (label)
+      """.stripMargin.trim))
   )
 }

@@ -61,6 +61,60 @@ object StreamingOps {
       }
   }
 
+  /** Holt streaming state: either one buffered first point (`pending` —
+    * the reference's `trend[0] = x[1] − x[0]` needs the second sample) or
+    * the running `(level, trend)` pair.
+    */
+  case class HoltState(
+      pending: Boolean, px: Double, pt: Long,
+      running: Boolean, level: Double, trend: Double)
+
+  /** Streaming Holt double exponential smoothing — identical recurrence
+    * to `Filters.doubleExponentialSmoothing` (reference
+    * `filters.py:106-119`, emits `level + trend`). The first point of a
+    * series is BUFFERED until its successor arrives (its output needs
+    * `trend[0] = x[1] − x[0]`), then both rows emit in order; a series
+    * that never receives a second point keeps its first row pending — the
+    * streaming analogue of the batch n<2 guard (a stream cannot know the
+    * series ended).
+    */
+  def holtStream(
+      ds: Dataset[SeriesPoint],
+      alpha: Double = 0.3,
+      beta: Double = 0.1): Dataset[ScanOut] = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      "Alpha and beta must be between 0 and 1")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.series_id)
+      .flatMapGroupsWithState[HoltState, ScanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: String, rows: Iterator[SeriesPoint], state: GroupState[HoltState]) =>
+          val sorted = rows.toArray.sortBy(_.t)
+          var st = state.getOption.getOrElse(
+            HoltState(pending = false, 0d, 0L, running = false, 0d, 0d))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScanOut]
+          sorted.foreach { p =>
+            if (st.running) {
+              val level2 = alpha * p.value + (1 - alpha) * (st.level + st.trend)
+              val trend2 = beta * (level2 - st.level) + (1 - beta) * st.trend
+              out += ScanOut(sid, p.t, p.value, level2 + trend2)
+              st = st.copy(level = level2, trend = trend2)
+            } else if (st.pending) {
+              val trend0 = p.value - st.px
+              out += ScanOut(sid, st.pt, st.px, st.px + trend0)
+              val level2 = alpha * p.value + (1 - alpha) * (st.px + trend0)
+              val trend2 = beta * (level2 - st.px) + (1 - beta) * trend0
+              out += ScanOut(sid, p.t, p.value, level2 + trend2)
+              st = HoltState(pending = false, 0d, 0L, running = true, level2, trend2)
+            } else {
+              st = HoltState(pending = true, p.value, p.t, running = false, 0d, 0d)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming scalar Kalman — identical recurrence to
     * `Filters.kalmanScalar` (reference `filters.py:332-356`): first output
     * is the initial state (not measurement-updated), then

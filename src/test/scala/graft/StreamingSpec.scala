@@ -56,6 +56,18 @@ class StreamingSpec extends SparkSpec {
     assertSeqAlmost(got.map(_.out), outSeries(batch, "a", "out"))
   }
 
+  test("streaming Holt matches batch Holt, first point deferred across batches") {
+    val pts = vals.zipWithIndex.map { case (v, i) => SeriesPoint("a", i.toLong, v) }
+    // batch boundary BETWEEN the first and second point: the buffered
+    // first row must survive in state and emit when its successor arrives
+    val got = runStream(Seq(pts.take(1), pts.slice(1, 4), pts.drop(4)),
+      ds => StreamingOps.holtStream(ds, alpha = 0.3, beta = 0.1))
+    val batch = Filters.doubleExponentialSmoothing(
+      seriesDf("a" -> vals), Seq("series_id"), Seq("t"), "value", "out",
+      alpha = 0.3, beta = 0.1)
+    assertSeqAlmost(got.map(_.out), outSeries(batch, "a", "out"))
+  }
+
   test("streaming keeps independent state per series") {
     val a = Seq(1.0, 2.0, 3.0)
     val b = Seq(10.0, 20.0)
