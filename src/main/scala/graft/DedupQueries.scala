@@ -249,6 +249,59 @@ object DedupQueries {
       },
       None),
 
+    // ── X21: multimodal pipeline plumbing — modality sniffing on planted
+    //    magic numbers (PNG / RIFF-WAVE headers prepended by doc_id
+    //    branch), stride resample and frame sampling, aggregated per
+    //    (source, modality). The oracle derives the expected modality
+    //    from the planted branch (so a broken sniffer mismatches), the
+    //    resampled-byte SUM from the stride positions, and the kept-frame
+    //    count arithmetically ──
+    QueryDef(
+      "x21_modality_pipeline",
+      (s, dir) => {
+        val enc = encode(col("text"), "UTF-8")
+        val payloads = Tables.documents(s, dir)
+          .withColumn("content",
+            when(col("doc_id") % 3 === 0, concat(unhex(lit("89504E47")), enc))
+              .when(col("doc_id") % 3 === 1,
+                concat(unhex(lit("524946460000000057415645")), enc))
+              .otherwise(enc))
+        val res = Multimodal.resample(col("content"), 4)
+        payloads
+          .withColumn("modality", Multimodal.sniffModality(col("content")))
+          .withColumn("__rsum", aggregate(res, lit(0L), (a, x) => a + x))
+          .withColumn("__nf",
+            size(Multimodal.frameSample(col("content"), 32, 2)).cast("long"))
+          .groupBy(col("source"), col("modality"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("__rsum")).as("sum_resampled"),
+            sum(col("__nf")).as("n_frames"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id, source,
+            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                 ELSE 'application/octet-stream' END AS modality,
+            CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E47') || encode(text)
+                 WHEN doc_id % 3 = 1 THEN from_hex('524946460000000057415645') || encode(text)
+                 ELSE encode(text) END AS c
+          FROM documents
+        ), h AS (
+          SELECT doc_id, source, modality, hex(c) AS hx, octet_length(c) AS n FROM p
+        ), rs AS (
+          SELECT doc_id,
+            sum(('0x' || substring(hx, i.i * 2 - 1, 2))::BIGINT) AS rsum
+          FROM h, (SELECT unnest(generate_series(1, n)) AS i) i
+          WHERE (i.i - 1) % 4 = 0
+          GROUP BY doc_id
+        )
+        SELECT h.source, h.modality, count(*) AS n_docs,
+          CAST(sum(rs.rsum) AS BIGINT) AS sum_resampled,
+          CAST(sum((CAST(ceil(h.n / 32.0) AS BIGINT) + 1) // 2) AS BIGINT) AS n_frames
+        FROM h JOIN rs USING (doc_id) GROUP BY 1, 2
+      """.stripMargin.trim)),
+
     // ── X19: per-label embedding centroids + each vector's cosine to its
     //    label centroid — the label-noise / outlier screen of a training-
     //    data pipeline (low cos_centroid ⇒ suspect label). Scale shape:
