@@ -127,6 +127,26 @@ object MlQueries {
           .map { case (k, v) => (k, v.toString) }
           .toDF("param", "best_value")
       },
+      None),
+
+    // ── D8c: TPE hyper-search (seeded Parzen-estimator proposals — the
+    //    reference's search_method='optuna' path; same output schema) ──
+    QueryDef(
+      "d8_hyper_tpe",
+      (s, dir) => {
+        val all = emb(s, dir).filter(col("label") < 4)
+        val train = all.filter(col("vec_id") % 5 =!= 0)
+        val det = new RandomForestFaultDetector(
+          paramSearchSpace = Map(
+            "n_estimators" -> Seq(5, 15),
+            "max_depth" -> Seq(2, 6)),
+          nIter = 6, randomState = 42L)
+        det.fitTpe(train, "embedding", "label", nStartup = 3)
+        import s.implicits._
+        det.bestParams.toSeq.sortBy(_._1)
+          .map { case (k, v) => (k, v.toString) }
+          .toDF("param", "best_value")
+      },
       None)
   )
 }

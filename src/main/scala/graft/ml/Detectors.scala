@@ -202,6 +202,63 @@ abstract class FaultDetector(
     this
   }
 
+  /** Adaptive hyper-search with seeded TPE proposals ([[Tpe]]; Bergstra
+    * et al. 2011) — the engine's direct counterpart to the reference's
+    * `search_method='optuna'` TPESampler path
+    * (`sklearn_detectors.py:138-189`): `nStartup` seeded random trials,
+    * then each further trial proposes the argmax-EI point under the
+    * good/bad Parzen factorization of the trials so far, evaluated on a
+    * fixed seeded 80/20 validation split. Sequential by nature (each
+    * proposal conditions on all previous results) — each trial is still
+    * a fully distributed fit. Deterministic under `randomState`.
+    */
+  def fitTpe(
+      df: DataFrame, featCol: String, labelCol: String,
+      nStartup: Int = 4): this.type = {
+    require(paramSearchSpace.nonEmpty, "paramSearchSpace is empty")
+    val head = df.select(
+      sort_array(collect_set(col(labelCol).cast("double"))).as("__ls"),
+      count(col(labelCol)).as("__n")).head()
+    labelValues = head.getSeq[Double](0).toArray
+    val k = labelValues.length
+    require(k >= 2, s"need >= 2 classes, got $k")
+    var prep = prepFeatures(df, featCol)
+      .withColumn("label", labelIdx(col(labelCol)))
+    trainExtraCol.foreach { case (n, c) => prep = prep.withColumn(n, c) }
+    val small = head.getLong(1) <= FaultDetector.SmallFitRows
+    if (small) prep = prep.coalesce(4).cache()
+    val Array(trainAll, valid) = prep.randomSplit(Array(0.8, 0.2), randomState)
+    val trainC = trainAll.cache()
+    val validC = valid.cache()
+    val evaluator = new MulticlassClassificationEvaluator().setMetricName("accuracy")
+    val startup = FaultDetector.samplePoints(paramSearchSpace,
+      math.min(nStartup, nIter), randomState)
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Any], Double)]
+    (0 until nIter).foreach { trial =>
+      val pt =
+        if (trial < startup.length) startup(trial)
+        else Tpe.propose(paramSearchSpace, observed.toSeq, trial, randomState)
+      val clf = buildClassifier(k)
+      val pm = ParamMap.empty
+      pt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
+      val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
+      val acc = evaluator.evaluate(pipe.fit(trainC, pm).transform(validC))
+      observed += (pt -> acc)
+    }
+    val bestIdx = observed.zipWithIndex.minBy { case ((_, a), i) => (-a, i) }._2
+    bestParams = observed(bestIdx)._1
+    cvAccuracy = Some(observed(bestIdx)._2)
+    val clf = buildClassifier(k)
+    val pm = ParamMap.empty
+    bestParams.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
+    val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
+    pipelineModel = Some(pipe.fit(prep, pm))
+    trainC.unpersist(blocking = false)
+    validC.unpersist(blocking = false)
+    if (small) prep.unpersist(blocking = false)
+    this
+  }
+
   protected def transformed(df: DataFrame, featCol: String): DataFrame = {
     val m = pipelineModel.getOrElse(
       throw new IllegalStateException("Model must be fitted before prediction"))

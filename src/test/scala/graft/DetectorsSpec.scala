@@ -151,6 +151,43 @@ class DetectorsSpec extends SparkSpec {
     assert(params2 == params)
   }
 
+  test("D8c TPE proposals concentrate on the good region") {
+    val space = Map[String, Seq[Any]]("x" -> Seq(0, 100))
+    // scores: high near x=80, low near x=10
+    val observed = (0 until 10).map { i =>
+      val v: Any = if (i < 5) 78 + i else 8 + i
+      (Map[String, Any]("x" -> v), if (i < 5) 0.9 + 0.01 * i else 0.2)
+    }
+    val props = (10 until 30).map(t =>
+      Tpe.propose(space, observed, t, 42L)("x").asInstanceOf[Int])
+    props.foreach(p => assert(p >= 0 && p <= 100))
+    val mean = props.sum.toDouble / props.size
+    assert(mean > 55, s"proposals should cluster near the good region, mean=$mean")
+    // deterministic under seed
+    assert(props == (10 until 30).map(t =>
+      Tpe.propose(space, observed, t, 42L)("x").asInstanceOf[Int]))
+  }
+
+  test("D8c TPE search finds params in space, deterministic under seed") {
+    def run(): (Map[String, Any], Double) = {
+      val det = new RandomForestFaultDetector(
+        paramSearchSpace = Map(
+          "n_estimators" -> Seq(5, 20),
+          "max_depth" -> Seq(2, 8)),
+        nIter = 6, randomState = 42L)
+      det.fitTpe(trainDf, "feat", "fault_class", nStartup = 3)
+      (det.bestParams, det.score(testDf, "feat", "fault_class"))
+    }
+    val (params, acc) = run()
+    assert(params.keySet == Set("n_estimators", "max_depth"))
+    val ne = params("n_estimators").asInstanceOf[Int]
+    val md = params("max_depth").asInstanceOf[Int]
+    assert(ne >= 5 && ne <= 20 && md >= 2 && md <= 8)
+    assert(acc >= 0.9)
+    val (params2, _) = run()
+    assert(params2 == params)
+  }
+
   test("D1 KNN class surface") {
     val det = new KNNFaultDetector(nNeighbors = 5)
     det.fit(trainDf, "feat", "fault_class", "id")
