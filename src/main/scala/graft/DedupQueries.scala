@@ -240,7 +240,10 @@ object DedupQueries {
       "x18_ann_ivf_indexed",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index"
+        // namespace by input dir so concurrent runs at different scale
+        // factors (Verify sf0.01 + Bench sf0.1) never race on the index
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$tag"
         Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L)
         Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
           "embedding", "vec_id", k = 3, nprobe = 3)
@@ -280,15 +283,25 @@ object DedupQueries {
       Some("""
         WITH p AS (
           SELECT doc_id, source,
-            CASE WHEN doc_id % 3 = 0 THEN 'image/png'
-                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
-                 ELSE 'application/octet-stream' END AS modality,
             CASE WHEN doc_id % 3 = 0 THEN from_hex('89504E47') || encode(text)
                  WHEN doc_id % 3 = 1 THEN from_hex('524946460000000057415645') || encode(text)
                  ELSE encode(text) END AS c
           FROM documents
         ), h AS (
-          SELECT doc_id, source, modality, hex(c) AS hx, octet_length(c) AS n FROM p
+          -- replicate the engine's magic-number sniff on the BYTES (not the
+          -- planting branch), so both sides compute the same function of
+          -- the payload and cannot diverge on texts that happen to start
+          -- with a magic themselves
+          SELECT doc_id, source,
+            CASE WHEN hex(c) LIKE '89504E47%' THEN 'image/png'
+                 WHEN hex(c) LIKE 'FFD8FF%' THEN 'image/jpeg'
+                 WHEN hex(c) LIKE '474946383761%' OR hex(c) LIKE '474946383961%' THEN 'image/gif'
+                 WHEN hex(c) LIKE '52494646%' AND substring(hex(c), 17, 8) = '57415645' THEN 'audio/wav'
+                 WHEN hex(c) LIKE '52494646%' AND substring(hex(c), 17, 8) = '41564920' THEN 'video/avi'
+                 WHEN hex(c) LIKE '494433%' OR hex(c) LIKE 'FFFB%' THEN 'audio/mpeg'
+                 ELSE 'application/octet-stream' END AS modality,
+            hex(c) AS hx, octet_length(c) AS n
+          FROM p
         ), rs AS (
           SELECT doc_id,
             sum(('0x' || substring(hx, i.i * 2 - 1, 2))::BIGINT) AS rsum
@@ -297,9 +310,9 @@ object DedupQueries {
           GROUP BY doc_id
         )
         SELECT h.source, h.modality, count(*) AS n_docs,
-          CAST(sum(rs.rsum) AS BIGINT) AS sum_resampled,
-          CAST(sum((CAST(ceil(h.n / 32.0) AS BIGINT) + 1) // 2) AS BIGINT) AS n_frames
-        FROM h JOIN rs USING (doc_id) GROUP BY 1, 2
+          CAST(sum(COALESCE(rs.rsum, 0)) AS BIGINT) AS sum_resampled,
+          CAST(sum(greatest((CAST(ceil(h.n / 32.0) AS BIGINT) + 1) // 2, 1)) AS BIGINT) AS n_frames
+        FROM h LEFT JOIN rs USING (doc_id) GROUP BY 1, 2
       """.stripMargin.trim)),
 
     // ── X19: per-label embedding centroids + each vector's cosine to its
@@ -321,12 +334,15 @@ object DedupQueries {
           .agg(array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
           .select(col("label"),
             transform(col("__pm"), x => x.getField("__m")).as("__cent"))
+          // centroid norm once per label in the tiny broadcast frame, not
+          // per corpus row
+          .withColumn("__cn",
+            sqrt(graft.functions.ArrayDot.apply(col("__cent"), col("__cent"))))
         val dot = graft.functions.ArrayDot.apply(col("__emb"), col("__cent"))
         val na = sqrt(graft.functions.ArrayDot.apply(col("__emb"), col("__emb")))
-        val nc = sqrt(graft.functions.ArrayDot.apply(col("__cent"), col("__cent")))
         e.join(broadcast(cent), "label")
           .select(col("vec_id"), col("label"),
-            round(dot / (na * nc), 6).as("cos_centroid"))
+            round(dot / (na * col("__cn")), 6).as("cos_centroid"))
       },
       Some("""
         WITH e AS (

@@ -54,12 +54,14 @@ class TimeSeriesForecaster(
     // small-frame fit hygiene (same rationale as FaultDetector.fit): each
     // boosting iteration / horizon model launches a stage over this frame,
     // so a tiny frame on many partitions pays per-iteration scheduling
-    // overhead; big frames keep their partitioning
-    val nRows = train.count()
+    // overhead; big frames keep their partitioning. One scan total: the
+    // count materializes the cache, and the small-case coalesce is a
+    // narrow read of the cached partitions.
     val base = assemble(train)
       .select(col("__features") +: (1 to outputStep).map(j => col(s"y$j")): _*)
-    val slim = (if (nRows <= graft.ml.FaultDetector.SmallFitRows) base.coalesce(4)
-                else base).cache()
+      .cache()
+    val nRows = base.count()
+    val slim = if (nRows <= graft.ml.FaultDetector.SmallFitRows) base.coalesce(4) else base
     try {
       models = (1 to outputStep).map { j =>
         val reg = modelType match {
@@ -76,7 +78,7 @@ class TimeSeriesForecaster(
         }
         reg.fit(slim)
       }
-    } finally slim.unpersist()
+    } finally base.unpersist() // the cache lives on base, not the coalesce view
     this
   }
 

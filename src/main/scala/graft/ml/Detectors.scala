@@ -74,28 +74,49 @@ abstract class FaultDetector(
     element_at(m, c.cast("double"))
   }
 
-  def fit(df: DataFrame, featCol: String, labelCol: String,
-          optimize: Boolean = false): this.type = {
-    // one job for both the label domain (small by construction — fault
-    // codes) and the row count that decides the small-fit layout below
+  /** Shared fit preamble: label domain + row count in ONE job (the label
+    * set is small by construction — fault codes), feature prep,
+    * small-frame coalesce+cache. Small-frame fit hygiene: every boosting
+    * iteration / CV fold launches a full stage over the training frame,
+    * so a tiny frame spread over 32 partitions pays 32× task-scheduling
+    * overhead per iteration (hundreds of stages for GBT×OneVsRest×CV).
+    * Coalesce small frames to a few partitions and pin them in memory;
+    * big frames (the 100 TB case, where per-iteration stages are the
+    * point) keep their partitioning. Returns (prep, k, small).
+    */
+  private def prepareFit(
+      df: DataFrame, featCol: String, labelCol: String): (DataFrame, Int, Boolean) = {
     val head = df.select(
       sort_array(collect_set(col(labelCol).cast("double"))).as("__ls"),
       count(col(labelCol)).as("__n")).head()
     labelValues = head.getSeq[Double](0).toArray
-    val nRows = head.getLong(1)
     val k = labelValues.length
     require(k >= 2, s"need >= 2 classes, got $k")
     var prep = prepFeatures(df, featCol)
       .withColumn("label", labelIdx(col(labelCol)))
     trainExtraCol.foreach { case (n, c) => prep = prep.withColumn(n, c) }
-    // Small-frame fit hygiene: every boosting iteration / CV fold launches
-    // a full stage over the training frame, so a tiny frame spread over 32
-    // partitions pays 32× task-scheduling overhead per iteration (hundreds
-    // of stages for GBT×OneVsRest×CV). Coalesce small frames to a few
-    // partitions and pin them in memory; big frames (the 100 TB case, where
-    // per-iteration stages are the point) keep their partitioning.
-    val small = nRows <= FaultDetector.SmallFitRows
+    val small = head.getLong(1) <= FaultDetector.SmallFitRows
     if (small) prep = prep.coalesce(4).cache()
+    (prep, k, small)
+  }
+
+  /** Fit the full pipeline on `frame` at one search point (empty point =
+    * the constructor params).
+    */
+  private def fitAt(frame: DataFrame, k: Int, pt: Map[String, Any]): PipelineModel = {
+    val clf = buildClassifier(k)
+    val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
+    if (pt.isEmpty) pipe.fit(frame)
+    else {
+      val pm = ParamMap.empty
+      pt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
+      pipe.fit(frame, pm)
+    }
+  }
+
+  def fit(df: DataFrame, featCol: String, labelCol: String,
+          optimize: Boolean = false): this.type = {
+    val (prep, k, small) = prepareFit(df, featCol, labelCol)
     val clf = buildClassifier(k)
     val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
     if (optimize && paramSearchSpace.nonEmpty) {
@@ -144,17 +165,7 @@ abstract class FaultDetector(
       eta: Int = 2): this.type = {
     require(eta >= 2, s"eta must be >= 2, got $eta")
     require(paramSearchSpace.nonEmpty, "paramSearchSpace is empty")
-    val head = df.select(
-      sort_array(collect_set(col(labelCol).cast("double"))).as("__ls"),
-      count(col(labelCol)).as("__n")).head()
-    labelValues = head.getSeq[Double](0).toArray
-    val k = labelValues.length
-    require(k >= 2, s"need >= 2 classes, got $k")
-    var prep = prepFeatures(df, featCol)
-      .withColumn("label", labelIdx(col(labelCol)))
-    trainExtraCol.foreach { case (n, c) => prep = prep.withColumn(n, c) }
-    val small = head.getLong(1) <= FaultDetector.SmallFitRows
-    if (small) prep = prep.coalesce(4).cache()
+    val (prep, k, small) = prepareFit(df, featCol, labelCol)
     // fixed 80/20 train/validation split, seeded
     val Array(trainAll, valid) = prep.randomSplit(Array(0.8, 0.2), randomState)
     val validC = valid.cache()
@@ -173,12 +184,7 @@ abstract class FaultDetector(
         else trainAll.sample(withReplacement = false, frac, randomState + rung)
       val sampleC = sample.cache()
       val scored = alive.map { case (pt, idx) =>
-        val clf = buildClassifier(k)
-        val pm = ParamMap.empty
-        pt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
-        val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
-        val acc = accuracy(pipe.fit(sampleC, pm))
-        (pt, idx, acc)
+        (pt, idx, accuracy(fitAt(sampleC, k, pt)))
       }
       sampleC.unpersist(blocking = false)
       lastScores = scored.map { case (_, idx, acc) => idx -> acc }.toMap
@@ -192,11 +198,7 @@ abstract class FaultDetector(
     val (bestPt, bestIdx) = alive.head
     bestParams = bestPt
     cvAccuracy = lastScores.get(bestIdx)
-    val clf = buildClassifier(k)
-    val pm = ParamMap.empty
-    bestPt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
-    val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
-    pipelineModel = Some(pipe.fit(prep, pm))
+    pipelineModel = Some(fitAt(prep, k, bestPt))
     validC.unpersist(blocking = false)
     if (small) prep.unpersist(blocking = false)
     this
@@ -216,17 +218,7 @@ abstract class FaultDetector(
       df: DataFrame, featCol: String, labelCol: String,
       nStartup: Int = 4): this.type = {
     require(paramSearchSpace.nonEmpty, "paramSearchSpace is empty")
-    val head = df.select(
-      sort_array(collect_set(col(labelCol).cast("double"))).as("__ls"),
-      count(col(labelCol)).as("__n")).head()
-    labelValues = head.getSeq[Double](0).toArray
-    val k = labelValues.length
-    require(k >= 2, s"need >= 2 classes, got $k")
-    var prep = prepFeatures(df, featCol)
-      .withColumn("label", labelIdx(col(labelCol)))
-    trainExtraCol.foreach { case (n, c) => prep = prep.withColumn(n, c) }
-    val small = head.getLong(1) <= FaultDetector.SmallFitRows
-    if (small) prep = prep.coalesce(4).cache()
+    val (prep, k, small) = prepareFit(df, featCol, labelCol)
     val Array(trainAll, valid) = prep.randomSplit(Array(0.8, 0.2), randomState)
     val trainC = trainAll.cache()
     val validC = valid.cache()
@@ -238,21 +230,13 @@ abstract class FaultDetector(
       val pt =
         if (trial < startup.length) startup(trial)
         else Tpe.propose(paramSearchSpace, observed.toSeq, trial, randomState)
-      val clf = buildClassifier(k)
-      val pm = ParamMap.empty
-      pt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
-      val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
-      val acc = evaluator.evaluate(pipe.fit(trainC, pm).transform(validC))
+      val acc = evaluator.evaluate(fitAt(trainC, k, pt).transform(validC))
       observed += (pt -> acc)
     }
     val bestIdx = observed.zipWithIndex.minBy { case ((_, a), i) => (-a, i) }._2
     bestParams = observed(bestIdx)._1
     cvAccuracy = Some(observed(bestIdx)._2)
-    val clf = buildClassifier(k)
-    val pm = ParamMap.empty
-    bestParams.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
-    val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
-    pipelineModel = Some(pipe.fit(prep, pm))
+    pipelineModel = Some(fitAt(prep, k, bestParams))
     trainC.unpersist(blocking = false)
     validC.unpersist(blocking = false)
     if (small) prep.unpersist(blocking = false)

@@ -128,10 +128,13 @@ object Ivf {
     val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
       .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
     require(nprobe <= cents.length)
+    // cache the probe assignment: it is read twice (probed-cell collect,
+    // then the broadcast join) and is broadcast-small by contract
     val q = broadcast(
       queries.select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
         .withColumn("__qn", Ann.norm(col("__qf")))
-        .withColumn("__cell", explode(probeCells(col("__qf"), cents, nprobe))))
+        .withColumn("__cell", explode(probeCells(col("__qf"), cents, nprobe)))
+        .cache())
     val probed = q.select(col("__cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     val assigned = spark.read.parquet(s"$path/corpus")
