@@ -18,14 +18,16 @@ import graft.functions.HashRandom
   *
   * Integration methods: fixed-step explicit Euler (bit-parity with the
   * reference's `'euler'` branch, including its post-update output quirk),
-  * classic fixed-step RK4, and adaptive Dormand–Prince `'rk45'` — the
-  * same embedded pair as the reference's `solve_ivp` default
+  * classic fixed-step RK4, adaptive Dormand–Prince `'rk45'` — the same
+  * embedded pair as the reference's `solve_ivp` default
   * (`linear_models.py:70-75`), with error-controlled internal sub-steps
   * between eval-grid points so fast dynamics stay stable on coarse
-  * grids. Solver branches emit states at the eval grid starting from x0
-  * (matching `solve_ivp(t_eval=time)`), while the Euler branch emits
-  * post-update states (`linear_models.py:62-64`). Implicit stiff
-  * solvers (Radau) remain out of scope (documented, SURVEY §7.4).
+  * grids — and implicit adaptive `'radau'` (Radau IIA(5), the stiff
+  * family of `solve_ivp(method='Radau')`) whose A-stability lets step
+  * size follow accuracy instead of the explicit stability limit on
+  * stiff systems. Solver branches emit states at the eval grid starting
+  * from x0 (matching `solve_ivp(t_eval=time)`), while the Euler branch
+  * emits post-update states (`linear_models.py:62-64`).
   */
 object Simulators {
 
@@ -121,7 +123,19 @@ object Simulators {
           val ui = uAt(t(i))
           SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
         }
-      case other => throw new IllegalArgumentException(s"method must be euler|rk4|rk45, got $other")
+      case "radau" =>
+        // implicit adaptive branch for STIFF systems: same eval-grid
+        // contract as rk45, each interval advanced by adaptive Radau IIA
+        // steps (A-stable — step size is chosen by accuracy, not the
+        // stability limit that throttles explicit methods on stiff RHS)
+        var x = x0
+        Iterator.tabulate(nSteps) { i =>
+          if (i > 0) x = radauAdvance(f, uAt, x, t(i - 1), t(i))
+          val ui = uAt(t(i))
+          SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
+        }
+      case other => throw new IllegalArgumentException(
+        s"method must be euler|rk4|rk45|radau, got $other")
     }
   }
 
@@ -211,6 +225,154 @@ object Simulators {
         if (err == 0d) 5d
         else math.min(5d, math.max(0.2, 0.9 * math.pow(err, -0.2)))
       h = math.max(h * factor, hMin)
+    }
+    x
+  }
+
+  // ── Radau IIA(5): 3-stage implicit collocation (Hairer & Wanner,
+  //    "Solving ODEs II — Stiff and DAE Problems"; the tableau is public
+  //    knowledge, and scipy's solve_ivp(method='Radau') is the same
+  //    family). A-stable and stiffly accurate: x_new = last stage. ──
+  private val Sqrt6 = math.sqrt(6.0)
+  private val RadauC = Array((4.0 - Sqrt6) / 10.0, (4.0 + Sqrt6) / 10.0, 1.0)
+  private val RadauA = Array(
+    Array((88.0 - 7.0 * Sqrt6) / 360.0, (296.0 - 169.0 * Sqrt6) / 1800.0, (-2.0 + 3.0 * Sqrt6) / 225.0),
+    Array((296.0 + 169.0 * Sqrt6) / 1800.0, (88.0 + 7.0 * Sqrt6) / 360.0, (-2.0 - 3.0 * Sqrt6) / 225.0),
+    Array((16.0 - Sqrt6) / 36.0, (16.0 + Sqrt6) / 36.0, 1.0 / 9.0))
+
+  /** One Radau IIA step of size `h` from (x, t): solve the 3n stage
+    * equations `X_i = x + h Σ_j a_ij f(X_j)` by simplified Newton (one
+    * finite-difference Jacobian and one 3n×3n factorization per step —
+    * n is the model state dimension, small by construction). Returns
+    * None when Newton fails to converge (caller halves h).
+    */
+  private def radauStep(
+      f: (Array[Double], Array[Double], Double) => Array[Double],
+      uAt: Double => Array[Double],
+      x: Array[Double], t: Double, h: Double): Option[Array[Double]] = {
+    val n = x.length
+    // finite-difference Jacobian at (x, t)
+    val f0 = f(x, uAt(t), t)
+    val jac = Array.ofDim[Double](n, n)
+    var j = 0
+    while (j < n) {
+      val d = math.sqrt(2.2e-16) * math.max(1.0, math.abs(x(j)))
+      val xp = x.clone(); xp(j) += d
+      val fp = f(xp, uAt(t), t)
+      var r = 0
+      while (r < n) { jac(r)(j) = (fp(r) - f0(r)) / d; r += 1 }
+      j += 1
+    }
+    // iteration matrix M = I_{3n} − h·(A ⊗ J), factored once via inverse
+    val m = Array.ofDim[Double](3 * n, 3 * n)
+    var i = 0
+    while (i < 3) {
+      j = 0
+      while (j < 3) {
+        var r = 0
+        while (r < n) {
+          var s = 0
+          while (s < n) {
+            m(i * n + r)(j * n + s) =
+              (if (i == j && r == s) 1.0 else 0.0) - h * RadauA(i)(j) * jac(r)(s)
+            s += 1
+          }
+          r += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val mInv =
+      try graft.functions.Mat.inv(m)
+      catch { case _: IllegalArgumentException => return None }
+    // simplified Newton on the stacked stages
+    val stages = Array.fill(3)(x.clone())
+    var iter = 0
+    while (iter < 12) {
+      val fs = Array.tabulate(3)(i2 =>
+        f(stages(i2), uAt(t + RadauC(i2) * h), t + RadauC(i2) * h))
+      val res = new Array[Double](3 * n)
+      i = 0
+      while (i < 3) {
+        var r = 0
+        while (r < n) {
+          var acc = stages(i)(r) - x(r)
+          var j2 = 0
+          while (j2 < 3) { acc -= h * RadauA(i)(j2) * fs(j2)(r); j2 += 1 }
+          res(i * n + r) = acc
+          r += 1
+        }
+        i += 1
+      }
+      val delta = matVec(mInv, res)
+      var dmax = 0.0
+      i = 0
+      while (i < 3) {
+        var r = 0
+        while (r < n) {
+          stages(i)(r) -= delta(i * n + r)
+          dmax = math.max(dmax, math.abs(delta(i * n + r)))
+          r += 1
+        }
+        i += 1
+      }
+      if (dmax < 1e-12 * (1.0 + x.map(math.abs).max)) return Some(stages(2))
+      iter += 1
+    }
+    // not converged to machine precision — accept if the last correction
+    // was already small, else signal the caller to shrink h
+    None
+  }
+
+  /** Advance from t0 to t1 with adaptive Radau IIA(5) steps; error
+    * control by step doubling (one h step vs two h/2 steps, order-5
+    * Richardson factor 2⁵−1), scipy-convention scaling like
+    * [[rk45Advance]]. The h/2 solution is the one advanced (it is the
+    * more accurate of the pair).
+    */
+  private def radauAdvance(
+      f: (Array[Double], Array[Double], Double) => Array[Double],
+      uAt: Double => Array[Double],
+      x0: Array[Double], t0: Double, t1: Double,
+      rtol: Double = 1e-6, atol: Double = 1e-9): Array[Double] = {
+    val n = x0.length
+    var x = x0
+    var t = t0
+    var h = t1 - t0
+    val hMin = math.max(1e-14 * (t1 - t0), java.lang.Double.MIN_NORMAL)
+    while (t < t1) {
+      if (h > t1 - t) h = t1 - t
+      val attempt = for {
+        xh <- radauStep(f, uAt, x, t, h)
+        xa <- radauStep(f, uAt, x, t, h / 2)
+        x2 <- radauStep(f, uAt, xa, t + h / 2, h / 2)
+      } yield (xh, x2)
+      attempt match {
+        case None =>
+          // Newton failed — stiff transient too fast for this h
+          h = math.max(h / 4, hMin)
+          if (h <= hMin) throw new ArithmeticException(
+            s"radau: Newton cannot converge at minimum step (t=$t)")
+        case Some((xh, x2)) =>
+          var errSq = 0.0
+          var i = 0
+          while (i < n) {
+            val sc = atol + rtol * math.max(math.abs(x(i)), math.abs(x2(i)))
+            val e = (x2(i) - xh(i)) / (31.0 * sc) // 2^5 − 1
+            errSq += e * e
+            i += 1
+          }
+          val err = math.sqrt(errSq / n)
+          if (err <= 1.0 || h <= hMin) {
+            t += h
+            x = x2
+          }
+          val factor =
+            if (err == 0.0) 5.0
+            else math.min(5.0, math.max(0.2, 0.9 * math.pow(err, -0.2)))
+          h = math.max(h * factor, hMin)
+      }
     }
     x
   }

@@ -87,6 +87,51 @@ class SimulatorsSpec extends SparkSpec {
     }
   }
 
+  test("M3 radau (implicit, A-stable) handles a stiff RHS with fewer evals than rk45") {
+    // dx = −1000(x − cos t) − sin t, x(0) = 2 → x(t) = cos t + e^{−1000t}:
+    // a stiff transient then slow dynamics. Explicit rk45 must hold
+    // h ≲ 3.3/1000 FOREVER (stability, not accuracy); radau's step grows
+    // with the smooth solution.
+    def mk(counter: java.util.concurrent.atomic.AtomicLong) =
+      (x: Array[Double], u: Array[Double], t: Double) => {
+        counter.incrementAndGet()
+        Array(-1000.0 * (x(0) - math.cos(t)) - math.sin(t))
+      }
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.1; val tFinal = 1.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val t = (i: Int) => i * tFinal / (n - 1)
+    val cRadau = new java.util.concurrent.atomic.AtomicLong()
+    val radau = NonlinearContinuous(mk(cRadau), g, 1, method = "radau")
+      .simulate(0L, u, Array(2.0), tFinal, dt).toArray
+    radau.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val exact = math.cos(t(i)) + math.exp(-1000.0 * t(i))
+      assert(math.abs(s.state(0) - exact) < 1e-4,
+        s"radau at t=${t(i)}: ${s.state(0)} vs $exact")
+    }
+    val cRk45 = new java.util.concurrent.atomic.AtomicLong()
+    NonlinearContinuous(mk(cRk45), g, 1, method = "rk45")
+      .simulate(0L, u, Array(2.0), tFinal, dt).toArray
+    assert(cRadau.get < cRk45.get,
+      s"radau (${cRadau.get} evals) should beat explicit rk45 (${cRk45.get}) on stiff RHS")
+  }
+
+  test("M3 radau matches rk4 on the smooth pendulum (both converged)") {
+    val f = (x: Array[Double], u: Array[Double], _: Double) =>
+      Array(x(1), -math.sin(x(0)))
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.01; val tFinal = 5.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val r4 = NonlinearContinuous(f, g, 1, method = "rk4")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    val ra = NonlinearContinuous(f, g, 1, method = "radau")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    r4.zip(ra).foreach { case (s4, sr) =>
+      assert(math.abs(s4.state(0) - sr.state(0)) < 1e-5)
+      assert(math.abs(s4.state(1) - sr.state(1)) < 1e-5)
+    }
+  }
+
   test("M2 discrete double integrator step response + post/pre-update asymmetry") {
     // x[k+1] = [[1,1],[0,1]]x + [0,1]u; y = x1 (examples/linear_models.ipynb)
     val a = mat(Array(1.0, 1.0), Array(0.0, 1.0))
