@@ -233,6 +233,155 @@ object Spline {
     c
   }
 
+  /** Cubic smoothing spline with the FITPACK residual-bound semantics
+    * (`splrep(k=3, s=S)`): the natural cubic spline minimizing the
+    * roughness `∫ g''²` subject to `Σ (g(x_i) − y_i)² ≤ S` — the classic
+    * Reinsch (1967) problem, solved in the Green–Silverman formulation
+    * ("Nonparametric Regression and Generalized Linear Models" §2):
+    * for a smoothing parameter λ, the interior second derivatives γ
+    * solve the pentadiagonal SPD system `(T + λ QᵀQ) γ = Qᵀy`, fitted
+    * values are `g = y − λQγ`, and the residual `R(λ) = λ²‖Qγ‖²` is
+    * monotone in λ — so the bound S is met by bisection on log λ.
+    * O(n) per solve. `S` large enough returns the least-squares line
+    * (the λ→∞ limit); `S = 0` is the interpolating natural spline.
+    */
+  def smoothing(
+      xs: Array[Double], ys: Array[Double], s: Double,
+      at: Array[Double]): Array[Double] = {
+    val n = xs.length
+    require(n >= 2, "spline needs at least 2 points")
+    require(s >= 0, s"smoothing must be >= 0, got $s")
+    if (n <= 2) return linear(xs, ys, at)
+    val h = Array.tabulate(n - 1)(i => xs(i + 1) - xs(i))
+    val d = Array.tabulate(n - 1)(i => (ys(i + 1) - ys(i)) / h(i))
+    val k = n - 2 // interior points 1..n-2
+    val qty = Array.tabulate(k)(j => d(j + 1) - d(j)) // (Qᵀy)
+    // fitted values and residual at one λ
+    def solveAt(lam: Double): (Array[Double], Array[Double], Double) = {
+      // pentadiagonal A = T + λ QᵀQ over interior indices (0-based j ↔ data i=j+1)
+      val diag = new Array[Double](k)
+      val off1 = new Array[Double](math.max(k - 1, 0))
+      val off2 = new Array[Double](math.max(k - 2, 0))
+      var j = 0
+      while (j < k) {
+        val i = j + 1
+        val a = 1.0 / h(i - 1); val b = 1.0 / h(i)
+        diag(j) = (h(i - 1) + h(i)) / 3.0 + lam * (a * a + (a + b) * (a + b) + b * b)
+        if (j < k - 1) {
+          val bn = 1.0 / h(i + 1)
+          off1(j) = h(i) / 6.0 + lam * (-(a + b) * b - b * (b + bn))
+        }
+        if (j < k - 2) off2(j) = lam * (1.0 / h(i) * (1.0 / h(i + 1)))
+        j += 1
+      }
+      val gam = pentaSolve(diag, off1, off2, qty.clone())
+      // g = y − λ Q γ ; (Qγ)_i over all data rows
+      val qg = new Array[Double](n)
+      j = 0
+      while (j < k) {
+        val i = j + 1
+        qg(i - 1) += gam(j) / h(i - 1)
+        qg(i) -= gam(j) * (1.0 / h(i - 1) + 1.0 / h(i))
+        qg(i + 1) += gam(j) / h(i)
+        j += 1
+      }
+      val g = Array.tabulate(n)(i => ys(i) - lam * qg(i))
+      var r = 0.0
+      var i = 0
+      while (i < n) { val e = lam * qg(i); r += e * e; i += 1 }
+      (g, gam, r)
+    }
+    // λ → ∞ limit: least-squares line. If its residual ≤ S, return it.
+    val (lineRes, lineEval) = {
+      val mx = xs.sum / n; val my = ys.sum / n
+      var sxx = 0.0; var sxy = 0.0
+      var i = 0
+      while (i < n) { sxx += (xs(i) - mx) * (xs(i) - mx); sxy += (xs(i) - mx) * (ys(i) - my); i += 1 }
+      val slope = if (sxx > 0) sxy / sxx else 0.0
+      var r = 0.0
+      i = 0
+      while (i < n) { val e = ys(i) - (my + slope * (xs(i) - mx)); r += e * e; i += 1 }
+      (r, (x: Double) => my + slope * (x - mx))
+    }
+    if (lineRes <= s) return at.map(lineEval)
+    // bisect log λ to R(λ) = S (R monotone increasing in λ)
+    var lo = 0.0 // R(0) = 0 ≤ S
+    var hi = 1.0
+    while (solveAt(hi)._3 < s && hi < 1e18) hi *= 8
+    var it = 0
+    while (it < 80) { // ~1e-24 relative bracket
+      val mid = if (lo == 0.0) hi / 1e12 max Double.MinPositiveValue else math.sqrt(lo * hi)
+      if (solveAt(mid)._3 < s) lo = mid else hi = mid
+      it += 1
+    }
+    // lo is the feasible side (R ≤ S — the constraint FITPACK honors)
+    val (g, gam, _) = solveAt(if (lo > 0) lo else hi)
+    // natural cubic through (xs, g) with interior second derivatives γ·? —
+    // the Green–Silverman γ IS the second-derivative vector of the fitted
+    // natural spline at the interior knots (γ_0 = γ_{n−1} = 0)
+    val m = new Array[Double](n)
+    var j = 0
+    while (j < k) { m(j + 1) = gam(j); j += 1 }
+    at.map { x =>
+      val lo2 = java.util.Arrays.binarySearch(xs, x)
+      val i =
+        if (lo2 >= 0) math.min(lo2, n - 2)
+        else math.max(0, math.min(-lo2 - 2, n - 2))
+      val hh = xs(i + 1) - xs(i)
+      val a = (xs(i + 1) - x) / hh
+      val b = (x - xs(i)) / hh
+      a * g(i) + b * g(i + 1) +
+        ((a * a * a - a) * m(i) + (b * b * b - b) * m(i + 1)) * hh * hh / 6.0
+    }
+  }
+
+  /** Symmetric pentadiagonal solve (Cholesky-free banded elimination
+    * without pivoting — the smoothing system is SPD). Overwrites `rhs`.
+    */
+  private def pentaSolve(
+      diag: Array[Double], off1: Array[Double], off2: Array[Double],
+      rhs: Array[Double]): Array[Double] = {
+    val k = diag.length
+    // expand to general banded storage (lower/upper bandwidth 2)
+    val ab = Array.ofDim[Double](k, 5)
+    var i = 0
+    while (i < k) {
+      ab(i)(2) = diag(i)
+      if (i < k - 1) { ab(i)(3) = off1(i); ab(i + 1)(1) = off1(i) }
+      if (i < k - 2) { ab(i)(4) = off2(i); ab(i + 2)(0) = off2(i) }
+      i += 1
+    }
+    var m = 0
+    while (m < k) {
+      val piv = ab(m)(2)
+      var r = m + 1
+      while (r <= math.min(m + 2, k - 1)) {
+        val f = ab(r)(m - r + 2) / piv
+        if (f != 0d) {
+          var c = m
+          while (c <= math.min(m + 2, k - 1)) {
+            ab(r)(c - r + 2) -= f * ab(m)(c - m + 2)
+            c += 1
+          }
+          rhs(r) -= f * rhs(m)
+        }
+        ab(r)(m - r + 2) = 0d
+        r += 1
+      }
+      m += 1
+    }
+    val out = new Array[Double](k)
+    i = k - 1
+    while (i >= 0) {
+      var acc = rhs(i)
+      var c = i + 1
+      while (c <= math.min(i + 2, k - 1)) { acc -= ab(i)(c - i + 2) * out(c); c += 1 }
+      out(i) = acc / ab(i)(2)
+      i -= 1
+    }
+    out
+  }
+
   /** Linear interpolation with extrapolation (splrep k=1 / interp1d linear). */
   def linear(xs: Array[Double], ys: Array[Double], at: Array[Double]): Array[Double] = {
     val n = xs.length

@@ -138,12 +138,14 @@ object Segmenters {
       targetSize: Int): DataFrame =
     splineEval(df, keyCols, orderCols, valueCol, targetSize, degree = 3)
 
-  /** Spline upsampler (reference `segmenters.py:215-225`): fit an
-    * interpolating spline of `degree` on the [0,1] grid and evaluate on the
-    * `targetSize` grid. Degree 1 = linear (`splrep k=1`); degree 2 = true
-    * interpolating quadratic B-spline with midpoint interior knots
-    * (`splrep(k=2, s=0)`); degree 3 = not-a-knot cubic (`splrep(k=3, s=0)`).
-    * `smoothing > 0` is out of scope (documented, SURVEY §7.5).
+  /** Spline upsampler (reference `segmenters.py:215-225`): fit a spline
+    * of `degree` on the [0,1] grid and evaluate on the `targetSize` grid.
+    * Degree 1 = linear (`splrep k=1`); degree 2 = true interpolating
+    * quadratic B-spline with midpoint interior knots (`splrep(k=2, s=0)`);
+    * degree 3 = not-a-knot cubic (`splrep(k=3, s=0)`). `smoothing > 0`
+    * fits the cubic smoothing spline under the FITPACK residual bound
+    * `Σ resid² ≤ smoothing` (Reinsch; [[graft.functions.Spline.smoothing]])
+    * — degree must be 3 in that case, matching the reference default.
     */
   def splineUpsample(
       df: DataFrame,
@@ -151,9 +153,12 @@ object Segmenters {
       orderCols: Seq[String],
       valueCol: String,
       targetSize: Int,
-      degree: Int = 3): DataFrame = {
+      degree: Int = 3,
+      smoothing: Double = 0.0): DataFrame = {
     require(Set(1, 2, 3).contains(degree), "Spline degree must be 1, 2 or 3")
-    splineEval(df, keyCols, orderCols, valueCol, targetSize, degree)
+    require(smoothing == 0.0 || degree == 3,
+      "smoothing > 0 is supported for the cubic (degree=3) spline")
+    splineEval(df, keyCols, orderCols, valueCol, targetSize, degree, smoothing)
   }
 
   private def splineEval(
@@ -162,7 +167,8 @@ object Segmenters {
       orderCols: Seq[String],
       valueCol: String,
       targetSize: Int,
-      degree: Int): DataFrame = {
+      degree: Int,
+      smoothing: Double = 0.0): DataFrame = {
     val ev = udf { (ys: Seq[Double]) =>
       val n = ys.length
       if (n == 0) Seq.empty[Double]
@@ -172,7 +178,8 @@ object Segmenters {
         val at = Array.tabulate(targetSize)(j =>
           if (targetSize == 1) 0d else j.toDouble / (targetSize - 1))
         val out =
-          if (degree == 1) Spline.linear(xs, ys.toArray, at)
+          if (smoothing > 0) Spline.smoothing(xs, ys.toArray, smoothing, at)
+          else if (degree == 1) Spline.linear(xs, ys.toArray, at)
           else if (degree == 2) Spline.quadratic(xs, ys.toArray, at)
           else Spline.cubic(xs, ys.toArray, at)
         out.toSeq

@@ -123,6 +123,60 @@ class SegmentersSpec extends SparkSpec {
     assert((0 until 9).exists(j => math.abs(got(j) - cub(j)) > 1e-6))
   }
 
+  test("G3 smoothing spline honors the FITPACK residual bound") {
+    import graft.functions.Spline
+    // noisy samples of a smooth curve
+    val n = 25
+    val xs = Array.tabulate(n)(i => i.toDouble / (n - 1))
+    val noise = Array.tabulate(n)(i => 0.2 * math.sin(i * 12.9898) * math.cos(i * 7.233))
+    val ys = Array.tabulate(n)(i => math.sin(2 * math.Pi * xs(i)) + noise(i))
+    val s = 0.05
+    val fitted = Spline.smoothing(xs, ys, s, xs)
+    val resid = xs.indices.map(i => math.pow(fitted(i) - ys(i), 2)).sum
+    // defining property: residual meets the bound and is genuinely used
+    // (not interpolating: resid > 0; not over-smoothing: resid ≈ S)
+    assert(resid <= s * 1.0001, s"residual $resid exceeds bound $s")
+    assert(resid > 0.9 * s, s"residual $resid far below bound $s — over-interpolating")
+    // roughness is strictly below the interpolant's
+    def roughness(vals: Array[Double]): Double = {
+      val fine = Array.tabulate(400)(j => j / 399.0)
+      val v = vals
+      val y2 = Spline.smoothing(xs, v, 0.0000001, fine)
+      (1 until 399).map { j =>
+        val d2 = y2(j + 1) - 2 * y2(j) + y2(j - 1)
+        d2 * d2
+      }.sum
+    }
+    assert(roughness(fitted) < roughness(ys))
+  }
+
+  test("G3 smoothing spline with huge S returns the least-squares line") {
+    import graft.functions.Spline
+    val xs = Array(0.0, 0.25, 0.5, 0.75, 1.0)
+    val ys = Array(0.1, 0.9, 2.1, 2.9, 4.1) // ≈ line y = 4x
+    val out = Spline.smoothing(xs, ys, 1e6, Array(0.0, 0.5, 1.0))
+    // least-squares line through the data evaluated at the grid
+    val mx = xs.sum / 5; val my = ys.sum / 5
+    val slope = xs.indices.map(i => (xs(i) - mx) * (ys(i) - my)).sum /
+      xs.indices.map(i => (xs(i) - mx) * (xs(i) - mx)).sum
+    val exp = Array(0.0, 0.5, 1.0).map(x => my + slope * (x - mx))
+    assertSeqAlmost(out.toSeq, exp.toSeq, 1e-9)
+  }
+
+  test("G3 smoothing upsample operator end to end") {
+    val ys = Seq(0.0, 1.2, 0.9, 2.1, 1.8, 3.2, 2.9, 4.1)
+    val df = Segmenters.splineUpsample(seriesDf("a" -> ys),
+      Seq("series_id"), Seq("t"), "value", 15, degree = 3, smoothing = 0.5)
+    val got = df.orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0))
+    assert(got.length == 15)
+    assert(got.forall(v => !v.isNaN && !v.isInfinite))
+    // smoothing > 0 must differ from the interpolating cubic
+    val interp = Segmenters.splineUpsample(seriesDf("a" -> ys),
+      Seq("series_id"), Seq("t"), "value", 15, degree = 3)
+      .orderBy(col("idx")).select(col("value")).collect().map(_.getDouble(0))
+    assert(got.indices.exists(j => math.abs(got(j) - interp(j)) > 1e-4))
+  }
+
   test("G4 failure encoder: mode of non-zero when ratio >= threshold") {
     val f = Seq(0.0, 2.0, 0.0, 2.0, 0.0, 3.0, 2.0, 0.0, 0.0, 0.0)
     val df = Segmenters.failureEncode(seriesDf("a" -> f), Seq("series_id"), Seq("t"), "value", 10.0)
