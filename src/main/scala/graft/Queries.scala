@@ -516,6 +516,72 @@ object Queries {
         """.stripMargin.trim
       }),
 
+    // ── X22: composed corpus-cleaning pass — the end-to-end shape of a
+    //    training-data pipeline: language filter (en) → quality gate
+    //    (≥ 0.5) → exact dedup on normalized content (first doc_id wins)
+    //    → per-source stats. Demonstrates operator composition staying
+    //    inside one Catalyst plan: projections fuse, the only shuffles
+    //    are the dedup hash partition and the final aggregate ──
+    QueryDef(
+      "x22_corpus_clean",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lang = TextOps.languageId(docs, "text", "pred_lang")
+        val qual = TextOps.qualityScore(lang, "text", "__q")
+        val kept = qual.filter(col("pred_lang") === "en" && col("__q") >= 0.5)
+        val deduped = TextOps.exactDedup(kept, "text", Seq("doc_id"))
+        deduped.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("__q")), 6).as("avg_quality"),
+            sum(TextOps.bpeishTokenCount(col("text"))).as("total_tokens"))
+      },
+      Some {
+        val hits = TextOps.langStopwords.map { case (lang, ws) =>
+          s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS h_$lang"
+        }.mkString(", ")
+        val allStops = TextOps.langStopwords.flatMap(_._2).distinct
+          .map("'" + _ + "'").mkString(",")
+        s"""
+        WITH h AS (
+          SELECT doc_id, source, text, $hits FROM documents
+        ), l AS (
+          SELECT doc_id, source, text,
+            CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                 WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                 WHEN h_fr >= h_es THEN 'fr'
+                 ELSE 'es' END AS pred_lang
+          FROM h
+        ), t AS (
+          SELECT doc_id, source, text, pred_lang,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x IN ($allStops))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) AS DOUBLE) AS nchar
+          FROM l
+        ), q AS (
+          SELECT doc_id, source, text, pred_lang,
+            1 / (1 + exp(-(0.2 * ln(1 + ntok) + 2 * (nstop / greatest(ntok, 1))
+              - 8 * (npunct / greatest(nchar, 1)) - 1))) AS quality
+          FROM t
+        ), kept AS (
+          SELECT * FROM q WHERE pred_lang = 'en' AND quality >= 0.5
+        ), ded AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              ORDER BY doc_id) AS rk
+            FROM kept) WHERE rk = 1
+        )
+        SELECT source, count(*) AS n_docs,
+          round(avg(quality), 6) AS avg_quality,
+          CAST(sum(list_aggregate(
+            list_transform(string_split_regex(trim(text), '\\s+'),
+              w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum')) AS BIGINT) AS total_tokens
+        FROM ded GROUP BY source
+        """.stripMargin.trim
+      }),
+
     // ── X9: gap-based sessionization (30 min) per user ──
     QueryDef(
       "x9_sessionize",
