@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * recorded as a fast success.
   */
 object Bench {
+  /** 1/5/15-min load averages from /proc/loadavg, or NaNs off-Linux.
+    * Recorded before and after the run so a co-tenant burst that inflates
+    * timings is visible in the artifact itself (BASELINE.md documents
+    * idle-host reruns measuring 3-5x lower totals than loaded-host runs —
+    * without these fields that was undecidable from BENCH_r*.json alone).
+    */
+  private def loadAvg(): Seq[Double] =
+    try {
+      scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+        .split("\\s+").take(3).toSeq.map(_.toDouble)
+    } catch { case _: Throwable => Seq(Double.NaN, Double.NaN, Double.NaN) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,6 +48,7 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.events(spark, sfDir).limit(1).collect()
     } catch { case _: Throwable => }
+    val loadBefore = loadAvg()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
@@ -48,10 +61,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val loadAfter = loadAvg()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qsMs = results.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def loadJson(l: Seq[Double]) = l.map(d => if (d.isNaN) "null" else d.toString)
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_ms":$qsMs,"load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -148,6 +148,23 @@ object DedupQueries {
         SELECT id_a, id_b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4
       """.stripMargin.trim)),
 
+    // ── X20: embedding-cosine near-dup, LSH-bucketed scale path — the
+    //    100 TB answer to x14: candidates from a banded hyperplane-
+    //    signature self-join (ids only through the shuffle), exact-cosine
+    //    verify on candidates only, never all-pairs. Runs on the FULL
+    //    embeddings table (x14 is the bounded exact slice). Hyperplane
+    //    collisions are seed-dependent → rows-only; recall vs the exact
+    //    baseline is asserted in AnnSpec ("cosineDupPairs (LSH) recovers
+    //    the exact near-dup pairs on clustered data"). ──
+    QueryDef(
+      "x20_embed_dup_lsh",
+      (s, dir) => {
+        Ann.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, bands = 16, bitsPerBand = 3)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      },
+      None),
+
     // ── X15: multimodal binary payloads — documents' text re-encoded as
     //    opaque binary (the corpus has no real images/audio; the decode
     //    step is a documented stub), then byte-distribution feature

@@ -55,6 +55,16 @@ object MlQueries {
         new SVMFaultDetector(maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
       None),
 
+    // ── D3b: SVM poly kernel — EXACT explicit feature map (multinomial-
+    //    weighted monomials) in front of LinearSVC; kernel identity +
+    //    ring-separation asserted in DetectorsSpec ──
+    QueryDef(
+      "d3_svm_poly",
+      (s, dir) => confusion(
+        new SVMFaultDetector(kernel = "poly", degree = 2, coef0 = 1.0,
+          maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
+      None),
+
     // ── D4: gradient boosting (binary GBT on a 2-class slice) ──
     QueryDef(
       "d4_gbt_detector",

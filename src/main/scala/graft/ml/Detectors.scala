@@ -255,7 +255,7 @@ abstract class FaultDetector(
     transformed(df, featCol)
       .withColumn("pred_label", element_at(lbls, col("prediction").cast("int") + 1))
       .drop("features", "rawPrediction", "probability", "prediction",
-        FaultDetector.ScaledCol, FaultDetector.RffCol)
+        FaultDetector.ScaledCol, FaultDetector.RffCol, FaultDetector.PolyCol)
   }
 
   /** Input rows + `proba` (array<double> over classes in sorted-label
@@ -268,7 +268,7 @@ abstract class FaultDetector(
       s"${getClass.getSimpleName} does not expose class probabilities")
     out.withColumn("proba", vector_to_array(col("probability")))
       .drop("features", "rawPrediction", "probability", "prediction",
-        FaultDetector.ScaledCol, FaultDetector.RffCol)
+        FaultDetector.ScaledCol, FaultDetector.RffCol, FaultDetector.PolyCol)
   }
 
   /** Accuracy on labelled data (reference `score`). */
@@ -317,6 +317,7 @@ abstract class FaultDetector(
 object FaultDetector {
   val ScaledCol = "__scaled"
   val RffCol = "__rff"
+  val PolyCol = "__poly"
 
   /** Training frames at or below this row count are coalesced to a few
     * partitions and cached for the duration of the fit (see `fit`).
@@ -396,15 +397,20 @@ class RandomForestFaultDetector(
   * (`detectors/sklearn_detectors.py:521-815`). The default RBF kernel is
   * linearized via [[RandomFourierFeatures]] feeding `LinearSVC` (the
   * scalable substitution for kernel SVC — documented in SURVEY §2.6);
-  * `kernel="linear"` skips the RFF stage. Internal standardization
-  * mirrors the reference's `scale_features=True`. The reference's
-  * double-scaling bug in `score()` (`:779-800`) is intentionally NOT
-  * replicated (SURVEY §7.5).
+  * `kernel="poly"` is linearized EXACTLY via [[PolynomialKernelMap]]
+  * (finite feature space — no approximation); `kernel="linear"` skips
+  * the kernel stage. Sigmoid (tanh) remains unsupported: it is not
+  * positive-semidefinite, so no real feature map exists. Internal
+  * standardization mirrors the reference's `scale_features=True`. The
+  * reference's double-scaling bug in `score()` (`:779-800`) is
+  * intentionally NOT replicated (SURVEY §7.5).
   */
 class SVMFaultDetector(
     c: Double = 1.0,
     kernel: String = "rbf",
     gamma: Double = 0.0, // <= 0 → sklearn 'scale' (1/d on standardized input)
+    degree: Int = 3, // poly kernel degree (sklearn default)
+    coef0: Double = 0.0, // poly kernel independent term (sklearn default)
     maxIter: Int = 100,
     tol: Double = 1e-6,
     scaleFeatures: Boolean = true,
@@ -415,14 +421,18 @@ class SVMFaultDetector(
     cvFolds: Int = 5)
   extends FaultDetector(paramSearchSpace, nIter, cvFolds, randomState) {
 
-  require(kernel == "rbf" || kernel == "linear",
-    s"kernel must be rbf|linear (poly/sigmoid not supported), got $kernel")
+  require(kernel == "rbf" || kernel == "linear" || kernel == "poly",
+    s"kernel must be rbf|linear|poly (sigmoid is not PSD — unsupported), got $kernel")
 
   private val rffStage = new RandomFourierFeatures()
     .setNumFeatures(rffFeatures).setGamma(gamma).setSeed(randomState)
 
+  private val polyStage = new PolynomialKernelMap()
+    .setDegree(degree).setGamma(gamma).setCoef0(coef0)
+
   private def svcFeaturesCol: String =
     if (kernel == "rbf") FaultDetector.RffCol
+    else if (kernel == "poly") FaultDetector.PolyCol
     else if (scaleFeatures) FaultDetector.ScaledCol
     else "features"
 
@@ -432,12 +442,13 @@ class SVMFaultDetector(
         Seq(new MlStandardScaler().setInputCol("features")
           .setOutputCol(FaultDetector.ScaledCol).setWithMean(true).setWithStd(true))
       else Nil
-    val rff =
-      if (kernel == "rbf")
-        Seq(rffStage.setInputCol(if (scaleFeatures) FaultDetector.ScaledCol else "features")
-          .setOutputCol(FaultDetector.RffCol))
-      else Nil
-    scale ++ rff
+    val kernelIn = if (scaleFeatures) FaultDetector.ScaledCol else "features"
+    val kstage = kernel match {
+      case "rbf"  => Seq(rffStage.setInputCol(kernelIn).setOutputCol(FaultDetector.RffCol))
+      case "poly" => Seq(polyStage.setInputCol(kernelIn).setOutputCol(FaultDetector.PolyCol))
+      case _      => Nil
+    }
+    scale ++ kstage
   }
 
   override protected def buildClassifier(k: Int): PipelineStage = {
@@ -456,13 +467,18 @@ class SVMFaultDetector(
       case "C"        => val svc = p.asInstanceOf[LinearSVC]; ParamPair(svc.regParam, 1.0 / asDouble(v))
       case "max_iter" => val svc = p.asInstanceOf[LinearSVC]; ParamPair(svc.maxIter, asInt(v))
       case "tol"      => val svc = p.asInstanceOf[LinearSVC]; ParamPair(svc.tol, asDouble(v))
-      case "gamma"    => ParamPair(rffStage.gamma, asDouble(v))
+      case "gamma" =>
+        if (kernel == "poly") ParamPair(polyStage.gamma, asDouble(v))
+        else ParamPair(rffStage.gamma, asDouble(v))
+      case "degree" => ParamPair(polyStage.degree, asInt(v))
+      case "coef0"  => ParamPair(polyStage.coef0, asDouble(v))
       case other => throw new IllegalArgumentException(s"unsupported search param: $other")
     }
   }
 
   override def params: Map[String, Any] = Map(
-    "C" -> c, "kernel" -> kernel, "gamma" -> gamma, "max_iter" -> maxIter,
+    "C" -> c, "kernel" -> kernel, "gamma" -> gamma, "degree" -> degree,
+    "coef0" -> coef0, "max_iter" -> maxIter,
     "scale_features" -> scaleFeatures, "rff_features" -> rffFeatures)
 }
 

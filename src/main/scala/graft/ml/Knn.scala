@@ -33,6 +33,30 @@ object Knn {
   private[graft] def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TopKAgg(k), Encoders.product[Scored])
 
+  /** Default ceiling on the broadcast (test/query) side of the exact-KNN
+    * cross join: 100k rows is tens of MB at typical feature widths —
+    * comfortably inside an executor broadcast budget. Past it the exact
+    * cross join is the wrong plan at any cluster size and the caller
+    * should move to the approximate paths
+    * ([[graft.similarity.Ann.cosineTopKLsh]], [[graft.similarity.Ivf]]).
+    */
+  val MaxBroadcastTestRows: Long = 100000L
+
+  /** Broadcast the test side only after a bounded row probe: a
+    * `limit(max+1).count()` scan (short-circuits — never counts the full
+    * frame) fails fast with a pointer at the LSH/IVF substitutes instead
+    * of letting an oversized broadcast OOM the executors mid-join.
+    */
+  private def guardedBroadcast(test: DataFrame, maxRows: Long): DataFrame = {
+    val probeCap = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val probe = test.limit(probeCap).count()
+    require(probe <= maxRows,
+      s"exact KNN broadcasts the test side, which exceeds $maxRows rows; " +
+        "for query sets this large use the approximate paths " +
+        "(graft.similarity.Ann.cosineTopKLsh or graft.similarity.Ivf)")
+    broadcast(test)
+  }
+
   /** Classify each `test` row by majority label of its `k` nearest train
     * rows (squared-euclidean on `featCol` arrays); distance ties break on
     * `trainIdCol`, vote ties on the smallest label — fully deterministic.
@@ -46,8 +70,9 @@ object Knn {
       labelCol: String,
       testIdCol: String,
       trainIdCol: String,
-      k: Int): DataFrame = {
-    val t = broadcast(test.select(col(testIdCol), col(featCol).as("__qf")))
+      k: Int,
+      maxTestRows: Long = MaxBroadcastTestRows): DataFrame = {
+    val t = guardedBroadcast(test.select(col(testIdCol), col(featCol).as("__qf")), maxTestRows)
     val joined = train
       .select(col(trainIdCol).as("__tid"), col(labelCol).as("__lbl"), col(featCol).as("__tf"))
       .crossJoin(t)
@@ -133,8 +158,9 @@ object Knn {
       trainIdCol: String,
       k: Int,
       p: Double = 2.0,
-      weights: String = "uniform"): DataFrame = {
-    val topk = weightedTopK(train, test, featCol, labelCol, testIdCol, trainIdCol, k, p)
+      weights: String = "uniform",
+      maxTestRows: Long = MaxBroadcastTestRows): DataFrame = {
+    val topk = weightedTopK(train, test, featCol, labelCol, testIdCol, trainIdCol, k, p, maxTestRows)
     val hits = col("__tk.hits")
     val ws = hitWeights(hits, p, weights)
     val classes = array_sort(array_distinct(transform(hits, _.getField("payload"))))
@@ -164,13 +190,14 @@ object Knn {
       trainIdCol: String,
       k: Int,
       p: Double = 2.0,
-      weights: String = "uniform"): DataFrame = {
+      weights: String = "uniform",
+      maxTestRows: Long = MaxBroadcastTestRows): DataFrame = {
     // label domain: small by construction (fault codes) — driver collect,
     // same contract as FaultDetector.fit
     val labels = train.select(col(labelCol).cast("long").as("__l"))
       .filter(col("__l").isNotNull).distinct().orderBy("__l")
       .collect().map(_.getLong(0))
-    val topk = weightedTopK(train, test, featCol, labelCol, testIdCol, trainIdCol, k, p)
+    val topk = weightedTopK(train, test, featCol, labelCol, testIdCol, trainIdCol, k, p, maxTestRows)
     val hits = col("__tk.hits")
     val ws = hitWeights(hits, p, weights)
     val total = aggregate(ws, lit(0d), (acc, w) => acc + w)
@@ -194,8 +221,9 @@ object Knn {
       testIdCol: String,
       trainIdCol: String,
       k: Int,
-      p: Double): DataFrame = {
-    val t = broadcast(test.select(col(testIdCol), col(featCol).as("__qf")))
+      p: Double,
+      maxTestRows: Long): DataFrame = {
+    val t = guardedBroadcast(test.select(col(testIdCol), col(featCol).as("__qf")), maxTestRows)
     val joined = train
       .select(col(trainIdCol).as("__tid"), col(labelCol).as("__lbl"), col(featCol).as("__tf"))
       .crossJoin(t)
@@ -212,8 +240,10 @@ object Knn {
       testIdCol: String,
       trainIdCol: String,
       k: Int,
-      excludeSelf: Boolean = true): DataFrame = {
-    val t = broadcast(test.select(col(testIdCol).as("__qid"), col(featCol).as("__qf")))
+      excludeSelf: Boolean = true,
+      maxTestRows: Long = MaxBroadcastTestRows): DataFrame = {
+    val t = guardedBroadcast(
+      test.select(col(testIdCol).as("__qid"), col(featCol).as("__qf")), maxTestRows)
     val joined = train
       .select(col(trainIdCol).as("__tid"), col(featCol).as("__tf"))
       .crossJoin(t)

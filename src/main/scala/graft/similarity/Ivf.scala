@@ -107,6 +107,32 @@ object Ivf {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally grow a persisted index — the 100 TB ingest path: a
+    * corpus that size cannot be re-clustered on every batch, so new rows
+    * are assigned to their nearest EXISTING centroid (same squared-
+    * euclidean rule as the KMeans assignment in [[writeIndex]]) and
+    * appended into that cell's partition directory; the quantizer is
+    * untouched. Results afterwards are identical to a [[writeIndex]]
+    * build that had used the same centroids for every row — the FAISS
+    * `add` contract (quantizer fixed at train time, `IndexIVF::add`
+    * assigns against it). Periodic re-train (a fresh [[writeIndex]]) is
+    * only needed when drift degrades the cell balance.
+    */
+  def appendToIndex(
+      newRows: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      path: String): Unit = {
+    val spark = newRows.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    require(cents.nonEmpty, s"no centroids at $path/centroids — writeIndex first")
+    newRows.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__cell", probeCells(col("__cf"), cents, 1).getItem(0))
+      .withColumn("__cn", Ann.norm(col("__cf")))
+      .write.mode("append").partitionBy("__cell").parquet(s"$path/corpus")
+  }
+
   /** Approximate cosine top-k over a persisted index: load the centroids
     * (nlist × dim — driver-small by construction), compute each query's
     * `nprobe` cells, and read ONLY the probed cells' partitions of the

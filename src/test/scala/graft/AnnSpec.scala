@@ -115,6 +115,42 @@ class AnnSpec extends SparkSpec {
       s"expected a __cell partition filter in:\n$plan")
   }
 
+  test("appendToIndex grows the index without re-clustering; results keep parity") {
+    import spark.implicits._
+    val dim = 16
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_spec"
+    // base index on the first 15 clusters; clusters 15-19 arrive later
+    val base = df.filter(col("vec_id") < 75L)
+    val late = df.filter(col("vec_id") >= 75L)
+    graft.similarity.Ivf.writeIndex(base, "embedding", "vec_id", path,
+      nlist = 10, seed = 7L)
+    def rows(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val before = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 10))
+    graft.similarity.Ivf.appendToIndex(late, "embedding", "vec_id", path)
+    // full-probe (nprobe = nlist) search over the appended index must equal
+    // the exact top-k over the full corpus: with every cell probed the only
+    // thing the index changes is the layout, so any append bug (lost rows,
+    // wrong cell schema, broken partition dirs) breaks equality
+    val after = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 10))
+    val exact = rows(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    assert(after == exact, "full-probe indexed search != exact after append")
+    assert(after != before, "appended rows must be discoverable")
+    // appended rows landed inside the EXISTING nlist cell dirs (no
+    // re-clustering, no stray partitions), and each appended id is present
+    val cells = new java.io.File(s"$path/corpus").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("__cell="))
+    assert(cells.length <= 10, s"unexpected cell dirs: ${cells.toSeq}")
+    val storedIds = spark.read.parquet(s"$path/corpus")
+      .select("__cid").as[Long].collect().toSet
+    assert(storedIds == (0L until 100L).toSet)
+  }
+
   test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
     val df = clustered.cache()
     def pairSet(r: DataFrame) = r.collect()

@@ -62,6 +62,52 @@ class DetectorsSpec extends SparkSpec {
     checkDetector(det)
   }
 
+  test("D3 poly kernel map is exact: phi(x)·phi(y) = (g·x·y + r)^d") {
+    for (degree <- 1 to 4; coef0 <- Seq(0.0, 1.0, 2.5)) {
+      val (exps, coefs) = Poly.terms(3, degree, 0.7, coef0)
+      val x = Array(0.3, -1.2, 2.1)
+      val y = Array(-0.8, 0.5, 1.4)
+      def phi(v: Array[Double]): Array[Double] =
+        coefs.indices.map { t =>
+          coefs(t) * exps(t).zipWithIndex.map { case (e, j) =>
+            math.pow(v(j), e.toDouble) }.product
+        }.toArray
+      val got = phi(x).zip(phi(y)).map { case (a, b) => a * b }.sum
+      val xy = x.zip(y).map { case (a, b) => a * b }.sum
+      val want = math.pow(0.7 * xy + coef0, degree.toDouble)
+      assert(math.abs(got - want) < 1e-9 * math.max(1.0, math.abs(want)),
+        s"degree=$degree coef0=$coef0: $got != $want")
+    }
+  }
+
+  test("D3 SVM poly kernel separates a ring that the linear kernel cannot") {
+    import spark.implicits._
+    // 2-D ring scenario: label = 1 inside radius 1.5, 0 outside (radius 2-3)
+    // — radially symmetric, so no linear boundary beats ~coin flip, but the
+    // degree-2 expansion contains x²+y² and separates it perfectly
+    val ring = (0 until 400).map { i =>
+      val inner = i % 2 == 0
+      val r = if (inner) 0.5 + Rff.uniform(7L, i.toLong, 0L)
+              else 2.0 + Rff.uniform(7L, i.toLong, 0L)
+      val th = Rff.uniform(7L, i.toLong, 1L) * 2 * math.Pi
+      (i.toLong, Array(r * math.cos(th), r * math.sin(th)), if (inner) 1 else 0)
+    }.toDF("id", "feat", "fault_class")
+    val train = ring.filter(col("id") % 5 =!= 0)
+    val test = ring.filter(col("id") % 5 === 0)
+    val poly = new SVMFaultDetector(kernel = "poly", degree = 2, coef0 = 1.0,
+      maxIter = 50)
+    poly.fit(train, "feat", "fault_class")
+    assert(poly.score(test, "feat", "fault_class") >= 0.95)
+    val lin = new SVMFaultDetector(kernel = "linear", maxIter = 50)
+    lin.fit(train, "feat", "fault_class")
+    assert(lin.score(test, "feat", "fault_class") <= 0.75)
+  }
+
+  test("D3 poly expansion refuses intractable dimensionality") {
+    val e = intercept[IllegalArgumentException] { Poly.terms(100, 3, 1.0, 1.0) }
+    assert(e.getMessage.contains("rbf"))
+  }
+
   test("D4 gradient boosting (OneVsRest over binary GBT)") {
     val det = new GradientBoostingFaultDetector(nEstimators = 10, maxDepth = 3)
     checkDetector(det)
@@ -233,6 +279,21 @@ class DetectorsSpec extends SparkSpec {
       .orderBy("label").collect()
     assert(proba.map(_.getAs[Long]("label")).toSeq == Seq(0L, 1L))
     assert(proba.map(_.getAs[Double]("proba")).toSeq == Seq(0.0, 1.0))
+  }
+
+  test("D1 KNN broadcast guard fails fast past maxTestRows, passes under it") {
+    import spark.implicits._
+    val (train, _) = knnGolden
+    val bigTest = (100L to 110L).map(i => (i, Array(i.toDouble))).toDF("qid", "feat")
+    val e = intercept[IllegalArgumentException] {
+      Knn.classifyWeighted(train, bigTest, "feat", "lbl",
+        "qid", "id", k = 3, maxTestRows = 5L)
+    }
+    assert(e.getMessage.contains("cosineTopKLsh"))
+    // same call under the ceiling still answers (guard is size-only)
+    val ok = Knn.classifyWeighted(train, bigTest, "feat", "lbl",
+      "qid", "id", k = 3, maxTestRows = 50L)
+    assert(ok.count() == 11)
   }
 
   test("D1 KNN predict_proba uniform: vote fractions over label domain") {

@@ -197,6 +197,54 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(col("user_id") === "u2").count() == 1)
   }
 
+  test("streaming sessionAgg matches batch Sessionize gap-sessionization (x9 parity)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // gap = 600 s; per-user sessions: u1 → {0,100,300}, {1000,1200};
+    // u2 → {50}, {700,750}; u3 → {10}. Event times stay clear of the exact
+    // gap boundary (batch uses >gap, session_window uses >=gap there).
+    val ev = Seq(
+      ("u1", 0L), ("u3", 10L), ("u2", 50L), ("u1", 100L), ("u1", 300L),
+      ("u2", 700L), ("u2", 750L), ("u1", 1000L),
+      ("u1", 1200L))
+    val base = Timestamp.valueOf("2026-01-01 00:00:00").getTime // epoch ms
+    def tsOf(s: Long) = new Timestamp(base + s * 1000)
+    // micro-batches split mid-session (u1's {1000,1200} spans two) and
+    // time-ordered so the 1 s watermark never drops a live row
+    val batches = Seq(ev.take(5), ev.slice(5, 8), ev.drop(8))
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamingOps.sessionAgg(mem.toDF().toDF("ts", "user_id", "value"),
+      "ts", Seq("user_id"), gap = "10 minutes", delay = "1 second")
+      .writeStream.format("memory").queryName("sessparity").outputMode("append").start()
+    val got = try {
+      batches.foreach { b =>
+        mem.addData(b.map { case (u, s) => (tsOf(s), u, 1.0) }: _*)
+        q.processAllAvailable()
+      }
+      // close the open sessions: advance the watermark far past every gap,
+      // then one more batch so the closed sessions flush through append mode
+      mem.addData((tsOf(100000L), "zz", 0.0)); q.processAllAvailable()
+      mem.addData((tsOf(200000L), "zz", 0.0)); q.processAllAvailable()
+      spark.table("sessparity").filter(col("user_id") =!= "zz").collect()
+        .map(r => (r.getString(r.fieldIndex("user_id")),
+          r.getTimestamp(r.fieldIndex("session_start")).getTime,
+          // session_window end = last event + gap; undo it for min/max parity
+          r.getTimestamp(r.fieldIndex("session_end")).getTime - 600000L,
+          r.getLong(r.fieldIndex("n_events")))).toSet
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS sessparity") }
+    // batch analogue: the x9 operator on the same rows as epoch-ms longs
+    val evDf = ev.map { case (u, s) => (u, base + s * 1000) }.toDF("user_id", "ts_ms")
+    val exp = graft.operators.Sessionize.sessionize(
+      evDf, Seq("user_id"), "ts_ms", Seq("ts_ms"), gap = 600000L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_ms")).as("s"), max(col("ts_ms")).as("e"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("s")),
+        r.getLong(r.fieldIndex("e")), r.getLong(r.fieldIndex("n")))).toSet
+    assert(got == exp, s"streaming $got != batch $exp")
+  }
+
   test("tumblingAgg buckets by fixed windows (batch mode)") {
     import spark.implicits._
     val rows = Seq(
