@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.forecast.{Forecast, TimeSeriesForecaster}
+import graft.forecast.{DeepForecaster, Forecast, TimeSeriesForecaster}
 import graft.operators.{Filters, Segmenters}
 import graft.text.TextOps
 
@@ -180,6 +180,34 @@ object ExtraQueries {
         val fc = new TimeSeriesForecaster(
           timeSteps = 8, outputStep = 2, modelType = "rf",
           maxIter = 20, maxDepth = 5, seed = 7L)
+        fc.fit(train)
+        fc.evaluate(test)
+          .select(round(col("rmse_y1"), 6).as("rmse_y1"),
+            round(col("rmse_y2"), 6).as("rmse_y2"))
+          .crossJoin(test.agg(count(lit(1)).as("n_test_windows")))
+      },
+      None),
+
+    // ── T4: DEEP forecast train/eval — the reference's actual LSTM
+    //    architecture (time_series_model.py:175-178: LSTM → Dropout →
+    //    Dense(out_steps), MSE+Adam), hand-built and trained data-parallel
+    //    (broadcast params, treeAggregate gradients, driver Adam). Small
+    //    hidden/epochs here to bound bench time; the fitted weights are
+    //    not SQL-expressible → rows-only. BPTT correctness is proved by
+    //    the numerical gradient checks in ForecastSpec; forecast quality
+    //    by the beats-persistence assert there. ──
+    QueryDef(
+      "t4_deep_forecast",
+      (s, dir) => {
+        val norm = Forecast.downsampleMinMax(ev(s, dir), Seq("event_type"),
+          Seq("ts", "event_id"), "value", step = 10)
+        val feats = Forecast.lagFeatures(norm, Seq("event_type"),
+          Seq("ts", "event_id"), "norm_value", timeSteps = 8, outputStep = 2)
+        val train = feats.filter(col("event_type") =!= "purchase")
+        val test = feats.filter(col("event_type") === "purchase")
+        val fc = new DeepForecaster(timeSteps = 8, outputStep = 2,
+          modelType = "lstm", hidden = 8, dropout = 0.1,
+          epochs = 40, learningRate = 0.02, seed = 7L)
         fc.fit(train)
         fc.evaluate(test)
           .select(round(col("rmse_y1"), 6).as("rmse_y1"),
