@@ -883,7 +883,7 @@ object Queries {
     */
   def all: Seq[QueryDef] =
     defs ++ MlQueries.defs ++ SimQueries.defs ++ ObsQueries.defs ++
-      ExtraQueries.defs ++ DedupQueries.defs
+      ExtraQueries.defs ++ DedupQueries.defs ++ PipelineQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+import graft.operators.Recurrence
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * after cleaning/dedup (SURVEY §2.8 north-star): benchmark
+  * decontamination, deterministic stratified sampling (domain mixing),
+  * and sequence packing. All three are single-shuffle shapes and all
+  * hash-deterministic, so they oracle-check exactly.
+  */
+object Pipeline {
+
+  /** Benchmark decontamination: flag corpus documents sharing ≥ `minShared`
+    * distinct word `n`-grams with ANY benchmark/eval document — the
+    * test-set-leakage screen (the n-gram overlap decontamination published
+    * for GPT-3, Brown et al. 2020 §C, there with 13-grams).
+    *
+    * Scale shape: the benchmark side is small by definition — its distinct
+    * gram set broadcasts; the corpus explodes to (doc, gram) pairs once,
+    * hash-joins against the broadcast, and aggregates per doc. The corpus
+    * never self-joins and vectors/text never pass through the shuffle —
+    * ids and grams only.
+    *
+    * Output: one row per contaminated corpus doc —
+    * `idCol, n_shared_grams, n_grams, overlap` (shared fraction of the
+    * doc's distinct grams).
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minShared: Int = 1): DataFrame = {
+    val grams = TextOps.wordShingles(col(textCol), n)
+    val corpusGrams = corpus
+      .select(col(idCol).as("__id"), grams.as("__gs"))
+      .withColumn("__ng", size(col("__gs")).cast("long"))
+      .select(col("__id"), col("__ng"), explode(col("__gs")).as("__g"))
+    val benchGrams = broadcast(
+      bench.select(explode(grams).as("__g")).distinct())
+    corpusGrams.join(benchGrams, "__g")
+      .groupBy(col("__id"), col("__ng"))
+      .agg(count(lit(1)).as("n_shared_grams")) // grams are distinct per doc
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col("__id").as(idCol), col("n_shared_grams"),
+        col("__ng").as("n_grams"),
+        (col("n_shared_grams").cast("double") / col("__ng")).as("overlap"))
+  }
+
+  /** Deterministic U(0,1) from md5 of `"<seed>:<id>"` — stateless,
+    * executor-independent, and bit-replayable in DuckDB (md5 + first 8 hex
+    * digits / 2^32), unlike `rand()` or xxhash64. The sampling analogue of
+    * [[graft.functions.HashRandom]] for oracle-checked queries.
+    */
+  def hashUniform(seed: Long, id: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(seed.toString), id.cast("string"))), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0)
+
+  /** Deterministic stratified sampling — the domain-mixing step of a
+    * pretraining pipeline: keep each row with its stratum's target rate,
+    * decided per row by [[hashUniform]] so the sample is (a) exactly
+    * reproducible across runs/clusters, (b) a pure narrow filter — no
+    * shuffle, no RNG state, fully pushdown-friendly — and (c) stable
+    * under corpus growth (a row's fate never depends on other rows,
+    * unlike reservoir/exact-count sampling).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      seed: Long): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(seed, col(idCol)) < rate)
+  }
+
+  /** Sequence packing, concat-and-chunk style (the GPT-line pretraining
+    * layout: documents are concatenated in order and the token stream is
+    * cut every `budget` tokens, so documents may straddle chunk
+    * boundaries). Pure window arithmetic — cumulative token offset per
+    * group, integer division for the chunk ids — one sort-shuffle per
+    * group, oracle-expressible.
+    *
+    * Appends: `__tok` (token count), `chunk_first`, `chunk_last`,
+    * `n_chunks` (how many chunks the doc touches).
+    */
+  def packChunked(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      textCol: String,
+      budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tok = greatest(TextOps.bpeishTokenCount(col(textCol)), lit(1L))
+    df.withColumn("__tok", tok)
+      .withColumn("__off", coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .withColumn("chunk_first", expr(s"__off div ${budget}L"))
+      .withColumn("chunk_last", expr(s"(__off + __tok - 1) div ${budget}L"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .drop("__off")
+  }
+
+  /** Sequence packing, greedy first-fit-in-order style (T5-line: a doc
+    * never straddles packs; a new pack starts when the current doc does
+    * not fit; an oversize doc gets a pack of its own). The remaining-
+    * capacity state makes this a true per-group recurrence, so it rides
+    * the [[Recurrence.rowScan]] kernel — O(1) state per group, streaming
+    * partitions, same 100 TB shape as the filters.
+    *
+    * Appends `__tok` and `pack_id` (0-based per group).
+    */
+  def packGreedy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      textCol: String,
+      budget: Long): DataFrame = {
+    val withTok = df.withColumn("__tok",
+      greatest(TextOps.bpeishTokenCount(col(textCol)), lit(1L)))
+    val tokIdx = withTok.schema.fieldIndex("__tok")
+    Recurrence.rowScan[(Long, Long)]( // state = (packId, remaining)
+      withTok, groupCols, orderCols,
+      Seq(StructField("pack_id", LongType, nullable = false))) { r =>
+      val t = r.getLong(tokIdx)
+      ((0L, budget - t), Seq(0L))
+    } { case ((pack, rem), r) =>
+      val t = r.getLong(tokIdx)
+      if (t <= rem) ((pack, rem - t), Seq(pack))
+      else ((pack + 1, budget - t), Seq(pack + 1))
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Pipeline
+
+/** Corpus-preparation operators: decontamination, stratified sampling,
+  * sequence packing (chunked + greedy) — hand-computed goldens.
+  */
+class PipelineSpec extends SparkSpec {
+
+  /** A doc of exactly `t` tokens under the bpe-ish count: t words of 4 chars. */
+  private def docOf(t: Int): String = Seq.fill(t)("aaaa").mkString(" ")
+
+  test("greedy packing: first-fit-in-order with oversize isolation") {
+    import spark.implicits._
+    // budget 256; tokens 100,100,100,250,30,300 →
+    // pack0 {100,100} (rem 56), pack1 {100}, pack2 {250}, pack3 {30},
+    // pack4 {300} (oversize doc gets its own pack)
+    val toks = Seq(100, 100, 100, 250, 30, 300)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, "s", docOf(t)) }
+      .toDF("doc_id", "source", "text")
+    val out = Pipeline.packGreedy(df, Seq("source"), Seq("doc_id"), "text", 256L)
+      .orderBy(col("doc_id")).select(col("pack_id")).collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(0L, 0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("chunked packing: offsets, straddling docs, chunk spans") {
+    import spark.implicits._
+    // budget 256; offsets 0,100,200,300,550,580 →
+    // chunk_first 0,0,0,1,2,2 and n_chunks 1,1,2,2,1,2
+    val toks = Seq(100, 100, 100, 250, 30, 300)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, "s", docOf(t)) }
+      .toDF("doc_id", "source", "text")
+    val out = Pipeline.packChunked(df, Seq("source"), Seq("doc_id"), "text", 256L)
+      .orderBy(col("doc_id"))
+      .select(col("chunk_first"), col("n_chunks")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (2L, 1L), (2L, 2L)))
+  }
+
+  test("packing is per-group: a second source restarts packs and offsets") {
+    import spark.implicits._
+    val df = Seq((0L, "a", docOf(200)), (1L, "a", docOf(200)),
+      (2L, "b", docOf(10))).toDF("doc_id", "source", "text")
+    val g = Pipeline.packGreedy(df, Seq("source"), Seq("doc_id"), "text", 256L)
+      .orderBy(col("doc_id")).select(col("pack_id")).collect().map(_.getLong(0)).toSeq
+    assert(g == Seq(0L, 1L, 0L))
+    val c = Pipeline.packChunked(df, Seq("source"), Seq("doc_id"), "text", 256L)
+      .orderBy(col("doc_id")).select(col("chunk_first")).collect().map(_.getLong(0)).toSeq
+    assert(c == Seq(0L, 0L, 0L))
+  }
+
+  test("contamination flags the doc sharing a 5-gram run, not unrelated docs") {
+    import spark.implicits._
+    val leaked = "alpha beta gamma delta epsilon zeta eta"
+    val corpus = Seq(
+      (1L, s"prefix words here $leaked suffix tail"),
+      (2L, "completely different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, s"other framing $leaked closing words")).toDF("doc_id", "text")
+    val out = Pipeline.contaminationReport(corpus, bench, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(1L) && out(1L) >= 3, s"got $out") // 7-word run → 3 shared 5-grams
+    assert(!out.contains(2L))
+  }
+
+  test("stratified sampling is deterministic and tracks target rates") {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def ids() = Pipeline.stratifiedSample(df, "doc_id", "source",
+      Map("a" -> 0.3), defaultRate = 0.8, seed = 42L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids()
+    assert(s1 == ids(), "same seed must reproduce the same sample")
+    val aRate = s1.count(_ % 2 == 0) / 1000.0
+    val bRate = s1.count(_ % 2 == 1) / 1000.0
+    assert(math.abs(aRate - 0.3) < 0.06, s"a rate $aRate")
+    assert(math.abs(bRate - 0.8) < 0.06, s"b rate $bRate")
+    // different seed → different sample, similar rate
+    val s2 = Pipeline.stratifiedSample(df, "doc_id", "source",
+      Map("a" -> 0.3), defaultRate = 0.8, seed = 43L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 != s2)
+  }
+}
