@@ -168,6 +168,81 @@ object SimQueries {
             round(avg(element_at(col("output"), 1)), 6).as("y_mean"),
             round(max(abs(element_at(col("state"), 1))), 6).as("x1_absmax"))
       },
-      None)
+      None),
+
+    // ── M7: STIFF solver families (bdf / radau / lsoda) on dx = −200x+u
+    //    over a coarse dt=0.5 eval grid — explicit methods are
+    //    stability-limited here (λ·dt = −100), so lsoda's budget trips
+    //    and it switches to its implicit path. The endpoint has the
+    //    closed form u/200 + e^{−1000}(x0 − u/200): agreement across all
+    //    three methods to 5 decimals proves each integrator converges to
+    //    the ANALYTIC solution, not merely to a shared discretization ──
+    QueryDef(
+      "m7_stiff_solvers",
+      (s, _) => {
+        import s.implicits._
+        val n = 10
+        val sims = s.range(10).as[Long].mapPartitions(_.flatMap { i =>
+          val x0 = -1.0 + 2.0 * i / 9.0
+          val u = IndexedSeq.fill(n)(Array(0.5 + 0.05 * i))
+          Seq("bdf", "radau", "lsoda").iterator.map { m =>
+            val model = LinearContinuous(
+              Array(Array(-200.0)), Array(Array(1.0)),
+              Array(Array(1.0)), Array(Array(0.0)), method = m)
+            val last = model.simulate(i, u, Array(x0), tFinal = 5.0, dt = 0.5)
+              .reduceLeft((_, b) => b)
+            (m, i, last.state(0))
+          }
+        }).toDF("method", "sim_id", "x")
+        sims.select(col("method"), col("sim_id"),
+          round(col("x"), 5).as("x_last"))
+      },
+      Some("""
+        WITH m AS (SELECT * FROM (VALUES ('bdf'), ('radau'), ('lsoda')) v(method)),
+        s AS (
+          SELECT i AS sim_id, (-1.0 + 2.0*i/9.0)::DOUBLE AS x0,
+            (0.5 + 0.05*i)::DOUBLE AS u
+          FROM generate_series(0, 9) t(i)
+        )
+        SELECT method, sim_id,
+          round(u/200.0 + exp(-1000.0)*(x0 - u/200.0), 5) AS x_last
+        FROM m CROSS JOIN s
+      """.stripMargin.trim)),
+
+    // ── M8: adaptive EXPLICIT pairs (rk23 / rk45) on dx = −5x + u;
+    //    endpoint closed form u/5 + e^{−25}(x0 − u/5). Both embedded
+    //    pairs must land on the analytic endpoint to 5 decimals — a
+    //    tableau typo in either degrades the order and fails the hash ──
+    QueryDef(
+      "m8_adaptive_solvers",
+      (s, _) => {
+        import s.implicits._
+        val n = 100
+        val sims = s.range(10).as[Long].mapPartitions(_.flatMap { i =>
+          val x0 = -1.0 + 2.0 * i / 9.0
+          val u = IndexedSeq.fill(n)(Array(0.5 + 0.05 * i))
+          Seq("rk23", "rk45").iterator.map { m =>
+            val model = LinearContinuous(
+              Array(Array(-5.0)), Array(Array(1.0)),
+              Array(Array(1.0)), Array(Array(0.0)), method = m)
+            val last = model.simulate(i, u, Array(x0), tFinal = 5.0, dt = 0.05)
+              .reduceLeft((_, b) => b)
+            (m, i, last.state(0))
+          }
+        }).toDF("method", "sim_id", "x")
+        sims.select(col("method"), col("sim_id"),
+          round(col("x"), 5).as("x_last"))
+      },
+      Some("""
+        WITH m AS (SELECT * FROM (VALUES ('rk23'), ('rk45')) v(method)),
+        s AS (
+          SELECT i AS sim_id, (-1.0 + 2.0*i/9.0)::DOUBLE AS x0,
+            (0.5 + 0.05*i)::DOUBLE AS u
+          FROM generate_series(0, 9) t(i)
+        )
+        SELECT method, sim_id,
+          round(u/5.0 + exp(-25.0)*(x0 - u/5.0), 5) AS x_last
+        FROM m CROSS JOIN s
+      """.stripMargin.trim))
   )
 }

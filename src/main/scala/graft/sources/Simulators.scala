@@ -16,18 +16,22 @@ import graft.functions.HashRandom
   * [[HashRandom]]-derived per (seed, simId, dim) so any simulation is
   * reproducible on any executor without RNG state.
   *
-  * Integration methods: fixed-step explicit Euler (bit-parity with the
-  * reference's `'euler'` branch, including its post-update output quirk),
-  * classic fixed-step RK4, adaptive Dormand–Prince `'rk45'` — the same
-  * embedded pair as the reference's `solve_ivp` default
-  * (`linear_models.py:70-75`), with error-controlled internal sub-steps
-  * between eval-grid points so fast dynamics stay stable on coarse
-  * grids — and implicit adaptive `'radau'` (Radau IIA(5), the stiff
-  * family of `solve_ivp(method='Radau')`) whose A-stability lets step
-  * size follow accuracy instead of the explicit stability limit on
-  * stiff systems. Solver branches emit states at the eval grid starting
-  * from x0 (matching `solve_ivp(t_eval=time)`), while the Euler branch
-  * emits post-update states (`linear_models.py:62-64`).
+  * Integration methods — one per `solve_ivp` family the reference
+  * accepts (`linear_models.py:70-75` passes the method string through):
+  * fixed-step explicit Euler (bit-parity with the reference's `'euler'`
+  * branch, including its post-update output quirk), classic fixed-step
+  * RK4, adaptive explicit embedded pairs `'rk45'` (Dormand–Prince 5(4),
+  * the `solve_ivp` default) and `'rk23'` (Bogacki–Shampine 3(2)) with
+  * error-controlled internal sub-steps between eval-grid points so fast
+  * dynamics stay stable on coarse grids, implicit adaptive `'radau'`
+  * (Radau IIA(5)) and `'bdf'` (variable-step BDF2, Gear's family) whose
+  * A-stability lets step size follow accuracy instead of the explicit
+  * stability limit on stiff systems, and `'lsoda'` — automatic
+  * nonstiff/stiff switching (explicit pair until its sub-step budget
+  * trips, then Radau, retrying explicit periodically), in the spirit of
+  * Petzold's LSODA. Solver branches emit states at the eval grid
+  * starting from x0 (matching `solve_ivp(t_eval=time)`), while the
+  * Euler branch emits post-update states (`linear_models.py:62-64`).
   */
 object Simulators {
 
@@ -114,12 +118,55 @@ object Simulators {
           val ui = uAt(t(i))
           SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
         }
-      case "rk45" =>
-        // adaptive branch: states at the eval grid, states[0] = x0, each
-        // interval advanced by adaptive Dormand–Prince sub-steps
+      case "rk45" | "rk23" =>
+        // adaptive explicit branch: states at the eval grid, states[0] =
+        // x0, each interval advanced by adaptive embedded-pair sub-steps
+        // (Dormand–Prince 5(4) or Bogacki–Shampine 3(2))
+        val pair = if (method == "rk45") Dopri54 else Bs32
         var x = x0
         Iterator.tabulate(nSteps) { i =>
-          if (i > 0) x = rk45Advance(f, uAt, x, t(i - 1), t(i))
+          if (i > 0) x = rkAdvance(pair, f, uAt, x, t(i - 1), t(i)).get
+          val ui = uAt(t(i))
+          SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
+        }
+      case "bdf" =>
+        // implicit multistep branch for STIFF systems (Gear's BDF family,
+        // scipy solve_ivp(method='BDF')): variable-step BDF2 with Newton,
+        // same eval-grid contract as the other solve_ivp branches
+        var x = x0
+        Iterator.tabulate(nSteps) { i =>
+          if (i > 0) x = bdfAdvance(f, uAt, x, t(i - 1), t(i))
+          val ui = uAt(t(i))
+          SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
+        }
+      case "lsoda" =>
+        // automatic nonstiff/stiff switching in the spirit of LSODA
+        // (Petzold 1983, scipy solve_ivp(method='LSODA')): run the cheap
+        // explicit pair while it terminates within a sub-step budget;
+        // when the stability limit makes it spin (the budget trips),
+        // switch to implicit Radau, retrying the explicit path
+        // periodically in case the stiff transient has passed
+        var x = x0
+        var stiff = false
+        var sinceSwitch = 0
+        Iterator.tabulate(nSteps) { i =>
+          if (i > 0) {
+            val (ta, tb) = (t(i - 1), t(i))
+            val tryExplicit = !stiff || sinceSwitch >= LsodaRetryEvery
+            val explicitRes =
+              if (tryExplicit) rkAdvance(Dopri54, f, uAt, x, ta, tb,
+                maxSteps = LsodaExplicitBudget)
+              else None
+            explicitRes match {
+              case Some(nx) =>
+                x = nx
+                stiff = false
+              case None =>
+                if (tryExplicit) sinceSwitch = 0 else sinceSwitch += 1
+                stiff = true
+                x = radauAdvance(f, uAt, x, ta, tb)
+            }
+          }
           val ui = uAt(t(i))
           SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
         }
@@ -135,75 +182,108 @@ object Simulators {
           SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
         }
       case other => throw new IllegalArgumentException(
-        s"method must be euler|rk4|rk45|radau, got $other")
+        s"method must be euler|rk4|rk45|rk23|radau|bdf|lsoda, got $other")
     }
   }
 
-  /** Advance from `t0` to `t1` with adaptive Dormand–Prince 5(4) steps —
-    * the same embedded pair scipy's `solve_ivp(method='RK45')` uses
-    * (Dormand & Prince 1980; tableau is public knowledge). Error control
-    * per scipy's convention: RMS of the component errors scaled by
-    * `atol + rtol·max(|x|, |x_new|)`, accept when ≤ 1, step factor
-    * `0.9·err^{−1/5}` clamped to [0.2, 5]. Sub-steps land exactly on
-    * `t1`, so grid states need no dense-output interpolant. This is the
-    * adaptive substitute for the reference's `solve_ivp` branch
-    * (`linear_models.py:70-75`): unlike fixed-step RK4 it keeps fast
-    * dynamics stable on a coarse eval grid by shrinking the internal
-    * step. (Implicit stiff solvers — Radau — remain out of scope.)
+  /** Butcher tableau of an embedded explicit RK pair: `bHigh` is the
+    * propagated (higher-order) solution, `bLow` the error estimator,
+    * `errExp` the step-controller exponent `1/(errOrder+1)`.
     */
-  private def rk45Advance(
-      f: (Array[Double], Array[Double], Double) => Array[Double],
-      uAt: Double => Array[Double],
-      x0: Array[Double], t0: Double, t1: Double,
-      rtol: Double = 1e-6, atol: Double = 1e-9): Array[Double] = {
-    val n = x0.length
-    // Dormand–Prince coefficients
-    val c = Array(0d, 0.2, 0.3, 0.8, 8d / 9, 1d, 1d)
-    val a = Array(
+  private final case class RkPair(
+      c: Array[Double], a: Array[Array[Double]],
+      bHigh: Array[Double], bLow: Array[Double], errExp: Double)
+
+  /** Dormand–Prince 5(4) — the pair scipy's `solve_ivp(method='RK45')`
+    * uses (Dormand & Prince 1980; tableau is public knowledge).
+    */
+  private val Dopri54 = RkPair(
+    c = Array(0d, 0.2, 0.3, 0.8, 8d / 9, 1d, 1d),
+    a = Array(
       Array.empty[Double],
       Array(0.2),
       Array(3d / 40, 9d / 40),
       Array(44d / 45, -56d / 15, 32d / 9),
       Array(19372d / 6561, -25360d / 2187, 64448d / 6561, -212d / 729),
       Array(9017d / 3168, -355d / 33, 46732d / 5247, 49d / 176, -5103d / 18656),
-      Array(35d / 384, 0d, 500d / 1113, 125d / 192, -2187d / 6784, 11d / 84))
-    val b5 = Array(35d / 384, 0d, 500d / 1113, 125d / 192, -2187d / 6784, 11d / 84, 0d)
-    val b4 = Array(5179d / 57600, 0d, 7571d / 16695, 393d / 640,
-      -92097d / 339200, 187d / 2100, 1d / 40)
+      Array(35d / 384, 0d, 500d / 1113, 125d / 192, -2187d / 6784, 11d / 84)),
+    bHigh = Array(35d / 384, 0d, 500d / 1113, 125d / 192, -2187d / 6784, 11d / 84, 0d),
+    bLow = Array(5179d / 57600, 0d, 7571d / 16695, 393d / 640,
+      -92097d / 339200, 187d / 2100, 1d / 40),
+    errExp = 0.2)
+
+  /** Bogacki–Shampine 3(2) — scipy's `solve_ivp(method='RK23')` pair
+    * (Bogacki & Shampine 1989). Third order propagated, second-order
+    * error estimate.
+    */
+  private val Bs32 = RkPair(
+    c = Array(0d, 0.5, 0.75, 1d),
+    a = Array(
+      Array.empty[Double],
+      Array(0.5),
+      Array(0d, 0.75),
+      Array(2d / 9, 1d / 3, 4d / 9)),
+    bHigh = Array(2d / 9, 1d / 3, 4d / 9, 0d),
+    bLow = Array(7d / 24, 0.25, 1d / 3, 0.125),
+    errExp = 1d / 3)
+
+  /** Advance from `t0` to `t1` with adaptive embedded-pair steps. Error
+    * control per scipy's convention: RMS of the component errors scaled
+    * by `atol + rtol·max(|x|, |x_new|)`, accept when ≤ 1, step factor
+    * `0.9·err^{−errExp}` clamped to [0.2, 5]. Sub-steps land exactly on
+    * `t1`, so grid states need no dense-output interpolant — unlike
+    * fixed-step RK4 this keeps fast dynamics stable on a coarse eval
+    * grid by shrinking the internal step. Returns None when more than
+    * `maxSteps` attempted sub-steps are needed — the stiffness signal
+    * the `lsoda` branch switches on (explicit steps pinned at the
+    * stability limit, not the accuracy limit).
+    */
+  private def rkAdvance(
+      pair: RkPair,
+      f: (Array[Double], Array[Double], Double) => Array[Double],
+      uAt: Double => Array[Double],
+      x0: Array[Double], t0: Double, t1: Double,
+      rtol: Double = 1e-6, atol: Double = 1e-9,
+      maxSteps: Int = Int.MaxValue): Option[Array[Double]] = {
+    val n = x0.length
+    val nStages = pair.c.length
     var x = x0
     var t = t0
     var h = t1 - t0
     val hMin = math.max(1e-14 * (t1 - t0), java.lang.Double.MIN_NORMAL)
+    var attempts = 0
     while (t < t1) {
+      attempts += 1
+      if (attempts > maxSteps) return None
       if (h > t1 - t) h = t1 - t
-      val k = new Array[Array[Double]](7)
+      val k = new Array[Array[Double]](nStages)
       var s = 0
-      while (s < 7) {
+      while (s < nStages) {
         val xs =
           if (s == 0) x
           else {
             val acc = x.clone()
             var j = 0
             while (j < s) {
-              val kj = k(j); val aj = a(s)(j)
+              val kj = k(j); val aj = pair.a(s)(j)
               if (aj != 0d) { var i = 0; while (i < n) { acc(i) += h * aj * kj(i); i += 1 } }
               j += 1
             }
             acc
           }
-        val ts = t + c(s) * h
+        val ts = t + pair.c(s) * h
         k(s) = f(xs, uAt(ts), ts)
         s += 1
       }
-      val x5 = x.clone()
-      val x4 = x.clone()
+      val xHi = x.clone()
+      val xLo = x.clone()
       var j = 0
-      while (j < 7) {
+      while (j < nStages) {
         val kj = k(j)
         var i = 0
         while (i < n) {
-          x5(i) += h * b5(j) * kj(i)
-          x4(i) += h * b4(j) * kj(i)
+          xHi(i) += h * pair.bHigh(j) * kj(i)
+          xLo(i) += h * pair.bLow(j) * kj(i)
           i += 1
         }
         j += 1
@@ -211,23 +291,31 @@ object Simulators {
       var errSq = 0d
       var i = 0
       while (i < n) {
-        val sc = atol + rtol * math.max(math.abs(x(i)), math.abs(x5(i)))
-        val e = (x5(i) - x4(i)) / sc
+        val sc = atol + rtol * math.max(math.abs(x(i)), math.abs(xHi(i)))
+        val e = (xHi(i) - xLo(i)) / sc
         errSq += e * e
         i += 1
       }
       val err = math.sqrt(errSq / n)
       if (err <= 1d || h <= hMin) {
         t += h
-        x = x5
+        x = xHi
       }
       val factor =
         if (err == 0d) 5d
-        else math.min(5d, math.max(0.2, 0.9 * math.pow(err, -0.2)))
+        else math.min(5d, math.max(0.2, 0.9 * math.pow(err, -pair.errExp)))
       h = math.max(h * factor, hMin)
     }
-    x
+    Some(x)
   }
+
+  /** `lsoda` switching knobs: an interval whose explicit advance needs
+    * more than this many attempted sub-steps is declared stiff (nonstiff
+    * dynamics on an eval-grid interval need a handful); once stiff, the
+    * explicit path is retried every this-many intervals.
+    */
+  private val LsodaExplicitBudget = 24
+  private val LsodaRetryEvery = 25
 
   // ── Radau IIA(5): 3-stage implicit collocation (Hairer & Wanner,
   //    "Solving ODEs II — Stiff and DAE Problems"; the tableau is public
@@ -375,6 +463,153 @@ object Simulators {
       }
     }
     x
+  }
+
+  /** Solve the implicit stage equation `z = rhsConst + gh·f(z, t)` by
+    * Newton with one finite-difference Jacobian factored once (n is the
+    * model state dimension, small by construction) — the shared kernel of
+    * every BDF corrector (backward Euler is `gh = h, rhsConst = x`).
+    * Returns None when Newton fails to converge (caller shrinks h).
+    */
+  private def implicitSolve(
+      f: (Array[Double], Array[Double], Double) => Array[Double],
+      uAt: Double => Array[Double],
+      rhsConst: Array[Double], gh: Double, tNew: Double,
+      guess: Array[Double]): Option[Array[Double]] = {
+    val n = guess.length
+    val u = uAt(tNew)
+    val f0 = f(guess, u, tNew)
+    val jac = Array.ofDim[Double](n, n)
+    var j = 0
+    while (j < n) {
+      val d = math.sqrt(2.2e-16) * math.max(1.0, math.abs(guess(j)))
+      val gp = guess.clone(); gp(j) += d
+      val fp = f(gp, u, tNew)
+      var r = 0
+      while (r < n) { jac(r)(j) = (fp(r) - f0(r)) / d; r += 1 }
+      j += 1
+    }
+    val m = Array.tabulate(n, n)((r, s) =>
+      (if (r == s) 1.0 else 0.0) - gh * jac(r)(s))
+    val mInv =
+      try graft.functions.Mat.inv(m)
+      catch { case _: IllegalArgumentException => return None }
+    val z = guess.clone()
+    var iter = 0
+    while (iter < 12) {
+      val fz = f(z, u, tNew)
+      val res = new Array[Double](n)
+      var r = 0
+      while (r < n) { res(r) = z(r) - gh * fz(r) - rhsConst(r); r += 1 }
+      val delta = matVec(mInv, res)
+      var dmax = 0.0
+      r = 0
+      while (r < n) {
+        z(r) -= delta(r)
+        dmax = math.max(dmax, math.abs(delta(r)))
+        r += 1
+      }
+      if (dmax < 1e-12 * (1.0 + z.map(math.abs).max)) return Some(z)
+      iter += 1
+    }
+    None
+  }
+
+  /** Advance from t0 to t1 with variable-step BDF — Gear's backward
+    * differentiation family (Gear 1971; scipy's `solve_ivp(method='BDF')`
+    * is the same family at orders 1–5). Order 2 here: the first step is a
+    * pair of backward-Euler half-steps (establishing history AND a
+    * Richardson error estimate), every later step the variable-step BDF2
+    * corrector
+    * `x₊ = ((1+ρ)²xₙ − ρ²xₙ₋₁)/(1+2ρ) + h(1+ρ)/(1+2ρ)·f(x₊)`, ρ = h/hₚᵣₑᵥ
+    * (uniform-ρ limit: the classic (4xₙ−xₙ₋₁)/3 + ⅔h·f). Local error is
+    * estimated predictor-corrector style (Gear's device): the corrector
+    * minus the linear extrapolant through the history, scaled like
+    * [[rkAdvance]]. A-stable at order ≤ 2, so the step follows accuracy,
+    * not the explicit stability limit, on stiff systems.
+    */
+  private def bdfAdvance(
+      f: (Array[Double], Array[Double], Double) => Array[Double],
+      uAt: Double => Array[Double],
+      x0: Array[Double], t0: Double, t1: Double,
+      rtol: Double = 1e-6, atol: Double = 1e-9): Array[Double] = {
+    val n = x0.length
+    val hMin = math.max(1e-14 * (t1 - t0), java.lang.Double.MIN_NORMAL)
+    var t = t0
+    var h = (t1 - t0) / 2
+    var xPrev: Array[Double] = null // state at t − hPrev (null until bootstrap)
+    var xCur = x0
+    var hPrev = 0d
+    def rms(a: Array[Double], b: Array[Double], base: Array[Double]): Double = {
+      var errSq = 0d
+      var i = 0
+      while (i < n) {
+        val sc = atol + rtol * math.max(math.abs(base(i)), math.abs(a(i)))
+        val e = (a(i) - b(i)) / sc
+        errSq += e * e
+        i += 1
+      }
+      math.sqrt(errSq / n)
+    }
+    while (t < t1) {
+      if (h > t1 - t) h = t1 - t
+      if (xPrev == null) {
+        // bootstrap: backward Euler over h vs two half-steps; the pair is
+        // both the O(h²) Richardson error estimate (2¹−1 = 1) and, on
+        // accept, a ready-made two-point history with spacing h/2
+        val attempt = for {
+          xf <- implicitSolve(f, uAt, xCur, h, t + h, xCur)
+          xa <- implicitSolve(f, uAt, xCur, h / 2, t + h / 2, xCur)
+          xb <- implicitSolve(f, uAt, xa, h / 2, t + h, xa)
+        } yield (xf, xa, xb)
+        attempt match {
+          case None =>
+            if (h <= hMin) throw new ArithmeticException(
+              s"bdf: Newton cannot converge at minimum step (t=$t)")
+            h = math.max(h / 4, hMin)
+          case Some((xf, xa, xb)) =>
+            val err = rms(xb, xf, xCur)
+            if (err <= 1d || h <= hMin) {
+              xPrev = xa; xCur = xb; hPrev = h / 2
+              t += h
+            }
+            val factor =
+              if (err == 0d) 5d
+              else math.min(5d, math.max(0.2, 0.9 * math.pow(err, -0.5)))
+            h = math.max(h * factor, hMin)
+        }
+      } else {
+        val rho = h / hPrev
+        val w = 1d + rho
+        val den = 1d + 2d * rho
+        val rhsConst = new Array[Double](n)
+        val pred = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          rhsConst(i) = (w * w * xCur(i) - rho * rho * xPrev(i)) / den
+          pred(i) = xCur(i) + rho * (xCur(i) - xPrev(i))
+          i += 1
+        }
+        implicitSolve(f, uAt, rhsConst, h * w / den, t + h, pred) match {
+          case None =>
+            if (h <= hMin) throw new ArithmeticException(
+              s"bdf: Newton cannot converge at minimum step (t=$t)")
+            h = math.max(h / 4, hMin)
+          case Some(xNew) =>
+            val err = rms(xNew, pred, xCur)
+            if (err <= 1d || h <= hMin) {
+              xPrev = xCur; xCur = xNew; hPrev = h
+              t += h
+            }
+            // the estimate tracks the predictor's O(h²) error → exponent ½
+            val factor =
+              if (err == 0d) 5d
+              else math.min(5d, math.max(0.2, 0.9 * math.pow(err, -0.5)))
+            h = math.max(h * factor, hMin)
+        }
+      }
+    }
+    xCur
   }
 
   /** M1 — `LinearContinuousStateSpaceModel` (`linear_models.py:4-82`):

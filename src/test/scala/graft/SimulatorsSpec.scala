@@ -132,6 +132,109 @@ class SimulatorsSpec extends SparkSpec {
     }
   }
 
+  test("M1 rk23 adaptive: accurate on the coarse grid where fixed RK4 diverges") {
+    // same setup as the rk45 coarse-grid test — the Bogacki–Shampine pair
+    // must also sub-step inside each interval and track e^{-50t}
+    val a = mat(Array(-50.0))
+    val model = LinearContinuous(
+      a, mat(Array(0.0)), mat(Array(1.0)), mat(Array(0.0)), method = "rk23")
+    val dt = 0.1; val tFinal = 1.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val t = (i: Int) => i * tFinal / (n - 1)
+    model.simulate(0L, u, Array(1.0), tFinal, dt).toArray.zipWithIndex.foreach {
+      case (s, i) =>
+        assert(math.abs(s.state(0) - math.exp(-50.0 * t(i))) < 1e-4,
+          s"rk23 at t=${t(i)}: ${s.state(0)}")
+    }
+  }
+
+  test("M3 rk23 matches rk4 on the smooth pendulum (both converged)") {
+    val f = (x: Array[Double], u: Array[Double], _: Double) =>
+      Array(x(1), -math.sin(x(0)))
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.01; val tFinal = 5.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val r4 = NonlinearContinuous(f, g, 1, method = "rk4")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    val r23 = NonlinearContinuous(f, g, 1, method = "rk23")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    r4.zip(r23).foreach { case (s4, s23) =>
+      assert(math.abs(s4.state(0) - s23.state(0)) < 1e-3)
+      assert(math.abs(s4.state(1) - s23.state(1)) < 1e-3)
+    }
+  }
+
+  test("M3 bdf (implicit multistep, A-stable) tracks the stiff RHS accurately") {
+    // same stiff setup as the radau test: dx = −1000(x − cos t) − sin t,
+    // x(0) = 2 → x(t) = cos t + e^{−1000t}. BDF2's A-stability must let it
+    // track the smooth phase without the explicit stability limit.
+    val f = (x: Array[Double], u: Array[Double], t: Double) =>
+      Array(-1000.0 * (x(0) - math.cos(t)) - math.sin(t))
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.1; val tFinal = 1.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val t = (i: Int) => i * tFinal / (n - 1)
+    NonlinearContinuous(f, g, 1, method = "bdf")
+      .simulate(0L, u, Array(2.0), tFinal, dt).toArray.zipWithIndex.drop(1)
+      .foreach { case (s, i) =>
+        val exact = math.cos(t(i)) + math.exp(-1000.0 * t(i))
+        assert(math.abs(s.state(0) - exact) < 1e-3,
+          s"bdf at t=${t(i)}: ${s.state(0)} vs $exact")
+      }
+  }
+
+  test("M3 bdf matches rk4 on the smooth pendulum (both converged)") {
+    val f = (x: Array[Double], u: Array[Double], _: Double) =>
+      Array(x(1), -math.sin(x(0)))
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.01; val tFinal = 5.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val r4 = NonlinearContinuous(f, g, 1, method = "rk4")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    val rb = NonlinearContinuous(f, g, 1, method = "bdf")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    r4.zip(rb).foreach { case (s4, sb) =>
+      assert(math.abs(s4.state(0) - sb.state(0)) < 1e-3)
+      assert(math.abs(s4.state(1) - sb.state(1)) < 1e-3)
+    }
+  }
+
+  test("M3 lsoda: identical to rk45 on nonstiff RHS; switches to implicit on stiff") {
+    def mk(counter: java.util.concurrent.atomic.AtomicLong, lambda: Double) =
+      (x: Array[Double], u: Array[Double], t: Double) => {
+        counter.incrementAndGet()
+        Array(-lambda * (x(0) - math.cos(t)) - math.sin(t))
+      }
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.1; val tFinal = 1.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val t = (i: Int) => i * tFinal / (n - 1)
+    // nonstiff (λ=2): the explicit budget never trips → lsoda IS rk45,
+    // bit for bit
+    val c0 = new java.util.concurrent.atomic.AtomicLong()
+    val ls = NonlinearContinuous(mk(c0, 2.0), g, 1, method = "lsoda")
+      .simulate(0L, u, Array(2.0), tFinal, dt).toArray
+    val rk = NonlinearContinuous(mk(new java.util.concurrent.atomic.AtomicLong(), 2.0),
+      g, 1, method = "rk45")
+      .simulate(0L, u, Array(2.0), tFinal, dt).toArray
+    ls.zip(rk).foreach { case (a, b) => assert(a.state(0) == b.state(0)) }
+    // stiff (λ=1000): the budget trips, lsoda goes implicit — accurate
+    // AND far cheaper than explicit held at the stability limit
+    val cLsoda = new java.util.concurrent.atomic.AtomicLong()
+    NonlinearContinuous(mk(cLsoda, 1000.0), g, 1, method = "lsoda")
+      .simulate(0L, u, Array(2.0), tFinal, dt).toArray.zipWithIndex.drop(1)
+      .foreach { case (s, i) =>
+        val exact = math.cos(t(i)) + math.exp(-1000.0 * t(i))
+        assert(math.abs(s.state(0) - exact) < 1e-3,
+          s"lsoda at t=${t(i)}: ${s.state(0)} vs $exact")
+      }
+    val cRk45 = new java.util.concurrent.atomic.AtomicLong()
+    NonlinearContinuous(mk(cRk45, 1000.0), g, 1, method = "rk45")
+      .simulate(0L, u, Array(2.0), tFinal, dt).toArray
+    assert(cLsoda.get < cRk45.get,
+      s"lsoda (${cLsoda.get} evals) should beat explicit rk45 (${cRk45.get}) on stiff RHS")
+  }
+
   test("M2 discrete double integrator step response + post/pre-update asymmetry") {
     // x[k+1] = [[1,1],[0,1]]x + [0,1]u; y = x1 (examples/linear_models.ipynb)
     val a = mat(Array(1.0, 1.0), Array(0.0, 1.0))
