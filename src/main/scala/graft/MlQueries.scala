@@ -65,6 +65,17 @@ object MlQueries {
           maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
       None),
 
+    // ── D3c: SVM sigmoid kernel — tanh is not PSD, so it rides the
+    //    Nystroem landmark approximation (driver-side m×m eigensolve,
+    //    broadcast transform); kernel fidelity + eigensolver goldens
+    //    asserted in DetectorsSpec ──
+    QueryDef(
+      "d3_svm_sigmoid",
+      (s, dir) => confusion(
+        new SVMFaultDetector(kernel = "sigmoid", coef0 = 0.25,
+          maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
+      None),
+
     // ── D4: gradient boosting (binary GBT on a 2-class slice) ──
     QueryDef(
       "d4_gbt_detector",

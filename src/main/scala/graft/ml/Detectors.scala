@@ -318,6 +318,7 @@ object FaultDetector {
   val ScaledCol = "__scaled"
   val RffCol = "__rff"
   val PolyCol = "__poly"
+  val NysCol = "__nys"
 
   /** Training frames at or below this row count are coalesced to a few
     * partitions and cached for the duration of the fit (see `fit`).
@@ -398,12 +399,13 @@ class RandomForestFaultDetector(
   * linearized via [[RandomFourierFeatures]] feeding `LinearSVC` (the
   * scalable substitution for kernel SVC — documented in SURVEY §2.6);
   * `kernel="poly"` is linearized EXACTLY via [[PolynomialKernelMap]]
-  * (finite feature space — no approximation); `kernel="linear"` skips
-  * the kernel stage. Sigmoid (tanh) remains unsupported: it is not
-  * positive-semidefinite, so no real feature map exists. Internal
-  * standardization mirrors the reference's `scale_features=True`. The
-  * reference's double-scaling bug in `score()` (`:779-800`) is
-  * intentionally NOT replicated (SURVEY §7.5).
+  * (finite feature space — no approximation); `kernel="sigmoid"` —
+  * tanh, not PSD, so no exact real feature map exists — goes through
+  * the [[NystroemKernelMap]] landmark approximation, the same treatment
+  * scikit-learn's `Nystroem` applies; `kernel="linear"` skips the
+  * kernel stage. Internal standardization mirrors the reference's
+  * `scale_features=True`. The reference's double-scaling bug in
+  * `score()` (`:779-800`) is intentionally NOT replicated (SURVEY §7.5).
   */
 class SVMFaultDetector(
     c: Double = 1.0,
@@ -421,8 +423,8 @@ class SVMFaultDetector(
     cvFolds: Int = 5)
   extends FaultDetector(paramSearchSpace, nIter, cvFolds, randomState) {
 
-  require(kernel == "rbf" || kernel == "linear" || kernel == "poly",
-    s"kernel must be rbf|linear|poly (sigmoid is not PSD — unsupported), got $kernel")
+  require(kernel == "rbf" || kernel == "linear" || kernel == "poly" || kernel == "sigmoid",
+    s"kernel must be rbf|linear|poly|sigmoid, got $kernel")
 
   private val rffStage = new RandomFourierFeatures()
     .setNumFeatures(rffFeatures).setGamma(gamma).setSeed(randomState)
@@ -430,9 +432,14 @@ class SVMFaultDetector(
   private val polyStage = new PolynomialKernelMap()
     .setDegree(degree).setGamma(gamma).setCoef0(coef0)
 
+  private val nysStage = new NystroemKernelMap()
+    .setKernel("sigmoid").setGamma(gamma).setCoef0(coef0)
+    .setNumComponents(rffFeatures).setSeed(randomState)
+
   private def svcFeaturesCol: String =
     if (kernel == "rbf") FaultDetector.RffCol
     else if (kernel == "poly") FaultDetector.PolyCol
+    else if (kernel == "sigmoid") FaultDetector.NysCol
     else if (scaleFeatures) FaultDetector.ScaledCol
     else "features"
 
@@ -444,9 +451,10 @@ class SVMFaultDetector(
       else Nil
     val kernelIn = if (scaleFeatures) FaultDetector.ScaledCol else "features"
     val kstage = kernel match {
-      case "rbf"  => Seq(rffStage.setInputCol(kernelIn).setOutputCol(FaultDetector.RffCol))
-      case "poly" => Seq(polyStage.setInputCol(kernelIn).setOutputCol(FaultDetector.PolyCol))
-      case _      => Nil
+      case "rbf"     => Seq(rffStage.setInputCol(kernelIn).setOutputCol(FaultDetector.RffCol))
+      case "poly"    => Seq(polyStage.setInputCol(kernelIn).setOutputCol(FaultDetector.PolyCol))
+      case "sigmoid" => Seq(nysStage.setInputCol(kernelIn).setOutputCol(FaultDetector.NysCol))
+      case _         => Nil
     }
     scale ++ kstage
   }
@@ -469,9 +477,12 @@ class SVMFaultDetector(
       case "tol"      => val svc = p.asInstanceOf[LinearSVC]; ParamPair(svc.tol, asDouble(v))
       case "gamma" =>
         if (kernel == "poly") ParamPair(polyStage.gamma, asDouble(v))
+        else if (kernel == "sigmoid") ParamPair(nysStage.gamma, asDouble(v))
         else ParamPair(rffStage.gamma, asDouble(v))
       case "degree" => ParamPair(polyStage.degree, asInt(v))
-      case "coef0"  => ParamPair(polyStage.coef0, asDouble(v))
+      case "coef0" =>
+        if (kernel == "sigmoid") ParamPair(nysStage.coef0, asDouble(v))
+        else ParamPair(polyStage.coef0, asDouble(v))
       case other => throw new IllegalArgumentException(s"unsupported search param: $other")
     }
   }

@@ -108,6 +108,57 @@ class DetectorsSpec extends SparkSpec {
     assert(e.getMessage.contains("rbf"))
   }
 
+  test("D3 Jacobi symEig: A·vᵢ = λᵢ·vᵢ on an indefinite symmetric matrix") {
+    val n = 8
+    // deterministic symmetric matrix with mixed-sign spectrum
+    val a = Array.tabulate(n, n)((i, j) =>
+      Rff.gaussian(11L, math.min(i, j).toLong, math.max(i, j).toLong))
+    val (evals, v) = Nystroem.symEig(a)
+    assert(evals.exists(_ > 0) && evals.exists(_ < 0), "spectrum should be indefinite")
+    for (c <- 0 until n) {
+      val av = (0 until n).map(r => (0 until n).map(k => a(r)(k) * v(k)(c)).sum)
+      av.zipWithIndex.foreach { case (x, r) =>
+        assert(math.abs(x - evals(c) * v(r)(c)) < 1e-8,
+          s"eigenpair $c row $r: $x vs ${evals(c) * v(r)(c)}")
+      }
+      // columns orthonormal
+      val nrm = (0 until n).map(r => v(r)(c) * v(r)(c)).sum
+      assert(math.abs(nrm - 1.0) < 1e-10)
+    }
+  }
+
+  test("D3 Nystroem with m = n reproduces a PSD kernel exactly on the sample") {
+    import spark.implicits._
+    val pts = (0 until 20).map { i =>
+      (i.toLong, org.apache.spark.ml.linalg.Vectors.dense(
+        Array.tabulate(3)(j => Rff.gaussian(5L, i.toLong, j.toLong))))
+    }.toDF("id", "v")
+    val model = new NystroemKernelMap().setKernel("rbf").setGamma(0.5)
+      .setNumComponents(20).setSeed(9L).setInputCol("v").setOutputCol("phi")
+      .fit(pts)
+    val out = model.transform(pts).select("v", "phi").collect()
+      .map(r => (r.getAs[org.apache.spark.ml.linalg.Vector](0).toArray,
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toArray))
+    // with every sample point a landmark, phi(x)·phi(y) = k(x,y) exactly
+    for ((xa, pa) <- out; (xb, pb) <- out) {
+      val want = {
+        var s = 0.0
+        for (j <- xa.indices) { val d = xa(j) - xb(j); s += d * d }
+        math.exp(-0.5 * s)
+      }
+      val got = pa.zip(pb).map { case (p, q) => p * q }.sum
+      assert(math.abs(got - want) < 1e-6, s"$got vs $want")
+    }
+  }
+
+  test("D3 SVM sigmoid kernel (Nystroem landmark map, OneVsRest multiclass)") {
+    // sklearn parity surface: kernel='sigmoid' must train and classify;
+    // gamma='scale' + coef0=0 on standardized blobs behaves near-linear,
+    // so the blobs floor applies
+    val det = new SVMFaultDetector(kernel = "sigmoid", maxIter = 30)
+    checkDetector(det)
+  }
+
   test("D4 gradient boosting (OneVsRest over binary GBT)") {
     val det = new GradientBoostingFaultDetector(nEstimators = 10, maxDepth = 3)
     checkDetector(det)
