@@ -144,6 +144,123 @@ object PipelineQueries {
         SELECT source, pack AS pack_id, count(*) AS n_docs,
           CAST(sum(tok) AS BIGINT) AS total_tokens
         FROM r GROUP BY source, pack
+      """.stripMargin.trim)),
+
+    // ── X27: Gopher-rule quality signals (Rae et al. 2021 A1) — word
+    //    shape, stopword hits, top-2-gram repetition, and the composed
+    //    keep/drop verdict, all replayed exactly in DuckDB (the verdict
+    //    compares UNROUNDED doubles on both sides — identical arithmetic
+    //    → identical branches) ──
+    QueryDef(
+      "x27_gopher_quality",
+      (s, dir) => {
+        val stats = graft.text.Quality.ngramRepetitionStats(
+          graft.text.Quality.gopherTextStats(Tables.documents(s, dir), "text"),
+          "text", n = 2)
+        stats.select(col("doc_id"), col("word_count"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("alpha_word_frac"), 6).as("alpha_word_frac"),
+          col("stopword_hits"), col("top_ngram"), col("top_ngram_count"),
+          round(col("top_ngram_char_frac"), 6).as("top_ngram_char_frac"),
+          round(col("dup_word_frac"), 6).as("dup_word_frac"),
+          graft.text.Quality.gopherPasses().cast("int").as("passes"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT doc_id, text,
+            list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS ws
+          FROM documents
+        ), base AS (
+          SELECT doc_id, text, ws, len(ws) AS wc,
+            CASE WHEN len(ws) >= 2
+              THEN list_transform(generate_series(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END AS gs
+          FROM w
+        ), g AS (SELECT doc_id, unnest(gs) AS gr FROM base),
+        cnt AS (SELECT doc_id, gr, count(*) AS c FROM g GROUP BY doc_id, gr),
+        top AS (
+          SELECT doc_id, gr, c FROM (
+            SELECT doc_id, gr, c,
+              row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gr ASC) AS rn
+            FROM cnt) t WHERE rn = 1
+        ), raw AS (
+          SELECT b.doc_id, wc,
+            list_aggregate(list_transform(ws, x -> len(x)), 'sum') / greatest(wc, 1) AS mwl,
+            (len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) / 3) / greatest(wc, 1) AS sym,
+            len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) / greatest(wc, 1) AS alpha,
+            len(list_filter(list_transform(ws, x -> lower(x)),
+              x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS stop,
+            COALESCE(top.gr, '') AS tg, COALESCE(top.c, 0) AS tc,
+            COALESCE(top.c * len(top.gr), 0) / greatest(len(array_to_string(ws, ' ')), 1) AS tfrac,
+            (wc - len(list_distinct(ws))) / greatest(wc, 1) AS dwf
+          FROM base b LEFT JOIN top ON b.doc_id = top.doc_id
+        )
+        SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+          round(mwl, 6) AS mean_word_len,
+          round(sym, 6) AS symbol_word_ratio,
+          round(alpha, 6) AS alpha_word_frac,
+          CAST(stop AS BIGINT) AS stopword_hits,
+          tg AS top_ngram, CAST(tc AS BIGINT) AS top_ngram_count,
+          round(tfrac, 6) AS top_ngram_char_frac,
+          round(dwf, 6) AS dup_word_frac,
+          CAST(wc BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+            AND sym <= 0.1 AND alpha >= 0.8 AND stop >= 2
+            AND tfrac <= 0.2 AS INT) AS passes
+        FROM raw
+      """.stripMargin.trim)),
+
+    // ── X28: PII/URL redaction — deterministic synthetic PII (the
+    //    corpus has none) appended per doc_id class, then the chained
+    //    regex scrub; oracle replays the same RE2-safe patterns and
+    //    compares md5 of the scrubbed text plus pre-scrub detection
+    //    flags ──
+    QueryDef(
+      "x28_pii_scrub",
+      (s, dir) => {
+        import graft.text.Quality
+        val d = col("doc_id")
+        val aug = when(d % 4 === 0, concat(col("text"),
+            lit(" reach me at user"), d.cast("string"),
+            lit("@mail.example.org or https://t.example.com/p/"), d.cast("string")))
+          .when(d % 4 === 1, concat(col("text"),
+            lit(" server 10.0."), (d % 200).cast("string"), lit(".7 logged")))
+          .when(d % 4 === 2, concat(col("text"),
+            lit(" call +1 (415) 555-0"), lpad((d % 100).cast("string"), 3, "0")))
+          .otherwise(col("text"))
+        Tables.documents(s, dir).select(d, aug.as("__aug"))
+          .select(d,
+            md5(Quality.scrubPii(col("__aug"))).as("scrub_hash"),
+            Quality.piiFlag(col("__aug"), "email").cast("int").as("had_email"),
+            Quality.piiFlag(col("__aug"), "url").cast("int").as("had_url"),
+            Quality.piiFlag(col("__aug"), "ip").cast("int").as("had_ip"),
+            Quality.piiFlag(col("__aug"), "phone").cast("int").as("had_phone"))
+      },
+      Some("""
+        WITH aug AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 4 = 0 THEN concat(text, ' reach me at user',
+                   doc_id::VARCHAR, '@mail.example.org or https://t.example.com/p/',
+                   doc_id::VARCHAR)
+                 WHEN doc_id % 4 = 1 THEN concat(text, ' server 10.0.',
+                   (doc_id % 200)::VARCHAR, '.7 logged')
+                 WHEN doc_id % 4 = 2 THEN concat(text, ' call +1 (415) 555-0',
+                   lpad((doc_id % 100)::VARCHAR, 3, '0'))
+                 ELSE text END AS a
+          FROM documents
+        )
+        SELECT doc_id,
+          md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(a,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            'https?://[^\s]+', '<URL>', 'g'),
+            '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+            '\+?\d[\d\s().-]{7,}\d', '<PHONE>', 'g')) AS scrub_hash,
+          CAST(regexp_matches(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS INT) AS had_email,
+          CAST(regexp_matches(a, 'https?://[^\s]+') AS INT) AS had_url,
+          CAST(regexp_matches(a, '\b(\d{1,3}\.){3}\d{1,3}\b') AS INT) AS had_ip,
+          CAST(regexp_matches(a, '\+?\d[\d\s().-]{7,}\d') AS INT) AS had_phone
+        FROM aug
       """.stripMargin.trim))
   )
 }

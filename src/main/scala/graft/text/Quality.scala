@@ -1,0 +1,178 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality signals for LLM training-data curation (SURVEY §2.8
+  * north-star), following the published Gopher rules (Rae et al. 2021,
+  * "Scaling Language Models: ... Gopher", Appendix A1) and standard PII
+  * redaction practice. Everything here is pure Catalyst expressions —
+  * higher-order array functions and regexes, no UDFs, no shuffle — so a
+  * 100 TB corpus pays one codegen'd map pass.
+  *
+  * Array-heavy signals bind their intermediates ONCE via the
+  * `element_at(transform(array(x), v => …), 1)` idiom (see
+  * [[TextOps.charShingles]]): interpreted HOF lambdas re-evaluate
+  * referenced outer expressions per element, so the token list, gram
+  * list, etc. are introduced as lambda variables instead.
+  */
+object Quality {
+
+  /** Gopher's stop list (A1.1 last rule). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def words(text: Column): Column =
+    filter(split(trim(text), "\\s+"), w => length(w) > 0)
+
+  private def nonEmptyLines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Word-shape signals (Gopher A1.1): appends
+    * `word_count`, `mean_word_len`, `symbol_word_ratio` (# and … per
+    * word), `alpha_word_frac` (words containing a letter), and
+    * `stopword_hits` (occurrences of the Gopher stop list).
+    */
+  def gopherTextStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val s = element_at(transform(array(words(t)), ws => {
+      val wc = size(ws).cast("long")
+      val wcG = greatest(wc, lit(1L)).cast("double")
+      val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+      val dots = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("double")
+      struct(
+        wc.as("word_count"),
+        (aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / wcG)
+          .as("mean_word_len"),
+        ((hashes + dots) / wcG).as("symbol_word_ratio"),
+        (size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / wcG)
+          .as("alpha_word_frac"),
+        size(filter(transform(ws, w => lower(w)),
+          w => w.isInCollection(gopherStopwords))).cast("long").as("stopword_hits"))
+    }), 1)
+    df.withColumn("__g", s)
+      .withColumn("word_count", col("__g.word_count"))
+      .withColumn("mean_word_len", col("__g.mean_word_len"))
+      .withColumn("symbol_word_ratio", col("__g.symbol_word_ratio"))
+      .withColumn("alpha_word_frac", col("__g.alpha_word_frac"))
+      .withColumn("stopword_hits", col("__g.stopword_hits"))
+      .drop("__g")
+  }
+
+  /** Line-repetition signals (Gopher A1.2 duplicate-line rules): appends
+    * `dup_line_frac` (fraction of non-empty lines that are repeats of an
+    * earlier-or-later identical line) and `dup_line_char_frac` (fraction
+    * of line characters inside duplicated lines). Single-line documents
+    * score 0 on both.
+    */
+  def lineRepetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val s = element_at(transform(array(nonEmptyLines(col(textCol))), ls => {
+      val n = size(ls).cast("double")
+      val nG = greatest(n, lit(1d))
+      val totChars = greatest(
+        aggregate(ls, lit(0L), (a, l) => a + length(l)).cast("double"), lit(1d))
+      val dupChars = aggregate(array_distinct(ls), lit(0L), (a, d) => {
+        val occ = size(filter(ls, l => l === d)).cast("long")
+        a + when(occ >= 2, occ * length(d).cast("long")).otherwise(lit(0L))
+      }).cast("double")
+      struct(
+        ((n - size(array_distinct(ls)).cast("double")) / nG).as("dup_line_frac"),
+        (dupChars / totChars).as("dup_line_char_frac"))
+    }), 1)
+    df.withColumn("__l", s)
+      .withColumn("dup_line_frac", col("__l.dup_line_frac"))
+      .withColumn("dup_line_char_frac", col("__l.dup_line_char_frac"))
+      .drop("__l")
+  }
+
+  /** Word n-gram repetition (Gopher A1.2 top-n-gram rule): appends
+    * `top_ngram` (the most frequent word `n`-gram, count ties broken by
+    * the lexicographically smallest gram), `top_ngram_count`, and
+    * `top_ngram_char_frac` (characters covered by its occurrences over
+    * the space-joined token stream), plus `dup_word_frac`
+    * (1 − distinct/total words — the word-level analogue of the
+    * duplicate-line fraction, useful on unstructured text).
+    */
+  def ngramRepetitionStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val s = element_at(transform(array(words(col(textCol))), ws => {
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      element_at(transform(array(grams), gs => {
+        val best = aggregate(array_distinct(gs),
+          struct(lit(0L).as("cnt"), lit("").as("g")),
+          (acc, d) => {
+            val cnt = size(filter(gs, x => x === d)).cast("long")
+            when(cnt > acc.getField("cnt") ||
+              (cnt === acc.getField("cnt") && d < acc.getField("g")),
+              struct(cnt.as("cnt"), d.as("g"))).otherwise(acc)
+          })
+        element_at(transform(array(best), b => {
+          val joinedLen = greatest(
+            length(concat_ws(" ", ws)).cast("double"), lit(1d))
+          struct(
+            b.getField("g").as("top_ngram"),
+            b.getField("cnt").as("top_ngram_count"),
+            ((b.getField("cnt") * length(b.getField("g"))).cast("double") / joinedLen)
+              .as("top_ngram_char_frac"),
+            ((size(ws) - size(array_distinct(ws))).cast("double") /
+              greatest(size(ws), lit(1)).cast("double")).as("dup_word_frac"))
+        }), 1)
+      }), 1)
+    }), 1)
+    df.withColumn("__n", s)
+      .withColumn("top_ngram", col("__n.top_ngram"))
+      .withColumn("top_ngram_count", col("__n.top_ngram_count"))
+      .withColumn("top_ngram_char_frac", col("__n.top_ngram_char_frac"))
+      .withColumn("dup_word_frac", col("__n.dup_word_frac"))
+      .drop("__n")
+  }
+
+  /** The Gopher keep/drop verdict over columns produced by the stats
+    * above (published A1 thresholds; word-count bounds relaxed to
+    * parameters so small test corpora can exercise both branches).
+    */
+  def gopherPasses(
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minMeanWordLen: Double = 3d, maxMeanWordLen: Double = 10d,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwordHits: Long = 2L, maxTopNgramFrac: Double = 0.2): Column =
+    col("word_count").between(minWords, maxWords) &&
+      col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      col("symbol_word_ratio") <= maxSymbolRatio &&
+      col("alpha_word_frac") >= minAlphaFrac &&
+      col("stopword_hits") >= minStopwordHits &&
+      col("top_ngram_char_frac") <= maxTopNgramFrac
+
+  // ── PII / URL redaction ──────────────────────────────────────────────
+
+  /** Redaction patterns, applied in this order — order matters: emails
+    * before URLs (both contain dots), IPs before phones (an IPv4 is a
+    * digit run the phone heuristic would otherwise eat). All patterns
+    * are RE2-compatible (no backreferences/lookaround) so the DuckDB
+    * oracle replays them verbatim.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^\\s]+", "<URL>"),
+    ("ip", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+
+  /** Replace emails, URLs, IPv4s and phone-shaped digit runs with typed
+    * placeholder tokens — the standard pre-training scrub. Pure chained
+    * `regexp_replace`, codegen'd, no shuffle.
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, re, token)) =>
+      regexp_replace(acc, re, token)
+    }
+
+  /** One detection flag column (pre-scrub) per pattern kind. */
+  def piiFlag(text: Column, kind: String): Column = {
+    val re = piiPatterns.collectFirst { case (`kind`, r, _) => r }
+      .getOrElse(throw new IllegalArgumentException(s"unknown pii kind $kind"))
+    text.rlike(re)
+  }
+}

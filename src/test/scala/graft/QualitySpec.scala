@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Quality
+
+/** Gopher-rule quality signals and PII scrubbing — hand-computed goldens. */
+class QualitySpec extends SparkSpec {
+
+  test("gopherTextStats: word shape, symbols, alpha fraction, stopword hits") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat and the hat ### sat ... here 42")).toDF("doc_id", "text")
+    val out = Quality.gopherTextStats(df, "text").head()
+    // words: the cat and the hat ### sat ... here 42 → 10 words
+    assert(out.getAs[Long]("word_count") == 10L)
+    // total chars = 3+3+3+3+3+3+3+3+4+2 = 30 → mean 3.0
+    assert(math.abs(out.getAs[Double]("mean_word_len") - 3.0) < 1e-12)
+    // 3 hashes + 1 ellipsis = 4 symbols / 10 words
+    assert(math.abs(out.getAs[Double]("symbol_word_ratio") - 0.4) < 1e-12)
+    // words with a letter: all but "###", "...", "42" → 7/10
+    assert(math.abs(out.getAs[Double]("alpha_word_frac") - 0.7) < 1e-12)
+    // stop list occurrences: the, and, the → 3
+    assert(out.getAs[Long]("stopword_hits") == 3L)
+  }
+
+  test("lineRepetitionStats: duplicate lines and duplicated characters") {
+    import spark.implicits._
+    val text = Seq("alpha beta", "unique line", "alpha beta", "", "  ", "tail").mkString("\n")
+    val df = Seq((1L, text), (2L, "single line only")).toDF("doc_id", "text")
+    val out = Quality.lineRepetitionStats(df, "text")
+      .orderBy("doc_id").collect()
+    // doc 1: non-empty lines = [alpha beta, unique line, alpha beta, tail]
+    // dup fraction = 1 − 3/4; dup chars = 2·10 over 10+11+10+4 = 35
+    assert(math.abs(out(0).getAs[Double]("dup_line_frac") - 0.25) < 1e-12)
+    assert(math.abs(out(0).getAs[Double]("dup_line_char_frac") - 20.0 / 35.0) < 1e-12)
+    // doc 2: single line → both zero
+    assert(out(1).getAs[Double]("dup_line_frac") == 0.0)
+    assert(out(1).getAs[Double]("dup_line_char_frac") == 0.0)
+  }
+
+  test("ngramRepetitionStats: top 2-gram count, char fraction, tie-break") {
+    import spark.implicits._
+    // "a b a b a" → grams: [a b, b a, a b, b a] — 'a b' and 'b a' both
+    // count 2; tie broken by lexicographically smallest → 'a b'
+    val df = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val out = Quality.ngramRepetitionStats(df, "text", n = 2).head()
+    assert(out.getAs[String]("top_ngram") == "a b")
+    assert(out.getAs[Long]("top_ngram_count") == 2L)
+    // 2 occurrences × 3 chars over joined length 9
+    assert(math.abs(out.getAs[Double]("top_ngram_char_frac") - 6.0 / 9.0) < 1e-12)
+    // 5 words, 2 distinct → dup_word_frac 0.6
+    assert(math.abs(out.getAs[Double]("dup_word_frac") - 0.6) < 1e-12)
+  }
+
+  test("ngramRepetitionStats: short doc yields empty top gram, zero fraction") {
+    import spark.implicits._
+    val out = Quality.ngramRepetitionStats(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "text", n = 2).head()
+    assert(out.getAs[String]("top_ngram") == "")
+    assert(out.getAs[Long]("top_ngram_count") == 0L)
+    assert(out.getAs[Double]("top_ngram_char_frac") == 0.0)
+  }
+
+  test("scrubPii: email, url, ip, phone each redacted; order prevents cross-eating") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "mail me a.b+c@sub.example.org today",
+        "mail me <EMAIL> today"),
+      (2L, "see https://ex.com/a?b=1 and http://plain.io now",
+        "see <URL> and <URL> now"),
+      (3L, "host 192.168.0.17 up", "host <IP> up"),
+      (4L, "call +1 (415) 555-0134 now", "call <PHONE> now"),
+      // an IPv4 must become <IP>, not be eaten by the phone heuristic
+      (5L, "ip 10.0.123.7 and phone 415-555-0134 both",
+        "ip <IP> and phone <PHONE> both"),
+      (6L, "no pii here at all", "no pii here at all"))
+    val df = cases.map { case (i, in, _) => (i, in) }.toDF("id", "t")
+    val got = df.select(col("id"), Quality.scrubPii(col("t")).as("s"))
+      .orderBy("id").collect().map(_.getString(1))
+    cases.map(_._3).zip(got).foreach { case (want, g) => assert(g == want, s"$g != $want") }
+    // flags
+    val flags = df.select(col("id"),
+      Quality.piiFlag(col("t"), "email").as("e"),
+      Quality.piiFlag(col("t"), "ip").as("i")).orderBy("id").collect()
+    assert(flags(0).getBoolean(1) && !flags(0).getBoolean(2))
+    assert(!flags(5).getBoolean(1) && !flags(5).getBoolean(2))
+  }
+
+  test("gopherPasses: verdict flips on word count and repetition thresholds") {
+    import spark.implicits._
+    // unique tokens after the stopword lead-in, so no 2-gram repeats
+    val good = "the quick brown fox and the lazy dog saw " +
+      Seq.tabulate(60)(i => s"token$i").mkString(" ")
+    val repetitive = Seq.fill(60)("spam spam").mkString(" ")
+    val short = "the end of it"
+    val df = Seq((1L, good), (2L, repetitive), (3L, short)).toDF("doc_id", "text")
+    val out = Quality.ngramRepetitionStats(
+      Quality.gopherTextStats(df, "text"), "text", n = 2)
+      .withColumn("passes", Quality.gopherPasses())
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("passes"), "varied long doc should pass")
+    assert(!out(1).getAs[Boolean]("passes"), "top-2gram repetition should fail")
+    assert(!out(2).getAs[Boolean]("passes"), "short doc should fail")
+  }
+}
