@@ -154,9 +154,10 @@ object PipelineQueries {
     QueryDef(
       "x27_gopher_quality",
       (s, dir) => {
-        val stats = graft.text.Quality.ngramRepetitionStats(
-          graft.text.Quality.gopherTextStats(Tables.documents(s, dir), "text"),
-          "text", n = 2)
+        // fused single-tokenization form of
+        // ngramRepetitionStats ∘ gopherTextStats — identical columns
+        val stats = graft.text.Quality.gopherAllStats(
+          Tables.documents(s, dir), "text", n = 2)
         stats.select(col("doc_id"), col("word_count"),
           round(col("mean_word_len"), 6).as("mean_word_len"),
           round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),

@@ -55,6 +55,13 @@ class PolynomialKernelMap(override val uid: String)
     val r = $(coef0)
     require(deg >= 1, s"degree must be ≥ 1, got $deg")
     require(r >= 0, s"coef0 must be ≥ 0 for a real-valued feature map, got $r")
+    // Fail fast on the driver when the input width is known from ML
+    // attribute metadata (VectorAssembler and friends always write it);
+    // without metadata the same require fires executor-side in
+    // Poly.terms on the first row — correct but a task failure mid-job.
+    val ag = org.apache.spark.ml.attribute.AttributeGroup
+      .fromStructField(ds.schema($(inputCol)))
+    if (ag.size > 0) Poly.requireTractable(ag.size, deg)
     val f = udf { v: Vector =>
       val dim = v.size
       val g = if (g0 > 0) g0 else 1.0 / dim
@@ -94,6 +101,22 @@ object Poly {
     */
   val MaxExpandedTerms: Int = 20000
 
+  /** Expanded dimensionality of the exact map: `C(dim+degree, degree)`. */
+  def expandedTerms(dim: Int, degree: Int): Long = binomial(dim + degree, degree)
+
+  /** The output-dimension cap, shared by the driver-side check in
+    * [[PolynomialKernelMap.transform]] and the executor-side one in
+    * [[terms]].
+    */
+  def requireTractable(dim: Int, degree: Int): Unit = {
+    val nTerms = expandedTerms(dim, degree)
+    require(nTerms <= MaxExpandedTerms,
+      s"poly kernel expansion has $nTerms terms for dim=$dim degree=$degree " +
+        s"(> MaxExpandedTerms = $MaxExpandedTerms); use kernel='rbf' " +
+        "(RandomFourierFeatures) instead — the explicit map is only " +
+        "tractable at modest input widths")
+  }
+
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Double, Double), (Array[Array[Int]], Array[Double])]
 
@@ -103,10 +126,7 @@ object Poly {
     */
   def terms(dim: Int, degree: Int, gamma: Double, coef0: Double): (Array[Array[Int]], Array[Double]) =
     cache.getOrElseUpdate((dim, degree, gamma, coef0), {
-      val nTerms = binomial(dim + degree, degree)
-      require(nTerms <= MaxExpandedTerms,
-        s"poly kernel expansion has $nTerms terms for dim=$dim degree=$degree " +
-          s"(> $MaxExpandedTerms); use kernel='rbf' (RandomFourierFeatures) instead")
+      requireTractable(dim, degree)
       val exps = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
       val cur = new Array[Int](dim)
       def rec(pos: Int, remaining: Int): Unit =

@@ -29,13 +29,33 @@ object Pipeline {
     * `idCol, n_shared_grams, n_grams, overlap` (shared fraction of the
     * doc's distinct grams).
     */
+  /** Default ceiling on the benchmark side of [[contaminationReport]]'s
+    * broadcast: eval suites are thousands-to-hundreds-of-thousands of
+    * documents by definition, and 100k docs × a few hundred distinct
+    * grams each is comfortably inside an executor broadcast budget. Past
+    * it the broadcast-gram plan is the wrong tool at any cluster size —
+    * the caller has almost certainly swapped the corpus and bench sides.
+    */
+  val MaxBenchDocs: Long = 100000L
+
   def contaminationReport(
       corpus: DataFrame,
       bench: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 5,
-      minShared: Int = 1): DataFrame = {
+      minShared: Int = 1,
+      maxBenchDocs: Long = MaxBenchDocs): DataFrame = {
+    // Bounded row probe before the broadcast (the Knn.guardedBroadcast
+    // shape): limit(max+1).count() short-circuits — it never scans the
+    // full frame — and fails fast instead of OOMing executors mid-join.
+    val probeCap = math.min(maxBenchDocs + 1, Int.MaxValue.toLong).toInt
+    val probe = bench.limit(probeCap).count()
+    require(probe <= maxBenchDocs,
+      s"contaminationReport broadcasts the benchmark side's distinct $n-gram " +
+        s"set, but bench exceeds $maxBenchDocs rows (maxBenchDocs); eval " +
+        "suites are driver-small by definition — check the corpus and bench " +
+        "arguments aren't swapped, or raise maxBenchDocs deliberately")
     val grams = TextOps.wordShingles(col(textCol), n)
     val corpusGrams = corpus
       .select(col(idCol).as("__id"), grams.as("__gs"))

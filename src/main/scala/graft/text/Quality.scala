@@ -130,6 +130,74 @@ object Quality {
       .drop("__n")
   }
 
+  /** All word-shape and n-gram-repetition signals in ONE pass: the text
+    * is tokenized once, the gram list derived from the bound token list,
+    * and the top-gram mode found by sort + linear run-scan (equal grams
+    * are adjacent after `array_sort`, so a (prev, run, best) fold finds
+    * the max count in O(g log g) instead of the filter-per-distinct-gram
+    * O(distinct·g) scan). Strict `>` keeps the FIRST max run, which in
+    * sorted order is the lexicographically smallest gram — the same
+    * tie-break as [[ngramRepetitionStats]]. Output columns and values are
+    * identical to `ngramRepetitionStats(gopherTextStats(df,_),_, n)`; use
+    * this form when both signal families are wanted (the x27 shape).
+    */
+  def gopherAllStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = col(textCol)
+    val s = element_at(transform(array(words(t)), ws => {
+      val wc = size(ws).cast("long")
+      val wcG = greatest(wc, lit(1L)).cast("double")
+      val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("double")
+      val dots = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("double")
+      val grams = when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      element_at(transform(array(array_sort(grams)), gs => {
+        val best = aggregate(gs,
+          struct(lit("").as("prev"), lit(0L).as("run"),
+            lit("").as("bg"), lit(0L).as("bc")),
+          (acc, x) => {
+            val run2 = when(x === acc.getField("prev"), acc.getField("run") + 1)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run2.as("run"),
+              when(run2 > acc.getField("bc"), x)
+                .otherwise(acc.getField("bg")).as("bg"),
+              when(run2 > acc.getField("bc"), run2)
+                .otherwise(acc.getField("bc")).as("bc"))
+          })
+        val joinedLen = greatest(
+          length(concat_ws(" ", ws)).cast("double"), lit(1d))
+        struct(
+          wc.as("word_count"),
+          (aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / wcG)
+            .as("mean_word_len"),
+          ((hashes + dots) / wcG).as("symbol_word_ratio"),
+          (size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("double") / wcG)
+            .as("alpha_word_frac"),
+          size(filter(transform(ws, w => lower(w)),
+            w => w.isInCollection(gopherStopwords))).cast("long").as("stopword_hits"),
+          best.getField("bg").as("top_ngram"),
+          best.getField("bc").as("top_ngram_count"),
+          ((best.getField("bc") * length(best.getField("bg"))).cast("double") / joinedLen)
+            .as("top_ngram_char_frac"),
+          ((size(ws) - size(array_distinct(ws))).cast("double") /
+            greatest(size(ws), lit(1)).cast("double")).as("dup_word_frac"))
+      }), 1)
+    }), 1)
+    df.withColumn("__q", s)
+      .withColumn("word_count", col("__q.word_count"))
+      .withColumn("mean_word_len", col("__q.mean_word_len"))
+      .withColumn("symbol_word_ratio", col("__q.symbol_word_ratio"))
+      .withColumn("alpha_word_frac", col("__q.alpha_word_frac"))
+      .withColumn("stopword_hits", col("__q.stopword_hits"))
+      .withColumn("top_ngram", col("__q.top_ngram"))
+      .withColumn("top_ngram_count", col("__q.top_ngram_count"))
+      .withColumn("top_ngram_char_frac", col("__q.top_ngram_char_frac"))
+      .withColumn("dup_word_frac", col("__q.dup_word_frac"))
+      .drop("__q")
+  }
+
   /** The Gopher keep/drop verdict over columns produced by the stats
     * above (published A1 thresholds; word-count bounds relaxed to
     * parameters so small test corpora can exercise both branches).

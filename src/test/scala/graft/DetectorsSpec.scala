@@ -108,6 +108,22 @@ class DetectorsSpec extends SparkSpec {
     assert(e.getMessage.contains("rbf"))
   }
 
+  test("D3 poly map fails fast on the driver when width metadata is present") {
+    import spark.implicits._
+    import org.apache.spark.ml.attribute.AttributeGroup
+    import org.apache.spark.ml.linalg.Vectors
+    // dim=100, degree=3 → C(103,3) = 176851 > MaxExpandedTerms; the
+    // AttributeGroup metadata lets transform() refuse before any job runs
+    val df = Seq(Tuple1(Vectors.dense(Array.fill(100)(0.0)))).toDF("feat")
+      .select(col("feat").as("feat", new AttributeGroup("feat", 100).toMetadata()))
+    val e = intercept[IllegalArgumentException] {
+      new PolynomialKernelMap().setInputCol("feat").setOutputCol("phi")
+        .setDegree(3).transform(df)
+    }
+    assert(e.getMessage.contains("MaxExpandedTerms"))
+    assert(Poly.expandedTerms(100, 3) == 176851L)
+  }
+
   test("D3 Jacobi symEig: A·vᵢ = λᵢ·vᵢ on an indefinite symmetric matrix") {
     val n = 8
     // deterministic symmetric matrix with mixed-sign spectrum

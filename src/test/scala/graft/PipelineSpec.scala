@@ -65,6 +65,21 @@ class PipelineSpec extends SparkSpec {
     assert(!out.contains(2L))
   }
 
+  test("contamination guards the bench broadcast with a bounded row probe") {
+    import spark.implicits._
+    val corpus = Seq((1L, "some corpus text")).toDF("doc_id", "text")
+    val bench = (0 until 10).map(i => (i.toLong, s"bench doc $i"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.contaminationReport(corpus, bench, "doc_id", "text",
+        maxBenchDocs = 5L)
+    }
+    assert(ex.getMessage.contains("maxBenchDocs"))
+    // at the limit it proceeds (guard counts at most max+1 rows)
+    Pipeline.contaminationReport(corpus, bench, "doc_id", "text",
+      maxBenchDocs = 10L).collect()
+  }
+
   test("stratified sampling is deterministic and tracks target rates") {
     import spark.implicits._
     val df = (0 until 2000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))

@@ -61,6 +61,27 @@ class QualitySpec extends SparkSpec {
     assert(out.getAs[Double]("top_ngram_char_frac") == 0.0)
   }
 
+  test("gopherAllStats equals the composed two-pass form column for column") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the hat ### sat ... here 42"),
+      (2L, "a b a b a"),
+      (3L, "solo"),
+      (4L, ""),
+      (5L, "z y x w z y x w z y the be to of and that have with"),
+      (6L, Seq.fill(40)("spam spam").mkString(" "))).toDF("doc_id", "text")
+    val cols = Seq("word_count", "mean_word_len", "symbol_word_ratio",
+      "alpha_word_frac", "stopword_hits", "top_ngram", "top_ngram_count",
+      "top_ngram_char_frac", "dup_word_frac").map(col)
+    val fused = Quality.gopherAllStats(df, "text", n = 2)
+      .select(col("doc_id") +: cols: _*)
+    val composed = Quality.ngramRepetitionStats(
+      Quality.gopherTextStats(df, "text"), "text", n = 2)
+      .select(col("doc_id") +: cols: _*)
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty,
+      "fused and composed quality stats must be identical")
+  }
+
   test("scrubPii: email, url, ip, phone each redacted; order prevents cross-eating") {
     import spark.implicits._
     val cases = Seq(
