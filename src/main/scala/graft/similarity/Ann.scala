@@ -175,20 +175,22 @@ object Ann {
       threshold: Double,
       bands: Int = 16,
       bitsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = graft.text.TextOps.MaxBucket): DataFrame = {
     require(bands * bitsPerBand <= 63)
     val mask = (1L << bitsPerBand) - 1
     val banded = hyperplaneSignatures(df, idCol, featCol, dim, bands * bitsPerBand, seed)
-      .select(col("__id"),
+      .select(col("__id").as("__e"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             shiftright(col("__sig"), b * bitsPerBand).bitwiseAND(mask).as("v"))
         }: _*)).as("__b"))
-      .select(col("__id"), col("__b.band").as("__band"), col("__b.v").as("__bv"))
-    val candIds = banded.as("l")
-      .join(banded.as("r"), col("l.__band") === col("r.__band") && col("l.__bv") === col("r.__bv"))
-      .filter(col("l.__id") < col("r.__id"))
-      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .select(col("__e"), col("__b.band").as("__band"), col("__b.v").as("__key"))
+    // bucket-grouped pair generation with the hot-bucket cap (the
+    // TextOps.cappedBucketPairs kernel): signatures are computed once, a
+    // mass-duplicate bucket emits B−1 star pairs instead of B²/2
+    val candIds = graft.text.TextOps.cappedBucketPairs(banded, maxBucket)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val f = df.select(col(idCol).as("__fid"), col(featCol).as("__f"))
       .withColumn("__n", norm(col("__f")))

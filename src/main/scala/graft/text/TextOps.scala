@@ -210,6 +210,73 @@ object TextOps {
         .as("__sig"))
   }
 
+  /** Default hot-bucket cap for the banded near-dup paths
+    * ([[nearDupPairsBy]], [[simHashDupPairs]],
+    * [[graft.similarity.Ann.cosineDupPairs]]): buckets holding more than
+    * this many candidates collapse to star pairs against the bucket's
+    * minimum id instead of emitting all B²/2 in-bucket pairs. Chosen well
+    * above anything a non-pathological band produces (a 16-band MinHash
+    * bucket at j≈0.3 background similarity holds a handful of ids) — only
+    * a genuine mass-duplicate cluster trips it, and for such a cluster the
+    * star spanning tree preserves the dedup semantics (every member links
+    * to the representative; the exact verify still runs per pair).
+    */
+  val MaxBucket = 256
+
+  /** In-bucket ordered candidate pairs with a hot-bucket cap — the shared
+    * kernel of the banded dedup paths. Input: `(__band, __key, __e)` rows,
+    * one per (doc, band); `__e` is the doc's id (or an id-first struct
+    * carrying a payload, e.g. the SimHash fingerprint). Output:
+    * `(__a, __b)` element pairs with `__a < __b`.
+    *
+    * Buckets with ≤ `maxBucket` members emit all ordered pairs exactly as
+    * before. Hotter buckets — a B-sized bucket is one mass-duplicate
+    * cluster, exactly what a dedup corpus produces — would otherwise
+    * surface as ONE `collect_list` row holding all B ids and a single task
+    * emitting B²/2 pairs (unbounded memory + a straggler at 100 TB), so
+    * they instead emit the B−1 star pairs `(min(__e), member)`: the
+    * spanning tree keeps the cluster connected through the downstream
+    * exact verify while output stays linear (the winnowing `maxDf` design,
+    * applied to buckets).
+    *
+    * Plan shape: a fixed-buffer stats pass (`count`, `min`) finds hot
+    * buckets — tiny by construction (≤ |banded|/maxBucket rows), so it
+    * BROADCASTS; the anti-join keeps hot buckets out of `collect_list`
+    * (every list buffer is ≤ maxBucket elements by construction, not by
+    * luck), and the star pairs stream off a broadcast join with no
+    * per-bucket buffering at all. The expensive upstream (signature
+    * aggregation) exchange is identical across the three consumers, so it
+    * is computed once and reused (ReusedExchange / AQE stage cache).
+    */
+  private[graft] def cappedBucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
+    require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
+    val stats = banded.groupBy(col("__band"), col("__key"))
+      .agg(count(lit(1)).as("__n"), min(col("__e")).as("__rep"))
+    val hot = stats.filter(col("__n") > maxBucket)
+      .select(col("__band"), col("__key"), col("__rep"))
+    val small = banded
+      .join(broadcast(hot), Seq("__band", "__key"), "left_anti")
+      .groupBy(col("__band"), col("__key"))
+      .agg(collect_list(col("__e")).as("__xs"))
+      .filter(size(col("__xs")) > 1)
+      // bind the SORTED array once (outer single-element transform) — the
+      // nested pair lambdas reference it per element, and interpreted HOFs
+      // re-evaluate their whole body per item (array_sort would re-sort
+      // per outer element otherwise)
+      .select(explode(element_at(
+        transform(array(array_sort(col("__xs"))), s =>
+          flatten(transform(s, (x, i) =>
+            transform(slice(s, i + 2, size(s)),
+              y => struct(x.as("a"), y.as("b")))))),
+        1)).as("__p"))
+    val star = banded
+      .join(broadcast(hot), Seq("__band", "__key"))
+      .filter(col("__e") =!= col("__rep"))
+      .select(struct(col("__rep").as("a"), col("__e").as("b")).as("__p"))
+    small.union(star)
+      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+  }
+
   /** Jaccard similarity of two distinct-element array columns.
     * `array_intersect` is hash-set based (O(|a|+|b|)), not a nested scan —
     * this sits on the hot path of the near-dup re-rank.
@@ -244,9 +311,10 @@ object TextOps {
       shingleN: Int = 5,
       numHashes: Int = 128,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame =
+      threshold: Double = 0.8,
+      maxBucket: Int = MaxBucket): DataFrame =
     nearDupPairsBy(df, idCol, charShingles(col(textCol), shingleN),
-      numHashes, bands, threshold)
+      numHashes, bands, threshold, maxBucket)
 
   /** [[nearDupPairs]] over an arbitrary shingle-array expression — word
     * n-gram Jaccard dedup is `nearDupPairsBy(df, id, wordShingles(text, 3))`.
@@ -257,34 +325,24 @@ object TextOps {
       shingles: Column,
       numHashes: Int = 128,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxBucket: Int = MaxBucket): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sigs = minHashSignaturesBy(df, idCol, shingles, numHashes)
     val banded = sigs.select(
-      col("__id"),
+      col("__id").as("__e"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), slice(col("__sig"), b * rows + 1, rows).as("key"))
       }: _*)).as("__b"))
-      .select(col("__id"), col("__b.band").as("__band"), col("__b.key").as("__key"))
+      .select(col("__e"), col("__b.band").as("__band"), col("__b.key").as("__key"))
     // bucket-grouped pair generation instead of a self-join: one shuffle of
     // (id, band, key) rows, in-bucket ordered pairs via array HOFs — the
     // signature pipeline is computed ONCE (a self-join would re-run it per
-    // side; exchange reuse is at the planner's mercy)
-    val bucketed = banded.groupBy(col("__band"), col("__key"))
-      .agg(collect_list(col("__id")).as("__xs"))
-      .filter(size(col("__xs")) > 1)
-    // sorted array bound once via the outer single-element transform —
-    // interpreted HOF lambdas re-evaluate referenced outer expressions
-    // (here the sort) per element otherwise
-    val pairs = bucketed
-      .select(explode(element_at(
-        transform(array(array_sort(col("__xs"))), s =>
-          flatten(transform(s, (x, i) =>
-            transform(slice(s, i + 2, size(s)),
-              y => struct(x.as("a"), y.as("b")))))),
-        1)).as("__p"))
-      .select(col("__p.a").as("id_a"), col("__p.b").as("id_b"))
+    // side; exchange reuse is at the planner's mercy) — with the hot-bucket
+    // cap of [[cappedBucketPairs]] bounding mass-duplicate clusters
+    val pairs = cappedBucketPairs(banded, maxBucket)
+      .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sh = df.select(col(idCol).as("__id"), shingles.as("__sh"))
     val shA = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
@@ -334,12 +392,15 @@ object TextOps {
       df: DataFrame,
       idCol: String,
       shingles: Column,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     val sims = simHashes(df, idCol, shingles)
     val banded = sims.select(
-      col("__id"), col("__sim"),
+      // id-first struct: bucket min/sort order is the id order, and the
+      // fingerprint rides along for the Hamming verify
+      struct(col("__id"), col("__sim")).as("__e"),
       explode(array((0 until nBands).map { b =>
         // last band absorbs the remainder bits
         val w = if (b == nBands - 1) 64 - b * width else width
@@ -347,21 +408,13 @@ object TextOps {
         struct(lit(b).as("band"),
           shiftright(col("__sim"), b * width).bitwiseAND(mask).as("v"))
       }: _*)).as("__b"))
-      .select(col("__id"), col("__sim"), col("__b.band").as("__band"), col("__b.v").as("__bv"))
+      .select(col("__e"), col("__b.band").as("__band"), col("__b.v").as("__key"))
     // bucket-grouped pair generation (see nearDupPairsBy): fingerprints are
-    // computed once; pairs mint inside each (band, value) bucket
-    val bucketed = banded.groupBy(col("__band"), col("__bv"))
-      .agg(collect_list(struct(col("__id"), col("__sim"))).as("__xs"))
-      .filter(size(col("__xs")) > 1)
-    bucketed
-      .select(explode(element_at(
-        transform(array(array_sort(col("__xs"))), s =>
-          flatten(transform(s, (x, i) =>
-            transform(slice(s, i + 2, size(s)),
-              y => struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
-                bit_count(x.getField("__sim").bitwiseXOR(y.getField("__sim"))).as("hamming")))))),
-        1)).as("__p"))
-      .select(col("__p.id_a"), col("__p.id_b"), col("__p.hamming"))
+    // computed once; pairs mint inside each (band, value) bucket, with the
+    // hot-bucket cap of [[cappedBucketPairs]]
+    cappedBucketPairs(banded, maxBucket)
+      .select(col("__a.__id").as("id_a"), col("__b.__id").as("id_b"),
+        bit_count(col("__a.__sim").bitwiseXOR(col("__b.__sim"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
   }

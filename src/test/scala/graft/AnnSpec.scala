@@ -200,6 +200,65 @@ class AnnSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (x, y) => y == 3L || x == 3L })
   }
 
+  test("hot-bucket cap: a planted 1k-way dup cluster emits linear star pairs, not B²/2") {
+    import spark.implicits._
+    val dupText = "the same boilerplate paragraph repeated verbatim across the corpus again and again"
+    val cluster = (0L until 1000L).map(i => (i, dupText))
+    val distinct = (0 until 10).map { i =>
+      val words = (0 until 40).map(j =>
+        "u" + (HashRandom.uniform(23L, i.toLong, j.toLong) * 100000).toInt)
+      (2000L + i, words.mkString(" "))
+    }
+    val df = (cluster ++ distinct).toDF("doc_id", "text")
+    val pairs = TextOps.nearDupPairs(df, "doc_id", "text", threshold = 0.8, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // star spanning tree: every cluster member links to the representative
+    // (min id 0), output is B−1 rows — NOT the 499500 all-pairs rows
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_._1 == 0L), "all capped pairs anchor at the min-id representative")
+    assert(pairs.map(_._2).toSet == (1L until 1000L).toSet)
+    assert(pairs.forall(_._3 == 1.0), "identical docs verify at jaccard 1.0")
+  }
+
+  test("hot-bucket cap: no behavior change when no bucket exceeds the cap") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      val words = (0 until 40).map(j =>
+        "w" + (HashRandom.uniform(29L, i.toLong, j.toLong) * 50).toInt)
+      (i.toLong, words.mkString(" "))
+    } ++ Seq(500L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9", 501L -> "w1 w2 w3 w4 w5 w6 w7 w8 w0")
+    val df = docs.toDF("doc_id", "text")
+    def run(cap: Int) = TextOps.nearDupPairs(df, "doc_id", "text", threshold = 0.5, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(TextOps.MaxBucket) == run(Int.MaxValue))
+  }
+
+  test("hot-bucket cap: simHash star pairs for a mass-dup cluster, hamming 0") {
+    import spark.implicits._
+    val dupText = (0 until 50).map(j => "s" + (j % 17)).mkString(" ")
+    val df = ((0L until 300L).map(i => (i, dupText)) :+ (900L, "entirely different words here"))
+      .toDF("doc_id", "text")
+    val pairs = TextOps.simHashDupPairs(df, "doc_id",
+      TextOps.charShingles(col("text"), 5), maxDist = 3, maxBucket = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.length == 299, s"expected 299 star pairs, got ${pairs.length}")
+    assert(pairs.forall(p => p._1 == 0L && p._3 == 0))
+    assert(pairs.map(_._2).toSet == (1L until 300L).toSet)
+  }
+
+  test("hot-bucket cap: cosineDupPairs star pairs for identical embeddings") {
+    import spark.implicits._
+    val v = Array.tabulate(16)(j => HashRandom.gaussian(31L, 0L, j.toLong).toFloat)
+    val other = Array.tabulate(16)(j => HashRandom.gaussian(31L, 9L, j.toLong).toFloat)
+    val df = ((0L until 200L).map(i => (i, v)) :+ (900L, other)).toDF("vec_id", "embedding")
+    val pairs = Ann.cosineDupPairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, bands = 16, bitsPerBand = 3, maxBucket = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 199, s"expected 199 star pairs, got ${pairs.length}")
+    assert(pairs.forall(p => p._1 == 0L && p._3 > 0.999))
+    assert(pairs.map(_._2).toSet == (1L until 200L).toSet)
+  }
+
   test("x2_neardup query finds the corpus's planted near-dups at sf0.001") {
     val q = Queries.all.find(_.name == "x2_neardup").get
     val out = q.run(spark, "/root/testdata/sf0.001")
