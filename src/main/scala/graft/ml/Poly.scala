@@ -155,6 +155,15 @@ object Poly {
 
   private def factorial(n: Int): Double = (2 to n).foldLeft(1.0)(_ * _)
 
-  private def binomial(n: Int, k: Int): Long =
-    (1 to k).foldLeft(1L)((acc, i) => acc * (n - k + i) / i)
+  /** C(n,k), saturating at Long.MaxValue: the stepwise long product
+    * `acc·(n−k+i)/i` can wrap negative for very wide inputs (dim in the
+    * millions at degree ≥ 4), which would slip past [[requireTractable]]
+    * and let an astronomically large expansion reach the executors — so
+    * the product runs in BigInt and clamps.
+    */
+  private def binomial(n: Int, k: Int): Long = {
+    val kk = math.min(k, n - k)
+    val acc = (1 to kk).foldLeft(BigInt(1))((a, i) => a * (n - kk + i) / i)
+    if (acc > Long.MaxValue) Long.MaxValue else acc.toLong
+  }
 }

@@ -38,6 +38,12 @@ object Pipeline {
     */
   val MaxBenchDocs: Long = 100000L
 
+  /** NOTE: the row probe below runs a Spark job at CALL time, and `bench`
+    * is evaluated twice (probe + broadcast gram build) — persist/cache an
+    * expensive bench frame before calling, and ALWAYS cache a
+    * non-deterministic one (it could otherwise pass the probe yet exceed
+    * the cap at broadcast time).
+    */
   def contaminationReport(
       corpus: DataFrame,
       bench: DataFrame,
@@ -49,13 +55,16 @@ object Pipeline {
     // Bounded row probe before the broadcast (the Knn.guardedBroadcast
     // shape): limit(max+1).count() short-circuits — it never scans the
     // full frame — and fails fast instead of OOMing executors mid-join.
-    val probeCap = math.min(maxBenchDocs + 1, Int.MaxValue.toLong).toInt
-    val probe = bench.limit(probeCap).count()
-    require(probe <= maxBenchDocs,
-      s"contaminationReport broadcasts the benchmark side's distinct $n-gram " +
-        s"set, but bench exceeds $maxBenchDocs rows (maxBenchDocs); eval " +
-        "suites are driver-small by definition — check the corpus and bench " +
-        "arguments aren't swapped, or raise maxBenchDocs deliberately")
+    // A cap that limit() cannot express (≥ Int.MaxValue−1) is a deliberate
+    // guard disable — skip the probe rather than overflow into one.
+    if (maxBenchDocs < Int.MaxValue.toLong - 1) {
+      val probe = bench.limit((maxBenchDocs + 1).toInt).count()
+      require(probe <= maxBenchDocs,
+        s"contaminationReport broadcasts the benchmark side's distinct $n-gram " +
+          s"set, but bench exceeds $maxBenchDocs rows (maxBenchDocs); eval " +
+          "suites are driver-small by definition — check the corpus and bench " +
+          "arguments aren't swapped, or raise maxBenchDocs deliberately")
+    }
     val grams = TextOps.wordShingles(col(textCol), n)
     val corpusGrams = corpus
       .select(col(idCol).as("__id"), grams.as("__gs"))
