@@ -170,6 +170,47 @@ object SimQueries {
       },
       None),
 
+    // ── M5 partial oracle: the generator's hash-RNG draws are not
+    //    ANSI-expressible (→ m5_generator stays rows-only), but the
+    //    structural invariants of every trajectory ARE: row count =
+    //    (tFinal/dt) steps per sim, the linspace eval grid (t_min = 0,
+    //    t_max = tFinal, Σt = tFinal·n/2 exactly for a symmetric grid),
+    //    the state width, and the sine-input amplitude bound
+    //    |u| ≤ |offset|_max + amp_max = 2 (`data_generators.py:68-81`).
+    //    A generator bug (wrong grid, dropped steps, unseeded draws
+    //    blowing the amplitude) fails this hash even though the draws
+    //    themselves are checked only by the determinism specs ──
+    QueryDef(
+      "m5_generator_checks",
+      (s, _) => {
+        val model = LinearContinuous(
+          Array(Array(-1.0, 0.5), Array(0.0, -2.0)),
+          Array(Array(1.0), Array(0.5)),
+          Array(Array(1.0, 0.0)), Array(Array(0.0)))
+        Simulators.generate(
+          s, model,
+          x0Low = Array(-1.0, -1.0), x0High = Array(1.0, 1.0),
+          numSimulations = 20,
+          signal = SineSignal(frequency = 0.5),
+          tFinal = 2.0, dt = 0.02, seed = 42L)
+          .toDF()
+          .groupBy(col("sim_id"))
+          .agg(
+            count(lit(1)).as("n_steps"),
+            round(min(col("time")), 6).as("t_min"),
+            round(max(col("time")), 6).as("t_max"),
+            round(sum(col("time")), 6).as("t_sum"),
+            min(size(col("state"))).as("state_dim"),
+            (max(abs(element_at(col("input"), 1))) <= 2.0).as("u_bounded"))
+      },
+      // 100 steps of linspace(0, 2, 100): t_i = 2i/99, Σt = 2·(99·100/2)/99 = 100
+      Some("""
+        SELECT i AS sim_id, 100::BIGINT AS n_steps, 0.0::DOUBLE AS t_min,
+          2.0::DOUBLE AS t_max, 100.0::DOUBLE AS t_sum, 2 AS state_dim,
+          TRUE AS u_bounded
+        FROM generate_series(0, 19) t(i)
+      """.stripMargin.trim)),
+
     // ── M7: STIFF solver families (bdf / radau / lsoda) on dx = −200x+u
     //    over a coarse dt=0.5 eval grid — explicit methods are
     //    stability-limited here (λ·dt = −100), so lsoda's budget trips
@@ -209,10 +250,10 @@ object SimQueries {
         FROM m CROSS JOIN s
       """.stripMargin.trim)),
 
-    // ── M8: adaptive EXPLICIT pairs (rk23 / rk45) on dx = −5x + u;
-    //    endpoint closed form u/5 + e^{−25}(x0 − u/5). Both embedded
-    //    pairs must land on the analytic endpoint to 5 decimals — a
-    //    tableau typo in either degrades the order and fails the hash ──
+    // ── M8: adaptive EXPLICIT pairs (rk23 / rk45 / dop853) on
+    //    dx = −5x + u; endpoint closed form u/5 + e^{−25}(x0 − u/5). All
+    //    embedded pairs must land on the analytic endpoint to 5 decimals
+    //    — a tableau typo in any degrades the order and fails the hash ──
     QueryDef(
       "m8_adaptive_solvers",
       (s, _) => {
@@ -221,7 +262,7 @@ object SimQueries {
         val sims = s.range(10).as[Long].mapPartitions(_.flatMap { i =>
           val x0 = -1.0 + 2.0 * i / 9.0
           val u = IndexedSeq.fill(n)(Array(0.5 + 0.05 * i))
-          Seq("rk23", "rk45").iterator.map { m =>
+          Seq("rk23", "rk45", "dop853").iterator.map { m =>
             val model = LinearContinuous(
               Array(Array(-5.0)), Array(Array(1.0)),
               Array(Array(1.0)), Array(Array(0.0)), method = m)
@@ -234,7 +275,7 @@ object SimQueries {
           round(col("x"), 5).as("x_last"))
       },
       Some("""
-        WITH m AS (SELECT * FROM (VALUES ('rk23'), ('rk45')) v(method)),
+        WITH m AS (SELECT * FROM (VALUES ('rk23'), ('rk45'), ('dop853')) v(method)),
         s AS (
           SELECT i AS sim_id, (-1.0 + 2.0*i/9.0)::DOUBLE AS x0,
             (0.5 + 0.05*i)::DOUBLE AS u

@@ -21,7 +21,8 @@ import graft.functions.HashRandom
   * fixed-step explicit Euler (bit-parity with the reference's `'euler'`
   * branch, including its post-update output quirk), classic fixed-step
   * RK4, adaptive explicit embedded pairs `'rk45'` (Dormand–Prince 5(4),
-  * the `solve_ivp` default) and `'rk23'` (Bogacki–Shampine 3(2)) with
+  * the `solve_ivp` default), `'rk23'` (Bogacki–Shampine 3(2)) and
+  * `'dop853'` (Hairer's 12-stage Dormand–Prince 8(5,3)) with
   * error-controlled internal sub-steps between eval-grid points so fast
   * dynamics stay stable on coarse grids, implicit adaptive `'radau'`
   * (Radau IIA(5)) and `'bdf'` (variable-step BDF2, Gear's family) whose
@@ -118,11 +119,16 @@ object Simulators {
           val ui = uAt(t(i))
           SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
         }
-      case "rk45" | "rk23" =>
+      case "rk45" | "rk23" | "dop853" =>
         // adaptive explicit branch: states at the eval grid, states[0] =
         // x0, each interval advanced by adaptive embedded-pair sub-steps
-        // (Dormand–Prince 5(4) or Bogacki–Shampine 3(2))
-        val pair = if (method == "rk45") Dopri54 else Bs32
+        // (Dormand–Prince 5(4), Bogacki–Shampine 3(2), or the 12-stage
+        // Dormand–Prince 8(5,3) behind scipy's DOP853)
+        val pair = method match {
+          case "rk45" => Dopri54
+          case "rk23" => Bs32
+          case _ => Dop853
+        }
         var x = x0
         Iterator.tabulate(nSteps) { i =>
           if (i > 0) x = rkAdvance(pair, f, uAt, x, t(i - 1), t(i)).get
@@ -182,17 +188,25 @@ object Simulators {
           SimStep(simId, i.toLong, t(i), x, ui, out(x, ui, t(i)))
         }
       case other => throw new IllegalArgumentException(
-        s"method must be euler|rk4|rk45|rk23|radau|bdf|lsoda, got $other")
+        s"method must be euler|rk4|rk45|rk23|dop853|radau|bdf|lsoda, got $other")
     }
   }
 
   /** Butcher tableau of an embedded explicit RK pair: `bHigh` is the
     * propagated (higher-order) solution, `bLow` the error estimator,
-    * `errExp` the step-controller exponent `1/(errOrder+1)`.
+    * `errExp` the step-controller exponent `1/(errOrder+1)`. When
+    * `err1`/`err2` are set (the 8(5,3) case), `bLow` is unused and the
+    * error is Hairer's two-estimator combination instead: with
+    * `S_m = Σ_i (Σ_j err_m[j]·k_j[i] / sc_i)²` the step error is
+    * `|h|·S₁/√(n·(S₁ + 0.01·S₂))` — the 3rd-order estimate damps the
+    * 5th-order one so a superconvergent point can't fool the controller
+    * (Hairer, Nørsett & Wanner, "Solving ODEs I", §II.10, dop853's
+    * published device).
     */
   private final case class RkPair(
       c: Array[Double], a: Array[Array[Double]],
-      bHigh: Array[Double], bLow: Array[Double], errExp: Double)
+      bHigh: Array[Double], bLow: Array[Double], errExp: Double,
+      err1: Array[Double] = null, err2: Array[Double] = null)
 
   /** Dormand–Prince 5(4) — the pair scipy's `solve_ivp(method='RK45')`
     * uses (Dormand & Prince 1980; tableau is public knowledge).
@@ -226,6 +240,53 @@ object Simulators {
     bHigh = Array(2d / 9, 1d / 3, 4d / 9, 0d),
     bLow = Array(7d / 24, 0.25, 1d / 3, 0.125),
     errExp = 1d / 3)
+
+  /** Dormand–Prince 8(5,3) — the pair behind Hairer's dop853 and scipy's
+    * `solve_ivp(method='DOP853')` (Hairer, Nørsett & Wanner, "Solving
+    * ODEs I", §II.5 table 5.2 / the published dop853.f). 12 stages for
+    * the 8th-order solution; the 13th (FSAL/dense-output) stage has
+    * `b₁₃ = 0` and no error weight, so it is omitted here. `err1`/`err2`
+    * are the embedded 5th- and 3rd-order error estimators combined per
+    * the [[RkPair]] doc. Constants are the double-rounded values of the
+    * published rational tableau.
+    */
+  private val Dop853 = RkPair(
+    c = Array(0d, 0.05260015195876774, 0.0789002279381516, 0.1183503419072274,
+      0.28164965809277265, 0.3333333333333333, 0.25, 0.3076923076923077,
+      0.6512820512820513, 0.6, 0.8571428571428571, 1d),
+    a = Array(
+      Array.empty[Double],
+      Array(0.05260015195876774),
+      Array(0.0197250569845379, 0.0591751709536137),
+      Array(0.02958758547680685, 0.0, 0.08876275643042056),
+      Array(0.24136513415926666, 0.0, -0.884549479328286, 0.9248340032617919),
+      Array(0.037037037037037035, 0.0, 0.0, 0.1708286087294739, 0.12546768756682242),
+      Array(0.037109375, 0.0, 0.0, 0.17025221101954402, 0.060216538980455966,
+        -0.017578125),
+      Array(0.03709200011850479, 0.0, 0.0, 0.17038392571223998, 0.1072620304463733,
+        -0.015319437748624402, 0.008273789163814023),
+      Array(0.6241109587160757, 0.0, 0.0, -3.360892629446941, -0.8682193468417261,
+        27.59209969944671, 20.154067550477894, -43.48988418106996),
+      Array(0.47766253643826434, 0.0, 0.0, -2.4881146199716677, -0.5902908268368431,
+        21.230051448181193, 15.279233632882423, -33.28821096898486,
+        -0.020331201708508627),
+      Array(-0.9371424300859873, 0.0, 0.0, 5.186372428844064, 1.09143734899673,
+        -8.149787010746927, -18.52006565999696, 22.739487099350505,
+        2.4936055526796523, -3.0467644718982196),
+      Array(2.273310147516538, 0.0, 0.0, -10.53449546673725, -2.000872058224863,
+        -17.9589318631188, 27.94888452941996, -2.8589982771350235,
+        -8.87285693353063, 12.360567175794303, 0.6433927460157636)),
+    bHigh = Array(0.054293734116568765, 0.0, 0.0, 0.0, 0.0, 4.450312892752409,
+      1.8915178993145003, -5.801203960010585, 0.3111643669578199,
+      -0.1521609496625161, 0.20136540080403034, 0.04471061572777259),
+    bLow = null,
+    errExp = 0.125,
+    err1 = Array(0.01312004499419488, 0.0, 0.0, 0.0, 0.0, -1.2251564463762044,
+      -0.4957589496572502, 1.6643771824549864, -0.35032884874997366,
+      0.3341791187130175, 0.08192320648511571, -0.022355307863886294),
+    err2 = Array(-0.18980075407240762, 0.0, 0.0, 0.0, 0.0, 4.450312892752409,
+      1.8915178993145003, -5.801203960010585, -0.42268232132379197,
+      -0.1521609496625161, 0.20136540080403034, 0.022651792198360825))
 
   /** Advance from `t0` to `t1` with adaptive embedded-pair steps. Error
     * control per scipy's convention: RMS of the component errors scaled
@@ -276,27 +337,53 @@ object Simulators {
         s += 1
       }
       val xHi = x.clone()
-      val xLo = x.clone()
+      val xLo = if (pair.err1 == null) x.clone() else null
       var j = 0
       while (j < nStages) {
         val kj = k(j)
         var i = 0
         while (i < n) {
           xHi(i) += h * pair.bHigh(j) * kj(i)
-          xLo(i) += h * pair.bLow(j) * kj(i)
+          if (xLo != null) xLo(i) += h * pair.bLow(j) * kj(i)
           i += 1
         }
         j += 1
       }
-      var errSq = 0d
-      var i = 0
-      while (i < n) {
-        val sc = atol + rtol * math.max(math.abs(x(i)), math.abs(xHi(i)))
-        val e = (xHi(i) - xLo(i)) / sc
-        errSq += e * e
-        i += 1
+      var err = 0d
+      if (pair.err1 == null) {
+        var errSq = 0d
+        var i = 0
+        while (i < n) {
+          val sc = atol + rtol * math.max(math.abs(x(i)), math.abs(xHi(i)))
+          val e = (xHi(i) - xLo(i)) / sc
+          errSq += e * e
+          i += 1
+        }
+        err = math.sqrt(errSq / n)
+      } else {
+        // Hairer's 8(5,3) combination (see RkPair doc): the k-weighted
+        // estimator sums carry no h factor; |h| is applied at the end
+        var s1 = 0d
+        var s2 = 0d
+        var i = 0
+        while (i < n) {
+          var v1 = 0d
+          var v2 = 0d
+          var j2 = 0
+          while (j2 < nStages) {
+            v1 += pair.err1(j2) * k(j2)(i)
+            v2 += pair.err2(j2) * k(j2)(i)
+            j2 += 1
+          }
+          val sc = atol + rtol * math.max(math.abs(x(i)), math.abs(xHi(i)))
+          s1 += (v1 / sc) * (v1 / sc)
+          s2 += (v2 / sc) * (v2 / sc)
+          i += 1
+        }
+        var den = s1 + 0.01 * s2
+        if (den <= 0d) den = 1d
+        err = math.abs(h) * s1 / math.sqrt(n * den)
       }
-      val err = math.sqrt(errSq / n)
       if (err <= 1d || h <= hMin) {
         t += h
         x = xHi

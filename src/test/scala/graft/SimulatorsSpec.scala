@@ -87,6 +87,53 @@ class SimulatorsSpec extends SparkSpec {
     }
   }
 
+  test("M1 dop853 tracks e^{-t} to 1e-9 on the eval grid") {
+    // 8th-order pair at rtol 1e-6: a single transcription typo anywhere in
+    // the 12-stage tableau degrades the order (or breaks consistency) and
+    // blows this tolerance by orders of magnitude
+    val model = LinearContinuous(
+      mat(Array(-1.0)), mat(Array(0.0)), mat(Array(1.0)), mat(Array(0.0)),
+      method = "dop853")
+    val dt = 0.1; val tFinal = 2.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val t = (i: Int) => i * tFinal / (n - 1)
+    model.simulate(0L, u, Array(1.0), tFinal, dt).toArray.zipWithIndex.foreach {
+      case (s, i) =>
+        assert(math.abs(s.state(0) - math.exp(-t(i))) < 1e-9,
+          s"dop853 at t=${t(i)}: ${s.state(0)} vs ${math.exp(-t(i))}")
+    }
+  }
+
+  test("M1 dop853 adaptive: accurate on the coarse grid where fixed RK4 diverges") {
+    val a = mat(Array(-50.0))
+    val model = LinearContinuous(
+      a, mat(Array(0.0)), mat(Array(1.0)), mat(Array(0.0)), method = "dop853")
+    val dt = 0.1; val tFinal = 1.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val t = (i: Int) => i * tFinal / (n - 1)
+    model.simulate(0L, u, Array(1.0), tFinal, dt).toArray.zipWithIndex.foreach {
+      case (s, i) =>
+        assert(math.abs(s.state(0) - math.exp(-50.0 * t(i))) < 1e-4,
+          s"dop853 at t=${t(i)}: ${s.state(0)}")
+    }
+  }
+
+  test("M3 dop853 matches converged rk4 on the smooth pendulum") {
+    val f = (x: Array[Double], u: Array[Double], _: Double) =>
+      Array(x(1), -math.sin(x(0)))
+    val g = (x: Array[Double], _: Array[Double], _: Double) => Array(x(0))
+    val dt = 0.01; val tFinal = 5.0; val n = (tFinal / dt).toInt
+    val u = IndexedSeq.fill(n)(Array(0.0))
+    val r4 = NonlinearContinuous(f, g, 1, method = "rk4")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    val r853 = NonlinearContinuous(f, g, 1, method = "dop853")
+      .simulate(0L, u, Array(1.0, 0.0), tFinal, dt).toArray
+    r4.zip(r853).foreach { case (s4, s853) =>
+      assert(math.abs(s4.state(0) - s853.state(0)) < 1e-5)
+      assert(math.abs(s4.state(1) - s853.state(1)) < 1e-5)
+    }
+  }
+
   test("M3 radau (implicit, A-stable) handles a stiff RHS with fewer evals than rk45") {
     // dx = −1000(x − cos t) − sin t, x(0) = 2 → x(t) = cos t + e^{−1000t}:
     // a stiff transient then slow dynamics. Explicit rk45 must hold
