@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Png, Wav}
 import graft.similarity.{Ann, Ivf}
 import graft.text.TextOps
 
@@ -166,9 +166,9 @@ object DedupQueries {
       None),
 
     // ── X15: multimodal binary payloads — documents' text re-encoded as
-    //    opaque binary (the corpus has no real images/audio; the decode
-    //    step is a documented stub), then byte-distribution feature
-    //    extraction (Shannon entropy + totals) per source ──
+    //    opaque binary, then byte-distribution feature extraction
+    //    (Shannon entropy + totals) per source; format-aware decode is
+    //    x21's job (Png/Wav codecs), this is the format-agnostic screen ──
     QueryDef(
       "x15_payload_entropy",
       (s, dir) => {
@@ -269,33 +269,92 @@ object DedupQueries {
       },
       None),
 
-    // ── X21: multimodal pipeline plumbing — modality sniffing on planted
-    //    magic numbers (PNG / RIFF-WAVE headers prepended by doc_id
-    //    branch), stride resample and frame sampling, aggregated per
-    //    (source, modality). The oracle derives the expected modality
-    //    from the planted branch (so a broken sniffer mismatches), the
-    //    resampled-byte SUM from the stride positions, and the kept-frame
-    //    count arithmetically ──
+    // ── X29: incremental IVF ingest — build the index on the even half
+    //    of the corpus, append the odd half against the FROZEN quantizer
+    //    (Ivf.appendToIndex — the FAISS `add` contract: a 100 TB corpus
+    //    is never re-clustered per batch), then query with nprobe = nlist.
+    //    Probing every cell makes the search exhaustive, so the result is
+    //    exactly brute-force top-k over build ∪ append — ANSI-expressible
+    //    (same oracle shape as x4), and any append bug (lost/duplicated
+    //    rows, wrong norms, stray partitions) breaks the hash ──
+    QueryDef(
+      "x29_ann_ivf_append",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_$tag"
+        Ivf.writeIndex(emb.filter(col("vec_id") % 2 === 0), "embedding",
+          "vec_id", path, nlist = 8, seed = 7L)
+        Ivf.appendToIndex(emb.filter(col("vec_id") % 2 =!= 0), "embedding",
+          "vec_id", path)
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 8)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings
+        ), d AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN c WHERE cid <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d) WHERE rank <= 3
+      """.stripMargin.trim)),
+
+    // ── X21: multimodal pipeline — two payload columns per doc:
+    //    `content` (magic-number headers planted by doc_id branch) drives
+    //    the byte plumbing — modality sniff, stride resample, frame
+    //    sampling — and `media` (a REAL PNG / WAV file encoded from a
+    //    deterministic sample formula) drives the real decode path:
+    //    Png.decode (zlib inflate + scanline de-filter) / Wav.decode
+    //    (PCM extraction). The decoded aggregates are SQL-predictable
+    //    from the planting formula, so a codec bug (wrong de-filter,
+    //    wrong sign extension, lost samples) breaks the hash ──
     QueryDef(
       "x21_modality_pipeline",
       (s, dir) => {
         val enc = encode(col("text"), "UTF-8")
+        // real media: 8×6 gray PNG with pixel_i = (doc_id·31 + i) % 256,
+        // or mono 16-bit WAV with sample_i = (doc_id·17 + 3i) % 2048 − 1024
+        val mkMedia = udf { (docId: Long, text: String) =>
+          if (docId % 3 == 0)
+            Png.encode(8, 6, 1, Array.tabulate(48)(i => ((docId * 31 + i) % 256).toInt))
+          else if (docId % 3 == 1)
+            Wav.encodePcm16(8000, 1,
+              Array.tabulate(32)(i => ((docId * 17 + i * 3) % 2048 - 1024).toInt))
+          else text.getBytes("UTF-8")
+        }
         val payloads = Tables.documents(s, dir)
           .withColumn("content",
             when(col("doc_id") % 3 === 0, concat(unhex(lit("89504E47")), enc))
               .when(col("doc_id") % 3 === 1,
                 concat(unhex(lit("524946460000000057415645")), enc))
               .otherwise(enc))
+          .withColumn("media", mkMedia(col("doc_id"), col("text")))
         val res = Multimodal.resample(col("content"), 4)
         payloads
           .withColumn("modality", Multimodal.sniffModality(col("content")))
           .withColumn("__rsum", aggregate(res, lit(0L), (a, x) => a + x))
           .withColumn("__nf",
             size(Multimodal.frameSample(col("content"), 32, 2)).cast("long"))
+          .withColumn("__s", Multimodal.decodeSamples(col("media")))
           .groupBy(col("source"), col("modality"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("__rsum")).as("sum_resampled"),
-            sum(col("__nf")).as("n_frames"))
+            sum(col("__nf")).as("n_frames"),
+            sum(size(col("__s")).cast("long")).as("n_samples"),
+            sum(aggregate(col("__s"), lit(0L), (a, x) => a + x)).as("sum_samples"),
+            sum(aggregate(filter(col("__s"), (_, i) => i % 4 === 0),
+              lit(0L), (a, x) => a + x)).as("sum_stride_samples"))
       },
       Some("""
         WITH p AS (
@@ -325,11 +384,37 @@ object DedupQueries {
           FROM h, (SELECT unnest(generate_series(1, n)) AS i) i
           WHERE (i.i - 1) % 4 = 0
           GROUP BY doc_id
+        ), med AS (
+          -- the real-media branch: decoded sample counts by planting formula
+          -- (48 gray pixels for the PNG branch, 32 PCM values for the WAV
+          -- branch, nothing decodable for raw text)
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN 48
+                 WHEN doc_id % 3 = 1 THEN 32 ELSE 0 END AS ns
+          FROM documents
+        ), sv AS (
+          -- decoded sample values: pixel_i = (doc_id*31 + i) % 256,
+          -- pcm_i = (doc_id*17 + 3i) % 2048 - 1024
+          SELECT m.doc_id,
+            sum(CASE WHEN m.doc_id % 3 = 0 THEN (m.doc_id * 31 + i.i) % 256
+                     ELSE ((m.doc_id * 17 + i.i * 3) % 2048) - 1024 END) AS ssum,
+            sum(CASE WHEN (i.i % 4) <> 0 THEN 0
+                     WHEN m.doc_id % 3 = 0 THEN (m.doc_id * 31 + i.i) % 256
+                     ELSE ((m.doc_id * 17 + i.i * 3) % 2048) - 1024 END) AS srsum
+          FROM med m, (SELECT unnest(generate_series(0, ns - 1)) AS i) i
+          WHERE m.ns > 0
+          GROUP BY m.doc_id
         )
         SELECT h.source, h.modality, count(*) AS n_docs,
           CAST(sum(COALESCE(rs.rsum, 0)) AS BIGINT) AS sum_resampled,
-          CAST(sum(greatest((CAST(ceil(h.n / 32.0) AS BIGINT) + 1) // 2, 1)) AS BIGINT) AS n_frames
-        FROM h LEFT JOIN rs USING (doc_id) GROUP BY 1, 2
+          CAST(sum(greatest((CAST(ceil(h.n / 32.0) AS BIGINT) + 1) // 2, 1)) AS BIGINT) AS n_frames,
+          CAST(sum(md.ns) AS BIGINT) AS n_samples,
+          CAST(sum(COALESCE(sv.ssum, 0)) AS BIGINT) AS sum_samples,
+          CAST(sum(COALESCE(sv.srsum, 0)) AS BIGINT) AS sum_stride_samples
+        FROM h LEFT JOIN rs USING (doc_id)
+               LEFT JOIN med md USING (doc_id)
+               LEFT JOIN sv USING (doc_id)
+        GROUP BY 1, 2
       """.stripMargin.trim)),
 
     // ── X19: per-label embedding centroids + each vector's cosine to its

@@ -328,6 +328,58 @@ object ExtraQueries {
           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
         FROM events GROUP BY event_type
+      """.stripMargin.trim)),
+
+    // ── X30: streaming/batch parity as a driver surface — the EWMA
+    //    recurrence (§2.9) run through a REAL Structured Streaming query:
+    //    the static events frame is fed through a MemoryStream in five
+    //    ordered micro-batches (per-series state must survive every
+    //    boundary), the flatMapGroupsWithState kernel appends to a memory
+    //    sink, and the last smoothed value + row count per series must
+    //    match the batch recurrence replayed by the oracle. The driver-
+    //    side collect here is the harness feeding the stream (a real
+    //    deployment reads Kafka); the kernel under test holds O(1) state
+    //    per series regardless of corpus size. ──
+    QueryDef(
+      "x30_stream_parity",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingOps
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val pts = ev(s, dir)
+          .withColumn("__t", row_number().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(col("ts"), col("event_id"))).cast("long"))
+          .select(col("event_type").as("series_id"), col("__t").as("t"),
+            col("value").cast("double").as("value"))
+          .as[StreamingOps.SeriesPoint]
+          // global sort by per-series index so every micro-batch slice
+          // delivers each series' rows in order across batch boundaries
+          .collect().sortBy(_.t)
+        val sink = "x30_sink"
+        s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
+        val mem = MemoryStream[StreamingOps.SeriesPoint]
+        val q = StreamingOps.ewmaStream(mem.toDS(), alpha = 0.3)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+        try {
+          val chunk = math.max(1, math.ceil(pts.length / 5.0).toInt)
+          pts.grouped(chunk).foreach { b =>
+            mem.addData(b.toSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sink)
+          .groupBy(col("series_id").as("event_type"))
+          .agg(round(max_by(col("out"), col("t")), 6).as("ewma_last"),
+            count(lit(1)).as("n_rows"))
+      },
+      Some("""
+        SELECT event_type,
+          round(list_reduce(list(value ORDER BY ts, event_id),
+            (a, b) -> CAST(0.3 AS DOUBLE) * b + (1 - CAST(0.3 AS DOUBLE)) * a), 6) AS ewma_last,
+          count(*) AS n_rows
+        FROM events GROUP BY event_type
       """.stripMargin.trim))
   )
 }

@@ -4,13 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal payload surface: image/audio/video as opaque `binary`
-  * columns with typed metadata, per the LLM-training-pipeline brief. The
-  * container has no image/audio codecs, so DECODE IS STUBBED — [[pixels]]
-  * deterministically reinterprets raw payload bytes as the decoded sample
-  * array (a stand-in with the same schema/partitioning/batch shape a real
-  * codec UDF would have) — while everything around it (modality sniffing,
-  * byte statistics, entropy features, stride resize, frame sampling) is
-  * real, codegen-friendly Spark on the binary column.
+  * columns with typed metadata, per the LLM-training-pipeline brief.
+  * Modality sniffing, byte statistics, entropy features, stride resize
+  * and frame sampling are codegen-friendly Spark on the binary column;
+  * [[decodeSamples]]/[[decodeMeta]] REALLY decode PNG images
+  * ([[Png]]: zlib inflate + scanline de-filter) and WAV PCM audio
+  * ([[Wav]]) into sample arrays — no native codec needed. Formats
+  * beyond those two (JPEG/GIF/MP3/AVI) decode to empty with their
+  * sniffed modality preserved; [[pixels]] remains the raw-byte
+  * reinterpretation used by the entropy/histogram features.
   *
   * Scale shape: all per-payload ops are narrow projections (no shuffle);
   * the histogram/entropy features explode to (id, byte) rows and hash-agg
@@ -18,6 +20,38 @@ import org.apache.spark.sql.functions._
   * kernel, which is what survives wide corpora.
   */
 object Multimodal {
+
+  /** Decoded samples as `array<int>`: PNG → row-major channel-interleaved
+    * 0–255 pixels, WAV → raw PCM values, anything else → empty. Decoding
+    * (inflate, de-filter) is an inherently imperative per-row kernel — the
+    * one place a UDF beats an expression tree; it stays a narrow
+    * projection, so the plan shape (no shuffle, pushdown intact around it)
+    * is unchanged at any scale.
+    */
+  val decodeSamples: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Png.decode(bytes).map(_.samples.toSeq)
+        .orElse(Wav.decode(bytes).map(_.samples.toSeq))
+        .getOrElse(Seq.empty[Int])
+    }
+
+  /** Typed payload metadata struct:
+    * `(kind, width, height, channels, sample_rate, bits, n_samples)` —
+    * dimensions for images, rate/bit-depth for audio, zeros for payloads
+    * neither codec accepts.
+    */
+  val decodeMeta: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Png.decode(bytes) match {
+        case Some(img) =>
+          ("image", img.width, img.height, img.channels, 0, 8, img.samples.length)
+        case None => Wav.decode(bytes) match {
+          case Some(a) =>
+            ("audio", 0, 0, a.channels, a.sampleRate, a.bitsPerSample, a.samples.length)
+          case None => ("opaque", 0, 0, 0, 0, 0, 0)
+        }
+      }
+    }
 
   /** Modality sniffing from public magic numbers (PNG 89-50-4E-47,
     * JPEG FF-D8-FF, RIFF/WAVE, RIFF/AVI, GIF87a/89a, MP3 ID3/FFFB).

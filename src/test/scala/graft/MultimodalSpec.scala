@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, Png, Wav}
 
 class MultimodalSpec extends SparkSpec {
 
@@ -48,6 +48,128 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got(0).toSeq == (0 until 4).map(_.toByte))
     assert(got(1).toSeq == Seq(8.toByte, 9.toByte))
+  }
+
+  // ── real codecs ──
+
+  test("Png round-trips gray, gray+alpha, RGB and RGBA samples") {
+    for (channels <- Seq(1, 2, 3, 4)) {
+      val w = 5; val h = 4
+      val samples = Array.tabulate(w * h * channels)(i => (i * 37 + channels) % 256)
+      val img = Png.decode(Png.encode(w, h, channels, samples))
+        .getOrElse(fail(s"decode failed for channels=$channels"))
+      assert(img.width == w && img.height == h && img.channels == channels)
+      assert(img.samples.toSeq == samples.toSeq)
+    }
+  }
+
+  /** Forward-apply a PNG scanline filter (spec §6) — the encoder side of
+    * the de-filter paths, so decode must invert it exactly.
+    */
+  private def applyFilter(
+      f: Int, row: Array[Int], prior: Array[Int], bpp: Int): Array[Byte] = {
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    row.indices.map { x =>
+      val left = if (x >= bpp) row(x - bpp) else 0
+      val up = prior(x)
+      val upLeft = if (x >= bpp) prior(x - bpp) else 0
+      val pred = f match {
+        case 0 => 0
+        case 1 => left
+        case 2 => up
+        case 3 => (left + up) / 2
+        case 4 => paeth(left, up, upLeft)
+      }
+      ((row(x) - pred) & 0xFF).toByte
+    }.toArray
+  }
+
+  test("Png.decode inverts all five scanline filters (None/Sub/Up/Average/Paeth)") {
+    val w = 6; val h = 5; val channels = 2 // gray+alpha → bpp 2
+    val stride = w * channels
+    val samples = Array.tabulate(stride * h)(i => (i * 89 + 13) % 256)
+    // build the filtered stream by hand: scanline y uses filter y % 5
+    val raw = new java.io.ByteArrayOutputStream()
+    var prior = Array.fill(stride)(0)
+    for (y <- 0 until h) {
+      val row = samples.slice(y * stride, (y + 1) * stride)
+      raw.write(y % 5)
+      raw.write(applyFilter(y % 5, row, prior, channels), 0, stride)
+      prior = row
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    // chunks: magic + IHDR + IDAT + IEND with CRCs
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+    def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 4, 0, 0, 0) // depth 8, gray+alpha
+    chunk("IHDR", ihdr); chunk("IDAT", zout.toByteArray); chunk("IEND", Array.emptyByteArray)
+    val img = Png.decode(out.toByteArray).getOrElse(fail("decode failed"))
+    assert(img.samples.toSeq == samples.toSeq)
+  }
+
+  test("Png.decode rejects non-PNG and unsupported layouts") {
+    assert(Png.decode("not a png at all".getBytes("ASCII")).isEmpty)
+    assert(Png.decode(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47)).isEmpty)
+    // valid magic, truncated chunks
+    assert(Png.decode(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0, 0)).isEmpty)
+  }
+
+  test("Wav round-trips 16-bit PCM including negative samples") {
+    val samples = Array(-32768, -1024, -1, 0, 1, 999, 32767)
+    val a = Wav.decode(Wav.encodePcm16(8000, 1, samples)).getOrElse(fail("decode failed"))
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.bitsPerSample == 16)
+    assert(a.samples.toSeq == samples.toSeq)
+  }
+
+  test("Wav.decode reads 8-bit PCM and rejects non-PCM/non-WAV payloads") {
+    // hand-built 8-bit mono WAV, 4 samples
+    val data = Array[Byte](0, 127, -128, -1) // unsigned: 0,127,128,255
+    val b = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("ASCII")).putInt(36 + 4).put("WAVE".getBytes("ASCII"))
+    b.put("fmt ".getBytes("ASCII")).putInt(16).putShort(1).putShort(1)
+    b.putInt(4000).putInt(4000).putShort(1).putShort(8)
+    b.put("data".getBytes("ASCII")).putInt(4).put(data)
+    val a = Wav.decode(b.array()).getOrElse(fail("decode failed"))
+    assert(a.bitsPerSample == 8 && a.samples.toSeq == Seq(0, 127, 128, 255))
+    assert(Wav.decode("RIFFxxxxNOPE".getBytes("ASCII")).isEmpty)
+    assert(Wav.decode("plain text".getBytes("ASCII")).isEmpty)
+  }
+
+  test("decodeSamples/decodeMeta: PNG pixels, WAV PCM, empty for opaque") {
+    import spark.implicits._
+    val pngPx = Array.tabulate(12)(i => (i * 7) % 256)
+    val png = Png.encode(4, 3, 1, pngPx)
+    val pcm = Array(-3, 0, 7, 2047, -2048)
+    val wav = Wav.encodePcm16(16000, 1, pcm)
+    val txt = "just text".getBytes("UTF-8")
+    val df = Seq((0, png), (1, wav), (2, txt)).toDF("id", "content")
+      .withColumn("s", Multimodal.decodeSamples(col("content")))
+      .withColumn("m", Multimodal.decodeMeta(col("content")))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getSeq[Int](2) == pngPx.toSeq)
+    assert(rows(1).getSeq[Int](2) == pcm.toSeq)
+    assert(rows(2).getSeq[Int](2).isEmpty)
+    val meta0 = rows(0).getStruct(3)
+    assert(meta0.getString(0) == "image" && meta0.getInt(1) == 4 && meta0.getInt(2) == 3)
+    val meta1 = rows(1).getStruct(3)
+    assert(meta1.getString(0) == "audio" && meta1.getInt(4) == 16000 && meta1.getInt(6) == 5)
+    assert(rows(2).getStruct(3).getString(0) == "opaque")
   }
 
   test("byteEntropy: uniform bytes have 8 bits, constant bytes 0 bits") {
