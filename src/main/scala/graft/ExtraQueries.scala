@@ -199,9 +199,10 @@ object ExtraQueries {
         JOIN m ma ON ma.event_type = v.event_type AND ma.i = v.i + 1
       """.stripMargin.trim)),
 
-    // ── G3: interpolating spline upsample (not-a-knot cubic); the
-    //    tridiagonal solve is not reasonably ANSI-expressible → rows-only
-    //    (unit-tested against analytic polynomials in SegmentersSpec) ──
+    // ── G3: interpolating spline upsample (not-a-knot cubic) — same
+    //    recursive-CTE Thomas-sweep oracle as g2_resample_cubic (the
+    //    solve is identical; only the target grid differs: 500 points,
+    //    x = gi/499), bit-exact at sf0.01 like the G2 variant ──
     QueryDef(
       "g3_spline_upsample",
       (s, dir) => {
@@ -209,7 +210,86 @@ object ExtraQueries {
           Seq("ts", "event_id"), "value", targetSize = 500, degree = 3)
           .select(col("event_type"), col("idx"), round(col("value"), 6).as("value"))
       },
-      None),
+      Some("""
+        WITH RECURSIVE o AS MATERIALIZED (
+          SELECT event_type, CAST(value AS DOUBLE) AS y,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i,
+            count(*) OVER (PARTITION BY event_type) AS n
+          FROM events
+        ), xs AS MATERIALIZED (
+          SELECT event_type, i, n, y, CAST(i AS DOUBLE) / (n - 1) AS x FROM o
+        ), h AS MATERIALIZED (
+          SELECT a.event_type, a.i, a.n, b.x - a.x AS h, (b.y - a.y) / (b.x - a.x) AS d
+          FROM xs a JOIN xs b ON b.event_type = a.event_type AND b.i = a.i + 1
+        ), sys AS MATERIALIZED (
+          SELECT hm.event_type, hm.i AS j, hm.n - 2 AS k,
+            hm.h / 6 AS lower0, (hm.h + hi.h) / 3 AS diag0, hi.h / 6 AS upper0,
+            hi.d - hm.d AS rhs
+          FROM h hm JOIN h hi ON hi.event_type = hm.event_type AND hi.i = hm.i + 1
+        ), bnd AS MATERIALIZED (
+          SELECT h0.event_type,
+            h0.h / h1.h AS r0, h0.h AS ha,
+            hl.h / hp.h AS r1, hl.h AS hb
+          FROM h h0
+          JOIN h h1 ON h1.event_type = h0.event_type AND h1.i = 1
+          JOIN h hl ON hl.event_type = h0.event_type AND hl.i = hl.n - 2
+          JOIN h hp ON hp.event_type = h0.event_type AND hp.i = hp.n - 3
+          WHERE h0.i = 0
+        ), tri AS MATERIALIZED (
+          SELECT s.event_type, s.j, s.k,
+            CASE WHEN s.j = s.k - 1 THEN s.lower0 + (b.hb / 6) * (-b.r1) ELSE s.lower0 END AS lo,
+            CASE WHEN s.j = 0 THEN s.diag0 + (b.ha / 6) * (1 + b.r0)
+                 WHEN s.j = s.k - 1 THEN s.diag0 + (b.hb / 6) * (1 + b.r1)
+                 ELSE s.diag0 END AS di,
+            CASE WHEN s.j = 0 THEN s.upper0 + (b.ha / 6) * (-b.r0) ELSE s.upper0 END AS up,
+            s.rhs
+          FROM sys s JOIN bnd b USING (event_type)
+        ), fwd AS MATERIALIZED (
+          SELECT event_type, j, k, up / di AS cp, rhs / di AS dp FROM tri WHERE j = 0
+          UNION ALL
+          SELECT t.event_type, t.j, t.k,
+            t.up / (t.di - t.lo * f.cp) AS cp,
+            (t.rhs - t.lo * f.dp) / (t.di - t.lo * f.cp) AS dp
+          FROM tri t JOIN fwd f ON f.event_type = t.event_type AND t.j = f.j + 1
+        ), bwd AS MATERIALIZED (
+          SELECT event_type, j, k, dp AS u FROM fwd WHERE j = k - 1
+          UNION ALL
+          SELECT f.event_type, f.j, f.k, f.dp - f.cp * w.u AS u
+          FROM fwd f JOIN bwd w ON w.event_type = f.event_type AND f.j = w.j - 1
+        ), m AS MATERIALIZED (
+          SELECT event_type, j + 1 AS i, u AS m FROM bwd
+          UNION ALL
+          SELECT w1.event_type, 0 AS i, (1 + b.r0) * w1.u - b.r0 * w2.u AS m
+          FROM bwd w1 JOIN bwd w2 ON w2.event_type = w1.event_type AND w2.j = 1
+          JOIN bnd b ON b.event_type = w1.event_type
+          WHERE w1.j = 0
+          UNION ALL
+          SELECT w1.event_type, w1.k + 1 AS i, (1 + b.r1) * w1.u - b.r1 * w2.u AS m
+          FROM bwd w1 JOIN bwd w2 ON w2.event_type = w1.event_type AND w2.j = w1.k - 2
+          JOIN bnd b ON b.event_type = w1.event_type
+          WHERE w1.j = w1.k - 1
+        ), grid AS MATERIALIZED (
+          SELECT event_type, n, unnest(generate_series(0, 499)) AS gi
+          FROM (SELECT DISTINCT event_type, n FROM o)
+        ), gx AS MATERIALIZED (
+          SELECT event_type, n, gi, CAST(gi AS DOUBLE) / 499 AS x FROM grid
+        ), iv AS (
+          SELECT g.event_type, g.gi, g.x, least(max(p.i), g.n - 2) AS i
+          FROM gx g JOIN xs p ON p.event_type = g.event_type AND p.x <= g.x
+          GROUP BY g.event_type, g.gi, g.x, g.n
+        )
+        SELECT v.event_type, v.gi AS idx,
+          round(
+            ((pa.x - v.x) / (pa.x - pb.x)) * pb.y + ((v.x - pb.x) / (pa.x - pb.x)) * pa.y +
+            ((((pa.x - v.x) / (pa.x - pb.x)) * ((pa.x - v.x) / (pa.x - pb.x)) * ((pa.x - v.x) / (pa.x - pb.x)) - ((pa.x - v.x) / (pa.x - pb.x))) * mb.m
+             + (((v.x - pb.x) / (pa.x - pb.x)) * ((v.x - pb.x) / (pa.x - pb.x)) * ((v.x - pb.x) / (pa.x - pb.x)) - ((v.x - pb.x) / (pa.x - pb.x))) * ma.m)
+             * (pa.x - pb.x) * (pa.x - pb.x) / 6, 6) AS value
+        FROM iv v
+        JOIN xs pb ON pb.event_type = v.event_type AND pb.i = v.i
+        JOIN xs pa ON pa.event_type = v.event_type AND pa.i = v.i + 1
+        JOIN m mb ON mb.event_type = v.event_type AND mb.i = v.i
+        JOIN m ma ON ma.event_type = v.event_type AND ma.i = v.i + 1
+      """.stripMargin.trim)),
 
     // ── X8: BPE-ish token counting per source ──
     QueryDef(

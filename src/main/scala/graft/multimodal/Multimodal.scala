@@ -67,11 +67,10 @@ object Multimodal {
       .otherwise(lit("application/octet-stream"))
   }
 
-  /** STUB decode: the payload's bytes as an `array<int>` of 0–255 samples
-    * ("pixels"/PCM stand-in). A real implementation would be an image/audio
-    * codec behind the same signature; the surrounding plumbing (schema,
-    * lambda binding so the hex string is computed once, downstream ops)
-    * is the real thing.
+  /** Raw-byte reinterpretation: the payload's bytes as an `array<int>` of
+    * 0–255 values — the format-agnostic view behind the histogram/entropy
+    * features (which deliberately see the container bytes, not decoded
+    * samples). For format-aware decoding use [[decodeSamples]].
     */
   def pixels(content: Column): Column =
     element_at(
