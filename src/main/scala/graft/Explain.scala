@@ -17,11 +17,24 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXEC=1: run the query through the same full-output
+    // hash-reduce as Bench, then print the POST-EXECUTION adaptive plan —
+    // the only place runtime exchange/stage reuse (ReusedExchange,
+    // table-cache hits) is visible.
+    val exec = sys.env.get("SPARK_GRAFT_EXEC").contains("1")
     SparkEntry.queries
       .filter { case (n, _) => names.isEmpty || names(n) }
       .foreach { case (n, fn) =>
         println(s"\n===== $n =====")
-        fn(spark, sfDir).explain("formatted")
+        val df = fn(spark, sfDir)
+        if (exec) {
+          import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
+          val reduced = df
+            .select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
+            .agg(expr("bit_xor(__h)"))
+          reduced.collect()
+          println(reduced.queryExecution.executedPlan.toString)
+        } else df.explain("formatted")
       }
     spark.stop()
   }

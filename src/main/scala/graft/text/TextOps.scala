@@ -1,7 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Text-analysis / deduplication operators for LLM-data-pipeline work over
   * the `documents` table (north-star extras, SURVEY §2.8). All pure
@@ -229,52 +230,72 @@ object TextOps {
     * carrying a payload, e.g. the SimHash fingerprint). Output:
     * `(__a, __b)` element pairs with `__a < __b`.
     *
-    * Buckets with ≤ `maxBucket` members emit all ordered pairs exactly as
-    * before. Hotter buckets — a B-sized bucket is one mass-duplicate
-    * cluster, exactly what a dedup corpus produces — would otherwise
-    * surface as ONE `collect_list` row holding all B ids and a single task
-    * emitting B²/2 pairs (unbounded memory + a straggler at 100 TB), so
-    * they instead emit the B−1 star pairs `(min(__e), member)`: the
-    * spanning tree keeps the cluster connected through the downstream
-    * exact verify while output stays linear (the winnowing `maxDf` design,
-    * applied to buckets).
+    * Buckets with ≤ `maxBucket` members emit all ordered pairs. Hotter
+    * buckets — a B-sized bucket is one mass-duplicate cluster, exactly
+    * what a dedup corpus produces — would otherwise emit B²/2 pairs
+    * (quadratic output and a straggler at 100 TB), so they emit the B−1
+    * star pairs `(min(__e), member)` instead: the spanning tree keeps the
+    * cluster connected through the downstream exact verify while output
+    * stays linear (the winnowing `maxDf` design, applied to buckets).
     *
-    * Plan shape: a fixed-buffer stats pass (`count`, `min`) finds hot
-    * buckets — tiny by construction (≤ |banded|/maxBucket rows), so it
-    * BROADCASTS; the anti-join keeps hot buckets out of `collect_list`
-    * (every list buffer is ≤ maxBucket elements by construction, not by
-    * luck), and the star pairs stream off a broadcast join with no
-    * per-bucket buffering at all. The expensive upstream (signature
-    * aggregation) exchange is identical across the three consumers, so it
-    * is computed once and reused (ReusedExchange / AQE stage cache).
+    * Plan shape: ONE shuffle (hash-repartition on the bucket key), a
+    * within-partition sort, and a streaming per-bucket pair generator —
+    * `banded` (whose lineage is the expensive signature aggregation) is
+    * consumed exactly once, guaranteed by construction rather than by
+    * optimizer exchange-reuse (an earlier stats+anti-join formulation
+    * re-executed the signature pipeline per branch: AQE materialized the
+    * hot-stats stage, the anti-join stage and the star stage each with
+    * their own copy of the upstream — visible as multiple
+    * `simhash_agg`/`minhash_agg` exchanges in the executed plan).
+    * Memory per bucket is O(maxBucket): a bucket is buffered only until
+    * it either ends (≤ cap → all pairs from the buffer, sorted order) or
+    * exceeds the cap (→ the buffered head IS the min since rows arrive
+    * sorted; star pairs stream out with no further buffering).
     */
   private[graft] def cappedBucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     require(maxBucket > 1, s"maxBucket must be > 1, got $maxBucket")
-    val stats = banded.groupBy(col("__band"), col("__key"))
-      .agg(count(lit(1)).as("__n"), min(col("__e")).as("__rep"))
-    val hot = stats.filter(col("__n") > maxBucket)
-      .select(col("__band"), col("__key"), col("__rep"))
-    val small = banded
-      .join(broadcast(hot), Seq("__band", "__key"), "left_anti")
-      .groupBy(col("__band"), col("__key"))
-      .agg(collect_list(col("__e")).as("__xs"))
-      .filter(size(col("__xs")) > 1)
-      // bind the SORTED array once (outer single-element transform) — the
-      // nested pair lambdas reference it per element, and interpreted HOFs
-      // re-evaluate their whole body per item (array_sort would re-sort
-      // per outer element otherwise)
-      .select(explode(element_at(
-        transform(array(array_sort(col("__xs"))), s =>
-          flatten(transform(s, (x, i) =>
-            transform(slice(s, i + 2, size(s)),
-              y => struct(x.as("a"), y.as("b")))))),
-        1)).as("__p"))
-    val star = banded
-      .join(broadcast(hot), Seq("__band", "__key"))
-      .filter(col("__e") =!= col("__rep"))
-      .select(struct(col("__rep").as("a"), col("__e").as("b")).as("__p"))
-    small.union(star)
-      .select(col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val eType = banded.schema("__e").dataType
+    val outSchema = StructType(Seq(
+      StructField("__a", eType, nullable = false),
+      StructField("__b", eType, nullable = false)))
+    banded
+      .select(col("__band"), col("__key"), col("__e"))
+      .repartition(col("__band"), col("__key"))
+      .sortWithinPartitions(col("__band"), col("__key"), col("__e"))
+      .mapPartitions { rows =>
+        new scala.collection.AbstractIterator[Row] {
+          private val in = rows.buffered
+          private var out: Iterator[Row] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && in.hasNext) {
+              val band = in.head.get(0)
+              val key = in.head.get(1)
+              def inBucket: Boolean =
+                in.hasNext && in.head.get(0) == band && in.head.get(1) == key
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+              while (inBucket && buf.length <= maxBucket) buf += in.next().get(2)
+              out =
+                if (buf.length <= maxBucket) {
+                  // complete small bucket: all ordered pairs (already sorted)
+                  buf.indices.iterator.flatMap(i =>
+                    (i + 1 until buf.length).iterator.map(j =>
+                      Row(buf(i), buf(j))))
+                } else {
+                  // hot bucket: head is min(e); star pairs, remaining rows
+                  // of the bucket stream through with no buffering
+                  val rep = buf.head
+                  buf.iterator.drop(1).map(m => Row(rep, m)) ++
+                    new scala.collection.AbstractIterator[Row] {
+                      override def hasNext: Boolean = inBucket
+                      override def next(): Row = Row(rep, in.next().get(2))
+                    }
+                }
+            }
+          }
+          override def hasNext: Boolean = { advance(); out.hasNext }
+          override def next(): Row = { advance(); out.next() }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Jaccard similarity of two distinct-element array columns.
