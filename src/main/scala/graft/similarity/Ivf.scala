@@ -53,7 +53,12 @@ object Ivf {
     require(nprobe <= nlist)
     val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
+    // random init, not k-means||: the parallel init runs several extra
+    // full passes to seed centers, which dominates quantizer training cost
+    // while coarse-quantizer recall is insensitive to init quality (FAISS
+    // trains its IVF quantizer from random samples for the same reason);
+    // recall vs the exact baseline is asserted in AnnSpec either way
+    val km = new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
       .setFeaturesCol("__v").setPredictionCol("__cell")
     val model = km.fit(vecs)
     val centroids = model.clusterCenters.map(_.toArray)
@@ -92,7 +97,12 @@ object Ivf {
       seed: Long = 7L): Unit = {
     val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
+    // random init, not k-means||: the parallel init runs several extra
+    // full passes to seed centers, which dominates quantizer training cost
+    // while coarse-quantizer recall is insensitive to init quality (FAISS
+    // trains its IVF quantizer from random samples for the same reason);
+    // recall vs the exact baseline is asserted in AnnSpec either way
+    val km = new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
       .setFeaturesCol("__v").setPredictionCol("__cell")
     val model = km.fit(vecs)
     model.transform(vecs)
