@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Text-analysis / deduplication operators for LLM-data-pipeline work over
-  * the `documents` table (north-star extras, SURVEY §2.8). All pure
-  * Catalyst expressions — codegen'd, no UDFs, shuffle only at the final
-  * aggregate, so they scale to a 100 TB corpus as a single map + agg pass.
+  * the `documents` table (north-star extras, SURVEY §2.8). Pure Catalyst
+  * expressions — codegen'd, no UDFs, shuffle only at the final aggregate —
+  * except the one deliberate imperative kernel, [[cappedBucketPairs]]'s
+  * streaming per-bucket pair generator (bounded-memory by construction,
+  * which no expression tree can promise).
   */
 object TextOps {
 
