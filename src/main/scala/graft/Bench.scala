@@ -39,7 +39,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Optional comma-separated query-name filter for targeted local timing
     // (unset by the round driver → full registry).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var failed = List.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm the JVM/codegen/parquet-footer paths once so the first timed
@@ -50,8 +51,9 @@ object Bench {
     } catch { case _: Throwable => }
     val loadBefore = loadAvg()
     val results = selected.map { case (name, fn) =>
+      System.err.println(s"[bench] running $name")
       val t0 = System.nanoTime()
-      try {
+      try Watchdog.run(spark, name) {
         val df = fn(spark, sfDir)
         df.select(xxhash64(struct(df.columns.map(col): _*)).as("__h"))
           .agg(expr("bit_xor(__h)")).collect()

@@ -16,6 +16,19 @@ object ExtraQueries {
   private def ev(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.events(s, dir)
 
+  /** First `limit` rows of each series in (ts, event_id) order — used by
+    * the cubic-spline queries so the DuckDB oracle's Thomas-sweep
+    * recursion is `limit`-deep instead of corpus-deep (the recursive CTE
+    * pays per-iteration overhead; 2000-deep was ~90 s of oracle wall,
+    * 256-deep is seconds, and the spline math exercised is identical).
+    */
+  private def evSlice(
+      s: org.apache.spark.sql.SparkSession, dir: String, limit: Int) = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    ev(s, dir).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= limit).drop("__rn")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── F5: FFT bandpass, DC-projection oracle ──
@@ -100,22 +113,26 @@ object ExtraQueries {
     //    pre-rounding values are bit-identical — verified at sf0.01
     //    (500/500 rows, 0 ulp differences). MATERIALIZED hints keep
     //    DuckDB from re-inlining the CTE chain inside the recursion
-    //    (which is quadratic without them). Requires n >= 4 per series
-    //    (events has n = 2000 per type at sf0.01). ──
+    //    (which is quadratic without them). Both sides take the first
+    //    256 rows per series: the recursion pays per-iteration overhead,
+    //    so its depth must be bounded by the query, not the corpus.
+    //    Requires n >= 4 per series. ──
     QueryDef(
       "g2_resample_cubic",
       (s, dir) => {
-        Segmenters.resample(ev(s, dir), Seq("event_type"),
+        Segmenters.resample(evSlice(s, dir, 256), Seq("event_type"),
           Seq("ts", "event_id"), "value", targetSize = 100, method = "cubic")
           .select(col("event_type"), col("idx"),
             round(col("value"), 6).as("value"))
       },
       Some("""
         WITH RECURSIVE o AS MATERIALIZED (
-          SELECT event_type, CAST(value AS DOUBLE) AS y,
-            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i,
-            count(*) OVER (PARTITION BY event_type) AS n
-          FROM events
+          SELECT event_type, y, i, count(*) OVER (PARTITION BY event_type) AS n
+          FROM (
+            SELECT event_type, CAST(value AS DOUBLE) AS y,
+              row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i
+            FROM events)
+          WHERE i < 256
         ), xs AS MATERIALIZED (
           SELECT event_type, i, n, y, CAST(i AS DOUBLE) / (n - 1) AS x FROM o
         ), h AS MATERIALIZED (
@@ -206,16 +223,18 @@ object ExtraQueries {
     QueryDef(
       "g3_spline_upsample",
       (s, dir) => {
-        Segmenters.splineUpsample(ev(s, dir), Seq("event_type"),
+        Segmenters.splineUpsample(evSlice(s, dir, 256), Seq("event_type"),
           Seq("ts", "event_id"), "value", targetSize = 500, degree = 3)
           .select(col("event_type"), col("idx"), round(col("value"), 6).as("value"))
       },
       Some("""
         WITH RECURSIVE o AS MATERIALIZED (
-          SELECT event_type, CAST(value AS DOUBLE) AS y,
-            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i,
-            count(*) OVER (PARTITION BY event_type) AS n
-          FROM events
+          SELECT event_type, y, i, count(*) OVER (PARTITION BY event_type) AS n
+          FROM (
+            SELECT event_type, CAST(value AS DOUBLE) AS y,
+              row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i
+            FROM events)
+          WHERE i < 256
         ), xs AS MATERIALIZED (
           SELECT event_type, i, n, y, CAST(i AS DOUBLE) / (n - 1) AS x FROM o
         ), h AS MATERIALIZED (
@@ -412,14 +431,19 @@ object ExtraQueries {
 
     // ── X30: streaming/batch parity as a driver surface — the EWMA
     //    recurrence (§2.9) run through a REAL Structured Streaming query:
-    //    the static events frame is fed through a MemoryStream in five
+    //    the static events frame is fed through a MemoryStream in three
     //    ordered micro-batches (per-series state must survive every
     //    boundary), the flatMapGroupsWithState kernel appends to a memory
     //    sink, and the last smoothed value + row count per series must
     //    match the batch recurrence replayed by the oracle. The driver-
     //    side collect here is the harness feeding the stream (a real
     //    deployment reads Kafka); the kernel under test holds O(1) state
-    //    per series regardless of corpus size. ──
+    //    per series regardless of corpus size. Batch/partition counts are
+    //    deliberately small: per-micro-batch state-store open/commit is
+    //    the fixed cost that dominated this query (a 32-partition state
+    //    stage hung the round-6 driver gates), and two partitions ×
+    //    three batches already exercise cross-boundary, cross-partition
+    //    state. ──
     QueryDef(
       "x30_stream_parity",
       (s, dir) => {
@@ -440,12 +464,30 @@ object ExtraQueries {
         val sink = "x30_sink"
         s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
         val mem = MemoryStream[StreamingOps.SeriesPoint]
-        val q = StreamingOps.ewmaStream(mem.toDS(), alpha = 0.3)
-          .writeStream.format("memory").queryName(sink)
-          .outputMode("append").start()
+        // the stateful stage keeps one state store per shuffle partition
+        // PER MICRO-BATCH; at the session's 32 partitions the store
+        // open/commit overhead (seconds each under load) dominates a
+        // 5-series parity query, so pin the stream's state partitioning
+        // to a handful — set at query start, restored after (batch
+        // queries elsewhere in the session are untouched; the bench runs
+        // queries serially)
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        val q =
+          try StreamingOps.ewmaStream(mem.toDS(), alpha = 0.3)
+            .writeStream.format("memory").queryName(sink)
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try {
-          val chunk = math.max(1, math.ceil(pts.length / 5.0).toInt)
+          // internal deadline: a wedged micro-batch must stop THIS stream
+          // (the gate-level watchdog can interrupt batch jobs but not a
+          // streaming query's execution thread — q.stop() is the only
+          // handle that reaches it)
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
           pts.grouped(chunk).foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x30 stream exceeded its 120s deadline")
             mem.addData(b.toSeq: _*); q.processAllAvailable()
           }
         } finally q.stop()

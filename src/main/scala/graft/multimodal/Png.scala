@@ -60,6 +60,10 @@ object Png {
             val interlace = bytes(off + 20) & 0xFF
             if (bitDepth != 8 || channels < 0 || interlace != 0 ||
               width <= 0 || height <= 0) return None
+            // wild-corpus guard: header-claimed dimensions drive the
+            // allocation below, so a crafted 4-byte field must not be
+            // able to demand gigabytes (64M samples ≈ a 4096×4096 RGBA)
+            if (width.toLong * height * channels > MaxSamples) return None
             seenIhdr = true
           case "IDAT" => idat.write(bytes, off + 8, len)
           case "IEND" => done = true
@@ -98,8 +102,14 @@ object Png {
         y += 1
       }
       Some(Image(width, height, channels, out))
-    } catch { case _: Exception => None }
+    } catch { case _: Throwable => None } // incl. OOM from hostile payloads
   }
+
+  /** Hard cap on header-claimed samples (w × h × channels) before any
+    * allocation — decode of untrusted payloads must degrade to None,
+    * never to an executor-killing multi-GB allocation.
+    */
+  val MaxSamples: Long = 64L * 1024 * 1024
 
   /** Paeth predictor (PNG spec §6.6). */
   private def paeth(a: Int, b: Int, c: Int): Int = {

@@ -54,9 +54,14 @@ object Wav {
       }
       if (!fmtSeen || data.isEmpty) return None
       val (dOff, dLen) = data.get
+      // truncated PCM is undecodable, not silently-short: a 16-bit data
+      // chunk with an odd byte length, or a sample count that doesn't
+      // fill whole frames, means the payload was cut mid-sample/frame
+      if (bits == 16 && (dLen & 1) != 0) return None
       val samples =
         if (bits == 8) Array.tabulate(dLen)(i => bytes(dOff + i) & 0xFF)
         else Array.tabulate(dLen / 2)(i => le16(bytes, dOff + 2 * i).toShort.toInt)
+      if (samples.length % channels != 0) return None
       Some(Audio(sampleRate, channels, bits, samples))
     } catch { case _: Exception => None }
   }

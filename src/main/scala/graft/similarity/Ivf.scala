@@ -34,6 +34,26 @@ object Ivf {
     slice(array_sort(cells), 1, nprobe).getField("cell")
   }
 
+  /** Quantizer training set: at most `TrainCap` rows (hash-sampled when
+    * the corpus is larger), squeezed into few partitions so each KMeans
+    * iteration schedules a handful of tasks instead of one per corpus
+    * partition. FAISS trains its IVF quantizer on a bounded sample for
+    * the same reason — cell shape converges long before the full corpus
+    * has been seen, so a 100 TB build must not run KMeans over 100 TB.
+    */
+  private val TrainCap = 65536L
+
+  private def quantizerInput(vecs: DataFrame, idCol: String): DataFrame = {
+    val n = vecs.count()
+    val sampled =
+      if (n <= TrainCap) vecs
+      else { // deterministic hash-gate, independent of input partitioning
+        val keep = math.max(1L, n / TrainCap)
+        vecs.filter(pmod(xxhash64(col(idCol)), lit(keep)) === 0)
+      }
+    sampled.coalesce(math.max(1, (TrainCap / 16384L).toInt))
+  }
+
   /** Approximate cosine top-k: build the quantizer on the corpus, assign
     * cells, probe `nprobe` cells per query, exact-cosine re-rank (bounded
     * top-k aggregate). Output: queryId, rank, neighbor_id, cosine — same
@@ -59,8 +79,9 @@ object Ivf {
     // trains its IVF quantizer from random samples for the same reason);
     // recall vs the exact baseline is asserted in AnnSpec either way
     val km = new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
+      .setMaxIter(10)
       .setFeaturesCol("__v").setPredictionCol("__cell")
-    val model = km.fit(vecs)
+    val model = km.fit(quantizerInput(vecs, "__cid"))
     val centroids = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(vecs)
       .select(col("__cid"), col("__cf"), col("__cell"))
@@ -94,20 +115,30 @@ object Ivf {
       corpusIdCol: String,
       path: String,
       nlist: Int = 16,
-      seed: Long = 7L): Unit = {
+      seed: Long = 7L,
+      maxIter: Int = 10): Unit = {
     val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
     // random init, not k-means||: the parallel init runs several extra
     // full passes to seed centers, which dominates quantizer training cost
     // while coarse-quantizer recall is insensitive to init quality (FAISS
     // trains its IVF quantizer from random samples for the same reason);
-    // recall vs the exact baseline is asserted in AnnSpec either way
+    // recall vs the exact baseline is asserted in AnnSpec either way.
+    // maxIter 10 (not MLlib's 20) for the same reason — each iteration is
+    // a full corpus pass, and a coarse quantizer needs rough cells, not a
+    // converged clustering.
     val km = new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
+      .setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cell")
-    val model = km.fit(vecs)
+    val model = km.fit(quantizerInput(vecs, "__cid"))
     model.transform(vecs)
       .select(col("__cid"), col("__cf"), col("__cell"))
       .withColumn("__cn", Ann.norm(col("__cf")))
+      // one shuffle keyed by cell before the partitioned write: without
+      // it every upstream task writes a file into every cell directory
+      // (tasks × nlist small files); with it each cell is a handful of
+      // contiguous files — the layout a 100 TB probe scan wants
+      .repartition(nlist, col("__cell"))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$path/corpus")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -140,6 +171,9 @@ object Ivf {
     newRows.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__cell", probeCells(col("__cf"), cents, 1).getItem(0))
       .withColumn("__cn", Ann.norm(col("__cf")))
+      // same cell-keyed shuffle as writeIndex: an append batch must add
+      // O(1) files per touched cell, not one per upstream task
+      .repartition(cents.length, col("__cell"))
       .write.mode("append").partitionBy("__cell").parquet(s"$path/corpus")
   }
 

@@ -130,6 +130,50 @@ class MultimodalSpec extends SparkSpec {
     assert(Png.decode(Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A, 0, 0)).isEmpty)
   }
 
+  test("Png.decode refuses header-claimed giant allocations (wild-corpus guard)") {
+    // a tiny payload whose IHDR claims 1e9 x 1e9 RGBA must return None
+    // fast instead of attempting a multi-GB allocation
+    def hostile(w: Int, h: Int): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte), 0, 8)
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        out.write(be32(data.length), 0, 4)
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb, 0, 4); out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32(); crc.update(tb); crc.update(data)
+        out.write(be32(crc.getValue.toInt), 0, 4)
+      }
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 6, 0, 0, 0) // RGBA
+      chunk("IHDR", ihdr)
+      chunk("IDAT", Array[Byte](0x78, 0x9C.toByte, 3, 0, 0, 0, 0, 1)) // empty zlib
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(Png.decode(hostile(1000000000, 1000000000)).isEmpty)
+    assert(Png.decode(hostile(1 << 16, 1 << 16)).isEmpty) // 2^32 * 4 samples
+    // at-cap stays decodable territory (structure check only — tiny IDAT
+    // simply fails the length check, not the cap)
+    assert(Png.MaxSamples == 64L * 1024 * 1024)
+  }
+
+  test("Wav.decode treats truncated PCM as undecodable") {
+    val good = Wav.encodePcm16(8000, 1, Array(1, 2, 3, 4))
+    // odd data-chunk length on a 16-bit stream: drop the last byte and
+    // patch both RIFF and data sizes
+    val odd = good.dropRight(1)
+    odd(4) = (odd.length - 8).toByte // RIFF size (fits in one byte here)
+    odd(40) = 7 // data length 8 -> 7
+    assert(Wav.decode(odd).isEmpty)
+    // stereo stream whose sample count is not a multiple of channels
+    val stereo = Wav.encodePcm16(8000, 2, Array(1, 2, 3, 4))
+    val cut = stereo.dropRight(2) // drops one 16-bit sample -> 3 % 2 != 0
+    cut(4) = (cut.length - 8).toByte
+    cut(40) = 6 // data length 8 -> 6
+    assert(Wav.decode(cut).isEmpty)
+    assert(Wav.decode(good).map(_.samples.toSeq).contains(Seq(1, 2, 3, 4)))
+  }
+
   test("Wav round-trips 16-bit PCM including negative samples") {
     val samples = Array(-32768, -1024, -1, 0, 1, 999, 32767)
     val a = Wav.decode(Wav.encodePcm16(8000, 1, samples)).getOrElse(fail("decode failed"))
