@@ -35,8 +35,13 @@ object Bench {
       // 128-wide minhash aggregates must stay inside whole-stage codegen
       .config("spark.sql.codegen.maxFields", 256)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on RAM-backed tmpfs when available — the
+      // host's boot disk is routinely IO-throttled by co-tenants (see
+      // Scratch's header); MB-scale bench shuffles must not pay for it
+      .config("spark.local.dir", Scratch.sub("spark"))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     // Optional comma-separated query-name filter for targeted local timing
     // (unset by the round driver → full registry).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -49,9 +54,13 @@ object Bench {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.events(spark, sfDir).limit(1).collect()
     } catch { case _: Throwable => }
+    // disk-write probe brackets the run: loadavg misses IO co-tenancy
+    // (round-7: 9.6 MB/s fsync writes on an idle-CPU host), so record it
+    val ioBefore = Scratch.diskWriteMbps()
+    val wakeBefore = Scratch.wakeLatencyMicros()
     val loadBefore = loadAvg()
     val results = selected.map { case (name, fn) =>
-      System.err.println(s"[bench] running $name")
+      System.err.println(s"[bench] ${java.time.Instant.now()} running $name")
       val t0 = System.nanoTime()
       try Watchdog.run(spark, name) {
         val df = fn(spark, sfDir)
@@ -64,6 +73,8 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val loadAfter = loadAvg()
+    val ioAfter = Scratch.diskWriteMbps()
+    val wakeAfter = Scratch.wakeLatencyMicros()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMs = results.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
@@ -71,7 +82,8 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def loadJson(l: Seq[Double]) = l.map(d => if (d.isNaN) "null" else d.toString)
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_ms":$qsMs,"load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"cpus":$cpus,"sf":"$sfDir"}""")
+    def num(d: Double) = if (d.isNaN) "null" else d.toString
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_ms":$qsMs,"load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

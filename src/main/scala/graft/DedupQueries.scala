@@ -257,13 +257,14 @@ object DedupQueries {
       "x18_ann_ivf_indexed",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        // namespace by input dir AND pid: concurrent runs at different
-        // scale factors (Verify sf0.01 + Bench sf0.1) or across worktrees
-        // on the SAME sf dir (the two-run bench protocol) must never race
-        // on the index — a foreign writeIndex under a timed read would
-        // corrupt the hash/timing
+        // scratch (RAM-backed when available) + per-pid namespace + sf-dir
+        // tag: concurrent runs at different scale factors (Verify sf0.01 +
+        // Bench sf0.1) or across worktrees on the SAME sf dir (the
+        // two-run bench protocol) must never race on the index — a
+        // foreign writeIndex under a timed read would corrupt the
+        // hash/timing
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${tag}_p${ProcessHandle.current().pid()}"
+        val path = s"${Scratch.dir}/graft_ivf_index_$tag"
         Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L)
         Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
           "embedding", "vec_id", k = 3, nprobe = 3)
@@ -284,9 +285,9 @@ object DedupQueries {
       "x29_ann_ivf_append",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        // pid in the path for the same cross-worktree reason as x18
+        // per-pid scratch for the same cross-worktree reason as x18
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_${tag}_p${ProcessHandle.current().pid()}"
+        val path = s"${Scratch.dir}/graft_ivf_append_$tag"
         Ivf.writeIndex(emb.filter(col("vec_id") % 2 === 0), "embedding",
           "vec_id", path, nlist = 8, seed = 7L)
         Ivf.appendToIndex(emb.filter(col("vec_id") % 2 =!= 0), "embedding",

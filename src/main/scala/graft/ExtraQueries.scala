@@ -476,6 +476,11 @@ object ExtraQueries {
         val q =
           try StreamingOps.ewmaStream(mem.toDS(), alpha = 0.3)
             .writeStream.format("memory").queryName(sink)
+            // fresh per-run checkpoint on fast scratch: the default temp
+            // checkpoint lands on java.io.tmpdir, whose state-store
+            // commits are what made this query hang on a throttled disk
+            .option("checkpointLocation",
+              s"${Scratch.dir}/x30_ckpt_${System.nanoTime()}")
             .outputMode("append").start()
           finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
         try {

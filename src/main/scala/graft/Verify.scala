@@ -14,6 +14,9 @@ object Verify {
       // 128-wide minhash aggregates must stay inside whole-stage codegen
       .config("spark.sql.codegen.maxFields", 256)
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch on RAM-backed tmpfs when available (see
+      // Scratch's header — the boot disk is routinely IO-throttled)
+      .config("spark.local.dir", Scratch.sub("spark"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -23,12 +26,18 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+      if (selected(name)) {
+        System.err.println(s"[verify] ${java.time.Instant.now()} running $name")
+        // higher budget than Bench's: a watchdog kill here costs a
+        // CORRECTNESS row, and the verify SF is small enough that only a
+        // genuine hang reaches it
+        try Watchdog.run(spark, name, Watchdog.DefaultTimeoutSec * 2) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

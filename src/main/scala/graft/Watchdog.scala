@@ -27,7 +27,8 @@ object Watchdog {
   val DefaultTimeoutSec: Int =
     sys.env.get("SPARK_GRAFT_QUERY_TIMEOUT").flatMap(_.toIntOption).getOrElse(240)
 
-  def run[T](spark: SparkSession, name: String)(body: => T): T = {
+  def run[T](spark: SparkSession, name: String,
+      timeoutSec: Int = DefaultTimeoutSec)(body: => T): T = {
     val group = s"graft-watchdog-$name"
     val f = Future {
       // job group is thread-local — set it on the thread running the body
@@ -35,12 +36,12 @@ object Watchdog {
       try blocking(body)
       finally spark.sparkContext.clearJobGroup()
     }
-    try Await.result(f, Duration(DefaultTimeoutSec, TimeUnit.SECONDS))
+    try Await.result(f, Duration(timeoutSec, TimeUnit.SECONDS))
     catch {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         throw new RuntimeException(
-          s"[watchdog] $name still running after ${DefaultTimeoutSec}s — cancelled")
+          s"[watchdog] $name still running after ${timeoutSec}s — cancelled")
     }
   }
 }

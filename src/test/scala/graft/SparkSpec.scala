@@ -11,6 +11,11 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // shuffle/spill/state scratch on RAM-backed tmpfs when available —
+    // the host disk is routinely IO-throttled by co-tenants, which turns
+    // streaming state-store commits in the specs into multi-second ops
+    .config("spark.local.dir", Scratch.sub("spark-test"))
+    .config("spark.sql.streaming.checkpointLocation", Scratch.sub("ckpt-test"))
     .getOrCreate()
 
   /** One or more named series → long frame (series_id, t, value). */
