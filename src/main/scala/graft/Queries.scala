@@ -586,8 +586,9 @@ object Queries {
     QueryDef(
       "x9_sessionize",
       (s, dir) => {
-        // DuckDB reads the parquet ns-timestamps truncated to MICROsecond
-        // TIMESTAMPs, so the comparable time basis is ts div 1000
+        // DuckDB's comparable time basis is epoch MICROseconds (its
+        // TIMESTAMP resolution), so divide the loader's epoch-nanos ts
+        // down to µs on this side
         Sessionize.sessionStats(
           ev(s, dir).withColumn("ts_us", expr("ts div 1000")),
           Seq("user_id"), "ts_us", Seq("ts_us", "event_id"), gap = 1800000000L)

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -31,7 +33,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "events")
+  /** `events.ts` normalized to epoch-nanos LongType no matter how the
+    * driver wrote it. Historically the column was parquet TIMESTAMP(NANOS)
+    * (arrives as LongType via the `nanosAsLong` conf above); newer corpus
+    * generations write TIMESTAMP(MICROS), which Spark reads as
+    * TIMESTAMP_NTZ. Every downstream operator (sessionize gaps, tumbling
+    * buckets, recurrence ordering) treats `ts` as an epoch-nanos long, and
+    * the DuckDB oracles compare via `epoch_ns(ts)`/`epoch_us(ts)` — so the
+    * loader converts here, once. The NTZ→LTZ cast is exact because every
+    * session in this repo pins `spark.sql.session.timeZone=UTC`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) read as epoch-nanos, as before
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"events.ts has unexpected type $other")
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -15,8 +15,16 @@ trait SparkSpec extends AnyFunSuite {
     // the host disk is routinely IO-throttled by co-tenants, which turns
     // streaming state-store commits in the specs into multi-second ops
     .config("spark.local.dir", Scratch.sub("spark-test"))
-    .config("spark.sql.streaming.checkpointLocation", Scratch.sub("ckpt-test"))
     .getOrCreate()
+
+  /** Fresh RAM-backed checkpoint dir for one streaming query. A session-
+    * global `spark.sql.streaming.checkpointLocation` keys checkpoints by
+    * queryName, so a second test reusing a name fails with "does not
+    * support recovering from checkpoint" — every stream gets its own dir
+    * instead.
+    */
+  def freshCkpt(): String =
+    s"${Scratch.sub("ckpt-test")}/${java.util.UUID.randomUUID()}"
 
   /** One or more named series → long frame (series_id, t, value). */
   def seriesDf(series: (String, Seq[Double])*): DataFrame = {

@@ -23,6 +23,7 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[SeriesPoint]
     val q = mk(mem.toDS())
       .writeStream.format("memory").queryName("scanout")
+      .option("checkpointLocation", freshCkpt())
       .outputMode("append").start()
     try {
       batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
@@ -101,7 +102,8 @@ class StreamingSpec extends SparkSpec {
     }
     val mem = MemoryStream[StreamingOps.VecPoint]
     val q = StreamingOps.matrixKalmanStream(mem.toDS(), kf, x0.toSeq, p0.map(_.toSeq).toSeq)
-      .writeStream.format("memory").queryName("mkal").outputMode("append").start()
+      .writeStream.format("memory").queryName("mkal")
+      .option("checkpointLocation", freshCkpt()).outputMode("append").start()
     val got = try {
       Seq(pts.take(2), pts.slice(2, 5), pts.drop(5)).foreach { b =>
         mem.addData(b: _*); q.processAllAvailable()
@@ -133,7 +135,8 @@ class StreamingSpec extends SparkSpec {
     }
     val mem = MemoryStream[StreamingOps.VecPoint]
     val q = StreamingOps.luenbergerStream(mem.toDS(), obs, Seq(0.0, 0.0))
-      .writeStream.format("memory").queryName("luen").outputMode("append").start()
+      .writeStream.format("memory").queryName("luen")
+      .option("checkpointLocation", freshCkpt()).outputMode("append").start()
     val got = try {
       Seq(pts.take(3), pts.slice(3, 6), pts.drop(6)).foreach { bb =>
         mem.addData(bb: _*); q.processAllAvailable()
@@ -163,7 +166,8 @@ class StreamingSpec extends SparkSpec {
     }
     val mem = MemoryStream[StreamingOps.VecPoint]
     val q = StreamingOps.slidingModeStream(mem.toDS(), obs, Seq(0.0), dt)
-      .writeStream.format("memory").queryName("smo").outputMode("append").start()
+      .writeStream.format("memory").queryName("smo")
+      .option("checkpointLocation", freshCkpt()).outputMode("append").start()
     val got = try {
       Seq(pts.take(2), pts.slice(2, 5), pts.drop(5)).foreach { bb =>
         mem.addData(bb: _*); q.processAllAvailable()
@@ -215,7 +219,8 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[(Timestamp, String, Double)]
     val q = StreamingOps.sessionAgg(mem.toDF().toDF("ts", "user_id", "value"),
       "ts", Seq("user_id"), gap = "10 minutes", delay = "1 second")
-      .writeStream.format("memory").queryName("sessparity").outputMode("append").start()
+      .writeStream.format("memory").queryName("sessparity")
+      .option("checkpointLocation", freshCkpt()).outputMode("append").start()
     val got = try {
       batches.foreach { b =>
         mem.addData(b.map { case (u, s) => (tsOf(s), u, 1.0) }: _*)
@@ -267,7 +272,8 @@ class StreamingSpec extends SparkSpec {
     val df = mem.toDF().toDF("ts", "user_id", "value")
     val q = StreamingOps.sessionAgg(df, "ts", Seq("user_id"),
       gap = "10 minutes", delay = "1 minute")
-      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+      .writeStream.format("memory").queryName("sess")
+      .option("checkpointLocation", freshCkpt()).outputMode("append").start()
     try {
       mem.addData(
         (Timestamp.valueOf("2026-01-01 00:00:00"), "u1", 1.0),
