@@ -338,7 +338,9 @@ object DedupQueries {
               Array.tabulate(32)(i => ((docId * 17 + i * 3) % 2048 - 1024).toInt))
           else text.getBytes("UTF-8")
         }
-        val payloads = Tables.documents(s, dir)
+        // the per-row encode/decode UDF chain below is the kernel —
+        // spread the single-file scan so it runs on all cores
+        val payloads = Tables.spread(Tables.documents(s, dir))
           .withColumn("content",
             when(col("doc_id") % 3 === 0, concat(unhex(lit("89504E47")), enc))
               .when(col("doc_id") % 3 === 1,

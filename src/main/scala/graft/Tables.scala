@@ -55,4 +55,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Redistribute rows across the session's full parallelism when the
+    * current plan yields fewer partitions. A single small parquet file —
+    * the shape of the local sf dirs — is one non-splittable scan split,
+    * so every downstream per-row kernel (per-shingle md5, rolling hashes,
+    * payload decodes) otherwise runs in ONE task no matter how many cores
+    * the session has; parquet can't be split below row-group boundaries,
+    * so `files.maxPartitionBytes` can't help. At cluster scale the scan
+    * already has ≥ parallelism splits and this is a no-op, which is what
+    * lets heavy-kernel operators call it unconditionally: the round-robin
+    * shuffle it may inject moves only the operator's projected input and
+    * only on degenerate layouts.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -107,11 +107,16 @@ object Multimodal {
     * histogram/entropy features.
     */
   def explodeBytes(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.select(col(idCol).as("__id"), explode(pixels(col(contentCol))).as("__byte"))
+    graft.Tables.spread(df)
+      .select(col(idCol).as("__id"), explode(pixels(col(contentCol))).as("__byte"))
 
-  /** Per-group byte histogram: `(groupCols*, byte, cnt)`. */
+  /** Per-group byte histogram: `(groupCols*, byte, cnt)`. Byte explosion
+    * multiplies rows by payload size — spread a single-split input first
+    * so the explode+partial-agg doesn't run in one task.
+    */
   def byteHistogram(df: DataFrame, groupCols: Seq[String], contentCol: String): DataFrame =
-    df.select(groupCols.map(col) :+ explode(pixels(col(contentCol))).as("byte"): _*)
+    graft.Tables.spread(df)
+      .select(groupCols.map(col) :+ explode(pixels(col(contentCol))).as("byte"): _*)
       .groupBy(groupCols.map(col) :+ col("byte"): _*)
       .agg(count(lit(1)).as("cnt"))
 

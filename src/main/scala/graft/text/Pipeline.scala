@@ -66,7 +66,9 @@ object Pipeline {
           "arguments aren't swapped, or raise maxBenchDocs deliberately")
     }
     val grams = TextOps.wordShingles(col(textCol), n)
-    val corpusGrams = corpus
+    // per-doc shingling is the map-side cost — don't let a single-split
+    // input serialize it on one core (no-op on well-partitioned scans)
+    val corpusGrams = graft.Tables.spread(corpus)
       .select(col(idCol).as("__id"), grams.as("__gs"))
       .withColumn("__ng", size(col("__gs")).cast("long"))
       .select(col("__id"), col("__ng"), explode(col("__gs")).as("__g"))

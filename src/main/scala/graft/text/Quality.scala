@@ -141,8 +141,11 @@ object Quality {
     * identical to `ngramRepetitionStats(gopherTextStats(df,_),_, n)`; use
     * this form when both signal families are wanted (the x27 shape).
     */
-  def gopherAllStats(df: DataFrame, textCol: String, n: Int = 2): DataFrame = {
+  def gopherAllStats(df0: DataFrame, textCol: String, n: Int = 2): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // tokenize-once still means tokenize-everything in ONE task on a
+    // single-split input; redistribute first (no-op on real layouts)
+    val df = graft.Tables.spread(df0)
     val t = col(textCol)
     val s = element_at(transform(array(words(t)), ws => {
       val wc = size(ws).cast("long")

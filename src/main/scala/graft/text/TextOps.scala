@@ -200,7 +200,9 @@ object TextOps {
       idCol: String,
       shingles: Column,
       numHashes: Int): DataFrame = {
-    val exploded = df.select(
+    // per-shingle md5 is the kernel's cost — make sure a degenerate input
+    // layout (one small parquet split) doesn't serialize it on one core
+    val exploded = graft.Tables.spread(df).select(
       col(idCol).as("__id"),
       explode(shingles).as("__s"))
     val m = md5(col("__s"))
@@ -367,7 +369,10 @@ object TextOps {
     val pairs = cappedBucketPairs(banded, maxBucket)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val sh = df.select(col(idCol).as("__id"), shingles.as("__sh"))
+    // the verify side re-shingles the corpus; spread it for the same
+    // single-split reason as the signature pass
+    val sh = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"), shingles.as("__sh"))
     val shA = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
     val shB = sh.select(col("__id").as("id_b"), col("__sh").as("__shb"))
     pairs.join(shA, "id_a").join(shB, "id_b")
@@ -390,7 +395,8 @@ object TextOps {
       df: DataFrame,
       idCol: String,
       shingles: Column): DataFrame = {
-    val exploded = df.select(col(idCol).as("__id"), explode(shingles).as("__s"))
+    val exploded = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"), explode(shingles).as("__s"))
     val m = md5(col("__s"))
     val withHalves = exploded.select(
       col("__id"),
@@ -480,7 +486,7 @@ object TextOps {
       k: Int = 8,
       w: Int = 4): DataFrame = {
     require(k > 0 && w > 0)
-    val grams = df.select(
+    val grams = graft.Tables.spread(df).select(
       col(idCol).as("__id"),
       posexplode(element_at(
         transform(array(normalize(col(textCol))), s =>
