@@ -100,6 +100,10 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     require(nPlanes <= 63)
     val w = planeMatrix(dim, nPlanes, seed)
+    // deliberately NOT Tables.spread here: the projection kernel is a few
+    // multiply-adds per row — measured on the single-file sf dirs the
+    // extra exchange costs more than the parallelism buys (x20 3.3→6.3 s),
+    // the opposite of the md5-shingle kernels in TextOps
     val ex = df.select(
       col(idCol).as("__id"),
       posexplode(
