@@ -49,10 +49,22 @@ object Bench {
     var failed = List.empty[String]
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm the JVM/codegen/parquet-footer paths once so the first timed
-    // query doesn't absorb several seconds of one-off session cost.
+    // query doesn't absorb several seconds of one-off session cost. The
+    // second block runs the sketch-dedup operators on a 64-doc slice: the
+    // md5-shingle explode, the typed sketch aggregates, banding and the
+    // pair-gen mapPartitions serde are JIT/codegen-compiled here, NOT in
+    // whichever heavy query happens to run first (measured: the first
+    // sketch query otherwise carries ~3 s of one-off compilation, making
+    // per-query numbers depend on registry order).
     try {
       spark.range(1000).selectExpr("sum(id)").collect()
       Tables.events(spark, sfDir).limit(1).collect()
+      val docs = Tables.documents(spark, sfDir).limit(64).cache()
+      docs.count()
+      graft.text.TextOps.nearDupPairs(docs, "doc_id", "text").collect()
+      graft.text.TextOps.simHashDupPairs(docs, "doc_id",
+        graft.text.TextOps.charShingles(col("text"), 5)).collect()
+      docs.unpersist(blocking = false)
     } catch { case _: Throwable => }
     // disk-write probe brackets the run: loadavg misses IO co-tenancy
     // (round-7: 9.6 MB/s fsync writes on an idle-CPU host), so record it
