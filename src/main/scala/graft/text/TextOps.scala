@@ -473,11 +473,18 @@ object TextOps {
     * fingerprint set. Guarantee: two docs sharing a run of ≥ w+k−1 chars
     * share at least one fingerprint.
     *
-    * Plan: posexplode the k-gram positions, hash with the unrolled
-    * `h = h·B + cp (mod P)` polynomial (k codegen'd multiply-adds — the
-    * "rolling" update across positions, expressed per-gram so it stays
-    * inside whole-stage codegen), window-min over position, distinct.
-    * Output: `(__id, __fp)`.
+    * Plan: winnowing is a pure per-document function, so the WHOLE
+    * fingerprint set is one fused expression — normalize once, hash each
+    * gram with the unrolled `h = h·B + cp (mod P)` polynomial, slide the
+    * w-wide min, dedupe — evaluated map-side with NO shuffle. An earlier
+    * formulation exploded every gram row and ran window-min over
+    * position, which shuffled and sorted a corpus-sized gram table
+    * (≈ one row per character at 100 TB) for what a per-row expression
+    * computes in place; only the final compact fingerprint set is
+    * exploded for the candidate join. Each lambda input is bound once via
+    * the array()+transform trick so the normalize regexp and the hash
+    * array are evaluated per document, not per element.
+    * Output: `(__id, __fp)`, distinct per doc.
     */
   def winnowFingerprints(
       df: DataFrame,
@@ -486,34 +493,23 @@ object TextOps {
       k: Int = 8,
       w: Int = 4): DataFrame = {
     require(k > 0 && w > 0)
-    val grams = graft.Tables.spread(df).select(
-      col(idCol).as("__id"),
-      posexplode(element_at(
-        transform(array(normalize(col(textCol))), s =>
-          when(length(s) < k, array().cast("array<string>"))
-            .otherwise(transform(
-              sequence(lit(1), length(s) - (k - 1)),
-              i => s.substr(i, lit(k))))),
-        1)).as(Seq("__pos", "__g")))
-    // unrolled polynomial: h = (((cp_1·B + cp_2)·B + …) mod P each step
-    val h = (1 to k).foldLeft(lit(0L)) { (acc, j) =>
-      (acc * RollB + ascii(substring(col("__g"), j, 1))) % RollP
-    }
-    val hashed = grams.select(col("__id"), col("__pos"), h.as("__h"))
-    // position count via a window count over the (already shuffled) grams:
-    // deriving it as length(normalize(text)) pre-explode looks cheaper but
-    // projection collapse floats that regexp ABOVE the Generate, re-running
-    // it once per gram row instead of once per document
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__id")).orderBy(col("__pos"))
-      .rowsBetween(0, w - 1)
-    val n = org.apache.spark.sql.expressions.Window.partitionBy(col("__id"))
-    hashed
-      .withColumn("__np", count(lit(1)).over(n))
-      .withColumn("__fp", min(col("__h")).over(win))
-      .filter(col("__pos") <= col("__np") - w) // full windows only (__pos is 0-based)
-      .select(col("__id"), col("__fp"))
-      .distinct()
+    val fps = element_at(
+      transform(array(normalize(col(textCol))), s => {
+        // gram hashes h_i over chars i..i+k-1 (i is the 1-based start)
+        val hs = when(length(s) < k + (w - 1), array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(1), length(s) - (k - 1)),
+            i => (0 until k).foldLeft(lit(0L)) { (acc, j) =>
+              (acc * RollB + ascii(s.substr(i + j, lit(1)))) % RollP
+            }))
+        element_at(transform(array(hs), hsb =>
+          when(size(hsb) < w, array().cast("array<bigint>"))
+            .otherwise(array_distinct(transform(
+              sequence(lit(1), size(hsb) - (w - 1)),
+              j => array_min(slice(hsb, j, lit(w))))))), 1)
+      }), 1)
+    graft.Tables.spread(df).select(
+      col(idCol).as("__id"), explode(fps).as("__fp"))
   }
 
   /** Near-dup candidates by shared winnowing fingerprints: pairs of docs
