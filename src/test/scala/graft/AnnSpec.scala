@@ -200,6 +200,30 @@ class AnnSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (x, y) => y == 3L || x == 3L })
   }
 
+  test("winnowing boundaries: short docs yield no fingerprints; one-window doc yields one") {
+    import spark.implicits._
+    val k = 8; val w = 4
+    // normalized lengths: 5 (< k), 9 (k ≤ len < k+w−1: grams but no full
+    // window), 11 (= k+w−1: exactly one window), and a long doc replayed
+    // against a direct Scala implementation of the same algorithm
+    val long = "winnowing parity replay document with enough characters"
+    val df = Seq((1L, "tiny!"), (2L, "ninechars"), (3L, "elevenchars"), (4L, long))
+      .toDF("doc_id", "text")
+    val got = TextOps.winnowFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!got.contains(1L) && !got.contains(2L), s"short docs must be empty, got $got")
+    assert(got(3L).size == 1, s"one full window → one fingerprint, got ${got.get(3L)}")
+    def replay(text: String): Set[Long] = {
+      val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      val hs = s.sliding(k).map(_.foldLeft(0L)((a, c) =>
+        (a * TextOps.RollB + c.toInt) % TextOps.RollP)).toArray
+      hs.sliding(w).filter(_.length == w).map(_.min).toSet
+    }
+    assert(got(4L) == replay(long), "fused expression must match the direct replay")
+    assert(got(3L) == replay("elevenchars"))
+  }
+
   test("hot-bucket cap: a planted 1k-way dup cluster emits linear star pairs, not B²/2") {
     import spark.implicits._
     val dupText = "the same boilerplate paragraph repeated verbatim across the corpus again and again"
