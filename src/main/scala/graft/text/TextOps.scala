@@ -369,13 +369,18 @@ object TextOps {
     val pairs = cappedBucketPairs(banded, maxBucket)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // the verify side re-shingles the corpus; spread it for the same
-    // single-split reason as the signature pass
-    val sh = graft.Tables.spread(df)
-      .select(col(idCol).as("__id"), shingles.as("__sh"))
-    val shA = sh.select(col("__id").as("id_a"), col("__sh").as("__sha"))
-    val shB = sh.select(col("__id").as("id_b"), col("__sh").as("__shb"))
-    pairs.join(shA, "id_a").join(shB, "id_b")
+    // Exact-Jaccard verify on the candidates ONLY: join the raw rows
+    // first, compute shingles above the join — re-shingling the whole
+    // corpus to feed a candidate join that keeps a handful of rows would
+    // be a second full-corpus pass at scale. Sequential joins with a
+    // projection between keep the shingle expression unambiguous (after
+    // the first join only id/`__sha` survive alongside side B's columns).
+    val dfA = df.withColumnRenamed(idCol, "id_a")
+    val dfB = df.withColumnRenamed(idCol, "id_b")
+    pairs.join(dfA, "id_a")
+      .select(col("id_a"), col("id_b"), shingles.as("__sha"))
+      .join(dfB, "id_b")
+      .select(col("id_a"), col("id_b"), col("__sha"), shingles.as("__shb"))
       .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
