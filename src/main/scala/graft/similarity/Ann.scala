@@ -196,12 +196,14 @@ object Ann {
     val candIds = graft.text.TextOps.cappedBucketPairs(banded, maxBucket)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val f = df.select(col(idCol).as("__fid"), col(featCol).as("__f"))
-      .withColumn("__n", norm(col("__f")))
-    candIds
-      .join(f.select(col("__fid").as("id_a"), col("__f").as("__fa"), col("__n").as("__na")), "id_a")
-      .join(f.select(col("__fid").as("id_b"), col("__f").as("__fb"), col("__n").as("__nb")), "id_b")
-      .withColumn("cosine", dot(col("__fa"), col("__fb")) / (col("__na") * col("__nb")))
+    // exact-cosine verify on the candidates ONLY: join raw rows first and
+    // compute norms above the join (see TextOps.nearDupPairsBy — a
+    // full-corpus norm pass feeding a tiny candidate join doesn't scale)
+    val fA = df.select(col(idCol).as("id_a"), col(featCol).as("__fa"))
+    val fB = df.select(col(idCol).as("id_b"), col(featCol).as("__fb"))
+    candIds.join(fA, "id_a").join(fB, "id_b")
+      .withColumn("cosine",
+        dot(col("__fa"), col("__fb")) / (norm(col("__fa")) * norm(col("__fb"))))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
