@@ -205,11 +205,13 @@ object TextOps {
     val exploded = graft.Tables.spread(df).select(
       col(idCol).as("__id"),
       explode(shingles).as("__s"))
-    val m = md5(col("__s"))
+    // one digest per shingle, no hex-string round-trip — values identical
+    // to conv(substring(md5(s), …)) per Md5Pack's contract
+    val p = graft.functions.Md5Pack(col("__s"))
     val withAb = exploded.select(
       col("__id"),
-      conv(substring(m, 1, 8), 16, 10).cast("long").as("__a"),
-      conv(substring(m, 9, 8), 16, 10).cast("long").as("__b"))
+      shiftrightunsigned(p, 32).as("__a"),
+      p.bitwiseAND(lit(0xFFFFFFFFL)).as("__b"))
     withAb.groupBy(col("__id"))
       .agg(graft.functions.MinHashAgg(col("__a"), col("__b"), numHashes, MinHashP)
         .as("__sig"))
@@ -402,11 +404,11 @@ object TextOps {
       shingles: Column): DataFrame = {
     val exploded = graft.Tables.spread(df)
       .select(col(idCol).as("__id"), explode(shingles).as("__s"))
-    val m = md5(col("__s"))
+    val p = graft.functions.Md5Pack(col("__s"))
     val withHalves = exploded.select(
       col("__id"),
-      conv(substring(m, 1, 8), 16, 10).cast("long").as("__a"),
-      conv(substring(m, 9, 8), 16, 10).cast("long").as("__b"))
+      shiftrightunsigned(p, 32).as("__a"),
+      p.bitwiseAND(lit(0xFFFFFFFFL)).as("__b"))
     withHalves.groupBy(col("__id"))
       .agg(graft.functions.SimHashAgg(col("__a"), col("__b")).as("__sim"))
   }

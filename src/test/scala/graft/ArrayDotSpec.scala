@@ -64,4 +64,25 @@ class ArrayDotSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("Md5Pack matches conv(substring(md5)) for both halves, codegen and interpreted") {
+    import spark.implicits._
+    import graft.functions.Md5Pack
+    val texts = Seq("", "a", "hello", "five!", "  spaces  ", "émoji ✓ ünïcode",
+      "0123456789abcdef0123456789abcdef", "\n\t", "べんち") ++
+      (0 until 50).map(i => s"shingle-$i-${"x" * (i % 7)}")
+    val df = texts.toDF("s")
+    val p2 = Md5Pack(col("s"))
+    val m = md5(col("s"))
+    val bad = df.select(
+      (shiftrightunsigned(p2, 32) - conv(substring(m, 1, 8), 16, 10).cast("long")).as("da"),
+      (p2.bitwiseAND(lit(0xFFFFFFFFL)) - conv(substring(m, 9, 8), 16, 10).cast("long")).as("db"))
+      .filter(col("da") =!= 0 || col("db") =!= 0).count()
+    assert(bad == 0, s"$bad rows disagree with the composed md5 form")
+    // interpreted path (no codegen): evaluate via a HOF lambda binding
+    val viaHof = df.select(element_at(transform(array(col("s")),
+      s2 => Md5Pack(s2)), 1).as("p")).collect().map(_.getLong(0))
+    val direct = df.select(p2.as("p")).collect().map(_.getLong(0))
+    assert(viaHof.toSeq == direct.toSeq, "interpreted eval must match codegen")
+  }
 }
