@@ -69,6 +69,9 @@ object Tables {
     * only on degenerate layouts.
     */
   def spread(df: DataFrame): DataFrame = {
+    // a streaming frame has no .rdd and micro-batch partitioning is the
+    // source's concern — pass it through untouched
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
