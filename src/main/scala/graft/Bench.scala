@@ -87,15 +87,23 @@ object Bench {
     val loadAfter = loadAvg()
     val ioAfter = Scratch.diskWriteMbps()
     val wakeAfter = Scratch.wakeLatencyMicros()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qsMs = results.map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) }
+    // One LEAN line: the r7 driver capture truncated a ~4 KB line and lost
+    // four per-query timings, so seconds are emitted at ms precision and
+    // the redundant `queries_ms` map is gone (halves the line). A verbatim
+    // copy also lands in BENCH_LAST.json so a future stdout truncation
+    // loses nothing.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def loadJson(l: Seq[Double]) = l.map(d => if (d.isNaN) "null" else d.toString)
       .mkString("[", ",", "]")
     def num(d: Double) = if (d.isNaN) "null" else d.toString
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_ms":$qsMs,"load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Exception => }
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

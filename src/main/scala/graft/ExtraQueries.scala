@@ -446,67 +446,113 @@ object ExtraQueries {
     //    state. ──
     QueryDef(
       "x30_stream_parity",
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        import graft.streaming.StreamingOps
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val pts = ev(s, dir)
-          .withColumn("__t", row_number().over(
-            Window.partitionBy(col("event_type"))
-              .orderBy(col("ts"), col("event_id"))).cast("long"))
-          .select(col("event_type").as("series_id"), col("__t").as("t"),
-            col("value").cast("double").as("value"))
-          .as[StreamingOps.SeriesPoint]
-          // global sort by per-series index so every micro-batch slice
-          // delivers each series' rows in order across batch boundaries
-          .collect().sortBy(_.t)
-        val sink = "x30_sink"
-        s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
-        val mem = MemoryStream[StreamingOps.SeriesPoint]
-        // the stateful stage keeps one state store per shuffle partition
-        // PER MICRO-BATCH; at the session's 32 partitions the store
-        // open/commit overhead (seconds each under load) dominates a
-        // 5-series parity query, so pin the stream's state partitioning
-        // to a handful — set at query start, restored after (batch
-        // queries elsewhere in the session are untouched; the bench runs
-        // queries serially)
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        val q =
-          try StreamingOps.ewmaStream(mem.toDS(), alpha = 0.3)
-            .writeStream.format("memory").queryName(sink)
-            // fresh per-run checkpoint on fast scratch: the default temp
-            // checkpoint lands on java.io.tmpdir, whose state-store
-            // commits are what made this query hang on a throttled disk
-            .option("checkpointLocation",
-              s"${Scratch.dir}/x30_ckpt_${System.nanoTime()}")
-            .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
-          // internal deadline: a wedged micro-batch must stop THIS stream
-          // (the gate-level watchdog can interrupt batch jobs but not a
-          // streaming query's execution thread — q.stop() is the only
-          // handle that reaches it)
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
-          pts.grouped(chunk).foreach { b =>
-            if (System.nanoTime() > deadline)
-              throw new RuntimeException("x30 stream exceeded its 120s deadline")
-            mem.addData(b.toSeq: _*); q.processAllAvailable()
-          }
-        } finally q.stop()
-        s.table(sink)
+      (s, dir) =>
+        streamParity(s, dir, "x30",
+          ds => graft.streaming.StreamingOps.ewmaStream(ds, alpha = 0.3))
           .groupBy(col("series_id").as("event_type"))
           .agg(round(max_by(col("out"), col("t")), 6).as("ewma_last"),
-            count(lit(1)).as("n_rows"))
-      },
+            count(lit(1)).as("n_rows")),
       Some("""
         SELECT event_type,
           round(list_reduce(list(value ORDER BY ts, event_id),
             (a, b) -> CAST(0.3 AS DOUBLE) * b + (1 - CAST(0.3 AS DOUBLE)) * a), 6) AS ewma_last,
           count(*) AS n_rows
         FROM events GROUP BY event_type
+      """.stripMargin.trim)),
+
+    // ── X31: second streaming kernel through the driver surface — the
+    //    scalar-Kalman recurrence (§2.9, reference `filters.py:332-356`)
+    //    run through the identical MemoryStream harness as x30, checked
+    //    against the same fold oracle as the batch `f6_kalman_last`
+    //    (q=0.5, r=2.0, p0=1.0, x0=first sample). The round-6 wipeout
+    //    proved the streaming path is where environment bugs hide; a
+    //    second kernel through the REAL-stream harness is the insurance. ──
+    QueryDef(
+      "x31_stream_kalman",
+      (s, dir) =>
+        streamParity(s, dir, "x31",
+          ds => graft.streaming.StreamingOps.kalmanStream(
+            ds, q = 0.5, r = 2.0, x0 = None, p0 = 1.0))
+          .groupBy(col("series_id").as("event_type"))
+          .agg(round(max_by(col("out"), col("t")), 6).as("kalman_last"),
+            count(lit(1)).as("n_rows")),
+      Some("""
+        WITH s AS (
+          SELECT event_type, list(value ORDER BY ts, event_id) AS vs,
+            count(*) AS n_rows
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+          round(list_reduce(
+            list_transform(vs, v -> [v, CAST(-1 AS DOUBLE)]),
+            (a, e) ->
+              [a[1] + (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE))
+                 / (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE)) + CAST(2.0 AS DOUBLE)))
+                 * (e[1] - a[1]),
+               (1 - (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE))
+                 / (((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE)) + CAST(2.0 AS DOUBLE))))
+                 * ((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE))])[1], 6) AS kalman_last,
+          n_rows
+        FROM s
       """.stripMargin.trim))
   )
+
+  /** Shared real-stream parity harness (x30/x31): feeds the static events
+    * frame through a MemoryStream in three ordered micro-batches — so
+    * per-series state must survive every batch boundary — runs `kernel`
+    * as a REAL Structured Streaming query into a memory sink, and returns
+    * the sink table. The driver-side collect here is the harness feeding
+    * the stream (a real deployment reads Kafka); the kernel under test
+    * holds O(1) state per series regardless of corpus size.
+    *
+    * Hard-learned plumbing, shared so every streaming driver query gets
+    * it: state partitions pinned to 2 (one state-store open/commit per
+    * partition PER micro-batch — 32 partitions hung the round-6 gates),
+    * a fresh checkpoint on RAM-backed scratch per run (java.io.tmpdir
+    * state commits hang on a throttled disk), and an internal deadline
+    * that stops THIS stream (the gate watchdog can interrupt batch jobs
+    * but not a streaming query's execution thread).
+    */
+  private def streamParity(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      kernel: org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.SeriesPoint] =>
+        org.apache.spark.sql.Dataset[graft.streaming.StreamingOps.ScanOut])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pts = ev(s, dir)
+      .withColumn("__t", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("ts"), col("event_id"))).cast("long"))
+      .select(col("event_type").as("series_id"), col("__t").as("t"),
+        col("value").cast("double").as("value"))
+      .as[StreamingOps.SeriesPoint]
+      // global sort by per-series index so every micro-batch slice
+      // delivers each series' rows in order across batch boundaries
+      .collect().sortBy(_.t)
+    val sink = s"${tag}_sink"
+    s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
+    val mem = MemoryStream[StreamingOps.SeriesPoint]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q =
+      try kernel(mem.toDS())
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation",
+          s"${Scratch.dir}/${tag}_ckpt_${System.nanoTime()}")
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
+      pts.grouped(chunk).foreach { b =>
+        if (System.nanoTime() > deadline)
+          throw new RuntimeException(s"$tag stream exceeded its 120s deadline")
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+  }
 }

@@ -48,6 +48,12 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df // TIMESTAMP(NANOS) read as epoch-nanos, as before
       case TimestampType | TimestampNTZType =>
+        // The NTZ→LTZ cast reads the wall-clock value in the session
+        // timezone; pin UTC here (same defensive pattern as load()'s
+        // nanosAsLong) so a caller session left at a non-UTC zone can't
+        // shift every normalized ts by the zone offset.
+        try spark.conf.set("spark.sql.session.timeZone", "UTC")
+        catch { case _: Exception => }
         df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
       case other =>
         throw new IllegalStateException(s"events.ts has unexpected type $other")
@@ -73,6 +79,10 @@ object Tables {
     // source's concern — pass it through untouched
     if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Read the split count from queryExecution.toRdd — a cached lazy val
+    // on the InternalRow path that later execution reuses — instead of
+    // df.rdd, which builds a separate deserializing RDD (and pays the
+    // conversion planning) on top of the same physical plan.
+    if (df.queryExecution.toRdd.getNumPartitions < target) df.repartition(target) else df
   }
 }

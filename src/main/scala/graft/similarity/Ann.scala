@@ -198,12 +198,20 @@ object Ann {
       .dropDuplicates("id_a", "id_b")
     // exact-cosine verify on the candidates ONLY: join raw rows first and
     // compute norms above the join (see TextOps.nearDupPairsBy — a
-    // full-corpus norm pass feeding a tiny candidate join doesn't scale)
-    val fA = df.select(col(idCol).as("id_a"), col(featCol).as("__fa"))
-    val fB = df.select(col(idCol).as("id_b"), col(featCol).as("__fb"))
+    // full-corpus norm pass feeding a tiny candidate join doesn't scale).
+    // Norms are computed once per DISTINCT candidate id (semi-joined to
+    // the candidate set), not per pair: a vector in a hot bucket appears
+    // in up to maxBucket−1 pairs and an O(dim) per-pair recompute would
+    // multiply with that multiplicity.
+    val candSideIds = candIds.select(col("id_a").as("__cid"))
+      .union(candIds.select(col("id_b").as("__cid"))).distinct()
+    val feats = df.select(col(idCol).as("__cid"), col(featCol).as("__f"))
+      .join(candSideIds, "__cid")
+      .withColumn("__n", norm(col("__f")))
+    val fA = feats.select(col("__cid").as("id_a"), col("__f").as("__fa"), col("__n").as("__na"))
+    val fB = feats.select(col("__cid").as("id_b"), col("__f").as("__fb"), col("__n").as("__nb"))
     candIds.join(fA, "id_a").join(fB, "id_b")
-      .withColumn("cosine",
-        dot(col("__fa"), col("__fb")) / (norm(col("__fa")) * norm(col("__fb"))))
+      .withColumn("cosine", dot(col("__fa"), col("__fb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -377,8 +377,12 @@ object TextOps {
     // be a second full-corpus pass at scale. Sequential joins with a
     // projection between keep the shingle expression unambiguous (after
     // the first join only id/`__sha` survive alongside side B's columns).
-    val dfA = df.withColumnRenamed(idCol, "id_a")
-    val dfB = df.withColumnRenamed(idCol, "id_b")
+    // Drop any pre-existing id_a/id_b columns (other than the id itself)
+    // before renaming: a corpus carrying a column literally named
+    // id_a/id_b would otherwise make the join/select ambiguous.
+    val slim = df.drop(Seq("id_a", "id_b").filter(_ != idCol): _*)
+    val dfA = slim.withColumnRenamed(idCol, "id_a")
+    val dfB = slim.withColumnRenamed(idCol, "id_b")
     pairs.join(dfA, "id_a")
       .select(col("id_a"), col("id_b"), shingles.as("__sha"))
       .join(dfB, "id_b")
