@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.{Multimodal, Png, Wav}
 import graft.similarity.{Ann, Ivf}
-import graft.text.TextOps
+import graft.text.{IncrementalDedup, TextOps}
 
 /** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
   * Jaccard, embedding-cosine near-dup, plus the multimodal binary-payload
@@ -471,6 +471,48 @@ object DedupQueries {
                * sqrt(list_reduce(list_transform(list_zip(centroid, centroid), p -> p[1] * p[2]), (x, y) -> x + y))),
             6) AS cos_centroid
         FROM e JOIN cent USING (label)
+      """.stripMargin.trim)),
+
+    // ── X32: ingest-time incremental exact dedup — the daily-batch shape:
+    //    batch 1 (even doc_ids) bootstraps a persisted content-hash index,
+    //    batch 2 (the WHOLE corpus — so every even doc is a guaranteed
+    //    cross-batch duplicate) dedups against it via anti-join without
+    //    rescanning batch 1. Anti-join is ANSI, so the full two-batch
+    //    ingest replay is oracle-checked; the append-twice idempotence
+    //    contract is spec-tested in PipelineSpec ──
+    QueryDef(
+      "x32_incremental_dedup",
+      (s, dir) => {
+        // per-sf scratch path, same cross-run isolation reasoning as x18
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_dedup_index_$tag"
+        IncrementalDedup.dropIndex(s, path)
+        val docs = Tables.documents(s, dir)
+        val s1 = IncrementalDedup.dedupIncremental(
+          docs.filter(col("doc_id") % 2 === 0), "text", Seq("doc_id"), path)
+        val s2 = IncrementalDedup.dedupIncremental(
+          docs, "text", Seq("doc_id"), path)
+        def stats(df: org.apache.spark.sql.DataFrame, b: Long) =
+          df.agg(count(lit(1)).as("n_survivors"),
+            sum(col("doc_id")).as("id_sum"))
+            .select(lit(b).as("batch"), col("n_survivors"), col("id_sum"))
+        stats(s1, 1L).unionAll(stats(s2, 2L))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ), s1 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d WHERE doc_id % 2 = 0 GROUP BY h
+        ), s2 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d
+          WHERE h NOT IN (SELECT h FROM s1)
+          GROUP BY h
+        )
+        SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_survivors,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT) FROM s2
       """.stripMargin.trim))
   )
 }

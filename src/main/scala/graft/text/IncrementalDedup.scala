@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest-time incremental exact deduplication — the 100 TB ingestion
+  * shape: a daily batch must dedup against the whole corpus WITHOUT
+  * rescanning it. The corpus is represented by a persisted content-hash
+  * index (md5 of [[TextOps.normalize]]d text — the same fingerprint as
+  * [[TextOps.exactDedup]]), and each batch runs
+  *
+  *   within-batch dedup → anti-join vs index → append survivors' hashes,
+  *
+  * so ingesting the same batch twice is a no-op the second time
+  * (idempotent by construction: every survivor's hash lands in the index
+  * before the next batch reads it).
+  *
+  * Index layout (`<path>/hashes/`): hash strings ONLY — no ids, no text —
+  * partitioned into [[DefaultBuckets]] directories by a crc32 bucket of
+  * the hash, mirroring the cell-partitioned IVF index
+  * ([[graft.similarity.Ivf.writeIndex]]). At corpus scale the index is
+  * ~40 bytes/doc (4 TB for 100 B docs vs the 100 TB corpus); the
+  * anti-join shuffles hash strings only, and the bucketed layout is the
+  * on-disk shape a metastore-backed `bucketBy` table (or a per-bucket
+  * map-side merge) needs to make the index side of that anti-join
+  * shuffle-free. Appends repartition by bucket first so a batch adds
+  * O(1) files per touched bucket, not one per upstream task.
+  *
+  * Reference semantics: exact dedup per `fdi_flow` preprocessing
+  * (normalize → hash → keep-first); the incremental contract itself is
+  * the standard training-data-pipeline ingest loop (no reference
+  * counterpart — it has no persisted state).
+  */
+object IncrementalDedup {
+
+  /** Buckets in the persisted hash index. 64 keeps sf-scale test indexes
+    * small while bounding per-bucket file size at corpus scale; a real
+    * deployment sizes this like bucketBy bucket counts (≈ index size /
+    * target file size).
+    */
+  val DefaultBuckets = 64
+
+  private def hashesPath(path: String) = s"$path/hashes"
+
+  /** True iff an index has been written at `path`. */
+  def indexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(hashesPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** All parquet data files currently in the index — the pinned snapshot
+    * [[dedupIncremental]] reads so its own append can't leak into the
+    * batch it is deduping.
+    */
+  private def indexFiles(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(hashesPath(path))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        buf += f.getPath.toString
+    }
+    buf.toSeq
+  }
+
+  /** Delete the index at `path` (fresh-build convenience for tests and
+    * re-runs; a production retrain writes to a new path and swaps).
+    */
+  def dropIndex(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Dedup one ingest batch against the persisted index at `path`,
+    * append the survivors' hashes to the index, and return the surviving
+    * rows (batch columns unchanged). First call on an empty `path`
+    * creates the index — the bootstrap batch IS the initial corpus.
+    *
+    * `keepBy` orders within-batch candidates (first wins), exactly as
+    * [[TextOps.exactDedup]]; cross-batch, earlier batches always win
+    * (their hashes are already in the index).
+    */
+  def dedupIncremental(
+      batch: DataFrame,
+      textCol: String,
+      keepBy: Seq[String],
+      path: String,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    val spark = batch.sparkSession
+    val withinBatch = TextOps.exactDedup(batch, textCol, keepBy)
+      .withColumn("__h", TextOps.contentHash(col(textCol)))
+    // Snapshot the index by listing its parquet files EXPLICITLY: the
+    // append below targets the same directory, which (a) invalidates any
+    // cache over a directory-scan plan (refreshByPath) and (b) would make
+    // a re-executed directory scan see the batch's own hashes — wrongly
+    // eliminating every survivor the caller consumes after the append.
+    // A pinned file list keeps every (re-)execution on the pre-append
+    // snapshot, whatever order the caller evaluates in.
+    val snapshot = indexFiles(spark, path)
+    val fresh =
+      if (snapshot.nonEmpty)
+        // ids/text never enter this join's index side — hash strings only
+        withinBatch.join(
+          spark.read.parquet(snapshot: _*).select(col("__h")),
+          Seq("__h"), "left_anti")
+      else withinBatch
+    // survivors are consumed twice (index append + caller); cache so the
+    // anti-join usually runs once (correct either way per the snapshot)
+    val survivors = fresh.cache()
+    survivors.select(col("__h"))
+      .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
+      .repartition(nBuckets, col("__b"))
+      .write.mode("append").partitionBy("__b").parquet(hashesPath(path))
+    survivors.drop("__h")
+  }
+}

@@ -99,4 +99,32 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(s1 != s2)
   }
+
+  test("incremental dedup: cross-batch anti-join + append-twice idempotence") {
+    import spark.implicits._
+    import graft.text.IncrementalDedup
+    val path = s"${Scratch.sub("dedup-test")}/${java.util.UUID.randomUUID()}"
+    def indexRows(): Long =
+      spark.read.parquet(s"$path/hashes").count()
+    // batch 1: ids 0-3; 0 and 1 share content (keep 0), bootstrap index
+    val b1 = Seq((0L, "alpha  beta"), (1L, " Alpha BETA "), (2L, "gamma"),
+      (3L, "delta")).toDF("doc_id", "text")
+    val s1 = IncrementalDedup.dedupIncremental(b1, "text", Seq("doc_id"), path)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == Seq(0L, 2L, 3L))
+    assert(indexRows() == 3)
+    // batch 2: 10 dups batch-1 content (killed by the index anti-join
+    // without touching batch 1's rows), 11/12 share new content (keep 11)
+    val b2 = Seq((10L, "GAMMA "), (11L, "epsilon"), (12L, "epsilon"))
+      .toDF("doc_id", "text")
+    val s2 = IncrementalDedup.dedupIncremental(b2, "text", Seq("doc_id"), path)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(11L))
+    assert(indexRows() == 4)
+    // append-twice idempotence: re-ingesting batch 2 yields zero
+    // survivors and leaves the index untouched
+    val s3 = IncrementalDedup.dedupIncremental(b2, "text", Seq("doc_id"), path)
+    assert(s3.count() == 0)
+    assert(indexRows() == 4)
+  }
 }
