@@ -3,8 +3,8 @@ package graft.ml
 import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.classification.{
   ClassificationModel, Classifier, GBTClassificationModel, GBTClassifier,
-  LinearSVC, OneVsRest, OneVsRestModel, RandomForestClassificationModel,
-  RandomForestClassifier}
+  LinearSVC, LinearSVCModel, OneVsRest, OneVsRestModel,
+  RandomForestClassificationModel, RandomForestClassifier}
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.feature.{StandardScaler => MlStandardScaler}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
@@ -62,10 +62,15 @@ abstract class FaultDetector(
   def params: Map[String, Any]
   /** Extra training-only column (e.g. a validation-split indicator). */
   protected def trainExtraCol: Option[(String, Column)] = None
+  /** Post-fit hook, invoked by every fit path with the prepped training
+    * frame (still cached when small) and class count — e.g. probability
+    * calibration on training margins.
+    */
+  protected def postFit(prep: DataFrame, k: Int): Unit = ()
 
   def getParams: Map[String, Any] = if (bestParams.nonEmpty) bestParams else params
 
-  private def prepFeatures(df: DataFrame, featCol: String): DataFrame =
+  protected def prepFeatures(df: DataFrame, featCol: String): DataFrame =
     df.withColumn("features", array_to_vector(col(featCol).cast("array<double>")))
 
   private def labelIdx(c: Column): Column = {
@@ -141,6 +146,7 @@ abstract class FaultDetector(
     } else {
       pipelineModel = Some(pipe.fit(prep))
     }
+    postFit(prep, k)
     if (small) prep.unpersist(blocking = false)
     this
   }
@@ -199,6 +205,7 @@ abstract class FaultDetector(
     bestParams = bestPt
     cvAccuracy = lastScores.get(bestIdx)
     pipelineModel = Some(fitAt(prep, k, bestPt))
+    postFit(prep, k)
     validC.unpersist(blocking = false)
     if (small) prep.unpersist(blocking = false)
     this
@@ -237,6 +244,7 @@ abstract class FaultDetector(
     bestParams = observed(bestIdx)._1
     cvAccuracy = Some(observed(bestIdx)._2)
     pipelineModel = Some(fitAt(prep, k, bestParams))
+    postFit(prep, k)
     trainC.unpersist(blocking = false)
     validC.unpersist(blocking = false)
     if (small) prep.unpersist(blocking = false)
@@ -328,8 +336,13 @@ object FaultDetector {
   /** Random-search sampling over the reference's search-space convention
     * (`sklearn_detectors.py:112-136`): a 2-element [lo, hi] of ints draws
     * uniform ints (hi inclusive), of doubles draws uniform doubles;
-    * anything else is a categorical choice list. Seeded — the same space,
-    * nIter and seed reproduce the same candidate grid everywhere.
+    * anything else is a categorical choice list. Positive double bounds
+    * on params named `C`/`gamma` draw LOG-uniformly —
+    * `exp(U(ln lo, ln hi))` — matching the reference's scale-free SVM
+    * search (`sklearn_detectors.py:646-650`, scipy `loguniform`); one
+    * uniform draw either way, so adding a C/gamma param never shifts the
+    * other params' streams. Seeded — the same space, nIter and seed
+    * reproduce the same candidate grid everywhere.
     */
   def samplePoints(space: Map[String, Seq[Any]], n: Int, seed: Long): Seq[Map[String, Any]] = {
     val rnd = new scala.util.Random(seed)
@@ -337,6 +350,9 @@ object FaultDetector {
       space.toSeq.sortBy(_._1).map { case (name, vals) =>
         name -> (vals match {
           case Seq(lo: Int, hi: Int)       => lo + rnd.nextInt(hi - lo + 1)
+          case Seq(lo: Double, hi: Double)
+              if (name == "C" || name == "gamma") && lo > 0 && hi > 0 =>
+            math.exp(math.log(lo) + rnd.nextDouble() * (math.log(hi) - math.log(lo)))
           case Seq(lo: Double, hi: Double) => lo + rnd.nextDouble() * (hi - lo)
           case cats                        => cats(rnd.nextInt(cats.length))
         })
@@ -420,7 +436,8 @@ class SVMFaultDetector(
     randomState: Long = 42L,
     paramSearchSpace: Map[String, Seq[Any]] = Map.empty,
     nIter: Int = 10,
-    cvFolds: Int = 5)
+    cvFolds: Int = 5,
+    probability: Boolean = false) // reference SVC(probability=...), default False
   extends FaultDetector(paramSearchSpace, nIter, cvFolds, randomState) {
 
   require(kernel == "rbf" || kernel == "linear" || kernel == "poly" || kernel == "sigmoid",
@@ -490,7 +507,97 @@ class SVMFaultDetector(
   override def params: Map[String, Any] = Map(
     "C" -> c, "kernel" -> kernel, "gamma" -> gamma, "degree" -> degree,
     "coef0" -> coef0, "max_iter" -> maxIter,
-    "scale_features" -> scaleFeatures, "rff_features" -> rffFeatures)
+    "scale_features" -> scaleFeatures, "rff_features" -> rffFeatures,
+    "probability" -> probability)
+
+  /** Fitted Platt `(A, B)` per binary problem (1 entry binary, k for
+    * OneVsRest) when `probability=true`.
+    */
+  private var plattParams: Array[(Double, Double)] = Array.empty
+
+  /** The fitted binary margin models, in label-index order. */
+  private def binSvms: Array[LinearSVCModel] =
+    pipelineModel.get.stages.last match {
+      case m: LinearSVCModel => Array(m)
+      case o: OneVsRestModel => o.models.map(_.asInstanceOf[LinearSVCModel])
+      case other => throw new IllegalStateException(s"unexpected stage $other")
+    }
+
+  /** Per-row margins `w_i·x + b_i` for every binary problem, as one
+    * array column over the kernel-feature vector.
+    */
+  private def marginsCol(): org.apache.spark.sql.Column = {
+    val ws = binSvms.map(_.coefficients.toArray)
+    val bs = binSvms.map(_.intercept)
+    val f = udf { (v: Vector) =>
+      Array.tabulate(ws.length) { i =>
+        val w = ws(i); var s = bs(i)
+        v.foreachActive((j, x) => s += w(j) * x)
+        s
+      }.toSeq
+    }
+    f(col(svcFeaturesCol))
+  }
+
+  /** Platt calibration on the TRAINING margins when `probability=true`
+    * (sklearn's `SVC(probability=True)` fits the sigmoid at fit time;
+    * `sklearn_detectors.py:529`). Runs after every fit path via
+    * [[FaultDetector.postFit]]; rows entering the sigmoid fit carry only
+    * k margins + k flags, never features ([[Platt]] header).
+    */
+  override protected def postFit(prep: DataFrame, k: Int): Unit = {
+    if (!probability) return
+    val stages = pipelineModel.get.stages
+    val feats = stages.init.foldLeft(prep)((d, t) => t.transform(d))
+    val nProbs = if (k == 2) 1 else k
+    val pos = udf { (l: Double) =>
+      if (nProbs == 1) Seq(l == 1.0)
+      else (0 until nProbs).map(i => l == i.toDouble)
+    }
+    val spark = prep.sparkSession
+    import spark.implicits._
+    val rows = feats
+      .select(marginsCol().as("_1"), pos(col("label")).as("_2"))
+      .as[(Seq[Double], Seq[Boolean])]
+    plattParams = Platt.fit(rows, nProbs)
+  }
+
+  /** Input rows + `proba`, from the Platt-scaled margins. Binary:
+    * `[1−p, p]`; multiclass: per-class OvR sigmoids normalized to sum 1
+    * (this engine's multiclass SVM is OneVsRest, so probabilities couple
+    * the OvR way — sklearn's SVC couples pairwise; same surface, same
+    * invariants, different coupling rule, documented in SURVEY §2.6).
+    * Refuses when `probability=false`, as the reference raises
+    * (`sklearn_detectors.py:771-773`).
+    */
+  override def predictProba(df: DataFrame, featCol: String): DataFrame = {
+    require(probability,
+      "Probability estimates are not enabled. Set probability=true")
+    require(plattParams.nonEmpty, "Model must be fitted before prediction")
+    val ws = binSvms.map(_.coefficients.toArray)
+    val bs = binSvms.map(_.intercept)
+    val ab = plattParams
+    val probaUdf = udf { (v: Vector) =>
+      val ps = Array.tabulate(ws.length) { i =>
+        val w = ws(i); var s = bs(i)
+        v.foreachActive((j, x) => s += w(j) * x)
+        Platt.predict(s, ab(i)._1, ab(i)._2)
+      }
+      if (ps.length == 1) Seq(1.0 - ps(0), ps(0))
+      else {
+        val tot = ps.sum
+        (if (tot > 0) ps.map(_ / tot) else Array.fill(ps.length)(1.0 / ps.length)).toSeq
+      }
+    }
+    // feature-prep stages only — the classifier transform (OvR votes)
+    // contributes nothing the margins don't already carry
+    val feats = pipelineModel.get.stages.init
+      .foldLeft(prepFeatures(df, featCol))((d, t) => t.transform(d))
+    feats.withColumn("proba", probaUdf(col(svcFeaturesCol)))
+      .drop("features",
+        FaultDetector.ScaledCol, FaultDetector.RffCol, FaultDetector.PolyCol,
+        FaultDetector.NysCol)
+  }
 }
 
 /** Shared base of the four boosted-tree detectors (D4–D7): MLlib

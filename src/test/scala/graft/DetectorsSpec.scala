@@ -62,6 +62,31 @@ class DetectorsSpec extends SparkSpec {
     checkDetector(det)
   }
 
+  test("D3 SVM probability=true: Platt-scaled predictProba parity invariants") {
+    val det = new SVMFaultDetector(kernel = "linear", maxIter = 30,
+      probability = true)
+    checkDetector(det)
+    val rows = det.predictProba(testDf, "feat")
+      .select(col("fault_class"), col("proba")).collect()
+    rows.foreach { r =>
+      val p = r.getSeq[Double](1)
+      assert(p.length == 3)
+      assert(p.forall(x => x >= 0.0 && x <= 1.0))
+      assert(math.abs(p.sum - 1.0) < 1e-9, s"proba sums to ${p.sum}")
+    }
+    // calibration quality on the separable FIXTURES blobs: argmax(proba)
+    // must match the true class for the vast majority of test rows
+    // (sklearn's Platt-calibrated SVC does the same on this scenario)
+    val agree = rows.count { r =>
+      val p = r.getSeq[Double](1)
+      p.indexOf(p.max) == r.getInt(0)
+    }
+    assert(agree >= (rows.length * 0.9).toInt, s"argmax agree $agree/${rows.length}")
+    // and the true class's probability should be confidently high on average
+    val avgTrue = rows.map(r => r.getSeq[Double](1)(r.getInt(0))).sum / rows.length
+    assert(avgTrue > 0.7, s"avg true-class probability $avgTrue")
+  }
+
   test("D3 poly kernel map is exact: phi(x)·phi(y) = (g·x·y + r)^d") {
     for (degree <- 1 to 4; coef0 <- Seq(0.0, 1.0, 2.5)) {
       val (exps, coefs) = Poly.terms(3, degree, 0.7, coef0)
@@ -239,6 +264,26 @@ class DetectorsSpec extends SparkSpec {
       assert(b >= 0.0 && b <= 1.0)
       assert(Set("x", "y")(pt("c").asInstanceOf[String]))
     }
+  }
+
+  test("D8 C/gamma double bounds draw log-uniformly, seeded") {
+    val space = Map[String, Seq[Any]](
+      "C" -> Seq(1e-3, 1e3), "gamma" -> Seq(1e-4, 1e0), "coef0" -> Seq(0.0, 1.0))
+    val p1 = FaultDetector.samplePoints(space, 200, 11L)
+    assert(p1 == FaultDetector.samplePoints(space, 200, 11L))
+    val cs = p1.map(_("C").asInstanceOf[Double])
+    assert(cs.forall(c => c >= 1e-3 && c <= 1e3))
+    // log-uniform ⇒ ~half the draws land in each log-half [1e-3,1] / [1,1e3]
+    // (a uniform draw would put ~99.9% above 1)
+    val below = cs.count(_ < 1.0)
+    assert(below > 60 && below < 140, s"C draws below 1: $below / 200")
+    val gs = p1.map(_("gamma").asInstanceOf[Double])
+    assert(gs.forall(g => g >= 1e-4 && g <= 1.0))
+    val gBelow = gs.count(_ < 1e-2)
+    assert(gBelow > 60 && gBelow < 140, s"gamma draws below 1e-2: $gBelow / 200")
+    // non-C/gamma doubles stay uniform
+    val co = p1.map(_("coef0").asInstanceOf[Double])
+    assert(co.count(_ < 0.5) > 60 && co.count(_ < 0.5) < 140)
   }
 
   test("D8b successive halving finds params in space, deterministic under seed") {
