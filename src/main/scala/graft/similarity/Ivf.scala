@@ -157,7 +157,9 @@ object Ivf {
     * build that had used the same centroids for every row — the FAISS
     * `add` contract (quantizer fixed at train time, `IndexIVF::add`
     * assigns against it). Periodic re-train (a fresh [[writeIndex]]) is
-    * only needed when drift degrades the cell balance.
+    * only needed when drift degrades the cell balance — monitor with
+    * [[cellStats]]/[[imbalanceFactor]] after each batch; the retrain
+    * threshold contract lives on [[imbalanceFactor]].
     */
   def appendToIndex(
       newRows: DataFrame,
@@ -175,6 +177,40 @@ object Ivf {
       // O(1) files per touched cell, not one per upstream task
       .repartition(cents.length, col("__cell"))
       .write.mode("append").partitionBy("__cell").parquet(s"$path/corpus")
+  }
+
+  /** Per-cell row counts of a persisted index — the drift telemetry for
+    * the [[appendToIndex]] ingest loop. Cheap by construction: the scan
+    * touches ONLY the `__cell` partition column (footer row counts, no
+    * data pages), so it can run after every append batch.
+    */
+  def cellStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/corpus")
+      .groupBy(col("__cell").as("cell")).agg(count(lit(1)).as("n"))
+
+  /** FAISS-style imbalance factor of the persisted index:
+    * `nlist · Σ nᵢ² / (Σ nᵢ)²` — 1.0 when every cell holds the same
+    * share, → nlist when one cell holds everything. Probe cost at a
+    * fixed nprobe scales with this factor (a probe of a hot cell scans
+    * its whole cell), which is what makes it THE retrain trigger:
+    * [[appendToIndex]] never moves the quantizer, so a drifting ingest
+    * stream piles into few cells and the factor climbs.
+    *
+    * Retrain policy (documented contract, decided by the caller): record
+    * the post-build factor (typically 1.2–2 on real data); re-run
+    * [[writeIndex]] when the factor exceeds ~2× that baseline or ~4
+    * absolute — past that, probes of hot cells dominate search cost and
+    * a fresh quantizer pays for itself. Empty cells count toward nlist
+    * (a drained cell is drift too).
+    */
+  def imbalanceFactor(
+      spark: org.apache.spark.sql.SparkSession, path: String): Double = {
+    val nlist = spark.read.parquet(s"$path/centroids").count()
+    val r = cellStats(spark, path)
+      .agg(sum(col("n") * col("n")).as("ss"), sum(col("n")).as("s")).head()
+    val (ss, s) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    if (s == 0) 1.0 else nlist * ss / (s * s)
   }
 
   /** Approximate cosine top-k over a persisted index: load the centroids

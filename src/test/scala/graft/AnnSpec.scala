@@ -151,6 +151,34 @@ class AnnSpec extends SparkSpec {
     assert(storedIds == (0L until 100L).toSet)
   }
 
+  test("imbalanceFactor: drifting appends move the retrain telemetry") {
+    import spark.implicits._
+    val dim = 16
+    val df = clustered.cache()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_drift_spec"
+    graft.similarity.Ivf.writeIndex(df, "embedding", "vec_id", path,
+      nlist = 10, seed = 7L)
+    val baseline = graft.similarity.Ivf.imbalanceFactor(spark, path)
+    assert(baseline >= 1.0 && baseline < 4.0,
+      s"post-build imbalance $baseline outside the healthy band")
+    // drifting ingest: 300 vectors all in cluster 0's region — the frozen
+    // quantizer piles every one of them into the same cell
+    val drift = (0 until 300).map { i =>
+      val v = Array.tabulate(dim)(j =>
+        (HashRandom.gaussian(13L, 0L, j.toLong) +
+          0.05 * HashRandom.gaussian(29L, i.toLong, j.toLong)).toFloat)
+      (1000L + i, v)
+    }.toDF("vec_id", "embedding")
+    graft.similarity.Ivf.appendToIndex(drift, "embedding", "vec_id", path)
+    val drifted = graft.similarity.Ivf.imbalanceFactor(spark, path)
+    assert(drifted > 2 * baseline && drifted > 4.0,
+      s"imbalance must cross the retrain threshold: $baseline -> $drifted")
+    // the per-cell report shows one hot cell holding the drift batch
+    val stats = graft.similarity.Ivf.cellStats(spark, path)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(stats.values.max >= 300, s"expected a >=300-row hot cell: $stats")
+  }
+
   test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
     val df = clustered.cache()
     def pairSet(r: DataFrame) = r.collect()
