@@ -233,12 +233,30 @@ abstract class FaultDetector(
     val startup = FaultDetector.samplePoints(paramSearchSpace,
       math.min(nStartup, nIter), randomState)
     val observed = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Any], Double)]
-    (0 until nIter).foreach { trial =>
-      val pt =
-        if (trial < startup.length) startup(trial)
-        else Tpe.propose(paramSearchSpace, observed.toSeq, trial, randomState)
-      val acc = evaluator.evaluate(fitAt(trainC, k, pt).transform(validC))
-      observed += (pt -> acc)
+    def runTrial(pt: Map[String, Any]): Double =
+      evaluator.evaluate(fitAt(trainC, k, pt).transform(validC))
+    // Startup trials are random draws that condition on NOTHING (optuna's
+    // TPE likewise only consults history after n_startup_trials), so they
+    // run concurrently — each trial is still a distributed fit, and the
+    // observed sequence keeps trial-index order, so results are
+    // bit-identical to the sequential schedule. Only the proposal phase
+    // below is inherently one-after-another.
+    locally {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, startup.length))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val accs = Await.result(
+          Future.sequence(startup.toList.map(pt => Future(runTrial(pt)))),
+          Duration.Inf)
+        observed ++= startup.zip(accs)
+      } finally pool.shutdown()
+    }
+    (startup.length until nIter).foreach { trial =>
+      val pt = Tpe.propose(paramSearchSpace, observed.toSeq, trial, randomState)
+      observed += (pt -> runTrial(pt))
     }
     val bestIdx = observed.zipWithIndex.minBy { case ((_, a), i) => (-a, i) }._2
     bestParams = observed(bestIdx)._1
