@@ -189,8 +189,21 @@ abstract class FaultDetector(
         if (frac >= 1.0) trainAll
         else trainAll.sample(withReplacement = false, frac, randomState + rung)
       val sampleC = sample.cache()
-      val scored = alive.map { case (pt, idx) =>
-        (pt, idx, accuracy(fitAt(sampleC, k, pt)))
+      // candidates within a rung are independent given the rung's sample
+      // (selection happens after the whole rung scores), so their fits
+      // run concurrently — same schedule-invariance argument as the TPE
+      // startup trials; results keep candidate order
+      val scored = locally {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, alive.length))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+        try Await.result(
+          Future.sequence(alive.toList.map { case (pt, idx) =>
+            Future((pt, idx, accuracy(fitAt(sampleC, k, pt))))
+          }), Duration.Inf)
+        finally pool.shutdown()
       }
       sampleC.unpersist(blocking = false)
       lastScores = scored.map { case (_, idx, acc) => idx -> acc }.toMap
