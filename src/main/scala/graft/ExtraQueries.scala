@@ -494,6 +494,75 @@ object ExtraQueries {
                  * ((CASE WHEN a[2] < 0 THEN CAST(1.0 AS DOUBLE) ELSE a[2] END) + CAST(0.5 AS DOUBLE))])[1], 6) AS kalman_last,
           n_rows
         FROM s
+      """.stripMargin.trim)),
+
+    // ── X33: streaming event-time tumbling windows through the driver
+    //    surface — the third streaming shape after the recurrence kernels
+    //    (x30/x31): `StreamingOps.tumblingAgg` (watermark + window() +
+    //    append mode) over a REAL MemoryStream, vs the batch x10 bucket
+    //    oracle. Append mode only emits a window once the watermark
+    //    passes its end, so two far-future sentinel rows are fed in two
+    //    trailing micro-batches: the first advances the watermark past
+    //    every real window, the second triggers the batch that emits
+    //    them; the sentinels' own windows never close and never emit.
+    //    State is O(open windows per key), watermark-evicted — the
+    //    unbounded-stream shape. ──
+    QueryDef(
+      "x33_stream_tumbling",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingOps
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val pts = ev(s, dir)
+          .select(col("event_type"), col("ts"), col("value").cast("double"))
+          .as[(String, Long, Double)]
+          .collect().sortBy(_._2) // arrival ≈ event order → monotone watermark
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val maxT = pts.map(_._2).max
+        val sink = "x33_sink"
+        s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
+        val mem = MemoryStream[(String, Long, Double)]
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        val q =
+          try {
+            // nanos → micros truncation cannot cross a whole-second
+            // window boundary, so bucketing matches the epoch-nanos oracle
+            val in = mem.toDF().toDF("event_type", "t", "value")
+              .withColumn("event_time", timestamp_micros(expr("t div 1000")))
+            StreamingOps.tumblingAgg(in, "event_time", Seq("event_type"),
+              width = "1 hour", delay = "1 second")
+              .writeStream.format("memory").queryName(sink)
+              .option("checkpointLocation",
+                s"${Scratch.dir}/x33_ckpt_${System.nanoTime()}")
+              .outputMode("append").start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
+          val batches = pts.grouped(chunk).map(_.toSeq) ++ Iterator(
+            Seq(("__sentinel", maxT + 2 * hourNs, 0.0)),
+            Seq(("__sentinel", maxT + 4 * hourNs, 0.0)))
+          batches.foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x33 stream exceeded its 120s deadline")
+            mem.addData(b: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sink)
+          .filter(col("event_type") =!= "__sentinel")
+          .select(col("event_type"),
+            unix_timestamp(col("window_start")).as("bucket_start_s"),
+            col("n_events"),
+            round(col("avg_value"), 6).as("avg_value"))
+      },
+      Some("""
+        SELECT event_type,
+          (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start_s,
+          count(*) AS n_events,
+          round(avg(value), 6) AS avg_value
+        FROM events GROUP BY event_type, bucket_start_s
       """.stripMargin.trim))
   )
 
