@@ -563,6 +563,86 @@ object ExtraQueries {
           count(*) AS n_events,
           round(avg(value), 6) AS avg_value
         FROM events GROUP BY event_type, bucket_start_s
+      """.stripMargin.trim)),
+
+    // ── X34: streaming event-time SESSION windows through the driver
+    //    surface — `StreamingOps.sessionAgg` (`session_window` + watermark,
+    //    append mode) over a real MemoryStream, same sentinel-closure
+    //    harness as x33. The oracle replays `session_window`'s own merge
+    //    rule (a new session when the in-key time delta is >= gap — the
+    //    batch x9 operator breaks on > gap, an intentional boundary
+    //    difference documented in StreamingSpec), so the comparison is
+    //    exact whatever the corpus cadence. State is O(open sessions),
+    //    watermark-evicted. ──
+    QueryDef(
+      "x34_stream_sessions",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import graft.streaming.StreamingOps
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val pts = ev(s, dir)
+          .select(col("event_type"), col("ts"), col("value").cast("double"))
+          .as[(String, Long, Double)]
+          .collect().sortBy(_._2)
+        val hourNs = 3600L * 1000 * 1000 * 1000
+        val maxT = pts.map(_._2).max
+        val sink = "x34_sink"
+        s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
+        val mem = MemoryStream[(String, Long, Double)]
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        val q =
+          try {
+            val in = mem.toDF().toDF("event_type", "t", "value")
+              .withColumn("event_time", timestamp_micros(expr("t div 1000")))
+            StreamingOps.sessionAgg(in, "event_time", Seq("event_type"),
+              gap = "30 minutes", delay = "1 second")
+              .writeStream.format("memory").queryName(sink)
+              .option("checkpointLocation",
+                s"${Scratch.dir}/x34_ckpt_${System.nanoTime()}")
+              .outputMode("append").start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
+          val batches = pts.grouped(chunk).map(_.toSeq) ++ Iterator(
+            Seq(("__sentinel", maxT + 2 * hourNs, 0.0)),
+            Seq(("__sentinel", maxT + 4 * hourNs, 0.0)))
+          batches.foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x34 stream exceeded its 120s deadline")
+            mem.addData(b: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sink)
+          .filter(col("event_type") =!= "__sentinel")
+          .select(col("event_type"),
+            unix_timestamp(col("session_start")).as("session_start_s"),
+            col("n_events"),
+            round(col("avg_value"), 6).as("avg_value"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_ns(ts) AS tns, value FROM events
+        ), d AS (
+          SELECT event_type, tns, value,
+            CASE WHEN lag(tns) OVER (PARTITION BY event_type ORDER BY tns) IS NULL
+                   OR tns - lag(tns) OVER (PARTITION BY event_type ORDER BY tns)
+                        >= 1800000000000
+                 THEN 1 ELSE 0 END AS brk
+          FROM e
+        ), s AS (
+          SELECT event_type, tns, value,
+            sum(brk) OVER (PARTITION BY event_type ORDER BY tns
+                           ROWS UNBOUNDED PRECEDING) AS sid
+          FROM d
+        )
+        SELECT event_type,
+          min(tns) // 1000000000 AS session_start_s,
+          count(*) AS n_events,
+          round(avg(value), 6) AS avg_value
+        FROM s GROUP BY event_type, sid
       """.stripMargin.trim))
   )
 
