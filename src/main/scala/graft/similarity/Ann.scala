@@ -196,22 +196,23 @@ object Ann {
     val candIds = graft.text.TextOps.cappedBucketPairs(banded, maxBucket)
       .select(col("__a").as("id_a"), col("__b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact-cosine verify on the candidates ONLY: join raw rows first and
-    // compute norms above the join (see TextOps.nearDupPairsBy — a
+    // Exact-cosine verify on the candidates ONLY: join raw rows first and
+    // compute norms+cosine above the join (see TextOps.nearDupPairsBy — a
     // full-corpus norm pass feeding a tiny candidate join doesn't scale).
-    // Norms are computed once per DISTINCT candidate id (semi-joined to
-    // the candidate set), not per pair: a vector in a hot bucket appears
-    // in up to maxBucket−1 pairs and an O(dim) per-pair recompute would
-    // multiply with that multiplicity.
-    val candSideIds = candIds.select(col("id_a").as("__cid"))
-      .union(candIds.select(col("id_b").as("__cid"))).distinct()
-    val feats = df.select(col(idCol).as("__cid"), col(featCol).as("__f"))
-      .join(candSideIds, "__cid")
-      .withColumn("__n", norm(col("__f")))
-    val fA = feats.select(col("__cid").as("id_a"), col("__f").as("__fa"), col("__n").as("__na"))
-    val fB = feats.select(col("__cid").as("id_b"), col("__f").as("__fb"), col("__n").as("__nb"))
+    // Norms are deliberately computed per PAIR side, not per distinct
+    // candidate id: deduplicating ids first means the candidate pipeline
+    // feeds three consumers (the pair join + both union sides), and
+    // unless it is materialized the whole signature+banding sketch
+    // re-executes per consumer (measured: 3 full pipelines / 9 corpus
+    // scans, and caching it benched slower still than this single-pass
+    // shape). The per-pair norm recompute is O(dim) against a
+    // hot-bucket-capped multiplicity — cheaper than a third of the
+    // sketch pipeline at any scale where the cap holds.
+    val fA = df.select(col(idCol).as("id_a"), col(featCol).as("__fa"))
+    val fB = df.select(col(idCol).as("id_b"), col(featCol).as("__fb"))
     candIds.join(fA, "id_a").join(fB, "id_b")
-      .withColumn("cosine", dot(col("__fa"), col("__fb")) / (col("__na") * col("__nb")))
+      .withColumn("cosine",
+        dot(col("__fa"), col("__fb")) / (norm(col("__fa")) * norm(col("__fb"))))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
