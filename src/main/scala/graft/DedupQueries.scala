@@ -513,6 +513,44 @@ object DedupQueries {
           CAST(sum(doc_id) AS BIGINT) AS id_sum FROM s1
         UNION ALL
         SELECT CAST(2 AS BIGINT), count(*), CAST(sum(doc_id) AS BIGINT) FROM s2
+      """.stripMargin.trim)),
+
+    // ── X35: C4-style corpus-level span dedup (`TextOps.dedupSpans`) —
+    //    first occurrence of each normalized unit across the corpus wins,
+    //    documents rebuilt from survivors, emptied docs dropped. The
+    //    driver gate splits on WHITESPACE (this corpus has no
+    //    multi-sentence docs and zero exact dupes, so '.'-units would
+    //    make the gate an identity pass; token units force thousands of
+    //    real first-occurrence eliminations through the exact same
+    //    operator); the C4 sentence shape (splitPattern="\\.") is
+    //    spec-tested on planted multi-sentence docs in PipelineSpec.
+    //    FULL oracle: DuckDB replays split / normalize-hash /
+    //    first-occurrence rank / ordered reassembly and must reproduce
+    //    every rebuilt document verbatim (compared via md5) ──
+    QueryDef(
+      "x35_span_dedup",
+      (s, dir) => {
+        TextOps.dedupSpans(Tables.documents(s, dir), "doc_id", "text",
+          splitPattern = "\\s+", sep = " ")
+          .select(col("doc_id"), col("n_units"), md5(col("text")).as("text_md5"))
+      },
+      Some("""
+        WITH u0 AS (
+          SELECT doc_id, string_split_regex(text, '\s+') AS us FROM documents
+        ), u AS (
+          SELECT doc_id, i.i AS pos, us[i.i] AS unit
+          FROM u0, (SELECT unnest(generate_series(1, len(us))) AS i) i
+          WHERE length(trim(us[i.i])) > 0
+        ), h AS (
+          SELECT doc_id, pos, unit,
+            row_number() OVER (PARTITION BY
+              md5(regexp_replace(lower(trim(unit)), '\s+', ' ', 'g'))
+              ORDER BY doc_id, pos) AS rk
+          FROM u
+        )
+        SELECT doc_id, count(*) AS n_units,
+          md5(string_agg(unit, ' ' ORDER BY pos)) AS text_md5
+        FROM h WHERE rk = 1 GROUP BY doc_id
       """.stripMargin.trim))
   )
 }

@@ -39,6 +39,46 @@ object TextOps {
       .filter(col("__rk") === 1).drop("__rk")
   }
 
+  /** C4-style corpus-level span deduplication (Raffel et al. 2020, §2.2:
+    * "we discard all but one of any three-sentence span occurring more
+    * than once"): split every document into units on `splitPattern`,
+    * keep the FIRST occurrence (by `(idCol, position)` order) of each
+    * normalized unit ACROSS THE CORPUS, and rebuild each document from
+    * its surviving units joined with `sep`. Documents whose units all
+    * lose vanish (C4 drops emptied docs). Within-doc repeats dedup too
+    * (the first position wins).
+    *
+    * Scale shape: one shuffle keyed by the unit hash (first-occurrence
+    * rank), one by doc id (reassembly) — unit text rides both shuffles
+    * because reassembly needs it, exactly the C4 job shape; the rank
+    * uses `WindowGroupLimit` so each hash partition retains one row
+    * before the exchange.
+    *
+    * Output: `idCol`, rebuilt `text`, `n_units` kept.
+    */
+  def dedupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      splitPattern: String = "\\.",
+      sep: String = "."): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), splitPattern)).as(Seq("__pos", "__u")))
+      .filter(length(trim(col("__u"))) > 0)
+      .withColumn("__h", md5(normalize(col("__u"))))
+    val w = Window.partitionBy(col("__h")).orderBy(col("__id"), col("__pos"))
+    units.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__u")))),
+            x => x.getField("__u")), sep).as("text"),
+        count(lit(1)).as("n_units"))
+  }
+
   /** Per-group dedup summary: documents vs distinct normalized contents. */
   def dedupSummary(df: DataFrame, textCol: String, groupCols: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)

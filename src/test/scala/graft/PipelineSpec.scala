@@ -100,6 +100,26 @@ class PipelineSpec extends SparkSpec {
     assert(s1 != s2)
   }
 
+  test("dedupSpans: C4 sentence-span dedup — first occurrence wins, docs rebuild in order, emptied docs drop") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "The sky is blue. Water is wet. Unique one"),
+      (2L, "Water is wet. The sky is blue. Unique two"),   // both spans lose to doc 1
+      (3L, "water is WET.  the sky is blue"),               // normalization: all spans lose
+      (4L, "Fresh span. Fresh span. Another fresh")         // within-doc repeat dedups
+    ).toDF("doc_id", "text")
+    val out = TextOps.dedupSpans(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "The sky is blue. Water is wet. Unique one", 3L),
+      (2L, " Unique two", 1L),
+      (4L, "Fresh span. Another fresh", 2L)), s"got ${out.toSeq}")
+    // doc 3 vanished entirely (every span was a normalized repeat)
+    assert(!out.map(_._1).contains(3L))
+  }
+
   test("incremental dedup: cross-batch anti-join + append-twice idempotence") {
     import spark.implicits._
     import graft.text.IncrementalDedup
