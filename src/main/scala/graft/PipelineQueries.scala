@@ -262,6 +262,37 @@ object PipelineQueries {
           CAST(regexp_matches(a, '\b(\d{1,3}\.){3}\d{1,3}\b') AS INT) AS had_ip,
           CAST(regexp_matches(a, '\+?\d[\d\s().-]{7,}\d') AS INT) AS had_phone
         FROM aug
+      """.stripMargin.trim)),
+
+    // ── X36: CCNet-style LM quality signal — per-doc cross-entropy under
+    //    the corpus's own unigram MLE (Quality.unigramCrossEntropy; the
+    //    published pipeline ranks by KenLM perplexity, same filtering
+    //    contract). Two-pass corpus-conditional op: LM aggregate, then an
+    //    occurrence join — fully replayed in DuckDB ──
+    QueryDef(
+      "x36_lm_quality",
+      (s, dir) => {
+        graft.text.Quality.unigramCrossEntropy(
+          Tables.documents(s, dir), "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("cross_entropy"), 6).as("cross_entropy"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, w FROM t WHERE length(w) > 0
+        ), c AS (
+          SELECT w, count(*) AS c FROM tf GROUP BY w
+        ), tot AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS tot FROM c
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+          round(avg(-ln(CAST(c.c AS DOUBLE) / tot.tot)), 6) AS cross_entropy
+        FROM tf JOIN c USING (w), tot
+        GROUP BY doc_id
       """.stripMargin.trim))
   )
 }

@@ -28,6 +28,41 @@ object Quality {
   private def nonEmptyLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
+  /** CCNet-style language-model quality signal (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data": rank docs by LM perplexity and keep the low-perplexity head).
+    * CCNet's KenLM 5-gram is out of scope; the corpus's own unigram MLE
+    * stands in: `p(w) = count(w) / total`, and each document scores its
+    * per-token cross-entropy `mean(-ln p(w))` (perplexity = `exp` of it —
+    * monotone, so filtering thresholds carry over).
+    *
+    * Scale shape: two passes. Pass 1 aggregates the token counts (the LM
+    * — vocabulary-sized, shuffled once on the token; the global total
+    * rides a single-row global aggregate). Pass 2 re-tokenizes and joins
+    * occurrences to the LM on the token key — Catalyst/AQE broadcasts
+    * the LM side when the vocabulary is small and falls back to a
+    * shuffle join when it isn't; neither pass moves document text
+    * through a shuffle more than once.
+    *
+    * Output: `idCol`, `n_tokens`, `cross_entropy` (natural-log units).
+    */
+  def unigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val lm = toks.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val total = lm.agg(sum(col("__c")).as("__tot"))
+    toks.join(lm, "__w")
+      .crossJoin(broadcast(total))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(-log(col("__c").cast("double") / col("__tot").cast("double")))
+          .as("cross_entropy"))
+  }
+
   /** Word-shape signals (Gopher A1.1): appends
     * `word_count`, `mean_word_len`, `symbol_word_ratio` (# and … per
     * word), `alpha_word_frac` (words containing a letter), and
