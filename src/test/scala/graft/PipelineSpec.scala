@@ -120,6 +120,37 @@ class PipelineSpec extends SparkSpec {
     assert(!out.map(_._1).contains(3L))
   }
 
+  test("incremental dedup drives a streaming ingest loop via foreachBatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.text.{IncrementalDedup, TextOps}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = s"${Scratch.sub("dedup-stream-test")}/${java.util.UUID.randomUUID()}"
+    // the 100 TB ingest shape: each micro-batch dedups against the
+    // persisted index and appends its survivors — foreachBatch is the
+    // streaming host for exactly this batch-incremental contract
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalDedup.dedupIncremental(batch, "text", Seq("doc_id"), path)
+        (): Unit
+      }
+      .option("checkpointLocation", freshCkpt())
+      .start()
+    try {
+      mem.addData((0L, "alpha"), (1L, " ALPHA "), (2L, "beta"))
+      q.processAllAvailable()
+      mem.addData((10L, "beta"), (11L, "gamma"), (12L, "alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // index holds exactly the corpus-distinct normalized contents
+    val idx = spark.read.parquet(s"$path/hashes").select("__h")
+      .as[String].collect().toSet
+    val expect = Seq("alpha", "beta", "gamma")
+      .map(t => org.apache.commons.codec.digest.DigestUtils.md5Hex(t)).toSet
+    assert(idx == expect, s"index $idx != $expect")
+  }
+
   test("incremental dedup: cross-batch anti-join + append-twice idempotence") {
     import spark.implicits._
     import graft.text.IncrementalDedup
