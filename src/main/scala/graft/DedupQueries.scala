@@ -551,6 +551,56 @@ object DedupQueries {
         SELECT doc_id, count(*) AS n_units,
           md5(string_agg(unit, ' ' ORDER BY pos)) AS text_md5
         FROM h WHERE rk = 1 GROUP BY doc_id
+      """.stripMargin.trim)),
+
+    // ── X37: int8 embedding quantization round-trip — quantize the whole
+    //    embeddings table (Ann.quantizeInt8, the FAISS SQ8 storage
+    //    contract), dequantize, and report per-vector reconstruction
+    //    error + cosine fidelity. The explicit half-up rounding makes the
+    //    codes engine-portable, so DuckDB replays the full round trip
+    //    bit-identically; any clamp/scale/sign bug breaks the hash ──
+    QueryDef(
+      "x37_embed_quantize",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = Ann.quantizeInt8(emb, "embedding")
+        val v = col("embedding").cast("array<double>")
+        val r = Ann.dequantizeInt8(col("q8"), col("q8_scale"))
+        q.select(col("vec_id"), v.as("__v"), r.as("__r"))
+          .select(col("vec_id"),
+            round(aggregate(zip_with(col("__v"), col("__r"), (a, b) => abs(a - b)),
+              lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_abs_err"),
+            round(Ann.dot(col("__v"), col("__r")) /
+              (Ann.norm(col("__v")) * Ann.norm(col("__r"))), 6).as("cos_recon"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, v,
+            list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+          FROM e
+        ), sc AS (
+          SELECT vec_id, v,
+            CASE WHEN m = 0 THEN CAST(1.0 AS DOUBLE) ELSE m / 127 END AS scl
+          FROM s
+        ), q AS (
+          SELECT vec_id, v,
+            list_transform(v,
+              x -> least(greatest(floor(x / scl + 0.5), -127), 127) * scl) AS r
+          FROM sc
+        )
+        SELECT vec_id,
+          round(list_aggregate(
+            list_transform(list_zip(v, r), p -> abs(p[1] - p[2])), 'max'), 6)
+            AS max_abs_err,
+          round(
+            list_reduce(list_transform(list_zip(v, r), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(v, v), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(r, r), p -> p[1] * p[2]), (x, y) -> x + y))),
+            6) AS cos_recon
+        FROM q
       """.stripMargin.trim))
   )
 }

@@ -34,6 +34,35 @@ object Ann {
 
   private def topK(k: Int) = udaf(new TopKAgg(k), Encoders.product[Scored])
 
+  /** Per-vector symmetric int8 scalar quantization for embedding STORAGE
+    * — the public FAISS `ScalarQuantizer` 8-bit contract (Johnson, Douze
+    * & Jégou 2017; 4× smaller than float32, which at 100 TB of
+    * embeddings is the difference between one copy and four):
+    * `scale = max|v_i| / 127`, `q_i = clamp(floor(v_i/scale + 0.5),
+    * ±127)` (explicit half-up rounding, so every engine — and the DuckDB
+    * oracle — reproduces the codes bit-identically), zero vectors take
+    * scale 1. Appends `qCol` (`array<tinyint>`) and `scaleCol`; pure
+    * codegen'd higher-order functions, no shuffle.
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      featCol: String,
+      qCol: String = "q8",
+      scaleCol: String = "q8_scale"): DataFrame = {
+    val v = col(featCol).cast("array<double>")
+    val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val scale = when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+    df.withColumn(scaleCol, scale)
+      .withColumn(qCol,
+        transform(v, x =>
+          least(greatest(floor(x / col(scaleCol) + 0.5), lit(-127.0)), lit(127.0))
+            .cast("byte")))
+  }
+
+  /** Dequantize an int8 code array back to doubles: `q_i · scale`. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Rank candidate pairs `(__qid, __cid, __qf/__qn, __cf/__cn)` by exact
     * cosine and keep the top-k per query. Score is negated cosine so the
     * ascending bounded heap yields descending similarity; ties break on

@@ -151,6 +151,31 @@ class AnnSpec extends SparkSpec {
     assert(storedIds == (0L until 100L).toSet)
   }
 
+  test("int8 quantization: codes bounded, zero vector safe, high cosine fidelity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 127.3f, 0.001f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 1, codes 0
+      (3L, Array(-0.002f, 0.003f, -0.001f, 0.0005f))
+    ).toDF("vec_id", "embedding")
+    val q = Ann.quantizeInt8(df, "embedding")
+      .select(col("vec_id"), col("q8"), col("q8_scale"),
+        Ann.dequantizeInt8(col("q8"), col("q8_scale")).as("recon"),
+        col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Byte](1),
+        r.getDouble(2), r.getSeq[Double](3), r.getSeq[Double](4))).toSeq
+    q.foreach { case (_, codes, scale, recon, v) =>
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      assert(scale > 0)
+      // reconstruction within half a quantization step per component
+      v.zip(recon).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale / 2 + 1e-12, s"$a vs $b (scale $scale)")
+      }
+    }
+    val zero = q.find(_._1 == 2L).get
+    assert(zero._2.forall(_ == 0) && zero._3 == 1.0)
+  }
+
   test("imbalanceFactor: drifting appends move the retrain telemetry") {
     import spark.implicits._
     val dim = 16
