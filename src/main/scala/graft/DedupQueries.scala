@@ -601,6 +601,57 @@ object DedupQueries {
                * sqrt(list_reduce(list_transform(list_zip(r, r), p -> p[1] * p[2]), (x, y) -> x + y))),
             6) AS cos_recon
         FROM q
+      """.stripMargin.trim)),
+
+    // ── X38: IVF-SQ8 indexed search — the FAISS standard big-corpus
+    //    config: cell-partitioned index storing int8 codes (4× less probe
+    //    IO), vectors reconstructed after the partition-pruned scan,
+    //    full-probe top-k. With every cell probed the result is exactly
+    //    brute-force top-k over the RECONSTRUCTED corpus, and x37 proved
+    //    the quantization replays bit-identically in DuckDB — so this is
+    //    oracle-checked end to end (same shape as x29) ──
+    QueryDef(
+      "x38_ann_ivf_sq8",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_ivf_sq8_$tag"
+        Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L,
+          quantize = true)
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 8)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), sc AS (
+          SELECT vec_id, v,
+            CASE WHEN list_aggregate(list_transform(v, x -> abs(x)), 'max') = 0
+                 THEN CAST(1.0 AS DOUBLE)
+                 ELSE list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127
+            END AS scl
+          FROM e
+        ), r AS (
+          SELECT vec_id,
+            list_transform(v,
+              x -> least(greatest(floor(x / scl + 0.5), -127), 127) * scl) AS cf
+          FROM sc
+        ), q AS (
+          SELECT vec_id AS qid, v AS qf FROM e WHERE vec_id < 20
+        ), d AS (
+          SELECT qid, r.vec_id AS cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN r WHERE r.vec_id <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d) WHERE rank <= 3
       """.stripMargin.trim))
   )
 }

@@ -109,6 +109,22 @@ object Ivf {
     * Build once, query many times ([[cosineTopKIndexed]]) — the quantizer
     * KMeans (the expensive part) never reruns on the query path.
     */
+  /** Shared storage projection for [[writeIndex]]/[[appendToIndex]]:
+    * either raw float vectors + their norm, or (quantize=true) the FAISS
+    * IVF-SQ8 layout — per-vector int8 codes + scale (`Ann.quantizeInt8`)
+    * with the norm of the RECONSTRUCTED vector, so search scores equal
+    * exact cosine over what the index actually stores.
+    */
+  private def storageColumns(assigned: DataFrame, quantize: Boolean): DataFrame =
+    if (!quantize)
+      assigned.withColumn("__cn", Ann.norm(col("__cf")))
+        .select(col("__cid"), col("__cf"), col("__cn"), col("__cell"))
+    else
+      Ann.quantizeInt8(assigned, "__cf", "__q8", "__qs")
+        .withColumn("__cn",
+          Ann.norm(Ann.dequantizeInt8(col("__q8"), col("__qs"))))
+        .select(col("__cid"), col("__q8"), col("__qs"), col("__cn"), col("__cell"))
+
   def writeIndex(
       corpus: DataFrame,
       featCol: String,
@@ -116,7 +132,8 @@ object Ivf {
       path: String,
       nlist: Int = 16,
       seed: Long = 7L,
-      maxIter: Int = 10): Unit = {
+      maxIter: Int = 10,
+      quantize: Boolean = false): Unit = {
     val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
     // random init, not k-means||: the parallel init runs several extra
@@ -131,9 +148,9 @@ object Ivf {
       .setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cell")
     val model = km.fit(quantizerInput(vecs, "__cid"))
-    model.transform(vecs)
-      .select(col("__cid"), col("__cf"), col("__cell"))
-      .withColumn("__cn", Ann.norm(col("__cf")))
+    storageColumns(
+      model.transform(vecs).select(col("__cid"), col("__cf"), col("__cell")),
+      quantize)
       // one shuffle keyed by cell before the partitioned write: without
       // it every upstream task writes a file into every cell directory
       // (tasks × nlist small files); with it each cell is a handful of
@@ -170,9 +187,14 @@ object Ivf {
     val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
       .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
     require(cents.nonEmpty, s"no centroids at $path/centroids — writeIndex first")
-    newRows.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
-      .withColumn("__cell", probeCells(col("__cf"), cents, 1).getItem(0))
-      .withColumn("__cn", Ann.norm(col("__cf")))
+    // append batches must match the index's storage format (float or SQ8)
+    // — detected from the persisted corpus schema, not a caller flag
+    val quantized = spark.read.parquet(s"$path/corpus")
+      .schema.fieldNames.contains("__q8")
+    storageColumns(
+      newRows.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+        .withColumn("__cell", probeCells(col("__cf"), cents, 1).getItem(0)),
+      quantized)
       // same cell-keyed shuffle as writeIndex: an append batch must add
       // O(1) files per touched cell, not one per upstream task
       .repartition(cents.length, col("__cell"))
@@ -243,8 +265,16 @@ object Ivf {
         .cache())
     val probed = q.select(col("__cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val assigned = spark.read.parquet(s"$path/corpus")
+    val stored = spark.read.parquet(s"$path/corpus")
       .filter(col("__cell").isin(probed.map(Int.box): _*))
+    // SQ8 index: reconstruct vectors from the int8 codes AFTER the
+    // partition-pruned scan — the probe IO is the 4×-smaller codes, the
+    // dequantize is a codegen'd map over only the probed cells' rows
+    val assigned =
+      if (stored.schema.fieldNames.contains("__q8"))
+        stored.withColumn("__cf",
+          Ann.dequantizeInt8(col("__q8"), col("__qs")))
+      else stored
     val cands = assigned.join(q, Seq("__cell"))
       .filter(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
       .select(col("__qid"), col("__qf"), col("__qn"),

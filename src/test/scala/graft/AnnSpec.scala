@@ -176,6 +176,38 @@ class AnnSpec extends SparkSpec {
     assert(zero._2.forall(_ == 0) && zero._3 == 1.0)
   }
 
+  test("SQ8-quantized index: search parity with the float index, appends keep the format") {
+    import spark.implicits._
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val fPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sq8f_spec"
+    val qPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_sq8q_spec"
+    graft.similarity.Ivf.writeIndex(df, "embedding", "vec_id", fPath,
+      nlist = 10, seed = 7L)
+    graft.similarity.Ivf.writeIndex(df, "embedding", "vec_id", qPath,
+      nlist = 10, seed = 7L, quantize = true)
+    def ids(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val fRes = ids(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, fPath, queries, "embedding", "vec_id", k, nprobe = 10))
+    val qRes = ids(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, qPath, queries, "embedding", "vec_id", k, nprobe = 10))
+    // well-separated clusters: SQ8 reconstruction error (≤ half a step
+    // per component) cannot move a neighbor across the cluster margin,
+    // so the top-k SET per query is unchanged (ranks may swap among
+    // near-tied in-cluster neighbors — cosine gaps there are ~1e-3)
+    assert(qRes == fRes, "quantized index changed the top-k neighbor set")
+    // appends auto-detect the SQ8 format from the persisted schema
+    val extra = Seq((500L, Array.fill(16)(0.25f))).toDF("vec_id", "embedding")
+    graft.similarity.Ivf.appendToIndex(extra, "embedding", "vec_id", qPath)
+    val schema = spark.read.parquet(s"$qPath/corpus").schema.fieldNames.toSet
+    assert(schema.contains("__q8") && schema.contains("__qs") && !schema.contains("__cf"))
+    val stored = spark.read.parquet(s"$qPath/corpus")
+      .select("__cid").as[Long].collect().toSet
+    assert(stored == ((0L until 100L).toSet + 500L))
+  }
+
   test("imbalanceFactor: drifting appends move the retrain telemetry") {
     import spark.implicits._
     val dim = 16
