@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.{Multimodal, Png, Wav}
-import graft.similarity.{Ann, Ivf}
+import graft.similarity.{Ann, Ivf, Pq}
 import graft.text.{IncrementalDedup, TextOps}
 
 /** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
@@ -652,6 +652,25 @@ object DedupQueries {
           SELECT qid, cid, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
           FROM d) WHERE rank <= 3
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X39: product-quantization ADC top-k — the billion-scale FAISS
+    //    IVF-PQ code path: 8 subspaces × 16 sub-centroids = 8 half-byte
+    //    codes + one norm per vector (vs 256 B float32), scored by the
+    //    ADC subspace decomposition as inlined codegen'd lookup tables.
+    //    Seeded sub-KMeans codebooks are not ANSI-expressible → rows-only
+    //    (driver contract); recall vs the exact baseline and a
+    //    centroid-exactness golden are asserted in AnnSpec ──
+    QueryDef(
+      "x39_ann_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cb = Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, seed = 7L)
+        Pq.cosineTopKPq(emb, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", "vec_id", k = 3, cb)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      None)
   )
 }

@@ -69,8 +69,17 @@ object Ann {
     * the smaller corpus id, matching `ORDER BY cos DESC, cid ASC`.
     */
   private[similarity] def rankTopK(cands: DataFrame, queryIdCol: String, k: Int): DataFrame =
+    rankTopKScored(cands, queryIdCol, k,
+      dot(col("__qf"), col("__cf")) / (col("__qn") * col("__cn")))
+
+  /** [[rankTopK]] with the cosine supplied as an expression — for scorers
+    * whose dot product is not a plain vector-pair product (e.g. the PQ
+    * ADC decomposition in [[Pq.cosineTopKPq]]).
+    */
+  private[similarity] def rankTopKScored(
+      cands: DataFrame, queryIdCol: String, k: Int, cosExpr: Column): DataFrame =
     cands
-      .withColumn("__cos", dot(col("__qf"), col("__cf")) / (col("__qn") * col("__cn")))
+      .withColumn("__cos", cosExpr)
       .groupBy(col("__qid"))
       .agg(topK(k)(-col("__cos"), col("__cid").cast("long"), lit(0L)).as("__tk"))
       .select(col("__qid"), posexplode(col("__tk.hits")).as(Seq("__pos", "__h")))

@@ -208,6 +208,59 @@ class AnnSpec extends SparkSpec {
     assert(stored == ((0L until 100L).toSet + 500L))
   }
 
+  test("PQ: encode/reconNorm/ADC are exact when vectors sit on codebook centroids") {
+    import spark.implicits._
+    import graft.similarity.Pq
+    // hand-built codebooks: m=2 subspaces of 2 dims, k=2 centroids each
+    val cb = Pq.Codebooks(m = 2, k = 2, dsub = 2, centers = Array(
+      Array(Array(1.0, 0.0), Array(0.0, 2.0)),
+      Array(Array(3.0, 0.0), Array(0.0, 4.0))))
+    // corpus vectors = exact centroid concatenations
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 3.0f, 0.0f)), // codes (0, 0)
+      (1L, Array(0.0f, 2.0f, 0.0f, 4.0f)), // codes (1, 1)
+      (2L, Array(1.0f, 0.0f, 0.0f, 4.0f))  // codes (0, 1)
+    ).toDF("vec_id", "embedding")
+    val enc = df.select(col("vec_id"),
+        Pq.encodeCol(col("embedding"), cb).as("code"))
+      .withColumn("n", Pq.reconNormCol(col("code"), cb))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSeq
+      .sortBy(_._1)
+    assert(enc.map(_._2) == Seq(Seq(0, 0), Seq(1, 1), Seq(0, 1)))
+    assert(enc.map(_._3) == Seq(math.sqrt(10.0), math.sqrt(20.0), math.sqrt(17.0)))
+    // ADC dot of an exact query against code (0,1): q·recon([1,0,0,4])
+    val q = Seq((9L, Array(0.5f, -1.0f, 2.0f, 0.25f))).toDF("vec_id", "embedding")
+    val res = Pq.cosineTopKPq(df, q, "embedding", "vec_id", "vec_id", k = 3, cb)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getDouble(3)))
+    val qv = Array(0.5, -1.0, 2.0, 0.25)
+    def cos(v: Array[Double]) = {
+      val d = qv.zip(v).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(qv.map(x => x * x).sum) * math.sqrt(v.map(x => x * x).sum))
+    }
+    val expect = Seq(
+      0L -> cos(Array(1, 0, 3, 0)), 1L -> cos(Array(0, 2, 0, 4)),
+      2L -> cos(Array(1, 0, 0, 4))).sortBy(-_._2)
+    res.zip(expect).foreach { case ((gid, gcos), (eid, ecos)) =>
+      assert(gid == eid && math.abs(gcos - ecos) < 1e-12, s"$gid/$gcos vs $eid/$ecos")
+    }
+  }
+
+  test("PQ ADC top-k reaches recall >= 0.9 on clustered data") {
+    import graft.similarity.Pq
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    // m=4 subspaces of 4 dims, k=16 sub-centroids: 4 bytes per vector
+    val cb = Pq.train(df, "embedding", dim = 16, m = 4, k = 16, seed = 7L)
+    val pq = resultSet(Pq.cosineTopKPq(df, queries, "embedding", "vec_id", "vec_id", k, cb))
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"PQ recall $recall (${(exact & pq).size}/${exact.size})")
+  }
+
   test("imbalanceFactor: drifting appends move the retrain telemetry") {
     import spark.implicits._
     val dim = 16
