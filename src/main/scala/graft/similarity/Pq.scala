@@ -50,9 +50,18 @@ object Pq {
       maxIter: Int = 10): Codebooks = {
     require(dim % m == 0, s"dim $dim must divide by m $m")
     val dsub = dim / m
-    // one bounded-sample materialization feeds all m sub-fits
-    val sample = df.select(col(featCol).cast("array<double>").as("__v"))
-      .limit(65536).coalesce(4).cache()
+    // one bounded-sample materialization feeds all m sub-fits. The
+    // bound is a deterministic hash-gate on the vector itself (same
+    // device as Ivf.quantizerInput) — a bare limit() would take
+    // whichever partitions answer first and train different codebooks
+    // run to run.
+    val cap = 65536L
+    val all = df.select(col(featCol).cast("array<double>").as("__v"))
+    val n = all.count()
+    val sample = (
+      if (n <= cap) all
+      else all.filter(pmod(xxhash64(col("__v")), lit(math.max(1L, n / cap))) === 0)
+      ).coalesce(4).cache()
     sample.count()
     // the m sub-quantizer fits are independent (disjoint coordinate
     // blocks of the same cached sample) — run them concurrently; each is
