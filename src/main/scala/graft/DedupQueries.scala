@@ -671,6 +671,27 @@ object DedupQueries {
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
+      None),
+
+    // ── X40: IVF-PQ persisted index — the composition FAISS ships as its
+    //    billion-scale default: cell-partitioned corpus storing nibble
+    //    codes + recon norm, codebooks persisted beside the centroids,
+    //    probes scored by ADC straight off the codes after the
+    //    partition-pruned scan (no reconstruction). Seeded double-KMeans
+    //    → rows-only; recall + append-format specs in AnnSpec ──
+    QueryDef(
+      "x40_ann_ivf_pq",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_ivf_pq_$tag"
+        Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L,
+          pqM = 8, pqK = 16)
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 4)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
       None)
   )
 }

@@ -125,6 +125,38 @@ object Ivf {
           Ann.norm(Ann.dequantizeInt8(col("__q8"), col("__qs"))))
         .select(col("__cid"), col("__q8"), col("__qs"), col("__cn"), col("__cell"))
 
+  /** PQ storage projection: nibble codes + recon norm per row (the
+    * IVF-PQ cell layout — FAISS's billion-scale default).
+    */
+  private def storageColumnsPq(assigned: DataFrame, cb: Pq.Codebooks): DataFrame =
+    assigned.withColumn("__pqc", Pq.encodeCol(col("__cf"), cb))
+      .withColumn("__cn", Pq.reconNormCol(col("__pqc"), cb))
+      .select(col("__cid"), col("__pqc"), col("__cn"), col("__cell"))
+
+  /** Persist PQ codebooks beside the centroids: one row per
+    * (subspace, code) with its centroid — tiny (m·k rows).
+    */
+  private def writeCodebooks(
+      spark: org.apache.spark.sql.SparkSession, path: String, cb: Pq.Codebooks): Unit = {
+    import spark.implicits._
+    (for (s <- 0 until cb.m; j <- 0 until cb.k)
+      yield (s, j, cb.centers(s)(j).toSeq))
+      .toDF("sub", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  private def readCodebooks(
+      spark: org.apache.spark.sql.SparkSession, path: String): Pq.Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getSeq[Double](r.fieldIndex("center")).toArray))
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val centers = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (s, j, c) => centers(s)(j) = c }
+    Pq.Codebooks(m, k, centers(0)(0).length, centers)
+  }
+
   def writeIndex(
       corpus: DataFrame,
       featCol: String,
@@ -133,7 +165,10 @@ object Ivf {
       nlist: Int = 16,
       seed: Long = 7L,
       maxIter: Int = 10,
-      quantize: Boolean = false): Unit = {
+      quantize: Boolean = false,
+      pqM: Int = 0,
+      pqK: Int = 16): Unit = {
+    require(!(quantize && pqM > 0), "pick one of SQ8 (quantize) or PQ (pqM)")
     val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
     // random init, not k-means||: the parallel init runs several extra
@@ -148,9 +183,15 @@ object Ivf {
       .setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cell")
     val model = km.fit(quantizerInput(vecs, "__cid"))
-    storageColumns(
-      model.transform(vecs).select(col("__cid"), col("__cf"), col("__cell")),
-      quantize)
+    val assigned = model.transform(vecs).select(col("__cid"), col("__cf"), col("__cell"))
+    val stored =
+      if (pqM > 0) {
+        val dim = model.clusterCenters.head.size
+        val cb = Pq.train(vecs, "__cf", dim, m = pqM, k = pqK, seed = seed)
+        writeCodebooks(corpus.sparkSession, path, cb)
+        storageColumnsPq(assigned, cb)
+      } else storageColumns(assigned, quantize)
+    stored
       // one shuffle keyed by cell before the partitioned write: without
       // it every upstream task writes a file into every cell directory
       // (tasks × nlist small files); with it each cell is a handful of
@@ -187,14 +228,15 @@ object Ivf {
     val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
       .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
     require(cents.nonEmpty, s"no centroids at $path/centroids — writeIndex first")
-    // append batches must match the index's storage format (float or SQ8)
-    // — detected from the persisted corpus schema, not a caller flag
-    val quantized = spark.read.parquet(s"$path/corpus")
-      .schema.fieldNames.contains("__q8")
-    storageColumns(
-      newRows.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
-        .withColumn("__cell", probeCells(col("__cf"), cents, 1).getItem(0)),
-      quantized)
+    // append batches must match the index's storage format (float, SQ8
+    // or PQ) — detected from the persisted corpus schema, not a caller flag
+    val schema = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
+    val assigned = newRows
+      .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__cell", probeCells(col("__cf"), cents, 1).getItem(0))
+    (if (schema.contains("__pqc"))
+       storageColumnsPq(assigned, readCodebooks(spark, path))
+     else storageColumns(assigned, schema.contains("__q8")))
       // same cell-keyed shuffle as writeIndex: an append batch must add
       // O(1) files per touched cell, not one per upstream task
       .repartition(cents.length, col("__cell"))
@@ -267,11 +309,23 @@ object Ivf {
       .collect().map(_.getInt(0)).sorted
     val stored = spark.read.parquet(s"$path/corpus")
       .filter(col("__cell").isin(probed.map(Int.box): _*))
+    val fields = stored.schema.fieldNames.toSet
+    if (fields.contains("__pqc")) {
+      // IVF-PQ index: never reconstruct — score the probed cells by the
+      // ADC subspace decomposition straight off the nibble codes
+      val cb = readCodebooks(spark, path)
+      val cands = stored.join(q, Seq("__cell"))
+        .filter(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+        .select(col("__qid"), col("__qn"), col("__cid"), col("__cn"),
+          Pq.adcDotCol(col("__qf"), col("__pqc"), cb).as("__adc"))
+      return Ann.rankTopKScored(cands, queryIdCol, k,
+        col("__adc") / (col("__qn") * col("__cn")))
+    }
     // SQ8 index: reconstruct vectors from the int8 codes AFTER the
     // partition-pruned scan — the probe IO is the 4×-smaller codes, the
     // dequantize is a codegen'd map over only the probed cells' rows
     val assigned =
-      if (stored.schema.fieldNames.contains("__q8"))
+      if (fields.contains("__q8"))
         stored.withColumn("__cf",
           Ann.dequantizeInt8(col("__q8"), col("__qs")))
       else stored

@@ -261,6 +261,31 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall (${(exact & pq).size}/${exact.size})")
   }
 
+  test("IVF-PQ persisted index: full-probe ADC recall >= 0.9, appends keep the code format") {
+    import spark.implicits._
+    import graft.similarity.Ivf
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_pq_spec"
+    Ivf.writeIndex(df, "embedding", "vec_id", path, nlist = 10, seed = 7L,
+      pqM = 4, pqK = 16)
+    def ids(r: DataFrame) = r.collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = ids(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    val pq = ids(Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 10))
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF-PQ recall $recall")
+    // appends detect the PQ format and encode with the persisted codebooks
+    val extra = Seq((600L, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    Ivf.appendToIndex(extra, "embedding", "vec_id", path)
+    val schema = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
+    assert(schema.contains("__pqc") && !schema.contains("__cf") && !schema.contains("__q8"))
+    val stored = spark.read.parquet(s"$path/corpus")
+      .select("__cid").as[Long].collect().toSet
+    assert(stored == ((0L until 100L).toSet + 600L))
+  }
+
   test("imbalanceFactor: drifting appends move the retrain telemetry") {
     import spark.implicits._
     val dim = 16
