@@ -182,12 +182,15 @@ object Ivf {
     val km = new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
       .setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cell")
-    val model = km.fit(quantizerInput(vecs, "__cid"))
+    val trainSample = quantizerInput(vecs, "__cid")
+    val model = km.fit(trainSample)
     val assigned = model.transform(vecs).select(col("__cid"), col("__cf"), col("__cell"))
     val stored =
       if (pqM > 0) {
         val dim = model.clusterCenters.head.size
-        val cb = Pq.train(vecs, "__cf", dim, m = pqM, k = pqK, seed = seed)
+        // sub-quantizers train on the SAME bounded sample as the coarse
+        // quantizer — one sampling pass feeds both trainings
+        val cb = Pq.train(trainSample, "__cf", dim, m = pqM, k = pqK, seed = seed)
         writeCodebooks(corpus.sparkSession, path, cb)
         storageColumnsPq(assigned, cb)
       } else storageColumns(assigned, quantize)
