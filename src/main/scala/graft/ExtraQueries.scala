@@ -509,54 +509,18 @@ object ExtraQueries {
     //    unbounded-stream shape. ──
     QueryDef(
       "x33_stream_tumbling",
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        import graft.streaming.StreamingOps
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val pts = ev(s, dir)
-          .select(col("event_type"), col("ts"), col("value").cast("double"))
-          .as[(String, Long, Double)]
-          .collect().sortBy(_._2) // arrival ≈ event order → monotone watermark
-        val hourNs = 3600L * 1000 * 1000 * 1000
-        val maxT = pts.map(_._2).max
-        val sink = "x33_sink"
-        s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
-        val mem = MemoryStream[(String, Long, Double)]
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        val q =
-          try {
-            // nanos → micros truncation cannot cross a whole-second
-            // window boundary, so bucketing matches the epoch-nanos oracle
-            val in = mem.toDF().toDF("event_type", "t", "value")
-              .withColumn("event_time", timestamp_micros(expr("t div 1000")))
-            StreamingOps.tumblingAgg(in, "event_time", Seq("event_type"),
-              width = "1 hour", delay = "1 second")
-              .writeStream.format("memory").queryName(sink)
-              .option("checkpointLocation",
-                s"${Scratch.dir}/x33_ckpt_${System.nanoTime()}")
-              .outputMode("append").start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
-          val batches = pts.grouped(chunk).map(_.toSeq) ++ Iterator(
-            Seq(("__sentinel", maxT + 2 * hourNs, 0.0)),
-            Seq(("__sentinel", maxT + 4 * hourNs, 0.0)))
-          batches.foreach { b =>
-            if (System.nanoTime() > deadline)
-              throw new RuntimeException("x33 stream exceeded its 120s deadline")
-            mem.addData(b: _*); q.processAllAvailable()
-          }
-        } finally q.stop()
-        s.table(sink)
-          .filter(col("event_type") =!= "__sentinel")
+      (s, dir) =>
+        // nanos → micros truncation inside the harness cannot cross a
+        // whole-second window boundary, so bucketing matches the
+        // epoch-nanos oracle
+        streamWindowParity(s, dir, "x33",
+          in => graft.streaming.StreamingOps.tumblingAgg(
+            in, "event_time", Seq("event_type"),
+            width = "1 hour", delay = "1 second"))
           .select(col("event_type"),
             unix_timestamp(col("window_start")).as("bucket_start_s"),
             col("n_events"),
-            round(col("avg_value"), 6).as("avg_value"))
-      },
+            round(col("avg_value"), 6).as("avg_value")),
       Some("""
         SELECT event_type,
           (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_start_s,
@@ -576,52 +540,15 @@ object ExtraQueries {
     //    watermark-evicted. ──
     QueryDef(
       "x34_stream_sessions",
-      (s, dir) => {
-        import s.implicits._
-        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-        import graft.streaming.StreamingOps
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val pts = ev(s, dir)
-          .select(col("event_type"), col("ts"), col("value").cast("double"))
-          .as[(String, Long, Double)]
-          .collect().sortBy(_._2)
-        val hourNs = 3600L * 1000 * 1000 * 1000
-        val maxT = pts.map(_._2).max
-        val sink = "x34_sink"
-        s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
-        val mem = MemoryStream[(String, Long, Double)]
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        val q =
-          try {
-            val in = mem.toDF().toDF("event_type", "t", "value")
-              .withColumn("event_time", timestamp_micros(expr("t div 1000")))
-            StreamingOps.sessionAgg(in, "event_time", Seq("event_type"),
-              gap = "30 minutes", delay = "1 second")
-              .writeStream.format("memory").queryName(sink)
-              .option("checkpointLocation",
-                s"${Scratch.dir}/x34_ckpt_${System.nanoTime()}")
-              .outputMode("append").start()
-          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        try {
-          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
-          val batches = pts.grouped(chunk).map(_.toSeq) ++ Iterator(
-            Seq(("__sentinel", maxT + 2 * hourNs, 0.0)),
-            Seq(("__sentinel", maxT + 4 * hourNs, 0.0)))
-          batches.foreach { b =>
-            if (System.nanoTime() > deadline)
-              throw new RuntimeException("x34 stream exceeded its 120s deadline")
-            mem.addData(b: _*); q.processAllAvailable()
-          }
-        } finally q.stop()
-        s.table(sink)
-          .filter(col("event_type") =!= "__sentinel")
+      (s, dir) =>
+        streamWindowParity(s, dir, "x34",
+          in => graft.streaming.StreamingOps.sessionAgg(
+            in, "event_time", Seq("event_type"),
+            gap = "30 minutes", delay = "1 second"))
           .select(col("event_type"),
             unix_timestamp(col("session_start")).as("session_start_s"),
             col("n_events"),
-            round(col("avg_value"), 6).as("avg_value"))
-      },
+            round(col("avg_value"), 6).as("avg_value")),
       Some("""
         WITH e AS (
           SELECT event_type, epoch_ns(ts) AS tns, value FROM events
@@ -645,6 +572,60 @@ object ExtraQueries {
         FROM s GROUP BY event_type, sid
       """.stripMargin.trim))
   )
+
+  /** Sentinel-closure variant of [[streamParity]] for watermarked window
+    * aggregates (x33/x34): append mode only emits a window once the
+    * watermark passes its end, and a MemoryStream triggers no batch
+    * without data — so after the three event-ordered data batches, two
+    * far-future sentinel batches run: the first advances the watermark
+    * past every real window, the second triggers the micro-batch that
+    * emits them. The sentinels' own windows never close, and their rows
+    * are filtered from the returned sink table. `agg` receives a
+    * streaming frame with `event_type`, `event_time` (micros timestamp
+    * from the epoch-nanos ts) and `value`.
+    */
+  private def streamWindowParity(
+      s: org.apache.spark.sql.SparkSession, dir: String, tag: String,
+      agg: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pts = ev(s, dir)
+      .select(col("event_type"), col("ts"), col("value").cast("double"))
+      .as[(String, Long, Double)]
+      .collect().sortBy(_._2) // arrival ≈ event order → monotone watermark
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val maxT = pts.map(_._2).max
+    val sink = s"${tag}_sink"
+    s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
+    val mem = MemoryStream[(String, Long, Double)]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q =
+      try {
+        val in = mem.toDF().toDF("event_type", "t", "value")
+          .withColumn("event_time", timestamp_micros(expr("t div 1000")))
+        agg(in)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation",
+            s"${Scratch.dir}/${tag}_ckpt_${System.nanoTime()}")
+          .outputMode("append").start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
+      val batches = pts.grouped(chunk).map(_.toSeq) ++ Iterator(
+        Seq(("__sentinel", maxT + 2 * hourNs, 0.0)),
+        Seq(("__sentinel", maxT + 4 * hourNs, 0.0)))
+      batches.foreach { b =>
+        if (System.nanoTime() > deadline)
+          throw new RuntimeException(s"$tag stream exceeded its 120s deadline")
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink).filter(col("event_type") =!= "__sentinel")
+  }
 
   /** Shared real-stream parity harness (x30/x31): feeds the static events
     * frame through a MemoryStream in three ordered micro-batches — so
