@@ -692,6 +692,50 @@ object DedupQueries {
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None)
+      None),
+
+    // ── X41: Johnson–Lindenstrauss random projection 64→16 — the cheap
+    //    dimensionality-reduction front-end of the ANN stack. FULLY
+    //    oracle-checked despite the "random" matrix: the seeded
+    //    HashRandom matrix is a deterministic constant, so the SAME
+    //    matrix is interpolated into the oracle SQL as a literal and
+    //    DuckDB replays the projection bit-identically (Double.toString
+    //    round-trips IEEE754, list_reduce matches ArrayDot's summation
+    //    order) ──
+    QueryDef(
+      "x41_jl_project",
+      (s, dir) => {
+        val mat = Ann.jlMatrix(dim = 64, outDim = 16, seed = 42L)
+        val y = Ann.jlProject(col("embedding"), mat)
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), y.as("__y"))
+          .select(col("vec_id"),
+            round(Ann.norm(col("__y")), 6).as("jl_norm"),
+            round(aggregate(col("__y"), lit(0.0), _ + _), 6).as("jl_sum"),
+            round(array_min(col("__y")), 6).as("jl_min"),
+            round(array_max(col("__y")), 6).as("jl_max"))
+      },
+      Some {
+        val mat = graft.similarity.Ann.jlMatrix(dim = 64, outDim = 16, seed = 42L)
+        val matSql = mat.map(_.mkString("[", ", ", "]")).mkString("[", ",\n            ", "]")
+        s"""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), p AS (
+          SELECT vec_id,
+            list_transform($matSql,
+              r -> list_reduce(list_transform(list_zip(r, v), q -> q[1] * q[2]),
+                     (x, y) -> x + y) / sqrt(16.0)) AS y
+          FROM e
+        )
+        SELECT vec_id,
+          round(sqrt(list_reduce(list_transform(y, x -> x * x), (a, b) -> a + b)), 6) AS jl_norm,
+          round(list_reduce(y, (a, b) -> a + b), 6) AS jl_sum,
+          round(list_aggregate(y, 'min'), 6) AS jl_min,
+          round(list_aggregate(y, 'max'), 6) AS jl_max
+        FROM p
+        """.stripMargin.trim
+      })
   )
 }

@@ -63,6 +63,29 @@ object Ann {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Seeded Johnson–Lindenstrauss projection matrix: `outDim × dim` iid
+    * N(0,1) entries from the [[graft.functions.HashRandom]] counter-mode
+    * generator — any cell reproducible on any executor (or any OTHER
+    * engine: the driver oracle re-materializes the same matrix as a SQL
+    * literal). JL lemma: distances are preserved within (1 ± ε) w.h.p.
+    * for outDim = O(ln n / ε²) — the standard cheap front-end before the
+    * ANN stack when 64-dim embeddings still cost too much per probe.
+    */
+  def jlMatrix(dim: Int, outDim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(outDim)(j =>
+      Array.tabulate(dim)(i =>
+        graft.functions.HashRandom.gaussian(seed, j.toLong, i.toLong)))
+
+  /** Project a feature column by a JL matrix: `y_j = (R_j · x) / √outDim`
+    * — `outDim` codegen'd [[graft.functions.ArrayDot]] terms against
+    * matrix-row literals, no UDF, no shuffle.
+    */
+  def jlProject(feat: Column, matrix: Array[Array[Double]]): Column = {
+    val scale = 1.0 / math.sqrt(matrix.length.toDouble)
+    array(matrix.map(r =>
+      graft.functions.ArrayDot(feat.cast("array<double>"), typedlit(r.toSeq)) * scale): _*)
+  }
+
   /** Rank candidate pairs `(__qid, __cid, __qf/__qn, __cf/__cn)` by exact
     * cosine and keep the top-k per query. Score is negated cosine so the
     * ascending bounded heap yields descending similarity; ties break on

@@ -286,6 +286,31 @@ class AnnSpec extends SparkSpec {
     assert(stored == ((0L until 100L).toSet + 600L))
   }
 
+  test("JL projection: seeded-deterministic, norm-preserving on average, recall survives") {
+    val df = clustered.cache()
+    val mat = Ann.jlMatrix(dim = 16, outDim = 8, seed = 42L)
+    assert(mat.map(_.toSeq).toSeq == Ann.jlMatrix(16, 8, 42L).map(_.toSeq).toSeq)
+    // E[|y|^2] = |x|^2 under JL scaling — mean relative error over the
+    // fixture stays modest even at outDim 8
+    val errs = df.select(
+        (Ann.dot(col("embedding"), col("embedding"))).as("n2"),
+        Ann.norm(Ann.jlProject(col("embedding"), mat)).as("pn"))
+      .collect().map(r => math.abs(r.getDouble(1) * r.getDouble(1) - r.getDouble(0)) / r.getDouble(0))
+    val meanErr = errs.sum / errs.length
+    assert(meanErr < 0.45, s"mean |.|^2 distortion $meanErr")
+    // nearest-neighbor structure survives the projection: exact top-k in
+    // the projected space keeps most of the original neighbors
+    val proj = df.select(col("vec_id"), Ann.jlProject(col("embedding"), mat).as("embedding"))
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val qProj = proj.filter(col("vec_id") % 5 === 0)
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", 4))
+    val inProj = resultSet(Ann.cosineTopK(proj, qProj, "embedding", "vec_id", "vec_id", 4))
+    val recall = (exact & inProj).size.toDouble / exact.size
+    assert(recall >= 0.8, s"post-projection recall $recall")
+  }
+
   test("imbalanceFactor: drifting appends move the retrain telemetry") {
     import spark.implicits._
     val dim = 16
