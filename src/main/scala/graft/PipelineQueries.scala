@@ -293,6 +293,48 @@ object PipelineQueries {
           round(avg(-ln(CAST(c.c AS DOUBLE) / tot.tot)), 6) AS cross_entropy
         FROM tf JOIN c USING (w), tot
         GROUP BY doc_id
+      """.stripMargin.trim)),
+
+    // ── X42: Okapi BM25 relevance scoring (Quality.bm25) — the classic
+    //    retrieval ranking over a fixed query-term set, with corpus
+    //    statistics (N, avgdl, per-term df) computed from the frame
+    //    itself. Fully replayed in DuckDB: same Lucene-form idf, same
+    //    tf saturation, same tokenization ──
+    QueryDef(
+      "x42_bm25",
+      (s, dir) => {
+        graft.text.Quality.bm25(Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("hash", "join", "scan"))
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("bm25"), 6).as("bm25"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ), tf0 AS (
+          SELECT doc_id, w FROM t WHERE length(w) > 0
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id
+        ), st AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM tf0
+          WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w
+        ), dfs AS (
+          SELECT w, count(*) AS df FROM tf GROUP BY w
+        ), sc AS (
+          SELECT tf.doc_id,
+            sum(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+          FROM tf JOIN dfs USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st
+          GROUP BY tf.doc_id
+        )
+        SELECT dl.doc_id, dl.dl AS n_tokens,
+          round(COALESCE(sc.bm25, 0.0), 6) AS bm25
+        FROM dl LEFT JOIN sc ON dl.doc_id = sc.doc_id
       """.stripMargin.trim))
   )
 }

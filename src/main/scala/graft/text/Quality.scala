@@ -28,6 +28,53 @@ object Quality {
   private def nonEmptyLines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
+  /** Okapi BM25 relevance of every document against a fixed term set
+    * (Robertson & Spärck Jones; the BM25 formula as published in the
+    * Robertson et al. TREC-3 report and standard IR texts):
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)   = ln( (N − df(t) + 0.5) / (df(t) + 0.5) + 1 )   (Lucene's
+    *              +1 form, which keeps idf positive for common terms)
+    *
+    * The corpus statistics (N, avgdl, per-term df) are computed from the
+    * scored frame itself — two aggregates and a broadcast-sized term
+    * frame; the per-doc pass is one tokenize + join on the term key.
+    * Tokens are lowercased whitespace words, matching [[TextOps.tokens]].
+    *
+    * Output: `idCol`, `n_tokens` (|d|), `bm25` for the given terms.
+    */
+  def bm25(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val toks = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val docLen = toks.groupBy(col("__id")).agg(count(lit(1)).as("__dl"))
+    val termHits = toks.filter(col("__w").isInCollection(terms.map(_.toLowerCase)))
+      .groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__tf"))
+    // corpus stats: N + avgdl in one row; df per term over a tiny frame
+    val stats = docLen.agg(count(lit(1)).as("__n"), avg(col("__dl")).as("__avgdl"))
+    val dfs = termHits.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val scored = termHits
+      .join(broadcast(dfs), "__w")
+      .crossJoin(broadcast(stats))
+      .join(docLen, "__id")
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * (k1 + 1) /
+          (col("__tf") + (col("__dl") / col("__avgdl") * b + (1 - b)) * k1))
+      .groupBy(col("__id")).agg(sum(col("__s")).as("__bm25"))
+    docLen.join(scored, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__dl").as("n_tokens"),
+        coalesce(col("__bm25"), lit(0.0)).as("bm25"))
+  }
+
   /** CCNet-style language-model quality signal (Wenzek et al. 2020,
     * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
     * Data": rank docs by LM perplexity and keep the low-perplexity head).

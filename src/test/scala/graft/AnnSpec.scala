@@ -311,6 +311,41 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"post-projection recall $recall")
   }
 
+  test("appendToIndex drives a streaming ANN ingest loop via foreachBatch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.similarity.Ivf
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val df = clustered.cache()
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_stream_spec"
+    // bootstrap index on the even half; the odd half arrives as a stream
+    Ivf.writeIndex(df.filter(col("vec_id") % 2 === 0), "embedding", "vec_id",
+      path, nlist = 10, seed = 7L)
+    val late = df.filter(col("vec_id") % 2 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ivf.appendToIndex(batch, "embedding", "vec_id", path)
+        (): Unit
+      }
+      .option("checkpointLocation", freshCkpt())
+      .start()
+    try {
+      late.grouped(math.max(1, late.length / 2)).foreach { b =>
+        mem.addData(b.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // full-probe over the streamed-in index = exact top-k over everything
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    def ids(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val got = ids(Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k = 4, nprobe = 10))
+    val exact = ids(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", 4))
+    assert(got == exact, "streamed appends must be exactly searchable")
+  }
+
   test("imbalanceFactor: drifting appends move the retrain telemetry") {
     import spark.implicits._
     val dim = 16
