@@ -736,6 +736,49 @@ object DedupQueries {
           round(list_aggregate(y, 'max'), 6) AS jl_max
         FROM p
         """.stripMargin.trim
-      })
+      }),
+
+    // ── X43: near-dup pairs → connected components — the drop decision
+    //    every dedup pipeline ends with: resolve the x14 cosine-dup pair
+    //    graph into components (iterated min-label propagation,
+    //    `text/Components.scala`) and emit each vertex with its keeper.
+    //    FULL oracle: DuckDB recomputes the same pair graph and closes it
+    //    with a recursive CTE (min reachable id = component label) ──
+    QueryDef(
+      "x43_dedup_components",
+      (s, dir) => {
+        val slice = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+        val pairs = Ann.cosineDupPairsExact(slice, "vec_id", "embedding",
+          threshold = 0.4)
+        graft.text.Components.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("vec_id"), col("component"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding AS a FROM embeddings WHERE vec_id < 500
+        ), p AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+            list_aggregate(list_transform(generate_series(1, len(l.a)),
+              i -> l.a[i]::DOUBLE * r.a[i]::DOUBLE), 'sum') /
+            (sqrt(list_aggregate(list_transform(generate_series(1, len(l.a)),
+              i -> l.a[i]::DOUBLE * l.a[i]::DOUBLE), 'sum')) *
+             sqrt(list_aggregate(list_transform(generate_series(1, len(r.a)),
+              i -> r.a[i]::DOUBLE * r.a[i]::DOUBLE), 'sum'))) AS cos
+          FROM e l JOIN e r ON l.vec_id < r.vec_id
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p WHERE cos >= 0.4
+          UNION
+          SELECT id_b, id_a FROM p WHERE cos >= 0.4
+        ), rc AS (
+          WITH RECURSIVE reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          )
+          SELECT id, min(lbl) AS component FROM reach GROUP BY id
+        )
+        SELECT CAST(id AS BIGINT) AS vec_id, CAST(component AS BIGINT) AS component
+        FROM rc
+      """.stripMargin.trim))
   )
 }

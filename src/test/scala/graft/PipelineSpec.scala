@@ -120,6 +120,27 @@ class PipelineSpec extends SparkSpec {
     assert(!out.map(_._1).contains(3L))
   }
 
+  test("connectedComponents: chains, stars and disjoint clusters resolve to min ids") {
+    import spark.implicits._
+    import graft.text.Components
+    // components: chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    val plan = Components.dedupPlan(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(plan == Set((1L, 4L, 3L), (10L, 4L, 3L), (20L, 2L, 1L)))
+    // a long chain under a tiny iteration budget must fail loudly, not
+    // return a half-merged clustering
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Components.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+  }
+
   test("incremental dedup drives a streaming ingest loop via foreachBatch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
