@@ -335,6 +335,25 @@ object PipelineQueries {
         SELECT dl.doc_id, dl.dl AS n_tokens,
           round(COALESCE(sc.bm25, 0.0), 6) AS bm25
         FROM dl LEFT JOIN sc ON dl.doc_id = sc.doc_id
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X44: Bloom-filter decontamination screen — the 100 TB shape for
+    //    x23 when the bench gram set outgrows a string broadcast: a
+    //    distributed Bloom sketch of the eval grams, probed map-side by
+    //    every corpus gram (no join, no gram shuffle). Same split as x23
+    //    (docs %7==0 are the "eval suite"). Sketch bit layout is
+    //    engine-internal → rows-only; the no-false-negative superset and
+    //    fpp-bound properties are spec-asserted vs the exact report ──
+    QueryDef(
+      "x44_decontaminate_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.contaminationReportBloom(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", n = 5, expectedGrams = 100000L, fpp = 0.001)
+          .select(col("doc_id"), col("n_flagged_grams"), col("n_grams"))
+      },
+      None)
   )
 }

@@ -83,6 +83,48 @@ object Pipeline {
         (col("n_shared_grams").cast("double") / col("__ng")).as("overlap"))
   }
 
+  /** Bloom-filter variant of [[contaminationReport]] — the shape for when
+    * the benchmark gram set outgrows a string broadcast (the
+    * [[MaxBenchDocs]] guard trips): a Bloom sketch of the bench grams is
+    * built by Spark's distributed `stat.bloomFilter` aggregate (Bloom
+    * 1970; ~10 bits/gram at 1% fpp vs ~50+ bytes/gram of broadcast
+    * strings — two orders of magnitude smaller over the wire), and every
+    * corpus gram probes the broadcast sketch map-side — no join, no
+    * shuffle of the gram stream.
+    *
+    * Contract: NO false negatives (every truly contaminated doc is
+    * flagged, with `n_flagged_grams >= ` the exact shared count), false
+    * positives at ≈`fpp` per clean gram — so this is the cheap SCREEN:
+    * route its survivors to [[contaminationReport]]'s exact join for the
+    * final verdict, at a corpus-fraction of the cost. Sketch bit layout
+    * is engine-internal → rows-only at the driver gate; the superset and
+    * fpp properties are spec-asserted against the exact report.
+    */
+  def contaminationReportBloom(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minFlagged: Int = 1,
+      expectedGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val grams = TextOps.wordShingles(col(textCol), n)
+    val bf = bench.select(explode(grams).as("__g")).distinct()
+      .stat.bloomFilter("__g", expectedGrams, fpp)
+    val spark = corpus.sparkSession
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((g: String) => bfB.value.mightContainString(g))
+    graft.Tables.spread(corpus)
+      .select(col(idCol).as("__id"), grams.as("__gs"))
+      .select(col("__id"), size(col("__gs")).cast("long").as("n_grams"),
+        explode(col("__gs")).as("__g"))
+      .groupBy(col("__id"), col("n_grams"))
+      .agg(sum(when(might(col("__g")), 1L).otherwise(0L)).as("n_flagged_grams"))
+      .filter(col("n_flagged_grams") >= minFlagged)
+      .select(col("__id").as(idCol), col("n_flagged_grams"), col("n_grams"))
+  }
+
   /** Deterministic U(0,1) from md5 of `"<seed>:<id>"` — stateless,
     * executor-independent, and bit-replayable in DuckDB (md5 + first 8 hex
     * digits / 2^32), unlike `rand()` or xxhash64. The sampling analogue of

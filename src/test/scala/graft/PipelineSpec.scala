@@ -120,6 +120,27 @@ class PipelineSpec extends SparkSpec {
     assert(!out.map(_._1).contains(3L))
   }
 
+  test("bloom decontamination screen: superset of the exact report, bounded false positives") {
+    import spark.implicits._
+    // 200 corpus docs of distinct 6-word texts; docs 0-9 share their text
+    // with the bench split (truly contaminated)
+    val mkText = (i: Int) => (0 until 6).map(j => s"w${i}_$j").mkString(" ")
+    val corpus = (0 until 200).map(i => (i.toLong, mkText(i))).toDF("doc_id", "text")
+    val bench = (0 until 10).map(i => (1000L + i, mkText(i))).toDF("doc_id", "text")
+    val exact = Pipeline.contaminationReport(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == (0L until 10L).toSet)
+    val bloom = Pipeline.contaminationReportBloom(corpus, bench, "doc_id", "text",
+      n = 5, expectedGrams = 1000L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    // no false negatives: the screen must flag every truly contaminated doc
+    assert(exact.subsetOf(bloom), s"missed ${exact -- bloom}")
+    // false positives bounded: 190 clean docs × 2 grams each at 1% fpp —
+    // a generous ceiling still catches a broken sketch (which would flag
+    // everything)
+    assert((bloom -- exact).size <= 20, s"too many FPs: ${(bloom -- exact).size}")
+  }
+
   test("connectedComponents: chains, stars and disjoint clusters resolve to min ids") {
     import spark.implicits._
     import graft.text.Components
