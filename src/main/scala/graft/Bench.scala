@@ -65,6 +65,19 @@ object Bench {
       graft.text.TextOps.simHashDupPairs(docs, "doc_id",
         graft.text.TextOps.charShingles(col("text"), 5)).collect()
       docs.unpersist(blocking = false)
+      // MLlib fit warm-up: the first classifier fit in a session pays
+      // ~3-4 s of one-off BLAS/L-BFGS/tree JIT + codegen. Round-9
+      // adjudication measured the SAME d3 query at 7.3 s when first in
+      // registry order and 2.3 s otherwise — and registry order shifts
+      // every round as queries are added, so without this the spike
+      // wanders between rounds masquerading as a per-query regression.
+      val toy = spark.range(64).selectExpr(
+        "cast(array(id % 7, id % 5, id % 3) as array<double>) as f",
+        "cast(id % 2 as int) as y")
+      new graft.ml.SVMFaultDetector(maxIter = 2, rffFeatures = 8)
+        .fit(toy, "f", "y").predict(toy, "f").collect()
+      new graft.ml.GradientBoostingFaultDetector(nEstimators = 2)
+        .fit(toy, "f", "y").predict(toy, "f").collect()
     } catch { case _: Throwable => }
     // disk-write probe brackets the run: loadavg misses IO co-tenancy
     // (round-7: 9.6 MB/s fsync writes on an idle-CPU host), so record it
@@ -87,23 +100,32 @@ object Bench {
     val loadAfter = loadAvg()
     val ioAfter = Scratch.diskWriteMbps()
     val wakeAfter = Scratch.wakeLatencyMicros()
-    // One LEAN line: the r7 driver capture truncated a ~4 KB line and lost
-    // four per-query timings, so seconds are emitted at ms precision and
-    // the redundant `queries_ms` map is gone (halves the line). A verbatim
-    // copy also lands in BENCH_LAST.json so a future stdout truncation
-    // loses nothing.
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // The driver keeps only the LAST 2000 chars of stdout and parses what
+    // survives; with 90+ queries the full line is >2.5 KB, so its HEAD
+    // (including the total) was lost three rounds running. Emit the full
+    // line first (it lands verbatim in BENCH_LAST.json regardless), then a
+    // compact summary line — total + probes, no per-query map, ~300 bytes —
+    // as the FINAL stdout line so the tail capture always holds one
+    // complete parseable JSON object.
+    // Locale.ROOT everywhere: f"%.3f" under a comma-decimal default locale
+    // would emit invalid JSON.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def loadJson(l: Seq[Double]) = l.map(d => if (d.isNaN) "null" else d.toString)
       .mkString("[", ",", "]")
     def num(d: Double) = if (d.isNaN) "null" else d.toString
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir"}"""
+    val probes = s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir""""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$probes}"""
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":"see BENCH_LAST.json",$probes}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => }
+    println(summary)
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.mkString(", ")}")

@@ -779,6 +779,91 @@ object DedupQueries {
         )
         SELECT CAST(id AS BIGINT) AS vec_id, CAST(component AS BIGINT) AS component
         FROM rc
+      """.stripMargin.trim)),
+
+    // ── X45: the streaming INGEST loop as a first-class query — a real
+    //    Structured Streaming `foreachBatch` drive of
+    //    [[IncrementalDedup.dedupIncremental]] (the PipelineSpec shape
+    //    promoted to the driver gate): three micro-batches of documents
+    //    (doc_id % 3 — deterministic membership, not arrival-dependent)
+    //    dedup against the growing persisted hash index, then batch 2 is
+    //    RE-FED to prove streaming re-ingest idempotence (zero
+    //    survivors, index untouched). Emits per-batch survivor stats +
+    //    the final index size. The driver-side collect feeds the
+    //    MemoryStream (the harness standing in for Kafka, as x30-x34);
+    //    the operator under test touches only the batch and the bucketed
+    //    hash index. FULL oracle: the batch sequence is an anti-join
+    //    cascade, replayed in DuckDB CTEs ──
+    QueryDef(
+      "x45_stream_ingest_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_dedup_stream_$tag"
+        IncrementalDedup.dropIndex(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect()
+        val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val surv = IncrementalDedup
+              .dedupIncremental(batch, "text", Seq("doc_id"), path)
+              .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
+              .head()
+            stats += ((stats.size.toLong, surv.getLong(0), surv.getLong(1)))
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x45_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          val feeds = Seq(0L, 1L, 2L).map(m => docs.filter(_._1 % 3 == m)) :+
+            docs.filter(_._1 % 3 == 2) // re-ingest of batch 2
+          feeds.foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x45 stream exceeded its 120s deadline")
+            mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val indexRows = s.read.parquet(s"$path/hashes").count()
+        (stats.toSeq :+ (99L, indexRows, 0L))
+          .toDF("step", "n", "id_sum")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ), b0 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d WHERE doc_id % 3 = 0 GROUP BY h
+        ), b1 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d
+          WHERE doc_id % 3 = 1 AND h NOT IN (SELECT h FROM b0) GROUP BY h
+        ), b2 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d
+          WHERE doc_id % 3 = 2
+            AND h NOT IN (SELECT h FROM b0 UNION ALL SELECT h FROM b1)
+          GROUP BY h
+        )
+        SELECT CAST(0 AS BIGINT) AS step, count(*) AS n,
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM b0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT CAST(99 AS BIGINT),
+          (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1)
+            + (SELECT count(*) FROM b2),
+          CAST(0 AS BIGINT)
       """.stripMargin.trim))
   )
 }

@@ -68,6 +68,14 @@ abstract class FaultDetector(
     */
   protected def postFit(prep: DataFrame, k: Int): Unit = ()
 
+  /** Search params whose positive double bounds draw log-uniformly in
+    * [[FaultDetector.samplePoints]]. Empty for every detector except the
+    * SVM (C/gamma): the reference's tree-booster searches draw all
+    * doubles uniformly, including XGB's `gamma` (min split gain,
+    * `xgb_detectors.py:163-166`).
+    */
+  protected def logUniformParams: Set[String] = Set.empty
+
   def getParams: Map[String, Any] = if (bestParams.nonEmpty) bestParams else params
 
   protected def prepFeatures(df: DataFrame, featCol: String): DataFrame =
@@ -125,7 +133,8 @@ abstract class FaultDetector(
     val clf = buildClassifier(k)
     val pipe = new Pipeline().setStages((preStages(k) :+ clf).toArray)
     if (optimize && paramSearchSpace.nonEmpty) {
-      val points = FaultDetector.samplePoints(paramSearchSpace, nIter, randomState)
+      val points = FaultDetector.samplePoints(paramSearchSpace, nIter, randomState,
+        logUniformParams)
       val grid = points.map { pt =>
         val pm = ParamMap.empty
         pt.foreach { case (name, v) => pm.put(translate(tunable(clf), name, v)) }
@@ -175,7 +184,8 @@ abstract class FaultDetector(
     // fixed 80/20 train/validation split, seeded
     val Array(trainAll, valid) = prep.randomSplit(Array(0.8, 0.2), randomState)
     val validC = valid.cache()
-    val points = FaultDetector.samplePoints(paramSearchSpace, nIter, randomState)
+    val points = FaultDetector.samplePoints(paramSearchSpace, nIter, randomState,
+      logUniformParams)
     val evaluator = new MulticlassClassificationEvaluator().setMetricName("accuracy")
     def accuracy(m: PipelineModel): Double = evaluator.evaluate(m.transform(validC))
     val nRungs = math.max(1,
@@ -244,7 +254,7 @@ abstract class FaultDetector(
     val validC = valid.cache()
     val evaluator = new MulticlassClassificationEvaluator().setMetricName("accuracy")
     val startup = FaultDetector.samplePoints(paramSearchSpace,
-      math.min(nStartup, nIter), randomState)
+      math.min(nStartup, nIter), randomState, logUniformParams)
     val observed = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Any], Double)]
     def runTrial(pt: Map[String, Any]): Double =
       evaluator.evaluate(fitAt(trainC, k, pt).transform(validC))
@@ -368,21 +378,27 @@ object FaultDetector {
     * (`sklearn_detectors.py:112-136`): a 2-element [lo, hi] of ints draws
     * uniform ints (hi inclusive), of doubles draws uniform doubles;
     * anything else is a categorical choice list. Positive double bounds
-    * on params named `C`/`gamma` draw LOG-uniformly —
+    * on params named in `logUniform` draw LOG-uniformly —
     * `exp(U(ln lo, ln hi))` — matching the reference's scale-free SVM
-    * search (`sklearn_detectors.py:646-650`, scipy `loguniform`); one
-    * uniform draw either way, so adding a C/gamma param never shifts the
-    * other params' streams. Seeded — the same space, nIter and seed
-    * reproduce the same candidate grid everywhere.
+    * C/gamma search (`sklearn_detectors.py:646-650`, scipy `loguniform`).
+    * The set is per-detector ([[FaultDetector.logUniformParams]]): only
+    * the SVM declares one, because the reference's XGB random search
+    * draws its `gamma` (min split gain) UNIFORMLY
+    * (`xgb_detectors.py:163-166`) — a global name match would give tree
+    * detectors the wrong distribution. One uniform draw either way, so
+    * declaring a param log-uniform never shifts the other params'
+    * streams. Seeded — the same space, nIter and seed reproduce the same
+    * candidate grid everywhere.
     */
-  def samplePoints(space: Map[String, Seq[Any]], n: Int, seed: Long): Seq[Map[String, Any]] = {
+  def samplePoints(space: Map[String, Seq[Any]], n: Int, seed: Long,
+                   logUniform: Set[String] = Set.empty): Seq[Map[String, Any]] = {
     val rnd = new scala.util.Random(seed)
     (0 until n).map { _ =>
       space.toSeq.sortBy(_._1).map { case (name, vals) =>
         name -> (vals match {
           case Seq(lo: Int, hi: Int)       => lo + rnd.nextInt(hi - lo + 1)
           case Seq(lo: Double, hi: Double)
-              if (name == "C" || name == "gamma") && lo > 0 && hi > 0 =>
+              if logUniform.contains(name) && lo > 0 && hi > 0 =>
             math.exp(math.log(lo) + rnd.nextDouble() * (math.log(hi) - math.log(lo)))
           case Seq(lo: Double, hi: Double) => lo + rnd.nextDouble() * (hi - lo)
           case cats                        => cats(rnd.nextInt(cats.length))
@@ -473,6 +489,11 @@ class SVMFaultDetector(
 
   require(kernel == "rbf" || kernel == "linear" || kernel == "poly" || kernel == "sigmoid",
     s"kernel must be rbf|linear|poly|sigmoid, got $kernel")
+
+  /** Only the SVM search draws C/gamma log-uniformly (scipy `loguniform`
+    * in the reference's SVM space, `sklearn_detectors.py:646-650`).
+    */
+  override protected def logUniformParams: Set[String] = Set("C", "gamma")
 
   private val rffStage = new RandomFourierFeatures()
     .setNumFeatures(rffFeatures).setGamma(gamma).setSeed(randomState)
@@ -587,10 +608,16 @@ class SVMFaultDetector(
     }
     val spark = prep.sparkSession
     import spark.implicits._
+    // Cache the margin rows (k doubles + k booleans each): Platt.fit runs
+    // one aggregation pass per Newton iteration plus up to 30 backtracking
+    // objective passes — uncached, every pass would re-run the
+    // scaler/kernel-map transforms and margin UDF over the training frame.
     val rows = feats
       .select(marginsCol().as("_1"), pos(col("label")).as("_2"))
       .as[(Seq[Double], Seq[Boolean])]
-    plattParams = Platt.fit(rows, nProbs)
+      .cache()
+    try plattParams = Platt.fit(rows, nProbs)
+    finally rows.unpersist(blocking = false)
   }
 
   /** Input rows + `proba`, from the Platt-scaled margins. Binary:

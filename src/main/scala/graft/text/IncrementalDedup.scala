@@ -108,13 +108,21 @@ object IncrementalDedup {
           spark.read.parquet(snapshot: _*).select(col("__h")),
           Seq("__h"), "left_anti")
       else withinBatch
-    // survivors are consumed twice (index append + caller); cache so the
-    // anti-join usually runs once (correct either way per the snapshot)
+    // Cache only for the duration of the index append, then RELEASE: the
+    // intended caller is a long-running foreachBatch ingest loop, and a
+    // cache left pinned here would accumulate one batch of storage per
+    // micro-batch for the life of the stream. The returned frame is
+    // uncached — a caller consuming it re-runs the dedup against the
+    // PINNED pre-append snapshot (correct by construction, one extra
+    // batch-scale pass); a caller that wants one-pass reuse can cache the
+    // result itself with a lifetime it controls.
     val survivors = fresh.cache()
-    survivors.select(col("__h"))
-      .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
-      .repartition(nBuckets, col("__b"))
-      .write.mode("append").partitionBy("__b").parquet(hashesPath(path))
-    survivors.drop("__h")
+    try {
+      survivors.select(col("__h"))
+        .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
+        .repartition(nBuckets, col("__b"))
+        .write.mode("append").partitionBy("__b").parquet(hashesPath(path))
+    } finally survivors.unpersist(blocking = false)
+    fresh.drop("__h")
   }
 }

@@ -266,11 +266,12 @@ class DetectorsSpec extends SparkSpec {
     }
   }
 
-  test("D8 C/gamma double bounds draw log-uniformly, seeded") {
+  test("D8 declared C/gamma bounds draw log-uniformly, seeded; scoped per detector") {
     val space = Map[String, Seq[Any]](
       "C" -> Seq(1e-3, 1e3), "gamma" -> Seq(1e-4, 1e0), "coef0" -> Seq(0.0, 1.0))
-    val p1 = FaultDetector.samplePoints(space, 200, 11L)
-    assert(p1 == FaultDetector.samplePoints(space, 200, 11L))
+    val lu = Set("C", "gamma") // the SVM's logUniformParams
+    val p1 = FaultDetector.samplePoints(space, 200, 11L, lu)
+    assert(p1 == FaultDetector.samplePoints(space, 200, 11L, lu))
     val cs = p1.map(_("C").asInstanceOf[Double])
     assert(cs.forall(c => c >= 1e-3 && c <= 1e3))
     // log-uniform ⇒ ~half the draws land in each log-half [1e-3,1] / [1,1e3]
@@ -281,9 +282,16 @@ class DetectorsSpec extends SparkSpec {
     assert(gs.forall(g => g >= 1e-4 && g <= 1.0))
     val gBelow = gs.count(_ < 1e-2)
     assert(gBelow > 60 && gBelow < 140, s"gamma draws below 1e-2: $gBelow / 200")
-    // non-C/gamma doubles stay uniform
+    // non-declared doubles stay uniform
     val co = p1.map(_("coef0").asInstanceOf[Double])
     assert(co.count(_ < 0.5) > 60 && co.count(_ < 0.5) < 140)
+    // without a declared set (every non-SVM detector) the SAME space
+    // draws gamma uniformly — the reference's XGB search draws its gamma
+    // (min split gain) uniformly (xgb_detectors.py:163-166)
+    val pTree = FaultDetector.samplePoints(space, 200, 11L)
+    val gTree = pTree.map(_("gamma").asInstanceOf[Double])
+    assert(gTree.count(_ < 1e-2) < 10,
+      "undeclared gamma must draw uniformly (≈1% below 1e-2)")
   }
 
   test("D8b successive halving finds params in space, deterministic under seed") {
