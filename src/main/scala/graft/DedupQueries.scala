@@ -18,6 +18,112 @@ object DedupQueries {
     (1 to 8).foldLeft("0::BIGINT")((acc, j) =>
       s"(($acc * 257 + ord(substr(g, $j, 1))) % 1000000007)")
 
+  /** Run-stashed artifacts for the thunk oracles of x39/x40 (see the
+    * QueryDef companion doc): the trained PQ codebooks, and for x40 also
+    * the coarse centroids read back from the persisted index. Evaluated
+    * by `Verify` AFTER the query loop, so the thunks see the values the
+    * runs stored; when the query never ran (subset runs), the thunk
+    * yields None and the driver records the usual no_oracle row.
+    */
+  @volatile private var x39Codebooks: Option[Pq.Codebooks] = None
+  @volatile private var x40Artifacts: Option[(Array[Array[Double]], Pq.Codebooks)] = None
+
+  private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
+
+  /** Full DuckDB replay of the PQ ADC top-3 search over `embeddings`
+    * (queries = vec_id < 20, excludeSelf), from codebook literals:
+    * encode = per-subspace argmin over the k sub-centroids (squared
+    * euclidean, code-asc tie-break — `Pq.encodeCol`'s array_sort
+    * contract), recon norm = sqrt of the summed sub-centroid square
+    * norms, score = ADC dot / (|q|·recon-norm), rank = cosine desc /
+    * id asc (the TopKAgg contract). With `cents` given, the IVF layer is
+    * replayed too: corpus rows assigned to their argmin cell, each query
+    * probing its `nprobe` nearest cells (distance-then-cell-asc order —
+    * `Ivf.probeCells`), candidates restricted to probed cells.
+    */
+  private def pqReplaySql(
+      cb: Pq.Codebooks,
+      cents: Option[Array[Array[Double]]],
+      nprobe: Int): String = {
+    val ds = cb.dsub
+    val cbVals = (for (s <- 0 until cb.m; j <- 0 until cb.k)
+      yield s"($s, $j, ${sqlList(cb.centers(s)(j))}::DOUBLE[])")
+      .mkString(",\n          ")
+    val ivfCtes = cents.map { cs =>
+      val centVals = cs.zipWithIndex
+        .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
+        .mkString(",\n          ")
+      s""", cents(cell, c) AS (VALUES
+          $centVals
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), probe AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, ad.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY ad.d, ad.cell) AS rn
+            FROM q JOIN ad ON ad.vec_id = q.qid) WHERE rn <= $nprobe
+        )"""
+    }.getOrElse("")
+    val candJoin = cents
+      .map(_ => """FROM q
+            JOIN probe USING (qid)
+            JOIN asgn ON asgn.cell = probe.cell
+            JOIN enc ON enc.vec_id = asgn.vec_id
+            JOIN cb USING (sub, code)""")
+      .getOrElse("""FROM q CROSS JOIN enc JOIN cb USING (sub, code)""")
+    s"""
+        WITH cb(sub, code, ctr) AS (VALUES
+          $cbVals
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv,
+            sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS qn
+          FROM e WHERE vec_id < 20
+        )$ivfCtes, enc0 AS (
+          SELECT e.vec_id, cb.sub, cb.code,
+            list_reduce(list_transform(
+              list_zip(list_slice(e.v, cb.sub * $ds + 1, cb.sub * $ds + $ds), cb.ctr),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cb
+        ), enc AS (
+          SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+              row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+            FROM enc0) WHERE rn = 1
+        ), cn AS (
+          SELECT enc.vec_id,
+            sqrt(sum(list_reduce(list_transform(cb.ctr, x -> x * x),
+              (x, y) -> x + y))) AS cn
+          FROM enc JOIN cb USING (sub, code) GROUP BY enc.vec_id
+        ), adc AS (
+          SELECT q.qid, enc.vec_id AS cid,
+            sum(list_reduce(list_transform(
+              list_zip(list_slice(q.qv, sub * $ds + 1, sub * $ds + $ds), cb.ctr),
+              p -> p[1] * p[2]), (x, y) -> x + y)) AS adc
+          $candJoin
+          WHERE enc.vec_id <> q.qid
+          GROUP BY q.qid, enc.vec_id
+        ), scored AS (
+          SELECT adc.qid, adc.cid, adc.adc / (q.qn * cn.cn) AS cos
+          FROM adc JOIN q ON q.qid = adc.qid JOIN cn ON cn.vec_id = adc.cid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM scored) WHERE rank <= 3
+    """.stripMargin.trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── X12: SimHash near-dup (banded fingerprint join + Hamming verify);
@@ -658,27 +764,36 @@ object DedupQueries {
     //    IVF-PQ code path: 8 subspaces × 16 sub-centroids = 8 half-byte
     //    codes + one norm per vector (vs 256 B float32), scored by the
     //    ADC subspace decomposition as inlined codegen'd lookup tables.
-    //    Seeded sub-KMeans codebooks are not ANSI-expressible → rows-only
-    //    (driver contract); recall vs the exact baseline and a
-    //    centroid-exactness golden are asserted in AnnSpec ──
+    //    FULL oracle despite the seeded sub-KMeans training: the run
+    //    stashes its trained codebooks and the thunk oracle (QueryDef
+    //    doc) interpolates them as VALUES literals, so DuckDB replays
+    //    encode (argmin over sub-centroids, code-asc tie-break) + recon
+    //    norm + ADC + top-k from first principles — KMeans
+    //    nondeterminism is immaterial because both sides score with the
+    //    SAME trained codebooks. Recall + centroid-exactness specs stay
+    //    in AnnSpec ──
     QueryDef(
       "x39_ann_pq",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val cb = Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, seed = 7L)
+        x39Codebooks = Some(cb)
         Pq.cosineTopKPq(emb, emb.filter(col("vec_id") < 20),
           "embedding", "vec_id", "vec_id", k = 3, cb)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      () => x39Codebooks.map(cb => pqReplaySql(cb, cents = None, nprobe = 0))),
 
     // ── X40: IVF-PQ persisted index — the composition FAISS ships as its
     //    billion-scale default: cell-partitioned corpus storing nibble
     //    codes + recon norm, codebooks persisted beside the centroids,
     //    probes scored by ADC straight off the codes after the
-    //    partition-pruned scan (no reconstruction). Seeded double-KMeans
-    //    → rows-only; recall + append-format specs in AnnSpec ──
+    //    partition-pruned scan (no reconstruction). FULL oracle via the
+    //    same thunk device as x39, extended with the IVF layer: the run
+    //    reads back the PERSISTED centroids + codebooks it just wrote,
+    //    and DuckDB replays cell assignment, the nprobe=4 probe-cell
+    //    selection, ADC scoring and top-k off those literals ──
     QueryDef(
       "x40_ann_ivf_pq",
       (s, dir) => {
@@ -687,12 +802,25 @@ object DedupQueries {
         val path = s"${Scratch.dir}/graft_ivf_pq_$tag"
         Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L,
           pqM = 8, pqK = 16)
+        // the oracle replays what the index actually persisted
+        val cents = s.read.parquet(s"$path/centroids").orderBy(col("cell"))
+          .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+        val cbRows = s.read.parquet(s"$path/codebooks").collect()
+          .map(r => (r.getInt(0), r.getInt(1),
+            r.getSeq[Double](r.fieldIndex("center")).toArray))
+        val m = cbRows.map(_._1).max + 1
+        val kk = cbRows.map(_._2).max + 1
+        val centers = Array.ofDim[Array[Double]](m, kk)
+        cbRows.foreach { case (sub, j, c) => centers(sub)(j) = c }
+        x40Artifacts = Some(
+          (cents, Pq.Codebooks(m, kk, centers(0)(0).length, centers)))
         Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
           "embedding", "vec_id", k = 3, nprobe = 4)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      () => x40Artifacts.map { case (cents, cb) =>
+        pqReplaySql(cb, cents = Some(cents), nprobe = 4) }),
 
     // ── X41: Johnson–Lindenstrauss random projection 64→16 — the cheap
     //    dimensionality-reduction front-end of the ANN stack. FULLY
@@ -864,6 +992,73 @@ object DedupQueries {
           (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1)
             + (SELECT count(*) FROM b2),
           CAST(0 AS BIGINT)
+      """.stripMargin.trim)),
+
+    // ── X46: the streaming ANN ingest loop as a first-class query — the
+    //    second 100 TB ingest shape beside x45: an IVF index is
+    //    bootstrapped from a third of the embeddings, then a real
+    //    Structured Streaming `foreachBatch` drive appends the remaining
+    //    vectors in two micro-batches via the frozen-quantizer
+    //    `Ivf.appendToIndex` (the FAISS `add` contract; AnnSpec's
+    //    streaming spec promoted to the driver gate), and the grown index
+    //    is searched full-probe. Full probe = exact brute-force top-k
+    //    over everything ingested (the x29 device), so the whole
+    //    stream-grown index is FULL-oracle-checked against a DuckDB
+    //    brute-force replay — KMeans nondeterminism is immaterial
+    //    because every cell is probed. The driver-side collect feeds the
+    //    MemoryStream (harness-for-Kafka, as x30-x34/x45) ──
+    QueryDef(
+      "x46_stream_ann_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_ivf_stream_$tag"
+        Ivf.writeIndex(emb.filter(col("vec_id") % 3 === 0), "embedding",
+          "vec_id", path, nlist = 8, seed = 7L)
+        val rest = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect()
+        val mem = MemoryStream[(Long, Array[Float])]
+        val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Ivf.appendToIndex(batch, "embedding", "vec_id", path)
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x46_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          Seq(rest.filter(_._1 % 3 == 1), rest.filter(_._1 % 3 == 2)).foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x46 stream exceeded its 120s deadline")
+            mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 8)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings
+        ), d AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN c WHERE cid <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d) WHERE rank <= 3
       """.stripMargin.trim))
   )
 }

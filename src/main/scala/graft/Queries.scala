@@ -21,7 +21,22 @@ import graft.similarity.Ann
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: () => Option[String])
+
+object QueryDef {
+  /** Static-oracle convenience — nearly every query's SQL is a fixed
+    * string. The thunk form exists for queries whose oracle interpolates
+    * artifacts only known AFTER the run (e.g. trained PQ codebooks as
+    * literals — the x41 JL-matrix trick extended to fitted state):
+    * `Verify` dumps `oracle_sql.json` after the query loop, so a thunk
+    * reading state the run stashed is evaluated exactly then.
+    */
+  def apply(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String]): QueryDef =
+    QueryDef(name, run, () => oracle)
+}
 
 object Queries {
 
@@ -582,6 +597,148 @@ object Queries {
         """.stripMargin.trim
       }),
 
+    // ── X22b: the ENTIRE published cleaning pipeline in one pass — x22's
+    //    language → quality → exact-dedup spine extended with the
+    //    near-dup stage every production corpus clean ends with: MinHash
+    //    LSH pairs (word 3-shingles, 128 hashes / 16 bands, Jaccard ≥
+    //    0.8 — the x13 operator) over the exact-dedup survivors, resolved
+    //    to clusters (x43's min-label components), each cluster keeping
+    //    its min doc_id. Emits per-source stats of the cleaned corpus
+    //    plus how many docs the near-dup stage dropped. FULL oracle: the
+    //    x22 CTEs + the x13 MinHash replay + the x43 recursive-CTE
+    //    closure, composed ──
+    QueryDef(
+      "x22b_corpus_clean_full",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val lang = TextOps.languageId(docs, "text", "pred_lang")
+        val qual = TextOps.qualityScore(lang, "text", "__q")
+        val kept = qual.filter(col("pred_lang") === "en" && col("__q") >= 0.5)
+        val deduped = TextOps.exactDedup(kept, "text", Seq("doc_id"))
+        val pairs = TextOps.nearDupPairsBy(deduped, "doc_id",
+          TextOps.wordShingles(col("text"), 3),
+          numHashes = 128, bands = 16, threshold = 0.8)
+        // component label IS the min member id, so non-keepers are
+        // exactly the rows whose id differs from their label
+        val drops = graft.text.Components
+          .connectedComponents(pairs, "id_a", "id_b")
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        val cleaned = deduped.join(drops, Seq("doc_id"), "left_anti")
+        val stats = cleaned.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("__q")), 6).as("avg_quality"),
+            sum(TextOps.bpeishTokenCount(col("text"))).as("total_tokens"))
+        val dropStats = deduped.join(drops, Seq("doc_id"))
+          .groupBy(col("source")).agg(count(lit(1)).as("__nd"))
+        stats.join(dropStats, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("__nd"), lit(0L)).as("n_neardup_dropped"),
+            col("avg_quality"), col("total_tokens"))
+      },
+      Some {
+        val hits = TextOps.langStopwords.map { case (lang, ws) =>
+          s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS h_$lang"
+        }.mkString(", ")
+        val allStops = TextOps.langStopwords.flatMap(_._2).distinct
+          .map("'" + _ + "'").mkString(",")
+        s"""
+        WITH h AS (
+          SELECT doc_id, source, text, $hits FROM documents
+        ), l AS (
+          SELECT doc_id, source, text,
+            CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                 WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                 WHEN h_fr >= h_es THEN 'fr'
+                 ELSE 'es' END AS pred_lang
+          FROM h
+        ), t AS (
+          SELECT doc_id, source, text, pred_lang,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x IN ($allStops))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) AS DOUBLE) AS nchar
+          FROM l
+        ), q AS (
+          SELECT doc_id, source, text, pred_lang,
+            1 / (1 + exp(-(0.2 * ln(1 + ntok) + 2 * (nstop / greatest(ntok, 1))
+              - 8 * (npunct / greatest(nchar, 1)) - 1))) AS quality
+          FROM t
+        ), kept AS (
+          SELECT * FROM q WHERE pred_lang = 'en' AND quality >= 0.5
+        ), ded AS (
+          SELECT doc_id, source, text, quality,
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              ORDER BY doc_id) AS rk
+            FROM kept) WHERE rk = 1
+        ), w AS (
+          SELECT doc_id, string_split(norm, ' ') AS w FROM ded
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM w WHERE len(w) >= 3
+        ), ab AS (
+          SELECT doc_id, s,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id, s,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+        ), j AS (
+          SELECT id_a, id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+          FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                    JOIN sh b ON cand.id_b = b.doc_id
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
+          UNION
+          SELECT id_b, id_a FROM j WHERE jac >= 0.8
+        ), rc AS (
+          WITH RECURSIVE reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          )
+          SELECT id, min(lbl) AS component FROM reach GROUP BY id
+        ), drops AS (
+          SELECT id FROM rc WHERE id <> component
+        ), cleaned AS (
+          SELECT * FROM ded WHERE doc_id NOT IN (SELECT id FROM drops)
+        ), cstat AS (
+          SELECT source, count(*) AS n_docs,
+            round(avg(quality), 6) AS avg_quality,
+            CAST(sum(list_aggregate(
+              list_transform(string_split_regex(trim(text), '\\s+'),
+                w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum')) AS BIGINT) AS total_tokens
+          FROM cleaned GROUP BY source
+        ), dstat AS (
+          SELECT source, count(*) AS nd FROM ded
+          WHERE doc_id IN (SELECT id FROM drops) GROUP BY source
+        )
+        SELECT cstat.source, n_docs,
+          CAST(coalesce(dstat.nd, 0) AS BIGINT) AS n_neardup_dropped,
+          avg_quality, total_tokens
+        FROM cstat LEFT JOIN dstat ON cstat.source = dstat.source
+        """.stripMargin.trim
+      }),
+
     // ── X9: gap-based sessionization (30 min) per user ──
     QueryDef(
       "x9_sessionize",
@@ -890,5 +1047,5 @@ object Queries {
     all.map(d => d.name -> d.run).toMap
 
   def oracleSql: Map[String, String] =
-    all.flatMap(d => d.oracle.map(d.name -> _)).toMap
+    all.flatMap(d => d.oracle().map(d.name -> _)).toMap
 }

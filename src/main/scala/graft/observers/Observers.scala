@@ -95,10 +95,21 @@ object Observers {
       * `f` when `(A, C)` is observable and A is cyclic. Design the
       * single-output Ackermann gain `l` for `c̃` and return `L = l·fᵀ`;
       * then `A − LC = A − l·c̃`, so the placement is exact. `f` is chosen
-      * deterministically as the best-conditioned candidate (largest
-      * σ_min of the observability matrix) among the unit vectors, the
-      * all-ones vector, and a few fixed harmonic mixes — seeded-free and
-      * reproducible.
+      * deterministically as the candidate whose resulting GAIN is
+      * smallest (Frobenius norm) among the observable ones — the
+      * outcome-level conditioning proxy; every observable candidate
+      * places the exact spectrum, so the choice only affects numerical
+      * robustness. Candidates: the unit vectors, the all-ones vector,
+      * and a few fixed harmonic mixes — seed-free and reproducible.
+      *
+      * Conditioning guard (this is the documented deviation from scipy's
+      * robustness-optimized `place_poles`, SURVEY §7.4): unity-rank
+      * placement of clustered poles can be ill-conditioned, and a gain
+      * orders of magnitude above the problem scale amplifies measurement
+      * noise into a useless observer. When even the best candidate's
+      * ‖L‖ explodes relative to `‖A‖ + max|pole|`, a loud warning says
+      * so and suggests spreading the poles — the placement is still
+      * exact-spectrum, so it is returned, not refused.
       */
     def dyadicObserver(
         a: Array[Array[Double]], cm: Array[Array[Double]],
@@ -124,12 +135,26 @@ object Observers {
         (0 until p).map(i => Array.tabulate(p)(j => if (j == i) 1.0 else 0.0)) ++
           Seq(Array.fill(p)(1.0)) ++
           (1 to 3).map(s => Array.tabulate(p)(j => 1.0 / (1 + (j + s) % p)))
-      val f = candidates.maxBy(f0 => sigmaMin(obsMatrix(ctilde(f0))))
-      val ct = ctilde(f)
-      require(sigmaMin(obsMatrix(ct)) > 1e-12,
+      val observable = candidates.filter(f0 => sigmaMin(obsMatrix(ctilde(f0))) > 1e-12)
+      require(observable.nonEmpty,
         "no output combination yields an observable single-output pair " +
           "(is (A, C) observable?)")
-      val l = ackermannObserver(a, ct, poles)
+      def frob(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+      // gain per observable candidate; keep the smallest-norm one
+      // (stable tie-break: candidate order)
+      val (f, l, gainNorm) = observable.map { f0 =>
+        val g = ackermannObserver(a, ctilde(f0), poles)
+        (f0, g, frob(g) * frob(f0))
+      }.minBy(_._3)
+      val scale = math.sqrt(a.map(r => r.map(x => x * x).sum).sum) +
+        poles.map(_.abs).max + 1.0
+      if (gainNorm > 1e6 * scale)
+        System.err.println(
+          f"[graft] WARN dyadicObserver: best gain norm $gainNorm%.3e is " +
+            f">1e6x the problem scale $scale%.3e — unity-rank placement of " +
+            "clustered poles is ill-conditioned here; the spectrum is still " +
+            "exact, but the observer will amplify measurement noise. " +
+            "Consider spreading the desired poles or supplying L directly.")
       Array.tabulate(n, p)((i, j) => l(i) * f(j))
     }
 

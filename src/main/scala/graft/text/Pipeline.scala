@@ -109,12 +109,31 @@ object Pipeline {
       minFlagged: Int = 1,
       expectedGrams: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
     val grams = TextOps.wordShingles(col(textCol), n)
-    val bf = bench.select(explode(grams).as("__g")).distinct()
-      .stat.bloomFilter("__g", expectedGrams, fpp)
-    val spark = corpus.sparkSession
-    val bfB = spark.sparkContext.broadcast(bf)
-    val might = udf((g: String) => bfB.value.mightContainString(g))
+    // Sketch build AND probe are Catalyst expressions, not a Scala UDF:
+    // `BloomFilterAggregate` builds the sketch distributedly (the same
+    // engine machinery behind runtime join filters) over xxhash64 of each
+    // gram, and the probe is a codegen'd `BloomFilterMightContain` over a
+    // binary literal of the serialized sketch — the probe stage stays
+    // inside whole-stage codegen (the round-8 UDF broke WSCG there).
+    // Grams enter the sketch as xxhash64 longs on BOTH sides; the extra
+    // hash adds only a ~2^-64-per-pair false-positive mass and no false
+    // negatives, so the screen contract is unchanged.
+    val numBits = math.max(64L, math.ceil(
+      -expectedGrams.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val buildAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("__g"))),
+        Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+    val sketch = bench.select(explode(grams).as("__g")).distinct()
+      .select(buildAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    def might(g: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(Literal(sketch, BinaryType),
+        ColumnBridge.expression(xxhash64(g))))
     graft.Tables.spread(corpus)
       .select(col(idCol).as("__id"), grams.as("__gs"))
       .select(col("__id"), size(col("__gs")).cast("long").as("n_grams"),

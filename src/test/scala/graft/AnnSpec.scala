@@ -372,6 +372,23 @@ class AnnSpec extends SparkSpec {
     val stats = graft.similarity.Ivf.cellStats(spark, path)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(stats.values.max >= 300, s"expected a >=300-row hot cell: $stats")
+    // ── the full retrain cycle the imbalanceFactor contract prescribes:
+    // the threshold tripped, so re-run writeIndex over the whole corpus
+    // (base + drift) — a fresh quantizer must restore cell balance AND
+    // keep the index exactly searchable (full-probe = brute force)
+    val full = df.unionByName(drift)
+    graft.similarity.Ivf.writeIndex(full, "embedding", "vec_id", path,
+      nlist = 10, seed = 11L)
+    val retrained = graft.similarity.Ivf.imbalanceFactor(spark, path)
+    assert(retrained < drifted / 2 && retrained < 4.0,
+      s"retrain must restore balance: $drifted -> $retrained")
+    val queries = full.filter(col("vec_id") % 100 === 0)
+    def ids(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val got = ids(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k = 3, nprobe = 10))
+    val exact = ids(Ann.cosineTopK(full, queries, "embedding", "vec_id", "vec_id", 3))
+    assert(got == exact, "retrained index must stay exactly searchable")
   }
 
   test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
