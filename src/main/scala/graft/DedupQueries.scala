@@ -27,6 +27,7 @@ object DedupQueries {
     */
   @volatile private var x39Codebooks: Option[Pq.Codebooks] = None
   @volatile private var x40Artifacts: Option[(Array[Array[Double]], Pq.Codebooks)] = None
+  @volatile private var x47Centroids: Option[Array[Array[Double]]] = None
 
   private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
@@ -1059,6 +1060,93 @@ object DedupQueries {
           SELECT qid, cid, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
           FROM d) WHERE rank <= 3
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X47: SemDeDup — semantic dedup by embedding clustering (Abbas et
+    //    al. 2023): seeded KMeans clusters the space, within-cluster
+    //    cosine ≥ 0.4 pairs form duplicate groups (connected components),
+    //    each group keeps its LOWEST-centroid-cosine member. FULL oracle
+    //    via the thunk device: the run stashes the trained centroids, and
+    //    DuckDB replays assignment (native argmin — the engine assigns
+    //    with the same naive expression, so the replay is bit-exact),
+    //    centroid cosines, the within-cluster pair graph, the recursive
+    //    closure and the keep rule ──
+    QueryDef(
+      "x47_semdedup",
+      (s, dir) => {
+        import graft.similarity.SemDedup
+        val emb = Tables.embeddings(s, dir)
+        val cents = SemDedup.trainCentroids(emb, "vec_id", "embedding",
+          nClusters = 8, seed = 7L)
+        x47Centroids = Some(cents)
+        SemDedup.semDedupWith(emb, "vec_id", "embedding", cents, threshold = 0.4)
+          .select(col("vec_id"), col("cluster"), col("component"),
+            col("cos_centroid"), col("keep").cast("int").as("keep"))
+      },
+      () => x47Centroids.map { cs =>
+        val centVals = cs.zipWithIndex
+          .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
+          .mkString(",\n          ")
+        s"""
+        WITH cents(cell, c) AS (VALUES
+          $centVals
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), cc AS (
+          SELECT e.vec_id, asgn.cell,
+            round(
+              list_reduce(list_transform(list_zip(e.v, cents.c), p -> p[1] * p[2]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(list_zip(e.v, e.v), p -> p[1] * p[2]), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(list_zip(cents.c, cents.c), p -> p[1] * p[2]), (x, y) -> x + y))),
+              6) AS cosc
+          FROM e JOIN asgn USING (vec_id) JOIN cents ON cents.cell = asgn.cell
+        ), m AS (
+          SELECT e.vec_id, asgn.cell, e.v,
+            sqrt(list_reduce(list_transform(list_zip(e.v, e.v), p -> p[1] * p[2]), (x, y) -> x + y)) AS n
+          FROM e JOIN asgn USING (vec_id)
+        ), p AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b
+          FROM m l JOIN m r ON l.cell = r.cell AND l.vec_id < r.vec_id
+          WHERE list_reduce(list_transform(list_zip(l.v, r.v), p -> p[1] * p[2]), (x, y) -> x + y)
+                  / (l.n * r.n) >= 0.4
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ), rc AS (
+          WITH RECURSIVE reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT eg.dst, r.lbl FROM reach r JOIN edges eg ON eg.src = r.id
+          )
+          SELECT id, min(lbl) AS component FROM reach GROUP BY id
+        ), comp AS (
+          SELECT cc.vec_id, cc.cell, cc.cosc,
+            coalesce(rc.component, cc.vec_id) AS component
+          FROM cc LEFT JOIN rc ON rc.id = cc.vec_id
+        ), keepers AS (
+          SELECT component, vec_id AS keep_id FROM (
+            SELECT component, vec_id,
+              row_number() OVER (PARTITION BY component ORDER BY cosc, vec_id) AS rn
+            FROM comp) WHERE rn = 1
+        )
+        SELECT comp.vec_id, CAST(comp.cell AS INT) AS cluster,
+          CAST(comp.component AS BIGINT) AS component,
+          comp.cosc AS cos_centroid,
+          CAST(comp.vec_id = keepers.keep_id AS INT) AS keep
+        FROM comp JOIN keepers USING (component)
+        """.stripMargin.trim
+      })
   )
 }

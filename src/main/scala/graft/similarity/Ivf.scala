@@ -26,7 +26,7 @@ object Ivf {
   /** Nearest-`nprobe` cell ids for a feature column, computed against the
     * centroid literal with the native codegen'd distance.
     */
-  private def probeCells(
+  private[similarity] def probeCells(
       feat: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
     val cells = array(centroids.zipWithIndex.map { case (c, i) =>
       struct(ArraySqDist(feat, typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
@@ -43,7 +43,7 @@ object Ivf {
     */
   private val TrainCap = 65536L
 
-  private def quantizerInput(vecs: DataFrame, idCol: String): DataFrame = {
+  private[similarity] def quantizerInput(vecs: DataFrame, idCol: String): DataFrame = {
     val n = vecs.count()
     val sampled =
       if (n <= TrainCap) vecs

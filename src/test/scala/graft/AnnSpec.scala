@@ -391,6 +391,32 @@ class AnnSpec extends SparkSpec {
     assert(got == exact, "retrained index must stay exactly searchable")
   }
 
+  test("semDedup: quintuple groups collapse to their most atypical member") {
+    import graft.similarity.SemDedup
+    val df = clustered.cache() // 20 planted quintuples (base + 4 noisy reps)
+    val out = SemDedup.semDedup(df, "vec_id", "embedding",
+      nClusters = 10, threshold = 0.9, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 100)
+    // exactly one keeper per component
+    val byComp = out.groupBy(_._3)
+    byComp.foreach { case (c, ms) =>
+      assert(ms.count(_._5) == 1, s"component $c keepers != 1")
+      // the keeper is the (rounded cos_centroid, id) minimum — the
+      // paper's most-atypical-survives rule with a deterministic tie
+      val keeper = ms.filter(_._5).head
+      val best = ms.minBy(m => (m._4, m._1))
+      assert(keeper._1 == best._1, s"component $c kept ${keeper._1}, rule says ${best._1}")
+      // duplicate groups never span clusters (pairs are within-cluster)
+      assert(ms.map(_._2).distinct.length == 1, s"component $c spans clusters")
+    }
+    // the planted quintuples are ~identical (cos >= 0.9 pairwise), so the
+    // corpus must collapse hard: at most ~1-2 survivors per quintuple
+    val kept = out.count(_._5)
+    assert(kept <= 40, s"expected heavy semantic collapse, kept $kept / 100")
+  }
+
   test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
     val df = clustered.cache()
     def pairSet(r: DataFrame) = r.collect()
