@@ -1041,7 +1041,8 @@ object Queries {
     */
   def all: Seq[QueryDef] =
     defs ++ MlQueries.defs ++ SimQueries.defs ++ ObsQueries.defs ++
-      ExtraQueries.defs ++ DedupQueries.defs ++ PipelineQueries.defs
+      ExtraQueries.defs ++ DedupQueries.defs ++ PipelineQueries.defs ++
+      JoinQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.run).toMap

@@ -61,7 +61,9 @@ object Pq {
     val sample = (
       if (n <= cap) all
       else all.filter(pmod(xxhash64(col("__v")), lit(math.max(1L, n / cap))) === 0)
-      ).coalesce(4).cache()
+      // 8 partitions so the m (=8 by default) concurrent sub-KMeans can
+      // each schedule a task without contending for the sample's splits
+      ).coalesce(8).cache()
     sample.count()
     // the m sub-quantizer fits are independent (disjoint coordinate
     // blocks of the same cached sample) — run them concurrently; each is
