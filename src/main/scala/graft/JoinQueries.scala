@@ -101,5 +101,118 @@ object JoinQueries {
         FROM e LEFT JOIN c ON c.user_id = e.user_id
           AND c.t > e.t - $DayNs AND c.t <= e.t
         GROUP BY e.event_id, e.user_id
+      """.stripMargin.trim)),
+
+    // ── X50: STREAM-STREAM interval join — x49's correlation as a real
+    //    Structured Streaming query: errors and clicks arrive on two
+    //    watermarked MemoryStreams and inner-join on user within the
+    //    event-time band. This is the production shape for streaming
+    //    correlation at ingest scale: both sides' buffered state is
+    //    bounded by the watermark + the join's time-range condition
+    //    (Spark evicts rows that can no longer match), so state is
+    //    O(events per band window), never the stream history. The exact
+    //    band is re-checked on the epoch-nanos longs (the event-time
+    //    range condition is microsecond-truncated — it handles state
+    //    eviction; the nanos predicate handles correctness). Inner join
+    //    emits matches as soon as both sides arrive — no sentinel
+    //    closure needed. Oracle = the batch inequality join (INNER:
+    //    zero-click errors don't emit). ──
+    QueryDef(
+      "x50_stream_range_join",
+      (s, dir) => streamRangeJoin(s, dir),
+      Some(s"""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'error'
+        ), c AS (
+          SELECT user_id, epoch_us(ts) AS t, value
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT e.event_id, e.user_id,
+          CAST(count(*) AS BIGINT) AS n_recent_clicks,
+          round(sum(c.value), 6) AS sum_click_value
+        FROM e JOIN c ON c.user_id = e.user_id
+          AND c.t > e.t - ${DayNs / 1000L} AND c.t <= e.t
+        GROUP BY e.event_id, e.user_id
       """.stripMargin.trim)))
+
+  /** The x50 harness: two MemoryStreams (errors / clicks) fed in three
+    * time-ordered micro-batches each, joined as a REAL stream-stream
+    * inner join, collected from a memory sink and aggregated batch-side.
+    * Plumbing per the x30-x34 hard-learned contract (ExtraQueries
+    * `streamParity` header): state partitions pinned to 2, fresh
+    * RAM-backed checkpoint, internal deadline. The driver-side collect
+    * feeds the harness only — a deployment reads Kafka; the join state
+    * under test is watermark-bounded regardless of corpus size.
+    */
+  private def streamRangeJoin(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+    def side(tp: String): Array[(Long, Long, Long, Double)] = ev
+      .filter(col("event_type") === tp)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .collect().sortBy(_._3) // arrival ≈ event order → monotone watermark
+    val errs = side("error")
+    val clicks = side("click")
+    val sink = "x50_sink"
+    s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
+    val memE = MemoryStream[(Long, Long, Long, Double)]
+    val memC = MemoryStream[(Long, Long, Long, Double)]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q =
+      try {
+        // each side buffers only what the output needs — join state holds
+        // full rows, so the payload is trimmed before the watermark
+        def in(m: MemoryStream[(Long, Long, Long, Double)], p: String,
+               keep: Seq[String]) =
+          m.toDF().toDF("event_id", "user_id", "t", "value")
+            .withColumn("event_time", timestamp_micros(expr("t div 1000")))
+            .withWatermark("event_time", "1 second")
+            .select((keep :+ "event_time").map(c => col(c).as(s"$p$c")): _*)
+        val e = in(memE, "e_", Seq("event_id", "user_id"))
+        val c = in(memC, "c_", Seq("user_id", "value"))
+        // The band lives ENTIRELY on the event-time columns: that is the
+        // condition shape StreamingJoinHelper derives tight state-eviction
+        // watermarks from (any non-time conjunct makes it log an
+        // INTERNAL_ERROR fallback per micro-batch — even a post-join
+        // filter gets pushed back into the condition). The op is thereby
+        // defined at µs resolution — lossless here (epoch-nanos ts values
+        // are µs-grained), and the oracle matches via epoch_us.
+        e.join(c,
+            col("e_user_id") === col("c_user_id") &&
+              col("c_event_time") > col("e_event_time") - expr("interval 24 hours") &&
+              col("c_event_time") <= col("e_event_time"))
+          .select(col("e_event_id"), col("e_user_id"), col("c_value"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x50_ckpt_${System.nanoTime()}")
+          .outputMode("append").start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def chunks(a: Array[(Long, Long, Long, Double)]) =
+        a.grouped(math.max(1, math.ceil(a.length / 3.0).toInt))
+          .map(_.toSeq).toSeq
+      chunks(errs).zipAll(chunks(clicks), Seq.empty, Seq.empty).foreach {
+        case (eb, cb) =>
+          if (System.nanoTime() > deadline)
+            throw new RuntimeException("x50 stream exceeded its 120s deadline")
+          if (eb.nonEmpty) memE.addData(eb: _*)
+          if (cb.nonEmpty) memC.addData(cb: _*)
+          q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .groupBy(col("e_event_id").as("event_id"),
+        col("e_user_id").as("user_id"))
+      .agg(count(lit(1)).as("n_recent_clicks"),
+        round(sum(col("c_value")), 6).as("sum_click_value"))
+  }
 }
