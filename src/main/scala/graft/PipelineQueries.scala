@@ -354,6 +354,67 @@ object PipelineQueries {
           "doc_id", "text", n = 5, expectedGrams = 100000L, fpp = 0.001)
           .select(col("doc_id"), col("n_flagged_grams"), col("n_grams"))
       },
-      None)
+      None),
+
+    // ── X51: DSIR importance resampling (Xie et al. 2023) — select the
+    //    k raw docs most like the target split (here: the English docs)
+    //    under hashed-n-gram unigram models, sampled without replacement
+    //    via the Gumbel-max trick. Both random steps (gram→bucket hash,
+    //    per-doc Gumbel draw) ride the md5 device, so the entire
+    //    "random" selection replays bit-for-bit in DuckDB ──
+    QueryDef(
+      "x51_dsir_resample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.text.Dsir.resample(
+            docs, docs.filter(col("lang") === "en"),
+            "doc_id", "text", k = 100, b = 8192, seed = 7L)
+          .select(col("doc_id"),
+            round(col("log_weight"), 6).as("log_weight"),
+            round(col("gumbel_score"), 6).as("gumbel_score"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+          FROM documents
+        ), g AS (
+          SELECT doc_id, unnest(list_concat(w,
+            CASE WHEN len(w) >= 2
+              THEN list_transform(generate_series(1, len(w)-1),
+                     i -> w[i] || ' ' || w[i+1])
+              ELSE [] END)) AS g
+          FROM d
+        ), rb AS (
+          SELECT doc_id,
+            ('0x' || substring(md5('7:' || g), 1, 8))::BIGINT % 8192 AS b
+          FROM g
+        ), tb AS (
+          SELECT b FROM rb JOIN documents USING (doc_id) WHERE lang = 'en'
+        ), qc AS (
+          SELECT b, count(*) AS cq FROM rb GROUP BY b
+        ), pc AS (
+          SELECT b, count(*) AS cp FROM tb GROUP BY b
+        ), tot AS (
+          SELECT (SELECT COALESCE(sum(cp), 0) FROM pc) AS np,
+                 (SELECT COALESCE(sum(cq), 0) FROM qc) AS nq
+        ), docw AS (
+          SELECT rb.doc_id,
+            sum(ln(COALESCE(pc.cp, 0) + 1.0) - ln(COALESCE(qc.cq, 0) + 1.0)) AS s,
+            count(*) AS n
+          FROM rb LEFT JOIN pc USING (b) LEFT JOIN qc USING (b)
+          GROUP BY rb.doc_id
+        ), scored AS (
+          SELECT doc_id,
+            s + n * (ln(nq + 8192.0) - ln(np + 8192.0)) AS logw,
+            s + n * (ln(nq + 8192.0) - ln(np + 8192.0))
+              - ln(-ln((('0x' || substring(md5('g7:' || doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0)) AS score
+          FROM docw, tot
+        )
+        SELECT doc_id, round(logw, 6) AS log_weight,
+               round(score, 6) AS gumbel_score
+        FROM scored ORDER BY score DESC, doc_id LIMIT 100
+      """.stripMargin.trim))
   )
 }

@@ -220,4 +220,37 @@ class PipelineSpec extends SparkSpec {
     assert(s3.count() == 0)
     assert(indexRows() == 4)
   }
+
+  test("DSIR: weights rank target-like docs first; selection is deterministic") {
+    import spark.implicits._
+    import graft.text.Dsir
+    // raw pool: 8 fruit-like docs (the target's language) + 8 alien docs
+    val fruity = (0L until 8L).map(i => (i, "apple banana cherry apple banana"))
+    val alien = (8L until 16L).map(i => (i, "zq wx kv zq wx kv zq"))
+    val raw = (fruity ++ alien).toDF("doc_id", "text")
+    val target = Seq((100L, "apple banana apple cherry"),
+      (101L, "banana cherry apple")).toDF("doc_id", "text")
+
+    val w = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("log_weight")).toMap
+    val worstFruity = (0L until 8L).map(w).min
+    val bestAlien = (8L until 16L).map(w).max
+    assert(worstFruity > bestAlien,
+      s"every fruity doc must outweigh every alien doc: $w")
+    // n_grams = unigrams + bigrams = 2·len − 1
+    val n = Dsir.importanceWeights(raw, target, "doc_id", "text")
+      .filter(col("doc_id") === 0L).collect().head.getAs[Long]("n_grams")
+    assert(n == 9, s"5 words -> 9 grams, got $n")
+
+    // Gumbel top-k: k=8 from a pool where 8 docs dominate the weights →
+    // the selection is exactly the fruity half; two runs agree exactly
+    def pick() = Dsir.resample(raw, target, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Double]("gumbel_score"))).toSeq
+    val a = pick()
+    assert(a.map(_._1).toSet == (0L until 8L).toSet,
+      s"selection must prefer target-like docs: $a")
+    assert(a == pick(), "resample must be bit-deterministic")
+  }
 }
