@@ -134,7 +134,39 @@ object JoinQueries {
         FROM e JOIN c ON c.user_id = e.user_id
           AND c.t > e.t - ${DayNs / 1000L} AND c.t <= e.t
         GROUP BY e.event_id, e.user_id
+      """.stripMargin.trim)),
+
+    // ── X52: skew-salted fact-dim join — events salted 8 ways against
+    //    customer, revenue per nation. The oracle is the PLAIN join:
+    //    salting must be invisible in the results ──
+    QueryDef(
+      "x52_salted_join",
+      (s, dir) => saltedRevenue(s, dir),
+      Some("""
+        SELECT c.c_nationkey,
+          CAST(count(*) AS BIGINT) AS n_events,
+          round(sum(e.value), 6) AS sum_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_nationkey
       """.stripMargin.trim)))
+
+  /** Salted-join demo entry (x52): events fact side salted 8 ways against
+    * the customer dim, revenue rolled up per nation. Results are exactly
+    * the plain join's — the oracle IS the plain SQL join — while the plan
+    * spreads any hot user over 8 reducers (see `Joins.saltedJoin`).
+    */
+  private[graft] def saltedRevenue(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("value"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    Joins.saltedJoin(ev, cust, Seq("user_id"), salt = 8)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("sum_value"))
+  }
 
   /** The x50 harness: two MemoryStreams (errors / clicks) fed in three
     * time-ordered micro-batches each, joined as a REAL stream-stream

@@ -184,4 +184,41 @@ object Joins {
         col("__rt") <= col("__lt"))
       .select(lCols.map(col) ++ payload.map(p => col(s"r_$p")): _*)
   }
+
+  /** Skew-safe equi-join: salt the (big, skewed) `left` side into `salt`
+    * sub-keys and replicate every `right` row once per sub-key, so a hot
+    * key's rows spread over `salt` reducers instead of piling onto one
+    * straggler. Results are exactly a plain `left.join(right, keys,
+    * joinType)` — salting only changes the partitioning.
+    *
+    * When to reach for it: AQE's skew-join handling already splits
+    * oversized SORT-MERGE partitions at runtime, but it cannot help a
+    * shuffled hash join it has no stats for, a skewed `groupBy` feeding
+    * the join, or a deliberately AQE-less pipeline — this is the static
+    * remedy. Cost: the right side is materialized `salt`× (keep `salt`
+    * small and the right side slim); the left side gains one narrow
+    * column. The left row's sub-key is a deterministic hash of its whole
+    * row (not a `rand()`), so retries/speculative tasks land identically.
+    *
+    * Supported joinTypes: the left-preserving ones (`inner`, `left`,
+    * `left_semi`, `left_anti`, `cross` excluded) — right/full-outer would
+    * emit one unmatched-right row PER salt replica and are rejected.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salt > 0, s"salt must be positive, got $salt")
+    val ok = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti")
+    require(ok.contains(joinType.toLowerCase),
+      s"saltedJoin supports left-preserving joins only, got $joinType")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -163,6 +163,29 @@ class JoinsSpec extends SparkSpec {
   private def functionsHash(i: Int, salt: Int): Long =
     math.abs((i * 2654435761L + salt * 40503L) % 1000000000L)
 
+  test("saltedJoin: result-identical to the plain join, inner and left") {
+    val left = (0 until 300).map { i =>
+      // heavy skew: 80% of rows on one key
+      val k = if (i % 5 == 0) s"k${i % 7}" else "hot"
+      (i.toLong, k, i * 0.5)
+    }.toDF("lid", "key", "lv")
+    val right = (0 until 40).map(i => (s"k${i % 9}", i * 1.0))
+      .toDF("key", "rv") // "hot" is unmatched → exercises left-join nulls
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lid"), col("key"), col("lv"), col("rv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        Option(r.getAs[Any]("rv")).map(_.asInstanceOf[Double])))
+      .sortBy(t => (t._1, t._2, t._3, t._4.getOrElse(-1.0))).toSeq
+    for (jt <- Seq("inner", "left")) {
+      val plain = rows(left.join(right, Seq("key"), jt))
+      val salted = rows(Joins.saltedJoin(left, right, Seq("key"), 8, jt))
+      assert(salted == plain, s"salting must be invisible for $jt")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(left, right, Seq("key"), 8, "right_outer")
+    }
+  }
+
   test("asofJoin plan: one shuffle on the key, no nested-loop join") {
     val plan = Joins.asofJoin(leftDf, rightDf, Seq("key"), "t", "t",
       payload = Seq("v"), rightOrder = "rid")
