@@ -1147,6 +1147,70 @@ object DedupQueries {
           CAST(comp.vec_id = keepers.keep_id AS INT) AS keep
         FROM comp JOIN keepers USING (component)
         """.stripMargin.trim
-      })
+      }),
+
+    // ── X53: bounded-state streaming exact dedup — Spark's
+    //    `dropDuplicatesWithinWatermark` as a first-class ingest
+    //    primitive beside x45's index-backed loop: duplicates arriving
+    //    within the watermark horizon of their first occurrence are
+    //    dropped with state bounded by the horizon (watermark-evicted),
+    //    NOT by stream history — the contract that makes exact streaming
+    //    dedup viable on an unbounded 100 TB firehose when a bounded
+    //    re-delivery window (Kafka redelivery, at-least-once sources) is
+    //    the actual dedup need. Three event-ordered micro-batches, then
+    //    a fourth RE-EMITTING every 5th event (same event time) — all
+    //    suppressed, proving cross-batch key state. Horizon semantics
+    //    (late re-emission past eviction survives as new) are spec'd in
+    //    StreamingSpec; here the horizon spans the corpus so the result
+    //    is exactly the original events. FULL oracle: per-type stats of
+    //    the undeduplicated events table ──
+    QueryDef(
+      "x53_stream_dedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val pts = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("ts"),
+            col("value").cast("double"))
+          .as[(Long, String, Long, Double)]
+          .collect().sortBy(_._3)
+        val sink = "x53_sink"
+        s.catalog.dropTempView(sink)
+        val mem = MemoryStream[(Long, String, Long, Double)]
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        val q =
+          try mem.toDF().toDF("event_id", "event_type", "t", "value")
+            .withColumn("event_time", timestamp_micros(expr("t div 1000")))
+            .withWatermark("event_time", "40 days")
+            .dropDuplicatesWithinWatermark("event_id")
+            .select(col("event_id"), col("event_type"), col("value"))
+            .writeStream.format("memory").queryName(sink)
+            .option("checkpointLocation",
+              s"${Scratch.dir}/x53_ckpt_${System.nanoTime()}")
+            .outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
+          val batches = pts.grouped(chunk).map(_.toSeq).toSeq :+
+            pts.filter(_._1 % 5 == 0).toSeq // re-delivery storm
+          batches.foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x53 stream exceeded its 120s deadline")
+            mem.addData(b: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        s.table(sink)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+          round(sum(value), 6) AS sum_value
+        FROM events GROUP BY event_type
+      """.stripMargin.trim))
   )
 }

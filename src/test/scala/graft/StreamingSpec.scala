@@ -292,4 +292,34 @@ class StreamingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS sess")
     }
   }
+
+  test("dropDuplicatesWithinWatermark: dups inside the horizon drop, late re-emissions survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (key, epoch-seconds)
+    val q = mem.toDF().toDF("key", "ts")
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", "10 seconds")
+      .dropDuplicatesWithinWatermark("key")
+      .select(col("key"), col("ts"))
+      .writeStream.format("memory").queryName("dd_sink")
+      .option("checkpointLocation", freshCkpt())
+      .outputMode("append").start()
+    try {
+      // batch 1: key 1 at t=100; batch 2: a dup of key 1 at t=105 —
+      // watermark (100-10=90) has not evicted the key → suppressed
+      mem.addData((1L, 100L)); q.processAllAvailable()
+      mem.addData((1L, 105L)); q.processAllAvailable()
+      // batch 3: push the watermark far past 100+10 (key 2 at t=1000
+      // → watermark 990), evicting key 1's state
+      mem.addData((2L, 1000L)); q.processAllAvailable()
+      // batch 4: key 1 re-emitted AFTER eviction → a NEW first occurrence
+      mem.addData((1L, 1005L)); q.processAllAvailable()
+      val got = spark.table("dd_sink").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 100L), (2L, 1000L), (1L, 1005L)),
+        s"horizon semantics violated: $got")
+    } finally q.stop()
+  }
 }
