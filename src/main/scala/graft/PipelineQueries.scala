@@ -415,6 +415,81 @@ object PipelineQueries {
         SELECT doc_id, round(logw, 6) AS log_weight,
                round(score, 6) AS gumbel_score
         FROM scored ORDER BY score DESC, doc_id LIMIT 100
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X54: BPE round-0 pair statistics — adjacent character-pair
+    //    frequencies weighted by word frequency, the argmax feed of the
+    //    first tokenizer merge. Hash-anchors the distributed half of the
+    //    BPE trainer (word counts + pair explosion) with a FULL oracle;
+    //    the iterative merge loop itself is x55 ──
+    QueryDef(
+      "x54_bpe_pair_stats",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val wc = docs.select(explode(
+            split(graft.text.TextOps.normalize(col("text")), " ")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val cs = regexp_extract_all(col("w"), lit("."), lit(0))
+        wc.select(col("c"), explode(
+            when(size(cs) >= 2, transform(sequence(lit(0), size(cs) - 2),
+              i => concat_ws("|", element_at(cs, i + 1), element_at(cs, i + 2))))
+              .otherwise(array().cast("array<string>"))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(40)
+      },
+      Some("""
+        WITH d AS (
+          SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT unnest(string_split(norm, ' ')) AS w FROM d
+        ), wc AS (
+          SELECT w, count(*) AS c FROM w WHERE len(w) > 0 GROUP BY w
+        ), ch AS (
+          SELECT c, regexp_extract_all(w, '.') AS cs FROM wc
+        ), p AS (
+          SELECT c, unnest(list_transform(generate_series(1, len(cs)-1),
+            i -> cs[i] || '|' || cs[i+1])) AS pair
+          FROM ch WHERE len(cs) >= 2
+        )
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair LIMIT 40
+      """.stripMargin.trim)),
+
+    // ── X55: BPE tokenizer TRAINING — 60 merges learned from the corpus
+    //    word-frequency table (one distributed pass; the merge loop runs
+    //    on the bounded vocab driver-side, the HF-tokenizers contract).
+    //    Deterministic (ties break lexicographically) but the iterative
+    //    re-segmentation is not ANSI-expressible → rows-only; BpeSpec
+    //    carries hand-computed merge goldens + train/encode agreement ──
+    QueryDef(
+      "x55_bpe_train",
+      (s, dir) => {
+        val merges = graft.text.Bpe.train(
+          Tables.documents(s, dir), "text", numMerges = 60)
+        s.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) =>
+          (i.toLong, a, b)
+        }).toDF("rank", "left", "right")
+      },
+      None),
+
+    // ── X56: BPE tokenization under the x55 merges — per-source token
+    //    totals after applying the learned tokenizer (broadcast ranks,
+    //    one distributed map with a per-partition word memo). rows-only
+    //    (apply loop not ANSI-expressible); BpeSpec pins exact counts ──
+    QueryDef(
+      "x56_bpe_tokenize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.text.Bpe.train(docs, "text", numMerges = 60)
+        graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      },
+      None)
   )
 }
