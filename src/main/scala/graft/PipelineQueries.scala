@@ -490,6 +490,193 @@ object PipelineQueries {
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       },
+      None),
+
+    // ── X57: interpolated Kneser–Ney bigram cross-entropy
+    //    (Quality.knBigramCrossEntropy) — the CCNet-style LM quality
+    //    signal one order above x36's unigram MLE. Full DuckDB replay:
+    //    same tokenization, same type/continuation counts, same
+    //    fixed-discount interpolation ──
+    QueryDef(
+      "x57_kn_bigram_lm",
+      (s, dir) => {
+        graft.text.Quality.knBigramCrossEntropy(
+          Tables.documents(s, dir), "doc_id", "text", discount = 0.75)
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("cross_entropy"), 6).as("cross_entropy"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                        w -> length(w) > 0) AS w
+          FROM documents
+        ), p AS (
+          SELECT doc_id, (b).w1 AS w1, (b).w2 AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+              i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+            FROM d WHERE len(w) >= 2)
+        ), bc AS (
+          SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2
+        ), ctx AS (
+          SELECT w1, CAST(sum(c12) AS DOUBLE) AS c1,
+                 CAST(count(*) AS DOUBLE) AS n1r FROM bc GROUP BY w1
+        ), cont AS (
+          SELECT w2, CAST(count(*) AS DOUBLE) AS n1l FROM bc GROUP BY w2
+        ), tt AS (
+          SELECT CAST(count(*) AS DOUBLE) AS tt FROM bc
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+          round(avg(-ln(greatest(c12 - 0.75, 0) / c1
+                        + 0.75 * n1r / c1 * (n1l / tt.tt))), 6)
+            AS cross_entropy
+        FROM p JOIN bc USING (w1, w2) JOIN ctx USING (w1)
+               JOIN cont USING (w2), tt
+        GROUP BY doc_id
+      """.stripMargin.trim)),
+
+    // ── X58: TF-IDF cosine retrieval (Tfidf.cosineRetrieve) — sparse
+    //    lexical top-k neighbors for a broadcast query-doc set, sklearn
+    //    smooth-idf weights, full-vocabulary norms. Deterministic rank
+    //    (sim rounded to 6 before ranking, id tie-break) so the DuckDB
+    //    replay hash-matches ──
+    QueryDef(
+      "x58_tfidf_retrieve",
+      (s, dir) => {
+        graft.text.Tfidf.cosineRetrieve(
+          Tables.documents(s, dir), "doc_id", "text",
+          queryIds = Seq(0L, 1L, 2L), k = 5)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, w AS term FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf
+        ), wtd AS (
+          SELECT doc_id, term,
+            CAST(tf AS DOUBLE) * (ln((1 + n.n) / (1 + df)) + 1) AS weight
+          FROM tf JOIN dfreq USING (term), n
+        ), norms AS (
+          SELECT doc_id, sqrt(sum(weight * weight)) AS norm
+          FROM wtd GROUP BY doc_id
+        ), q AS (
+          SELECT w.doc_id AS query_id, term, weight AS qw, norm AS qnorm
+          FROM wtd w JOIN norms USING (doc_id) WHERE w.doc_id IN (0, 1, 2)
+        ), sims AS (
+          SELECT query_id, w.doc_id AS doc_id,
+            round(sum(qw * weight) / (qnorm * nm.norm), 6) AS sim
+          FROM q JOIN wtd w USING (term) JOIN norms nm ON nm.doc_id = w.doc_id
+          WHERE w.doc_id <> query_id
+          GROUP BY query_id, w.doc_id, qnorm, nm.norm
+        )
+        SELECT query_id, doc_id, rank, sim FROM (
+          SELECT query_id, doc_id, sim,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, doc_id) AS rank
+          FROM sims)
+        WHERE rank <= 5
+      """.stripMargin.trim)),
+
+    // ── X59: temperature-scaled mixture sampling
+    //    (Pipeline.temperatureSample) — the mT5/XLM alpha-sampling rule
+    //    with alpha=0.5 via sqrt (correctly-rounded IEEE, so the
+    //    computed per-source rates are bit-identical in DuckDB) and the
+    //    md5 hash coin ──
+    QueryDef(
+      "x59_temperature_mix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sampled = Pipeline.temperatureSample(
+          docs, "doc_id", "source", alpha = 0.5, targetFrac = 0.5, seed = 42L)
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+          .join(sampled.groupBy(col("source"))
+              .agg(count(lit(1)).as("n_sampled"),
+                round(min(col("__rate")), 6).as("rate")),
+            Seq("source"), "left")
+          .select(col("source"), col("n_total"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"), col("rate"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS ns
+          FROM documents GROUP BY source
+        ), t AS (
+          SELECT sum(ns) AS n, sum(sqrt(ns)) AS z FROM c
+        ), r AS (
+          SELECT source, ns,
+            least(1.0, 0.5 * t.n * (sqrt(ns) / t.z) / ns) AS rate
+          FROM c, t
+        ), s AS (
+          SELECT d.source, r.rate,
+            CASE WHEN (('0x' || substring(md5('42:' || d.doc_id::VARCHAR),
+                 1, 8))::BIGINT / 4294967296.0) < r.rate THEN 1 END AS keep
+          FROM documents d JOIN r USING (source)
+        )
+        SELECT source, count(*) AS n_total,
+          CAST(COALESCE(sum(keep), 0) AS BIGINT) AS n_sampled,
+          round(min(rate), 6) AS rate
+        FROM s GROUP BY source
+      """.stripMargin.trim)),
+
+    // ── X60: exact per-stratum quota sampling (Pipeline.quotaSample) —
+    //    precisely 10 docs per source, ranked on the hash coin with id
+    //    tie-break; WindowGroupLimit keeps the shuffle at top-k per task ──
+    QueryDef(
+      "x60_quota_sample",
+      (s, dir) => {
+        Pipeline.quotaSample(Tables.documents(s, dir),
+          "doc_id", "source", quota = 10, seed = 42L)
+          .select(col("doc_id"), col("source"))
+      },
+      Some("""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source, row_number() OVER (PARTITION BY source
+            ORDER BY (('0x' || substring(md5('42:' || doc_id::VARCHAR),
+                       1, 8))::BIGINT / 4294967296.0), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 10
+      """.stripMargin.trim)),
+
+    // ── X61: fastText-style supervised classifier
+    //    (QualityClassifier) — hashed-TF + IDF + multinomial logistic
+    //    regression, the model-based filter stage (CCNet lang-ID /
+    //    LLaMA-line quality classifier). Emits the train-set confusion
+    //    matrix. rows-only (L-BFGS fit is not ANSI-expressible; the
+    //    synthetic corpus's lang labels are independent of its text, so
+    //    this exercises the distributed plumbing, not the accuracy —
+    //    ClassifierSpec pins perfect accuracy on a separable corpus) ──
+    QueryDef(
+      "x61_quality_classifier",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val m = graft.text.QualityClassifier.train(
+          docs, "text", "lang", dim = 1 << 10, maxIter = 20)
+        graft.text.QualityClassifier.confusion(m, docs, "text", "lang")
+      },
+      None),
+
+    // ── X62: compression-ratio redundancy signal
+    //    (Quality.compressionRatio) — per-source deflate-ratio profile.
+    //    rows-only (no zlib in DuckDB); QualitySpec pins goldens ──
+    QueryDef(
+      "x62_compression_ratio",
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .withColumn("__r", graft.text.Quality.compressionRatio(col("text")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("__r")), 6).as("mean_ratio"),
+            round(min(col("__r")), 6).as("min_ratio"),
+            round(max(col("__r")), 6).as("max_ratio"))
+      },
       None)
   )
 }

@@ -174,6 +174,74 @@ object Pipeline {
     df.filter(hashUniform(seed, col(idCol)) < rate)
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/domain
+    * rebalancing rule of mT5/XLM (Xue et al. 2021 §3.1; Lample & Conneau
+    * 2019 §3.1): stratum `s` with share `p_s = n_s / N` is drawn with
+    * probability `q_s ∝ p_s^alpha`, flattening head strata and boosting
+    * tail strata as `alpha → 0`. The per-row keep rate that realizes the
+    * mixture at an expected `targetFrac · N` total rows is
+    * `rate_s = min(1, targetFrac · N · q_s / n_s)`, applied by the same
+    * bit-replayable [[hashUniform]] coin as [[stratifiedSample]].
+    *
+    * Scale shape: one count aggregate over the strata column (tiny),
+    * rates joined back by a broadcast hash join on the stratum key, then
+    * the same narrow filter — corpus text never shuffles.
+    *
+    * `alpha == 0.5` is computed via `sqrt` rather than `pow`: IEEE-754
+    * requires correctly-rounded sqrt but only ~1-ulp pow, so sqrt keeps
+    * the rates BIT-identical between Spark and the DuckDB oracle.
+    *
+    * Appends `__rate` (the stratum's keep rate) to the surviving rows.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      alpha: Double,
+      targetFrac: Double,
+      seed: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
+    require(targetFrac > 0 && targetFrac <= 1, s"targetFrac in (0,1]: $targetFrac")
+    def tempered(c: Column): Column =
+      if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__ns"))
+    val tot = counts.agg(sum(col("__ns")).as("__n"),
+      sum(tempered(col("__ns"))).as("__z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col(strataCol),
+        least(lit(1d),
+          lit(targetFrac) * col("__n") * (tempered(col("__ns")) / col("__z"))
+            / col("__ns")).as("__rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashUniform(seed, col(idCol)) < col("__rate"))
+  }
+
+  /** Exact per-stratum quota sampling: keep precisely `min(quota, n_s)`
+    * rows from each stratum, chosen by ranking rows on the
+    * [[hashUniform]] coin (ties broken by id) — "take k docs per domain"
+    * with a bit-reproducible, order-independent selection. One
+    * sort-shuffle on the stratum key; Spark plans the rank filter as
+    * WindowGroupLimit, so each map task forwards only its local top-k
+    * candidates into the exchange. Unlike [[stratifiedSample]] the
+    * result count is exact, at the cost of that shuffle — use the rate
+    * form when expected counts suffice.
+    */
+  def quotaSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      quota: Int,
+      seed: Long): DataFrame = {
+    require(quota > 0, s"quota must be positive: $quota")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashUniform(seed, col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Sequence packing, concat-and-chunk style (the GPT-line pretraining
     * layout: documents are concatenated in order and the token stream is
     * cut every `budget` tokens, so documents may straddle chunk

@@ -110,6 +110,72 @@ object Quality {
           .as("cross_entropy"))
   }
 
+  /** Interpolated Kneser–Ney bigram cross-entropy — the next rung up
+    * from [[unigramCrossEntropy]] toward CCNet's KenLM scorer (Kneser &
+    * Ney 1995; the interpolated form as given in Chen & Goodman 1998,
+    * "An Empirical Study of Smoothing Techniques for Language Modeling",
+    * eq. 4.25, with a single fixed discount `D`):
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1)
+    *            + D · N1+(w1,·) / c(w1) · N1+(·,w2) / N1+(·,·)
+    *
+    * where `c` are corpus bigram counts, `N1+(w1,·)` the number of
+    * distinct continuations of `w1`, `N1+(·,w2)` the number of distinct
+    * contexts `w2` follows (the continuation probability's numerator),
+    * and `N1+(·,·)` the total bigram-type count. Every bigram scored is
+    * drawn from the same corpus the model is counted on, so `c(w1) > 0`
+    * always and no unigram back-off level is needed.
+    *
+    * Each document scores the mean `−ln P(w2|w1)` over its adjacent
+    * token pairs (tokens: lowercased whitespace words, as
+    * [[unigramCrossEntropy]]); documents with fewer than two tokens
+    * produce no row.
+    *
+    * Scale shape: bigrams are built map-side with `zip_with` over the
+    * token array (no window, no per-doc shuffle); the model is three
+    * aggregates off the bigram stream (pair counts; per-context count +
+    * continuation fan-out, both derived from the TYPE-level pair-count
+    * frame, which is far smaller than the token stream); scoring joins
+    * the bigram occurrences back on the pair key — one shuffle each
+    * side — and the two vocabulary-sized side frames join on their
+    * single word keys (AQE broadcasts them when small). Document text
+    * never moves through a shuffle more than once.
+    *
+    * Output: `idCol`, `n_bigrams`, `cross_entropy` (natural-log units).
+    */
+  def knBigramCrossEntropy(
+      df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    val ws = filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) > 0)
+    val bg = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"), ws.as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(col("__id"), explode(zip_with(
+        slice(col("__ws"), lit(1), size(col("__ws")) - 1),
+        slice(col("__ws"), lit(2), size(col("__ws")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col("__id"), col("__b.w1").as("__w1"), col("__b.w2").as("__w2"))
+    val bc = bg.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val ctx = bc.groupBy(col("__w1")).agg(
+      sum(col("__c12")).cast("double").as("__c1"),
+      count(lit(1)).cast("double").as("__n1r"))
+    val cont = bc.groupBy(col("__w2"))
+      .agg(count(lit(1)).cast("double").as("__n1l"))
+    val totTypes = bc.agg(count(lit(1)).cast("double").as("__tt"))
+    val d = lit(discount)
+    val p = greatest(col("__c12") - d, lit(0d)) / col("__c1") +
+      d * col("__n1r") / col("__c1") * (col("__n1l") / col("__tt"))
+    bg.join(bc, Seq("__w1", "__w2"))
+      .join(ctx, Seq("__w1"))
+      .join(cont, Seq("__w2"))
+      .crossJoin(broadcast(totTypes))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(-log(p)).as("cross_entropy"))
+  }
+
   /** Word-shape signals (Gopher A1.1): appends
     * `word_count`, `mean_word_len`, `symbol_word_ratio` (# and … per
     * word), `alpha_word_frac` (words containing a letter), and
@@ -312,6 +378,37 @@ object Quality {
     ("url", "https?://[^\\s]+", "<URL>"),
     ("ip", "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
     ("phone", "\\+?\\d[\\d\\s().-]{7,}\\d", "<PHONE>"))
+
+  /** Compression-ratio quality signal: `deflate(text).length /
+    * text.utf8Length` (zlib DEFLATE, fixed level 6). Highly repetitive
+    * machine-generated text compresses far below natural prose, so the
+    * ratio is a standard cheap redundancy filter in pretraining curation
+    * (used alongside the Gopher rules in the Dolma/RedPajama tooling
+    * line). Empty/null text scores 1.0.
+    *
+    * A Scala UDF by necessity — Spark has no built-in DEFLATE expression
+    * — so this one column breaks whole-stage codegen for its stage; the
+    * pass is still narrow (no shuffle), and zlib at a fixed level is
+    * deterministic, so the signal is bit-reproducible. Rows-only at the
+    * driver gate (DuckDB cannot replay zlib); QualitySpec pins goldens.
+    */
+  val compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val in = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(in); d.finish()
+        val bos = new java.io.ByteArrayOutputStream(in.length / 2 + 32)
+        val buf = new Array[Byte](4096)
+        while (!d.finished()) {
+          val n = d.deflate(buf)
+          bos.write(buf, 0, n)
+        }
+        d.end()
+        bos.size().toDouble / in.length
+      }
+    }
 
   /** Replace emails, URLs, IPv4s and phone-shaped digit runs with typed
     * placeholder tokens — the standard pre-training scrub. Pure chained

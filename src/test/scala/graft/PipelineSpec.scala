@@ -100,6 +100,55 @@ class PipelineSpec extends SparkSpec {
     assert(s1 != s2)
   }
 
+  test("temperatureSample: alpha-sampling flattens the mixture, rates verified by hand") {
+    import spark.implicits._
+    // strata: a 90 rows, b 10 rows; alpha .5, targetFrac .5 →
+    //   z = sqrt(90)+sqrt(10); rate_s = min(1, .5·100·(sqrt(ns)/z)/ns)
+    val df = ((0 until 90).map(i => (i.toLong, "a")) ++
+      (90 until 100).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val z = math.sqrt(90.0) + math.sqrt(10.0)
+    val ra = math.min(1.0, 0.5 * 100 * (math.sqrt(90.0) / z) / 90)
+    val rb = math.min(1.0, 0.5 * 100 * (math.sqrt(10.0) / z) / 10)
+    assert(rb > ra, "tail stratum must be boosted")
+    val out = Pipeline.temperatureSample(df, "doc_id", "source",
+      alpha = 0.5, targetFrac = 0.5, seed = 42L)
+    val rates = out.groupBy("source").agg(min(col("__rate")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rates("a") - ra) < 1e-15)
+    assert(math.abs(rates("b") - rb) < 1e-15)
+    // the coin is the documented md5 rule — replay one row off-Spark
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16).toDouble / 4294967296.0
+    }
+    (0L until 100L).foreach { id =>
+      val rate = if (id < 90) ra else rb
+      assert(kept.contains(id) == (u(id) < rate), s"row $id coin mismatch")
+    }
+  }
+
+  test("quotaSample: exact per-stratum counts, order-independent, reproducible") {
+    import spark.implicits._
+    val df = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (40 until 43).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val s1 = Pipeline.quotaSample(df, "doc_id", "source", quota = 5, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.count(_._2 == "a") == 5, "full stratum yields exactly quota")
+    assert(s1.count(_._2 == "b") == 3, "short stratum keeps all rows")
+    // shuffling the input must not change the selected set
+    val s2 = Pipeline.quotaSample(df.repartition(7, col("doc_id")),
+      "doc_id", "source", quota = 5, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet == s2.toSet)
+    // a different seed picks a different committee from the full stratum
+    val s3 = Pipeline.quotaSample(df, "doc_id", "source", quota = 5, seed = 8L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(s3.count(_._2 == "a") == 5 && s1.toSet != s3)
+  }
+
   test("dedupSpans: C4 sentence-span dedup — first occurrence wins, docs rebuild in order, emptied docs drop") {
     import spark.implicits._
     import graft.text.TextOps

@@ -52,6 +52,60 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("dup_word_frac") - 0.6) < 1e-12)
   }
 
+  test("knBigramCrossEntropy: hand-computed interpolated KN probabilities") {
+    import spark.implicits._
+    // corpus: doc 1 "a b a b", doc 2 "b c" →
+    //   bigram counts: (a,b):2 (b,a):1 (b,c):1; types T=3
+    //   contexts: c(a)=2, N1+(a,·)=1; c(b)=2, N1+(b,·)=2
+    //   continuations: N1+(·,b)=1, N1+(·,a)=1, N1+(·,c)=1
+    //   P(b|a) = (2−.75)/2 + .75·1/2·(1/3) = 0.75
+    //   P(a|b) = (1−.75)/2 + .75·2/2·(1/3) = 0.375 = P(c|b)
+    val df = Seq((1L, "a b a b"), (2L, "b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Quality.knBigramCrossEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2, "single-token doc produces no row")
+    assert(out(0).getAs[Long]("n_bigrams") == 3L)
+    val ce1 = -(math.log(0.75) + math.log(0.375) + math.log(0.75)) / 3
+    assert(math.abs(out(0).getAs[Double]("cross_entropy") - ce1) < 1e-12)
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(math.abs(out(1).getAs[Double]("cross_entropy")
+      - (-math.log(0.375))) < 1e-12)
+    // the interpolated KN distribution must sum to 1 over each context:
+    // context a: 0.625 + .75·1/2·(3/3) = 1; context b: .25 + .75·2/2 = 1
+    assert(math.abs((0.625 + 0.75 * 0.5) - 1.0) < 1e-12)
+  }
+
+  test("tfidf + cosineRetrieve: sklearn smooth-idf weights, hand-computed cosines") {
+    import spark.implicits._
+    val df = Seq((1L, "apple banana apple"), (2L, "apple banana"),
+      (3L, "cherry banana")).toDF("doc_id", "text")
+    // N=3; df: apple 2, banana 3, cherry 1
+    val ia = math.log(4.0 / 3.0) + 1 // apple idf
+    val ib = 1.0                     // banana: ln(4/4)+1
+    val ic = math.log(2.0) + 1       // cherry idf
+    val w = graft.text.Tfidf.tfidf(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Double]("weight"), r.getAs[Double]("norm"))).toMap
+    assert(math.abs(w((1L, "apple"))._1 - 2 * ia) < 1e-12)
+    assert(math.abs(w((3L, "cherry"))._1 - ic) < 1e-12)
+    val n1 = math.sqrt(4 * ia * ia + ib * ib)
+    val n2 = math.sqrt(ia * ia + ib * ib)
+    val n3 = math.sqrt(ic * ic + ib * ib)
+    assert(math.abs(w((1L, "apple"))._2 - n1) < 1e-12)
+    val out = graft.text.Tfidf.cosineRetrieve(df, "doc_id", "text",
+      queryIds = Seq(1L), k = 2).orderBy("rank").collect()
+    val s12 = (2 * ia * ia + ib * ib) / (n1 * n2)
+    val s13 = ib * ib / (n1 * n3)
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("doc_id") == 2L && out(0).getAs[Int]("rank") == 1)
+    assert(math.abs(out(0).getAs[Double]("sim")
+      - math.rint(s12 * 1e6) / 1e6) < 1e-12)
+    assert(out(1).getAs[Long]("doc_id") == 3L)
+    assert(math.abs(out(1).getAs[Double]("sim")
+      - math.rint(s13 * 1e6) / 1e6) < 1e-12)
+  }
+
   test("ngramRepetitionStats: short doc yields empty top gram, zero fraction") {
     import spark.implicits._
     val out = Quality.ngramRepetitionStats(
