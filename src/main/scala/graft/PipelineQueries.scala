@@ -677,6 +677,63 @@ object PipelineQueries {
             round(min(col("__r")), 6).as("min_ratio"),
             round(max(col("__r")), 6).as("max_ratio"))
       },
-      None)
+      None),
+
+    // ── X63: fuzzy decontamination (Pipeline.contaminationReportFuzzy)
+    //    — near-duplicate eval contamination via broadcast bench MinHash
+    //    bands + exact-Jaccard verify, the GPT-3/PaLM-style complement
+    //    to x23's exact grams and x44's Bloom screen. Same 1-in-7 bench
+    //    split as x23; FULL oracle replays the banded MinHash cross-join ──
+    QueryDef(
+      "x63_decontaminate_fuzzy",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Pipeline.contaminationReportFuzzy(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text", shingleN = 3,
+          numHashes = 128, bands = 16, threshold = 0.5)
+          .select(col("doc_id"), col("bench_id"),
+            round(col("jaccard"), 6).as("jaccard"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(norm, ' ') AS w FROM d
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM w WHERE len(w) >= 3
+        ), ab AS (
+          SELECT doc_id, s,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id, s,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), pairs AS (
+          SELECT DISTINCT l.doc_id AS cid, r.doc_id AS bench_id
+          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+          WHERE l.doc_id % 7 != 0 AND r.doc_id % 7 = 0
+        ), j AS (
+          SELECT cid AS doc_id, bench_id,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+          FROM pairs JOIN sh a ON pairs.cid = a.doc_id
+                     JOIN sh b ON pairs.bench_id = b.doc_id
+        )
+        SELECT doc_id, bench_id, round(jac, 6) AS jaccard
+        FROM j WHERE jac >= 0.5
+      """.stripMargin.trim))
   )
 }

@@ -144,6 +144,69 @@ object Pipeline {
       .select(col("__id").as(idCol), col("n_flagged_grams"), col("n_grams"))
   }
 
+  /** Fuzzy decontamination — the near-duplicate complement of
+    * [[contaminationReport]]'s exact n-gram overlap (the GPT-3 appendix-C
+    * / PaLM contamination methodology family: an eval example
+    * contaminates a training doc when the two are NEAR-duplicates, not
+    * only on verbatim gram overlap). A corpus doc is flagged when its
+    * word-shingle MinHash-Jaccard similarity to ANY bench doc reaches
+    * `threshold`, using the same signature/banding scheme as
+    * [[TextOps.nearDupPairsBy]].
+    *
+    * Scale shape: eval suites are driver-small (the [[MaxBenchDocs]]
+    * contract), so instead of the self-join tag-union this is
+    * corpus-LINEAR — the bench side's banded signature keys AND its
+    * shingle sets are broadcast; corpus rows compute signatures in one
+    * map pass, probe the broadcast band keys, and only the (rare)
+    * candidates evaluate exact Jaccard against the broadcast bench
+    * shingles. No shuffle touches corpus text at all: the single
+    * aggregation shuffles (corpus_id, bench_id, jaccard) candidate rows.
+    *
+    * Output: one row per contaminated (corpus `idCol`, `bench_id`) pair
+    * with its exact `jaccard` (≥ threshold).
+    */
+  def contaminationReportFuzzy(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBenchDocs: Long = MaxBenchDocs): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    if (maxBenchDocs < Int.MaxValue.toLong - 1) {
+      val probe = bench.limit((maxBenchDocs + 1).toInt).count()
+      require(probe <= maxBenchDocs,
+        s"contaminationReportFuzzy broadcasts the benchmark side's banded " +
+          s"MinHash keys and shingle sets, but bench exceeds $maxBenchDocs " +
+          "rows (maxBenchDocs); eval suites are driver-small by definition")
+    }
+    val rows = numHashes / bands
+    val shingles = TextOps.wordShingles(col(textCol), shingleN)
+    def banded(df: DataFrame, outId: String): DataFrame =
+      TextOps.minHashSignaturesBy(df, idCol, shingles, numHashes)
+        .select(col("__id").as(outId),
+          explode(array((0 until bands).map { b =>
+            struct(lit(b).as("band"),
+              slice(col("__sig"), b * rows + 1, rows).as("key"))
+          }: _*)).as("__b"))
+        .select(col(outId), col("__b.band").as("__band"),
+          col("__b.key").as("__key"))
+    val benchBanded = broadcast(banded(bench, "bench_id"))
+    val benchShingles = broadcast(
+      bench.select(col(idCol).as("bench_id"), shingles.as("__shb")))
+    banded(graft.Tables.spread(corpus), "__cid")
+      .join(benchBanded, Seq("__band", "__key"))
+      .select(col("__cid"), col("bench_id")).distinct()
+      .join(corpus.select(col(idCol).as("__cid"), shingles.as("__sha")), "__cid")
+      .join(benchShingles, "bench_id")
+      .withColumn("jaccard", TextOps.jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__cid").as(idCol), col("bench_id"), col("jaccard"))
+  }
+
   /** Deterministic U(0,1) from md5 of `"<seed>:<id>"` — stateless,
     * executor-independent, and bit-replayable in DuckDB (md5 + first 8 hex
     * digits / 2^32), unlike `rand()` or xxhash64. The sampling analogue of

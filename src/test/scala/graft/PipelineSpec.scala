@@ -100,6 +100,38 @@ class PipelineSpec extends SparkSpec {
     assert(s1 != s2)
   }
 
+  test("contaminationReportFuzzy: near-dup flagged with exact jaccard, clean doc passes, guard trips") {
+    import spark.implicits._
+    // bench doc: 40 unique words; corpus doc 1 changes only the LAST
+    // word → exactly one of 38 3-grams differs → j = 37/39, similar
+    // enough that 16×8 banding collides (P(miss) ≈ 3e-8; the hash family
+    // is fixed, so the outcome is deterministic once observed)
+    val ws = Seq.tabulate(40)(i => s"tok$i")
+    val bench = Seq((100L, ws.mkString(" "))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, (ws.init :+ "changed").mkString(" ")),
+      (2L, "totally unrelated words about something else entirely")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.contaminationReportFuzzy(
+      corpus, bench, "doc_id", "text", shingleN = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 1 && out(0)._1 == 1L && out(0)._2 == 100L)
+    assert(math.abs(out(0)._3 - 37.0 / 39.0) < 1e-12)
+    // above the pair's jaccard → dropped even though candidates exist
+    val none = Pipeline.contaminationReportFuzzy(
+      corpus, bench, "doc_id", "text", shingleN = 3, threshold = 0.96)
+      .count()
+    assert(none == 0)
+    // bench-size guard: eval suites are driver-small by contract
+    val big = (0L until 5L).map(i => (i, s"doc $i text here okay"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.contaminationReportFuzzy(
+        corpus, big, "doc_id", "text", maxBenchDocs = 3L)
+    }
+    assert(e.getMessage.contains("maxBenchDocs"))
+  }
+
   test("temperatureSample: alpha-sampling flattens the mixture, rates verified by hand") {
     import spark.implicits._
     // strata: a 90 rows, b 10 rows; alpha .5, targetFrac .5 →
