@@ -910,6 +910,81 @@ object DedupQueries {
         FROM rc
       """.stripMargin.trim)),
 
+    // ── X64: quality-priority dedup plan (Components.dedupPlanBy) —
+    //    x2's MinHash near-dup pairs resolved into components, each
+    //    keeping its LONGEST member (n_chars, ties to min id) — the
+    //    RefinedWeb keep-best rule. FULL oracle: x2's LSH replay +
+    //    recursive-CTE closure + the keeper-election window ──
+    QueryDef(
+      "x64_dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = TextOps.nearDupPairs(docs, "doc_id", "text",
+          shingleN = 5, numHashes = 128, bands = 16, threshold = 0.8)
+        graft.text.Components.dedupPlanBy(pairs, "id_a", "id_b",
+          docs, "doc_id", "n_chars")
+          .select(col("component"), col("keeper"),
+            col("keeper_score").cast("long").as("keeper_score"),
+            col("n_members"), col("n_dropped"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(0, greatest(length(norm)-5, 0)),
+              i -> substr(norm, i+1, 5))) AS s
+          FROM d
+        ), ab AS (
+          SELECT doc_id, s,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id, s,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+        ), j AS (
+          SELECT id_a, id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+          FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                    JOIN sh b ON cand.id_b = b.doc_id
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
+          UNION
+          SELECT id_b, id_a FROM j WHERE jac >= 0.8
+        ), rc AS (
+          WITH RECURSIVE reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          )
+          SELECT id, min(lbl) AS component FROM reach GROUP BY id
+        ), scored AS (
+          SELECT rc.id, rc.component, doc.n_chars,
+            row_number() OVER (PARTITION BY rc.component
+                               ORDER BY doc.n_chars DESC, rc.id) AS rk
+          FROM rc JOIN documents doc ON doc.doc_id = rc.id
+        )
+        SELECT CAST(component AS BIGINT) AS component,
+          CAST(max(CASE WHEN rk = 1 THEN id END) AS BIGINT) AS keeper,
+          CAST(max(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS keeper_score,
+          count(*) AS n_members, count(*) - 1 AS n_dropped
+        FROM scored GROUP BY component
+      """.stripMargin.trim)),
+
     // ── X45: the streaming INGEST loop as a first-class query — a real
     //    Structured Streaming `foreachBatch` drive of
     //    [[IncrementalDedup.dedupIncremental]] (the PipelineSpec shape

@@ -87,4 +87,39 @@ object Components {
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_members"),
         (count(lit(1)) - 1).as("n_dropped"))
+
+  /** Quality-priority dedup plan: like [[dedupPlan]], but each
+    * near-duplicate component keeps its HIGHEST-SCORING member (max
+    * `scoreCol`, ties to the smallest id) instead of the smallest id —
+    * the RefinedWeb-style rule that a duplicate cluster should surrender
+    * everything but its best exemplar, with "best" supplied by any
+    * quality signal (Gopher score, LM cross-entropy, length, …).
+    *
+    * `scores` maps `idCol` → `scoreCol` for at least every id in the
+    * pair stream (an inner join drops unscored members — score what you
+    * dedup). Scale shape: the component labels are id-pairs (never doc
+    * text); the keeper election is one rank window over (component,
+    * score desc, id) — WindowGroupLimit forwards a single candidate per
+    * map task.
+    *
+    * Output: `component`, `keeper`, `keeper_score`, `n_members`,
+    * `n_dropped`.
+    */
+  def dedupPlanBy(
+      pairs: DataFrame, aCol: String, bCol: String,
+      scores: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = connectedComponents(pairs, aCol, bCol)
+      .join(scores.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__s").desc, col("id"))
+    labeled
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("component"))
+      .agg(
+        max(when(col("__rk") === 1, col("id"))).as("keeper"),
+        max(when(col("__rk") === 1, col("__s"))).as("keeper_score"),
+        count(lit(1)).as("n_members"),
+        (count(lit(1)) - 1).as("n_dropped"))
+  }
 }

@@ -243,6 +243,20 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("dedupPlanBy: each component keeps its best-scoring member, ties to min id") {
+    import spark.implicits._
+    import graft.text.Components
+    // chain 1-2-3 (scores 5,9,9 → keeper 2 on tie), pair 20-21 (keeper 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (20L, 21L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (20L, 1.0), (21L, 2.0))
+      .toDF("doc_id", "quality")
+    val plan = Components.dedupPlanBy(pairs, "id_a", "id_b",
+      scores, "doc_id", "quality")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toSet
+    assert(plan == Set((1L, 2L, 9.0, 3L, 2L), (20L, 21L, 2.0, 2L, 1L)))
+  }
+
   test("incremental dedup drives a streaming ingest loop via foreachBatch") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
