@@ -34,15 +34,22 @@ object Dsir {
 
   /** Unigrams + bigrams over whitespace-normalized lowercase text, with
     * multiplicity (counts matter in the model).
+    *
+    * The token array is let-bound via the `element_at(transform(array(…`
+    * idiom ([[Quality]] header): interpreted HOF lambdas re-evaluate
+    * referenced OUTER expressions per element, so an unbound
+    * `split(normalize(text))` inside the bigram lambda re-ran the
+    * normalize regex + split twice per bigram — O(tokens²) regex work
+    * per document (measured 34.7 → 4.3 s on x51 at sf0.1).
     */
-  private def grams(text: Column): Column = {
-    val w = split(TextOps.normalize(text), " ")
-    val bi = when(size(w) >= 2,
-      transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    concat(w, bi)
-  }
+  private def grams(text: Column): Column =
+    element_at(transform(array(split(TextOps.normalize(text), " ")), w => {
+      val bi = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      concat(w, bi)
+    }), 1)
 
   /** md5 gram→bucket hash, bit-replayable in DuckDB as
     * `('0x' || substring(md5('<seed>:' || g), 1, 8))::BIGINT % b`.
