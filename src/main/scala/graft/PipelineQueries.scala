@@ -734,6 +734,44 @@ object PipelineQueries {
         )
         SELECT doc_id, bench_id, round(jac, 6) AS jaccard
         FROM j WHERE jac >= 0.5
+      """.stripMargin.trim)),
+
+    // ── X65: CCNet perplexity-bucket selection
+    //    (Quality.perplexityBuckets) — per-language head/middle/tail
+    //    terciles of the x36 LM score, rank-based (ntile + id tie-break)
+    //    so the split replays exactly; emits per-(lang, bucket) profile ──
+    QueryDef(
+      "x65_ccnet_buckets",
+      (s, dir) => {
+        graft.text.Quality.perplexityBuckets(
+          Tables.documents(s, dir), "doc_id", "text", "lang", nBuckets = 3)
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("cross_entropy")), 6).as("mean_ce"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, w FROM t WHERE length(w) > 0
+        ), c AS (
+          SELECT w, count(*) AS c FROM tf GROUP BY w
+        ), tot AS (
+          SELECT CAST(sum(c) AS DOUBLE) AS tot FROM c
+        ), ce AS (
+          SELECT doc_id, round(avg(-ln(CAST(c.c AS DOUBLE) / tot.tot)), 6) AS ce
+          FROM tf JOIN c USING (w), tot
+          GROUP BY doc_id
+        )
+        SELECT lang, bucket, count(*) AS n_docs, round(avg(ce), 6) AS mean_ce
+        FROM (
+          SELECT d.lang, ce.ce,
+            ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY ce.ce, ce.doc_id) AS bucket
+          FROM ce JOIN documents d USING (doc_id))
+        GROUP BY lang, bucket
       """.stripMargin.trim))
   )
 }

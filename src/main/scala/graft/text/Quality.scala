@@ -110,6 +110,36 @@ object Quality {
           .as("cross_entropy"))
   }
 
+  /** CCNet's perplexity-bucket selection step (Wenzek et al. 2020 §4.3):
+    * per language, rank documents by LM cross-entropy and split into
+    * `nBuckets` equal-population buckets — bucket 1 is the
+    * low-perplexity "head" CCNet keeps, then "middle", then "tail".
+    * Buckets are RANK-based (`ntile` over a total order with an id
+    * tie-break), not quantile-threshold-based, so the assignment is
+    * exactly reproducible cross-engine — no interpolated-boundary float
+    * comparisons. Scoring is [[unigramCrossEntropy]] rounded to 6
+    * decimals before ranking (the oracle-parity convention).
+    *
+    * Scale shape: the LM passes are x36's; bucketing adds one join of
+    * (id, ce) back to (id, lang) — ids and doubles only, never text —
+    * and one rank window per language partition.
+    *
+    * Output: `idCol`, `langCol`, `cross_entropy` (rounded), `bucket`.
+    */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2: $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val ce = unigramCrossEntropy(df, idCol, textCol)
+      .select(col(idCol), round(col("cross_entropy"), 6).as("cross_entropy"))
+    ce.join(df.select(col(idCol), col(langCol)), idCol :: Nil)
+      .withColumn("bucket", ntile(nBuckets).over(Window
+        .partitionBy(col(langCol))
+        .orderBy(col("cross_entropy"), col(idCol))))
+      .select(col(idCol), col(langCol), col("cross_entropy"), col("bucket"))
+  }
+
   /** Interpolated Kneser–Ney bigram cross-entropy — the next rung up
     * from [[unigramCrossEntropy]] toward CCNet's KenLM scorer (Kneser &
     * Ney 1995; the interpolated form as given in Chen & Goodman 1998,

@@ -52,6 +52,34 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("dup_word_frac") - 0.6) < 1e-12)
   }
 
+  test("perplexityBuckets: rank-based terciles per language, head = common text") {
+    import spark.implicits._
+    // "a" dominates the corpus → all-"a" docs score lowest cross-entropy;
+    // docs with rare singleton words score highest
+    val docs = Seq(
+      (1L, "a a a a a a", "en"), (2L, "a a a a a rare1", "en"),
+      (3L, "a a a rare2 rare3 rare4", "en"),
+      (4L, "a a rare5 rare6 rare7 rare8", "en"),
+      (5L, "rare9 rareA rareB rareC a a", "en"),
+      (6L, "rareD rareE rareF rareG rareH a", "en"),
+      (7L, "a a a a a a", "de"), (8L, "rareI rareJ rareK a a a", "de"),
+      (9L, "a a a a rareL a", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = Quality.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("cross_entropy"), r.getAs[Int]("bucket"))).toMap
+    // en: 6 docs → terciles of 2; doc 1 (all common) must be head,
+    // doc 6 (most rare words) must be tail
+    assert(out(1L)._2 == 1 && out(6L)._2 == 3)
+    assert(Seq(1L, 2L, 3L, 4L, 5L, 6L).map(out(_)._2).sorted
+      == Seq(1, 1, 2, 2, 3, 3))
+    // ce must be monotone with the bucket assignment
+    val enSorted = Seq(1L, 2L, 3L, 4L, 5L, 6L).sortBy(id => (out(id)._1, id))
+    assert(enSorted.map(out(_)._2) == Seq(1, 1, 2, 2, 3, 3))
+    // de: 3 docs → one per bucket, all-common doc is head
+    assert(out(7L)._2 == 1 && out(8L)._2 == 3 && out(9L)._2 == 2)
+  }
+
   test("knBigramCrossEntropy: hand-computed interpolated KN probabilities") {
     import spark.implicits._
     // corpus: doc 1 "a b a b", doc 2 "b c" →
