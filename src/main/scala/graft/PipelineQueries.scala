@@ -772,6 +772,42 @@ object PipelineQueries {
                            ORDER BY ce.ce, ce.doc_id) AS bucket
           FROM ce JOIN documents d USING (doc_id))
         GROUP BY lang, bucket
+      """.stripMargin.trim)),
+
+    // ── X66: token-distribution drift monitor
+    //    (Quality.tokenKlDivergence) — KL(p_source ‖ p_corpus) per
+    //    source, the corpus-composition drift check; one tokenize pass,
+    //    global model derived from the per-stratum counts ──
+    QueryDef(
+      "x66_token_drift",
+      (s, dir) => {
+        graft.text.Quality.tokenKlDivergence(
+          Tables.documents(s, dir), "source", "text")
+          .select(col("source"), col("n_tokens"),
+            round(col("kl"), 6).as("kl"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, w FROM (
+            SELECT source,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0
+        ), sc AS (
+          SELECT source, w, count(*) AS cs FROM t GROUP BY source, w
+        ), gc AS (
+          SELECT w, sum(cs) AS cg FROM sc GROUP BY w
+        ), ns AS (
+          SELECT source, sum(cs) AS ns FROM sc GROUP BY source
+        ), ng AS (
+          SELECT CAST(sum(cg) AS DOUBLE) AS ng FROM gc
+        )
+        SELECT source, CAST(max(ns.ns) AS BIGINT) AS n_tokens,
+          round(sum((CAST(cs AS DOUBLE) / ns.ns) *
+            ln((CAST(cs AS DOUBLE) / ns.ns) /
+               (CAST(cg AS DOUBLE) / ng.ng))), 6) AS kl
+        FROM sc JOIN gc USING (w) JOIN ns USING (source), ng
+        GROUP BY source
       """.stripMargin.trim))
   )
 }

@@ -110,6 +110,41 @@ object Quality {
           .as("cross_entropy"))
   }
 
+  /** Per-stratum token-distribution drift: KL(p_s ‖ q) of each stratum's
+    * unigram distribution against the whole corpus's — the standard
+    * corpus-composition monitor (which source/batch has drifted from the
+    * mixture?). Every stratum word is by construction in the global
+    * vocabulary, so the divergence is finite without smoothing.
+    *
+    * Scale shape: ONE tokenize pass; the global model is derived from
+    * the per-stratum counts (`Σ_s c_s(w)`), not a second text pass; the
+    * per-word join keys (word, counts) only; output is one row per
+    * stratum. Shuffles: the (stratum, word) count, the word-keyed
+    * re-aggregation + join, and the stratum rollup.
+    *
+    * Output: `strataCol`, `n_tokens`, `kl` (nats).
+    */
+  def tokenKlDivergence(
+      df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val toks = graft.Tables.spread(df)
+      .select(col(strataCol).as("__s"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val sc = toks.groupBy(col("__s"), col("__w"))
+      .agg(count(lit(1)).as("__cs"))
+    val gc = sc.groupBy(col("__w")).agg(sum(col("__cs")).as("__cg"))
+    val ns = sc.groupBy(col("__s")).agg(sum(col("__cs")).as("__ns"))
+    val ng = gc.agg(sum(col("__cg")).as("__ng"))
+    sc.join(gc, "__w")
+      .join(ns, "__s")
+      .crossJoin(broadcast(ng))
+      .withColumn("__p", col("__cs").cast("double") / col("__ns"))
+      .withColumn("__q", col("__cg").cast("double") / col("__ng"))
+      .groupBy(col("__s").as(strataCol))
+      .agg(max(col("__ns")).as("n_tokens"),
+        sum(col("__p") * log(col("__p") / col("__q"))).as("kl"))
+  }
+
   /** CCNet's perplexity-bucket selection step (Wenzek et al. 2020 §4.3):
     * per language, rank documents by LM cross-entropy and split into
     * `nBuckets` equal-population buckets — bucket 1 is the

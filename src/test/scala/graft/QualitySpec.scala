@@ -52,6 +52,28 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("dup_word_frac") - 0.6) < 1e-12)
   }
 
+  test("tokenKlDivergence: hand-computed drift, zero for a lone stratum") {
+    import spark.implicits._
+    // a: {x:2, y:1}, b: {x:1, y:3} → global {x:3, y:4} over 7 tokens
+    val df = Seq(("a", "x x y"), ("b", "x y y y")).toDF("source", "text")
+    val out = Quality.tokenKlDivergence(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("kl"))).toMap
+    val klA = 2.0 / 3 * math.log((2.0 / 3) / (3.0 / 7)) +
+      1.0 / 3 * math.log((1.0 / 3) / (4.0 / 7))
+    val klB = 1.0 / 4 * math.log((1.0 / 4) / (3.0 / 7)) +
+      3.0 / 4 * math.log((3.0 / 4) / (4.0 / 7))
+    assert(out("a")._1 == 3L && out("b")._1 == 4L)
+    assert(math.abs(out("a")._2 - klA) < 1e-12)
+    assert(math.abs(out("b")._2 - klB) < 1e-12)
+    assert(klA > 0 && klB > 0, "drifted strata diverge")
+    // a stratum identical to the corpus has zero divergence
+    val lone = Quality.tokenKlDivergence(
+      Seq(("only", "x y z x")).toDF("source", "text"), "source", "text")
+      .head().getAs[Double]("kl")
+    assert(math.abs(lone) < 1e-15)
+  }
+
   test("perplexityBuckets: rank-based terciles per language, head = common text") {
     import spark.implicits._
     // "a" dominates the corpus → all-"a" docs score lowest cross-entropy;
