@@ -808,6 +808,82 @@ object PipelineQueries {
                (CAST(cg AS DOUBLE) / ng.ng))), 6) AS kl
         FROM sc JOIN gc USING (w) JOIN ns USING (source), ng
         GROUP BY source
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X67: two-frame ingest drift (Quality.klDrift) — smoothed
+    //    KL(batch ‖ frozen baseline) over the union vocabulary, the
+    //    per-batch monitor a 100 TB ingest loop runs before accepting a
+    //    batch (batch = doc_id%3==1 slice, baseline = %3==0 slice) ──
+    QueryDef(
+      "x67_ingest_drift",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.text.Quality.klDrift(
+          docs.filter(col("doc_id") % 3 === 1),
+          docs.filter(col("doc_id") % 3 === 0), "text")
+          .select(col("n_tokens"), col("n_novel_words"),
+            round(col("kl"), 6).as("kl"))
+      },
+      Some("""
+        WITH bt AS (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE doc_id % 3 = 1)
+          WHERE length(w) > 0
+        ), rt AS (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents WHERE doc_id % 3 = 0)
+          WHERE length(w) > 0
+        ), bc AS (
+          SELECT w, count(*) AS cb FROM bt GROUP BY w
+        ), rc AS (
+          SELECT w, count(*) AS cr FROM rt GROUP BY w
+        ), j AS (
+          SELECT COALESCE(cb, 0) AS cb, COALESCE(cr, 0) AS cr
+          FROM bc FULL OUTER JOIN rc USING (w)
+        ), tot AS (
+          SELECT CAST(sum(cb) AS DOUBLE) AS nb, CAST(sum(cr) AS DOUBLE) AS nr,
+            CAST(count(*) AS DOUBLE) AS v,
+            sum(CASE WHEN cb > 0 AND cr = 0 THEN 1 ELSE 0 END) AS novel
+          FROM j
+        )
+        SELECT CAST(tot.nb AS BIGINT) AS n_tokens,
+          CAST(tot.novel AS BIGINT) AS n_novel_words,
+          round(sum(((cb + 1) / (nb + v)) *
+            ln(((cb + 1) / (nb + v)) / ((cr + 1) / (nr + v)))), 6) AS kl
+        FROM j, tot GROUP BY tot.nb, tot.novel
+      """.stripMargin.trim)),
+
+    // ── X68: deterministic dataset split (Pipeline.hashSplit) —
+    //    train/val/test by the md5 coin with EXACT cumulative-threshold
+    //    doubles interpolated into the oracle (no float re-derivation
+    //    on the SQL side) ──
+    QueryDef(
+      "x68_dataset_split",
+      (s, dir) => {
+        Pipeline.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some {
+        // replicate hashSplit's scanLeft thresholds bit-for-bit
+        val ws = Seq(0.8, 0.1, 0.1)
+        val cum = ws.scanLeft(0.0)((a, w) => a + w / ws.sum).tail.init
+        s"""
+        SELECT source,
+          CASE WHEN u < ${cum(0)} THEN 'train'
+               WHEN u < ${cum(1)} THEN 'val'
+               ELSE 'test' END AS split,
+          count(*) AS n_docs
+        FROM (
+          SELECT source,
+            (('0x' || substring(md5('42:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0) AS u
+          FROM documents)
+        GROUP BY source, split
+        """.stripMargin.trim
+      })
   )
 }

@@ -305,6 +305,32 @@ object Pipeline {
       .drop("__rk")
   }
 
+  /** Deterministic dataset split — train/validation/test assignment by
+    * the [[hashUniform]] coin against cumulative weight thresholds.
+    * Stateless and row-independent like [[stratifiedSample]]: a row's
+    * split never changes as the corpus grows, re-runs are bit-identical
+    * on any cluster, and the assignment is a pure narrow projection (no
+    * shuffle, no RNG state). Weights are normalized; appends `split`
+    * with the matching name.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: Long): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits need positive weights: $splits")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    val u = hashUniform(seed, col(idCol))
+    // last split catches u up to 1.0 exactly (cumulative float dust)
+    val expr = splits.init.zip(cum.tail.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(u < lit(hi), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Sequence packing, concat-and-chunk style (the GPT-line pretraining
     * layout: documents are concatenated in order and the token stream is
     * cut every `budget` tokens, so documents may straddle chunk

@@ -145,6 +145,51 @@ object Quality {
         sum(col("__p") * log(col("__p") / col("__q"))).as("kl"))
   }
 
+  /** Two-frame drift: smoothed KL(batch ‖ baseline) between a new data
+    * slice's unigram distribution and a FROZEN reference corpus — the
+    * ingest-time companion of [[tokenKlDivergence]] (which compares
+    * strata inside one frame). Both distributions are add-1 smoothed
+    * over the UNION vocabulary, so novel batch words contribute a large
+    * finite penalty instead of ∞ — the standard drift-monitor treatment.
+    *
+    * Scale shape: one tokenize + count aggregate per frame (the
+    * vocabulary-sized model frames join on the word key; a full outer
+    * join keeps either side's novel words); a single-row result.
+    *
+    * Output: `n_tokens` (batch), `n_novel_words` (batch words unseen in
+    * the baseline), `kl` (nats).
+    */
+  def klDrift(
+      batch: DataFrame, baseline: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame) = graft.Tables.spread(df)
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val bc = counts(batch)
+    val rc = counts(baseline)
+    val joined = bc.withColumnRenamed("__c", "__cb")
+      .join(rc.withColumnRenamed("__c", "__cr"), Seq("__w"), "full_outer")
+      .select(coalesce(col("__cb"), lit(0L)).as("__cb"),
+        coalesce(col("__cr"), lit(0L)).as("__cr"))
+    // totals first (batch/baseline token counts, union-vocab size, novel
+    // words), then a distributed per-word divergence sum against the
+    // broadcast totals — the vocabulary never collects to one row
+    val tot = joined.agg(
+      sum(col("__cb")).as("__nb"), sum(col("__cr")).as("__nr"),
+      count(lit(1)).cast("double").as("__v"),
+      sum(when(col("__cb") > 0 && col("__cr") === 0L, 1L).otherwise(0L))
+        .as("n_novel_words"))
+    val p = (col("__cb").cast("double") + 1d) /
+      (col("__nb").cast("double") + col("__v"))
+    val q = (col("__cr").cast("double") + 1d) /
+      (col("__nr").cast("double") + col("__v"))
+    joined.crossJoin(broadcast(tot))
+      .agg(max(col("__nb")).as("n_tokens"),
+        max(col("n_novel_words")).as("n_novel_words"),
+        sum(p * log(p / q)).as("kl"))
+      .select(col("n_tokens"), col("n_novel_words"), col("kl"))
+  }
+
   /** CCNet's perplexity-bucket selection step (Wenzek et al. 2020 §4.3):
     * per language, rank documents by LM cross-entropy and split into
     * `nBuckets` equal-population buckets — bucket 1 is the

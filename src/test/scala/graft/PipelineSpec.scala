@@ -243,6 +243,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hashSplit: disjoint exhaustive assignment, md5-replayable, stable proportions") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val out = Pipeline.hashSplit(df, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 1000L, "every row lands in exactly one split")
+    assert(math.abs(counts("train") - 800L) < 50, s"train ${counts("train")}")
+    assert(counts.keySet == Set("train", "val", "test"))
+    // the coin is the documented md5 rule — replay off-Spark
+    def u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"42:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16).toDouble / 4294967296.0
+    }
+    val got = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (0L until 100L).foreach { id =>
+      val expect = if (u(id) < 0.8) "train"
+        else if (u(id) < 0.9) "val" else "test"
+      assert(got(id) == expect, s"row $id split mismatch")
+    }
+    // growth-stability: a subset's assignments are unchanged
+    val sub = Pipeline.hashSplit(df.filter(col("doc_id") < 100), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == got.filter(_._1 < 100))
+  }
+
   test("dedupPlanBy: each component keeps its best-scoring member, ties to min id") {
     import spark.implicits._
     import graft.text.Components

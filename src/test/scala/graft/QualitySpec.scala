@@ -74,6 +74,28 @@ class QualitySpec extends SparkSpec {
     assert(math.abs(lone) < 1e-15)
   }
 
+  test("klDrift: hand-computed smoothed divergence, zero on identical frames, novel words counted") {
+    import spark.implicits._
+    val batch = Seq((1L, "x x y")).toDF("id", "text")
+    val base = Seq((2L, "x y y z")).toDF("id", "text")
+    val out = Quality.klDrift(batch, base, "text").head()
+    // union vocab {x,y,z}: p=(3/6,2/6,1/6), q=(2/7,3/7,2/7)
+    val kl = 0.5 * math.log(0.5 / (2.0 / 7)) +
+      (1.0 / 3) * math.log((1.0 / 3) / (3.0 / 7)) +
+      (1.0 / 6) * math.log((1.0 / 6) / (2.0 / 7))
+    assert(out.getAs[Long]("n_tokens") == 3L)
+    assert(out.getAs[Long]("n_novel_words") == 0L)
+    assert(math.abs(out.getAs[Double]("kl") - kl) < 1e-12)
+    // identical frames → zero drift
+    val same = Quality.klDrift(base, base, "text").head()
+    assert(math.abs(same.getAs[Double]("kl")) < 1e-15)
+    // a batch-only word registers as novel
+    val nov = Quality.klDrift(
+      Seq((3L, "x brandnew")).toDF("id", "text"), base, "text").head()
+    assert(nov.getAs[Long]("n_novel_words") == 1L)
+    assert(nov.getAs[Double]("kl") > 0)
+  }
+
   test("perplexityBuckets: rank-based terciles per language, head = common text") {
     import spark.implicits._
     // "a" dominates the corpus → all-"a" docs score lowest cross-entropy;
