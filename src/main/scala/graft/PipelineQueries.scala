@@ -1056,6 +1056,35 @@ object PipelineQueries {
           round(min(rate), 6) AS mix_rate
         FROM o GROUP BY source
         """.stripMargin.trim
-      })
+      }),
+
+    // ── X70: pre-shuffle skew diagnostics (Diagnostics.skewReport) —
+    //    the measurement step before x52's salting: heavy-hitter keys
+    //    with share + skew factor against the key population ──
+    QueryDef(
+      "x70_skew_report",
+      (s, dir) => {
+        graft.operators.Diagnostics.skewReport(
+          Tables.events(s, dir), Seq("user_id"), k = 5)
+      },
+      Some("""
+        WITH c AS (
+          SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+        ), p AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_keys,
+            CAST(sum(n_rows) AS DOUBLE) AS total,
+            avg(n_rows) AS mean
+          FROM c
+        )
+        SELECT rank, user_id, n_rows,
+          round(n_rows / total, 6) AS share,
+          round(n_rows / mean, 6) AS skew_factor,
+          n_keys, round(mean, 6) AS mean_rows_per_key
+        FROM (
+          SELECT user_id, n_rows,
+            row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
+          FROM c), p
+        WHERE rank <= 5
+      """.stripMargin.trim))
   )
 }

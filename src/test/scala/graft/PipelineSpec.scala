@@ -243,6 +243,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("skewReport: heavy hitters ranked with share and skew factor") {
+    import spark.implicits._
+    import graft.operators.Diagnostics
+    // keys: a×6, b×2, c×1, d×1 → 10 rows over 4 keys, mean 2.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "v")
+    val out = Diagnostics.skewReport(df, Seq("key"), k = 3)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("key")).toSeq == Seq("a", "b", "c"))
+    val top = out(0)
+    assert(top.getAs[Long]("n_rows") == 6L)
+    assert(math.abs(top.getAs[Double]("share") - 0.6) < 1e-9)
+    assert(math.abs(top.getAs[Double]("skew_factor") - 2.4) < 1e-9)
+    assert(top.getAs[Long]("n_keys") == 4L)
+    assert(math.abs(top.getAs[Double]("mean_rows_per_key") - 2.5) < 1e-9)
+    // ties rank by ascending key: c before d
+    assert(out(2).getAs[String]("key") == "c" && out(2).getAs[Int]("rank") == 3)
+  }
+
   test("hashSplit: disjoint exhaustive assignment, md5-replayable, stable proportions") {
     import spark.implicits._
     val df = (0L until 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
