@@ -470,6 +470,24 @@ object Queries {
       },
       None),
 
+    // ── X71: graph-based ANN — per-shard navigable-small-world graphs
+    //    (Nsw.cosineTopKNsw), the graph-family scale path beside the
+    //    IVF/PQ cluster-and-code paths. Deterministic (id-ordered
+    //    insertion, id tie-breaks) but the greedy walk is not
+    //    ANSI-expressible → rows-only; AnnSpec asserts recall ≥ 0.9 vs
+    //    exact + run-to-run determinism ──
+    QueryDef(
+      "x71_ann_nsw",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.similarity.Nsw.cosineTopKNsw(
+          emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      None),
+
     // ── X5: token stats per (source, lang) ──
     QueryDef(
       "x5_token_stats",

@@ -92,6 +92,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall (${(exact & ivf).size}/${exact.size})")
   }
 
+  test("NSW graph top-k reaches recall ≥ 0.9 on clustered data, deterministic") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    def run() = graft.similarity.Nsw.cosineTopKNsw(
+      df, queries, "embedding", "vec_id", "vec_id", k)
+    val nsw = resultSet(run())
+    val recall = (exact & nsw).size.toDouble / exact.size
+    assert(recall >= 0.9, s"NSW recall $recall (${(exact & nsw).size}/${exact.size})")
+    // run-to-run determinism incl. ranks and cosines
+    val a = run().collect().map(_.toSeq).toSeq
+    val b = run().collect().map(_.toSeq).toSeq
+    assert(a.toSet == b.toSet)
+  }
+
   test("persisted IVF index matches the in-memory IVF and prunes to probed cells") {
     val df = clustered.cache()
     val queries = df.filter(col("vec_id") % 5 === 0)
