@@ -1085,6 +1085,92 @@ object PipelineQueries {
             row_number() OVER (ORDER BY n_rows DESC, user_id) AS rank
           FROM c), p
         WHERE rank <= 5
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X72: the streaming DRIFT GATE — the third ingest-loop shape
+    //    beside x45 (dedup) and x46 (index growth): each micro-batch is
+    //    scored with Quality.klDrift against a FROZEN baseline slice
+    //    (doc_id%4==0) and accepted iff its smoothed KL stays under the
+    //    gate threshold — the accept/reject governance step a 100 TB
+    //    ingest loop runs before admitting a batch. MemoryStream is the
+    //    Kafka stand-in (x30-x45 convention; batch membership is
+    //    doc_id%4, deterministic). At scale the baseline's token counts
+    //    would be a persisted model (the IVF-centroid contract) rather
+    //    than re-aggregated per batch. FULL oracle: per-batch replay of
+    //    the x67 CTE chain ──
+    QueryDef(
+      "x72_stream_drift_gate",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val gate = 0.05
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect()
+        val baseline = Tables.documents(s, dir)
+          .filter(col("doc_id") % 4 === 0).select(col("text")).cache()
+        baseline.count()
+        val stats = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Double, Boolean)]
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val r = graft.text.Quality.klDrift(batch, baseline, "text")
+              .select(col("n_tokens"), col("n_novel_words"),
+                round(col("kl"), 6).as("kl"))
+              .head()
+            stats += ((stats.size.toLong + 1, r.getLong(0), r.getLong(1),
+              r.getDouble(2), r.getDouble(2) <= gate))
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x72_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          Seq(1L, 2L, 3L).foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x72 stream exceeded its 120s deadline")
+            mem.addData(docs.filter(_._1 % 4 == b).toIndexedSeq: _*)
+            q.processAllAvailable()
+          }
+        } finally { q.stop(); baseline.unpersist(blocking = false) }
+        stats.toSeq.toDF("batch", "n_tokens", "n_novel_words", "kl", "accepted")
+      },
+      Some {
+        def one(b: Int) = s"""
+          SELECT CAST($b AS BIGINT) AS batch, n_tokens, n_novel_words, kl,
+            kl <= 0.05 AS accepted
+          FROM (
+            WITH bt AS (
+              SELECT w FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                FROM documents WHERE doc_id % 4 = $b) WHERE length(w) > 0
+            ), rt AS (
+              SELECT w FROM (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+                FROM documents WHERE doc_id % 4 = 0) WHERE length(w) > 0
+            ), bc AS (
+              SELECT w, count(*) AS cb FROM bt GROUP BY w
+            ), rc AS (
+              SELECT w, count(*) AS cr FROM rt GROUP BY w
+            ), j AS (
+              SELECT COALESCE(cb, 0) AS cb, COALESCE(cr, 0) AS cr
+              FROM bc FULL OUTER JOIN rc USING (w)
+            ), tot AS (
+              SELECT CAST(sum(cb) AS DOUBLE) AS nb,
+                CAST(sum(cr) AS DOUBLE) AS nr,
+                CAST(count(*) AS DOUBLE) AS v,
+                sum(CASE WHEN cb > 0 AND cr = 0 THEN 1 ELSE 0 END) AS novel
+              FROM j
+            )
+            SELECT CAST(tot.nb AS BIGINT) AS n_tokens,
+              CAST(tot.novel AS BIGINT) AS n_novel_words,
+              round(sum(((cb + 1) / (nb + v)) *
+                ln(((cb + 1) / (nb + v)) / ((cr + 1) / (nr + v)))), 6) AS kl
+            FROM j, tot GROUP BY tot.nb, tot.novel)"""
+        Seq(1, 2, 3).map(one).mkString("\nUNION ALL\n").trim
+      })
   )
 }

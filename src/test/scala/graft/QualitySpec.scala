@@ -94,6 +94,13 @@ class QualitySpec extends SparkSpec {
       Seq((3L, "x brandnew")).toDF("id", "text"), base, "text").head()
     assert(nov.getAs[Long]("n_novel_words") == 1L)
     assert(nov.getAs[Double]("kl") > 0)
+    // gate semantics (the x72 threshold): a same-distribution batch
+    // passes a 0.05 gate, a fully-novel-vocabulary batch fails it
+    val drifted = Quality.klDrift(
+      Seq((4L, "alien words never seen before anywhere at all"))
+        .toDF("id", "text"), base, "text").head()
+    assert(drifted.getAs[Double]("kl") > 0.05, "drifted batch must trip the gate")
+    assert(same.getAs[Double]("kl") <= 0.05, "in-distribution batch must pass")
   }
 
   test("perplexityBuckets: rank-based terciles per language, head = common text") {
