@@ -488,6 +488,30 @@ object Queries {
       },
       None),
 
+    // ── X73: persisted NSW graph index — build, grow by an append batch
+    //    (only the touched shards are read/rewritten), then search the
+    //    stream-grown graph. The x18/x29 production contract for the
+    //    graph family; rows-only (greedy walks not ANSI-expressible),
+    //    AnnSpec pins recall + untouched-shard immutability ──
+    QueryDef(
+      "x73_ann_nsw_indexed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_nsw_index_$tag"
+        graft.similarity.Nsw.writeIndex(
+          emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id",
+          path, numShards = 8)
+        graft.similarity.Nsw.appendToIndex(
+          emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path)
+        graft.similarity.Nsw.searchIndex(
+          s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      None),
+
     // ── X5: token stats per (source, lang) ──
     QueryDef(
       "x5_token_stats",

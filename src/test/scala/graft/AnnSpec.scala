@@ -110,6 +110,49 @@ class AnnSpec extends SparkSpec {
     assert(a.toSet == b.toSet)
   }
 
+  test("persisted NSW index: search recall, append touches only its shards, appended rows findable") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${graft.Scratch.dir}/nsw_idx_${System.nanoTime()}"
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    // full build → search
+    graft.similarity.Nsw.writeIndex(df, "embedding", "vec_id", path, numShards = 4)
+    val full = resultSet(graft.similarity.Nsw.searchIndex(
+      spark, path, queries, "embedding", "vec_id", k))
+    val recall = (exact & full).size.toDouble / exact.size
+    assert(recall >= 0.9, s"indexed NSW recall $recall")
+    // incremental: rebuild from 80%, note an untouched shard's rows,
+    // append the rest, check untouched shard unchanged + appended found
+    val base = df.filter(col("vec_id") % 5 =!= 4)
+    val batch = df.filter(col("vec_id") % 5 === 4)
+    graft.similarity.Nsw.writeIndex(base, "embedding", "vec_id", path, numShards = 4)
+    val touched = batch
+      .select(pmod(xxhash64(col("vec_id").cast("long")), lit(4L)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until 4).filterNot(touched)
+    def shardRows(s: Int) = spark.read.parquet(s"$path/nodes")
+      .filter(col("__shard") === s)
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Seq[Long]]("neighbors"))).toSet
+    val before = untouched.map(s => s -> shardRows(s)).toMap
+    graft.similarity.Nsw.appendToIndex(batch, "embedding", "vec_id", path)
+    untouched.foreach(s => assert(shardRows(s) == before(s),
+      s"untouched shard $s rewritten"))
+    val after = resultSet(graft.similarity.Nsw.searchIndex(
+      spark, path, queries, "embedding", "vec_id", k))
+    val recall2 = (exact & after).size.toDouble / exact.size
+    assert(recall2 >= 0.9, s"post-append NSW recall $recall2")
+    // every appended id is present in the persisted graph
+    val stored = spark.read.parquet(s"$path/nodes")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val appended = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(appended.subsetOf(stored))
+  }
+
   test("persisted IVF index matches the in-memory IVF and prunes to probed cells") {
     val df = clustered.cache()
     val queries = df.filter(col("vec_id") % 5 === 0)
