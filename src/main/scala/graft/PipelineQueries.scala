@@ -1171,6 +1171,55 @@ object PipelineQueries {
                 ln(((cb + 1) / (nb + v)) / ((cr + 1) / (nr + v)))), 6) AS kl
             FROM j, tot GROUP BY tot.nb, tot.novel)"""
         Seq(1, 2, 3).map(one).mkString("\nUNION ALL\n").trim
-      })
+      }),
+
+    // ── X74: Count-Min sketch heavy-hitter estimates
+    //    (functions.CountMin) — the additive (ε,δ) stream sketch; md5
+    //    row hashes + plain counter sums make it order-independent and
+    //    bit-replayable, so a hash sketch carries a FULL oracle (unlike
+    //    HLL/t-digest blobs). Estimates vs true counts per token ──
+    QueryDef(
+      "x74_cms_tokens",
+      (s, dir) => {
+        import graft.functions.CountMin
+        val toks = Tables.documents(s, dir)
+          .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        val cms = CountMin.sketch(toks, "word", depth = 4, width = 1024,
+          seed = 7L)
+        val truth = toks.groupBy(col("word"))
+          .agg(count(lit(1)).as("true_count"))
+        CountMin.estimate(truth, "word", cms, depth = 4, width = 1024,
+          seed = 7L)
+          .join(truth, "word")
+          .select(col("word"), col("true_count"), col("cm_estimate"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0
+        ), tc AS (
+          SELECT w, count(*) AS true_count FROM t GROUP BY w
+        ), rows_ AS (
+          SELECT unnest(generate_series(0, 3)) AS r
+        ), rb AS (
+          SELECT r, (('0x' || substring(md5('7:' || r || ':' || w), 1, 8))::BIGINT
+            % 1024) AS b
+          FROM t, rows_
+        ), cms AS (
+          SELECT r, b, count(*) AS c FROM rb GROUP BY r, b
+        ), pc AS (
+          SELECT w, r, (('0x' || substring(md5('7:' || r || ':' || w), 1, 8))::BIGINT
+            % 1024) AS b
+          FROM tc, rows_
+        ), est AS (
+          SELECT w, min(COALESCE(c, 0)) AS cm_estimate
+          FROM pc LEFT JOIN cms USING (r, b) GROUP BY w
+        )
+        SELECT tc.w AS word, true_count, cm_estimate
+        FROM tc JOIN est USING (w)
+      """.stripMargin.trim))
   )
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CountMin
+
+/** Count-Min sketch: md5-replayable buckets, overestimate-only errors. */
+class CountMinSpec extends SparkSpec {
+
+  private def bucketOf(seed: Long, row: Int, key: String, width: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$seed:$row:$key".getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"$b%02x").mkString, 16) % width
+  }
+
+  test("sketch buckets follow the documented md5 rule; estimates are min-of-rows") {
+    import spark.implicits._
+    val keys = Seq("a", "a", "a", "b", "c", "c")
+    val df = keys.toDF("k")
+    val (depth, width, seed) = (3, 4, 11L)
+    val cms = CountMin.sketch(df, "k", depth, width, seed)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // replay the counters off-Spark
+    val expect = (for { k <- keys; r <- 0 until depth }
+      yield (r, bucketOf(seed, r, k, width)))
+      .groupBy(identity).map { case (rb, hits) => rb -> hits.size.toLong }
+    assert(cms == expect)
+    val est = CountMin.estimate(Seq("a", "b", "zz").toDF("k"), "k",
+      CountMin.sketch(df, "k", depth, width, seed), depth, width, seed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // estimate = min over rows of the replayed counters
+    def handEst(k: String) = (0 until depth)
+      .map(r => expect.getOrElse((r, bucketOf(seed, r, k, width)), 0L)).min
+    assert(est("a") == handEst("a") && est("b") == handEst("b"))
+    assert(est("zz") == handEst("zz"), "unseen key estimate is its collision mass")
+    // the CMS contract: never an underestimate
+    assert(est("a") >= 3L && est("b") >= 1L && est("zz") >= 0L)
+  }
+
+  test("estimates never underestimate over a wide random key set") {
+    import spark.implicits._
+    val keys = (0 until 500).map(i => s"k${i % 60}")
+    val df = keys.toDF("k")
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val cms = CountMin.sketch(df, "k", depth = 4, width = 64, seed = 3L)
+    val est = CountMin.estimate(keys.distinct.toDF("k"), "k", cms,
+      depth = 4, width = 64, seed = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k underestimated: ${est(k)} < $c")
+    }
+  }
+}
