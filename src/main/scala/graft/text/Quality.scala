@@ -130,8 +130,14 @@ object Quality {
       .select(col(strataCol).as("__s"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
       .filter(length(col("__w")) > 0)
+    // materialize the (stratum, word) counts ONCE: three consumers (the
+    // global model, the stratum totals, the scoring join) would otherwise
+    // each re-run the tokenize pass — the frame is vocabulary×strata
+    // rows, so the eager local checkpoint is small and the corpus text
+    // really is read once (plan-audited; cleaner reclaims it on GC)
     val sc = toks.groupBy(col("__s"), col("__w"))
       .agg(count(lit(1)).as("__cs"))
+      .localCheckpoint(true)
     val gc = sc.groupBy(col("__w")).agg(sum(col("__cs")).as("__cg"))
     val ns = sc.groupBy(col("__s")).agg(sum(col("__cs")).as("__ns"))
     val ng = gc.agg(sum(col("__cg")).as("__ng"))
@@ -167,10 +173,13 @@ object Quality {
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
     val bc = counts(batch)
     val rc = counts(baseline)
+    // union-vocabulary sized; materialized once so the totals pass and
+    // the divergence pass don't each re-tokenize both frames
     val joined = bc.withColumnRenamed("__c", "__cb")
       .join(rc.withColumnRenamed("__c", "__cr"), Seq("__w"), "full_outer")
       .select(coalesce(col("__cb"), lit(0L)).as("__cb"),
         coalesce(col("__cr"), lit(0L)).as("__cr"))
+      .localCheckpoint(true)
     // totals first (batch/baseline token counts, union-vocab size, novel
     // words), then a distributed per-word divergence sum against the
     // broadcast totals — the vocabulary never collects to one row
