@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.multimodal.{Multimodal, Png, Wav}
 import graft.similarity.{Ann, Ivf, Pq}
-import graft.text.{IncrementalDedup, TextOps}
+import graft.text.{IncrementalDedup, IncrementalNearDup, TextOps}
 
 /** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
   * Jaccard, embedding-cosine near-dup, plus the multimodal binary-payload
@@ -1286,6 +1286,111 @@ object DedupQueries {
         SELECT event_type, count(*) AS n_events,
           round(sum(value), 6) AS sum_value
         FROM events GROUP BY event_type
+      """.stripMargin.trim)),
+
+    // ── X75: ingest-time incremental NEAR-dup dedup — the MinHash analog
+    //    of x32's exact ingest loop, closing the near-dup half of the
+    //    100 TB ingestion story: batch 1 (even doc_ids) bootstraps a
+    //    persisted LSH index (band keys + signatures, no text), batch 2
+    //    (the whole corpus) near-dedups against it — every even doc
+    //    self-collides at est-Jaccard 1.0 and drops, odd near-dups of
+    //    indexed docs drop via banded collision + signature verify.
+    //    FULL oracle: signatures, band keys, the within-batch star
+    //    election and the cross-index probe are all md5-device arithmetic,
+    //    replayed from first principles in DuckDB CTEs (the x13 replay
+    //    extended with persisted-state semantics) ──
+    QueryDef(
+      "x75_incremental_neardup",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_neardup_index_$tag"
+        IncrementalNearDup.dropIndex(s, path)
+        val docs = Tables.documents(s, dir)
+        val s1 = IncrementalNearDup.dedupIncremental(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        val s2 = IncrementalNearDup.dedupIncremental(
+          docs, "doc_id", "text", path)
+        def stats(df: org.apache.spark.sql.DataFrame, b: Long) =
+          df.agg(count(lit(1)).as("n_survivors"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+            .select(lit(b).as("batch"), col("n_survivors"), col("id_sum"))
+        stats(s1, 1L).unionAll(stats(s2, 2L))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(w)-2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+            ELSE [norm] END AS s
+          FROM w
+        ), ab AS (
+          SELECT doc_id,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band,
+            substring(md5(array_to_string(sig[(b.b*8+1):(b.b*8+8)], ',')), 1, 16) AS kh
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), rep1 AS (
+          SELECT band, kh, min(doc_id) AS rep FROM banded
+          WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        ), wd1 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN rep1 r ON x.band = r.band AND x.kh = r.kh AND x.doc_id > r.rep
+          JOIN sig sa ON sa.doc_id = r.rep
+          JOIN sig sb ON sb.doc_id = x.doc_id
+          WHERE x.doc_id % 2 = 0
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s1 AS (
+          SELECT doc_id FROM sig
+          WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM wd1)
+        ), rep2 AS (
+          SELECT band, kh, min(doc_id) AS rep FROM banded GROUP BY 1, 2
+        ), wd2 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN rep2 r ON x.band = r.band AND x.kh = r.kh AND x.doc_id > r.rep
+          JOIN sig sa ON sa.doc_id = r.rep
+          JOIN sig sb ON sb.doc_id = x.doc_id
+          WHERE len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), cand2 AS (
+          SELECT doc_id FROM sig
+          WHERE doc_id NOT IN (SELECT doc_id FROM wd2)
+        ), xd2 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN banded ix ON x.band = ix.band AND x.kh = ix.kh
+          JOIN s1 ON ix.doc_id = s1.doc_id
+          JOIN sig sa ON sa.doc_id = x.doc_id
+          JOIN sig sb ON sb.doc_id = ix.doc_id
+          WHERE x.doc_id IN (SELECT doc_id FROM cand2)
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s2 AS (
+          SELECT doc_id FROM cand2
+          WHERE doc_id NOT IN (SELECT doc_id FROM xd2)
+        )
+        SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_survivors,
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
       """.stripMargin.trim))
   )
 }

@@ -1,0 +1,226 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingest-time incremental NEAR-duplicate deduplication — the MinHash
+  * analog of [[IncrementalDedup]], closing the second half of the 100 TB
+  * ingestion story: a daily batch must drop documents that are
+  * near-duplicates of anything already in the corpus WITHOUT rescanning
+  * the corpus text. The corpus is represented by a persisted LSH index
+  * (band keys + MinHash signatures — no text, no shingles), and each
+  * batch runs
+  *
+  *   within-batch near-dup drop → banded probe vs index → signature
+  *   verify on collisions only → append survivors' keys+signatures,
+  *
+  * so re-ingesting a batch is a no-op (every survivor collides with its
+  * own index entry at estimated Jaccard 1.0).
+  *
+  * Semantics (deterministic, ANSI-replayable end to end):
+  *  - Signatures are [[TextOps.minHashSignaturesBy]] over word
+  *    `shingleN`-grams; documents too short to shingle fall back to a
+  *    single shingle = the normalized text, so exact-duplicate short docs
+  *    still collide (est = 1.0) and EVERY doc carries state — no bypass
+  *    path, idempotence holds corpus-wide.
+  *  - Within a batch, each `(band, key)` bucket elects its minimum id as
+  *    representative; a non-representative member is dropped iff its
+  *    estimated Jaccard to the representative (fraction of agreeing
+  *    signature components, Broder 1997) ≥ `threshold`. This is the
+  *    star-shaped greedy keep-first — linear output per bucket, the
+  *    [[TextOps.cappedBucketPairs]] scale contract — and is the
+  *    documented batch-local approximation of the full
+  *    pair→component→keeper election ([[Components.dedupPlan]], x43/x64),
+  *    which remains the batch-mode tool.
+  *  - Cross-batch, a batch survivor is dropped iff it shares any band
+  *    key with an indexed doc whose estimated Jaccard ≥ `threshold`;
+  *    earlier batches always win (their state is already resident).
+  *
+  * Index layout at `path`:
+  *  - `bands/` — `(__band, __khash, __id)`, `__khash` = first 16 md5 hex
+  *    chars of the comma-joined band slice of the signature, partitioned
+  *    by a crc32 bucket of `__khash` (the [[IncrementalDedup]] layout:
+  *    appends land O(1) files per touched bucket).
+  *  - `sigs/` — `(__id, __sig array<long>)`, bucket-partitioned by id.
+  *
+  * Scale shape: per doc the index holds `bands` × (4+16+8) B of band
+  * rows + `numHashes` longs of signature (≈ 1.4 KB at the 16×128
+  * default) — the honest price of near-dup state, ~0.1% of a 1 MB
+  * document and independent of corpus text size. The probe shuffles
+  * (band, khash, id) rows only; signatures are joined exactly twice, for
+  * the candidate pairs that survive the banded screen — never all-pairs,
+  * text never re-read. Buckets stay thin by construction: the index
+  * contains only SURVIVORS, i.e. docs that did NOT verify as near-dups
+  * of each other, so a mass-duplicate cluster contributes one resident
+  * per bucket, not the cluster.
+  *
+  * Reference semantics: near-dup dedup per SURVEY §2.8 (Broder MinHash +
+  * banding, the x2/x13 pipeline); the incremental persisted-state
+  * contract is the standard training-data ingest loop (no reference
+  * counterpart).
+  */
+object IncrementalNearDup {
+
+  /** Buckets in the persisted index (same sizing rule as
+    * [[IncrementalDedup.DefaultBuckets]]).
+    */
+  val DefaultBuckets = 64
+
+  private def bandsPath(path: String) = s"$path/bands"
+  private def sigsPath(path: String) = s"$path/sigs"
+
+  /** True iff an index has been written at `path`. */
+  def indexExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(bandsPath(path))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Delete the index at `path` (fresh-build convenience; a production
+    * retrain writes to a new path and swaps).
+    */
+  def dropIndex(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** All parquet data files under `root` — the pinned snapshot each call
+    * reads so its own append can't leak into the batch being deduped
+    * (the [[IncrementalDedup.dedupIncremental]] device).
+    */
+  private def listFiles(spark: SparkSession, root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Seq.empty
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        buf += f.getPath.toString
+    }
+    buf.toSeq
+  }
+
+  /** Estimated Jaccard between two equal-length MinHash signatures:
+    * the fraction of agreeing components (`P(sig_a[k]=sig_b[k]) ≈ J`).
+    */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / numHashes
+
+  /** `(__id, __band, __khash)` rows, `bands` per doc, from a
+    * `(__id, __sig)` frame. `__khash` is the first 16 md5 hex chars of
+    * the comma-joined decimal band slice — engine-portable (DuckDB:
+    * `substring(md5(array_to_string(sig[a:b], ',')), 1, 16)`; MinHash
+    * values are non-negative so decimal formatting agrees).
+    */
+  private def bandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(
+      col("__id"),
+      explode(array((0 until bands).map { b =>
+        struct(
+          lit(b).as("__band"),
+          substring(
+            md5(concat_ws(",",
+              slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand)
+                .cast("array<string>"))),
+            1, 16).as("__khash"))
+      }: _*)).as("__bk"))
+      .select(col("__id"), col("__bk.__band").as("__band"),
+        col("__bk.__khash").as("__khash"))
+
+  /** Near-dedup one ingest batch against the persisted index at `path`,
+    * append the survivors' band keys + signatures, and return the
+    * surviving rows (batch columns unchanged). First call on an empty
+    * `path` creates the index — the bootstrap batch IS the initial
+    * corpus. `idCol` must be unique within the batch and across batches.
+    *
+    * The returned frame is uncached and re-executes against the PINNED
+    * pre-append snapshot (correct by construction — same contract as
+    * [[IncrementalDedup.dedupIncremental]]).
+    */
+  def dedupIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      threshold: Double = 0.8,
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val spark = batch.sparkSession
+
+    // Short-doc fallback: a doc below shingleN words contributes its
+    // normalized text as its single shingle, so every doc has a
+    // signature and exact short-dup pairs still land est = 1.0.
+    val ws = TextOps.wordShingles(col(textCol), shingleN)
+    val shingles = when(coalesce(size(ws), lit(0)) > 0, ws)
+      .otherwise(array(TextOps.normalize(col(textCol))))
+    val sigs = TextOps.minHashSignaturesBy(batch, idCol, shingles, numHashes)
+
+    val batchBands = bandRows(sigs, bands, rowsPerBand)
+
+    // Within-batch star drop: bucket rep = min id; non-rep members
+    // verified against the rep only (linear per bucket).
+    val w = Window.partitionBy(col("__band"), col("__khash"))
+    val repPairs = batchBands
+      .withColumn("__rep", min(col("__id")).over(w))
+      .filter(col("__id") =!= col("__rep"))
+      .select(col("__rep"), col("__id"))
+      .distinct()
+    val sigsRep = sigs.select(col("__id").as("__rep"), col("__sig").as("__siga"))
+    val sigsMem = sigs.select(col("__id"), col("__sig").as("__sigb"))
+    val withinDropped = repPairs
+      .join(sigsRep, "__rep")
+      .join(sigsMem, "__id")
+      .filter(estJaccard(col("__siga"), col("__sigb"), numHashes) >= threshold)
+      .select(col("__id"))
+      .distinct()
+    val bsurv = sigs.join(withinDropped, Seq("__id"), "left_anti")
+
+    // Cross-index probe over the pinned snapshot: banded collision →
+    // signature verify on the collisions only. Ids and signatures move;
+    // text never does.
+    val bandSnap = listFiles(spark, bandsPath(path))
+    val sigSnap = listFiles(spark, sigsPath(path))
+    val survivors = (if (bandSnap.nonEmpty) {
+      val idxBands = spark.read.parquet(bandSnap: _*)
+        .select(col("__band"), col("__khash"), col("__id").as("__idx"))
+      val idxSigs = spark.read.parquet(sigSnap: _*)
+        .select(col("__id").as("__idx"), col("__sig").as("__sigb"))
+      val cand = bandRows(bsurv, bands, rowsPerBand)
+        .join(idxBands, Seq("__band", "__khash"))
+        .select(col("__id"), col("__idx"))
+        .distinct()
+      val crossDropped = cand
+        .join(sigs.select(col("__id"), col("__sig").as("__siga")), "__id")
+        .join(idxSigs, "__idx")
+        .filter(estJaccard(col("__siga"), col("__sigb"), numHashes) >= threshold)
+        .select(col("__id"))
+        .distinct()
+      bsurv.join(crossDropped, Seq("__id"), "left_anti")
+    } else bsurv).cache()
+
+    // Cache only for the duration of the two appends, then release
+    // (the IncrementalDedup lifetime contract).
+    try {
+      bandRows(survivors, bands, rowsPerBand)
+        .withColumn("__b", pmod(crc32(col("__khash")), lit(nBuckets)))
+        .repartition(nBuckets, col("__b"))
+        .write.mode("append").partitionBy("__b").parquet(bandsPath(path))
+      survivors.select(col("__id"), col("__sig"))
+        .withColumn("__b", pmod(crc32(col("__id").cast("string")), lit(nBuckets)))
+        .repartition(col("__b"))
+        .write.mode("append").partitionBy("__b").parquet(sigsPath(path))
+    } finally survivors.unpersist(blocking = false)
+
+    batch.join(
+      survivors.select(col("__id").as(idCol)), Seq(idCol), "left_semi")
+  }
+}

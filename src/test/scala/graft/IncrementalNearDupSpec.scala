@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.IncrementalNearDup
+
+/** Incremental MinHash near-dup index: bootstrap, cross-batch drops,
+  * re-ingest idempotence, short-doc fallback.
+  */
+class IncrementalNearDupSpec extends SparkSpec {
+
+  private def freshPath(tag: String): String = {
+    val p = s"${Scratch.sub("neardup-test")}/$tag"
+    IncrementalNearDup.dropIndex(spark, p)
+    p
+  }
+
+  /** A long distinct doc: `n` tokens seeded by `tag`. */
+  private def longDoc(tag: String, n: Int = 60): String =
+    (0 until n).map(i => s"$tag${i * 31 % 97}w").mkString(" ")
+
+  /** `doc` with one middle token replaced — trigram Jaccard ≈ 0.9. */
+  private def nearVariant(doc: String): String = {
+    val w = doc.split(" ")
+    w.updated(w.length / 2, "changedtoken").mkString(" ")
+  }
+
+  test("within-batch near-dups drop; distinct docs survive") {
+    import spark.implicits._
+    val a = longDoc("alpha")
+    val batch = Seq(
+      (1L, a),
+      (2L, nearVariant(a)), // near-dup of 1 -> dropped
+      (3L, longDoc("gamma"))
+    ).toDF("doc_id", "text")
+    val path = freshPath("within")
+    val surv = IncrementalNearDup
+      .dedupIncremental(batch, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(surv == Seq(1L, 3L))
+  }
+
+  test("cross-batch: near-dups and exact dups of indexed docs drop") {
+    import spark.implicits._
+    val a = longDoc("alpha")
+    val c = longDoc("gamma")
+    val path = freshPath("cross")
+    val b1 = Seq((1L, a), (3L, c)).toDF("doc_id", "text")
+    val s1 = IncrementalNearDup.dedupIncremental(b1, "doc_id", "text", path)
+    assert(s1.count() == 2)
+
+    val b2 = Seq(
+      (4L, nearVariant(a)), // near-dup of indexed 1 -> dropped
+      (5L, longDoc("delta")), // fresh -> survives
+      (6L, c) // exact text of indexed 3 -> dropped
+    ).toDF("doc_id", "text")
+    val s2 = IncrementalNearDup.dedupIncremental(b2, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(5L))
+  }
+
+  test("re-ingest is a no-op: every survivor self-collides at est 1.0") {
+    import spark.implicits._
+    val path = freshPath("idem")
+    val b = Seq((1L, longDoc("alpha")), (2L, longDoc("beta")))
+      .toDF("doc_id", "text")
+    assert(IncrementalNearDup.dedupIncremental(b, "doc_id", "text", path).count() == 2)
+    assert(IncrementalNearDup.dedupIncremental(b, "doc_id", "text", path).count() == 0)
+  }
+
+  test("short docs ride the normalized-text fallback shingle") {
+    import spark.implicits._
+    val path = freshPath("short")
+    // below the 3-word shingle floor: state is the normalized text itself
+    val b1 = Seq((1L, "tiny doc"), (2L, "other one")).toDF("doc_id", "text")
+    assert(IncrementalNearDup.dedupIncremental(b1, "doc_id", "text", path).count() == 2)
+    val b2 = Seq(
+      (3L, "  TINY   doc "), // normalizes to indexed 1 -> dropped
+      (4L, "fresh short")
+    ).toDF("doc_id", "text")
+    val s2 = IncrementalNearDup.dedupIncremental(b2, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(4L))
+  }
+
+  test("survivors keep their original batch columns") {
+    import spark.implicits._
+    val path = freshPath("cols")
+    val b = Seq((1L, longDoc("alpha"), "web"), (2L, longDoc("beta"), "code"))
+      .toDF("doc_id", "text", "source")
+    val out = IncrementalNearDup.dedupIncremental(b, "doc_id", "text", path)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
+    assert(out.count() == 2)
+  }
+}
