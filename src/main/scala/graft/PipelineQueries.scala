@@ -1176,8 +1176,8 @@ object PipelineQueries {
     // ── X74: Count-Min sketch heavy-hitter estimates
     //    (functions.CountMin) — the additive (ε,δ) stream sketch; md5
     //    row hashes + plain counter sums make it order-independent and
-    //    bit-replayable, so a hash sketch carries a FULL oracle (unlike
-    //    HLL/t-digest blobs). Estimates vs true counts per token ──
+    //    bit-replayable, so the sketch carries a FULL oracle (x76 plays
+    //    the same trick on HLL). Estimates vs true counts per token ──
     QueryDef(
       "x74_cms_tokens",
       (s, dir) => {
@@ -1220,6 +1220,76 @@ object PipelineQueries {
         )
         SELECT tc.w AS word, true_count, cm_estimate
         FROM tc JOIN est USING (w)
+      """.stripMargin.trim)),
+
+    // ── X76: HyperLogLog distinct-count sketch (functions.Hll) — the
+    //    mergeable cardinality sketch beside x74's frequency sketch,
+    //    per-source distinct-token estimates vs exact counts. The md5
+    //    hash, bin()-length ranks, exact dyadic harmonic sum and the
+    //    x36-precedent ln parity make the WHOLE estimate (including the
+    //    linear-counting small-range branch, which this corpus's ~31
+    //    distinct tokens per source exercises) bit-replayable in DuckDB
+    //    — a FULL oracle over a sketch usually shipped as an opaque
+    //    blob ──
+    QueryDef(
+      "x76_hll_tokens",
+      (s, dir) => {
+        import graft.functions.Hll
+        val toks = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        val regs = Hll.registersBy(toks, Seq("source"), "word", p = 7, seed = 7L)
+        val est = Hll.estimateBy(regs, Seq("source"), p = 7)
+        val exact = toks.groupBy(col("source"))
+          .agg(countDistinct(col("word")).as("n_exact"))
+        est.join(exact, "source")
+          .select(col("source"), col("n_exact"), col("n_present"),
+            col("v_zero"),
+            round(col("harmonic_sum"), 6).as("harmonic_sum"),
+            round(col("hll_estimate"), 6).as("hll_estimate"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, w FROM (
+            SELECT source,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0
+        ), h AS (
+          SELECT source, w,
+            ('0x' || substring(md5('7:' || w), 1, 12))::BIGINT AS h
+          FROM t
+        ), ir AS (
+          SELECT source, h >> 41 AS idx,
+            CASE WHEN h % 2199023255552 = 0 THEN 42
+                 ELSE 42 - length(bin(h % 2199023255552)) END AS rk
+          FROM h
+        ), regs AS (
+          SELECT source, idx, max(rk) AS r FROM ir GROUP BY 1, 2
+        ), agg AS (
+          SELECT source, count(*) AS n_present,
+            sum(power(2.0, -r)) AS sp
+          FROM regs GROUP BY source
+        ), est AS (
+          SELECT source, n_present,
+            128 - n_present AS v_zero,
+            sp + (128.0 - n_present) AS s_
+          FROM agg
+        ), fin AS (
+          SELECT source, n_present, v_zero, s_,
+            (0.7213/(1 + 1.079/128.0))*128*128 / s_ AS eraw
+          FROM est
+        ), ex AS (
+          SELECT source, count(DISTINCT w) AS n_exact FROM t GROUP BY source
+        )
+        SELECT f.source, n_exact, n_present,
+          CAST(v_zero AS BIGINT) AS v_zero,
+          round(s_, 6) AS harmonic_sum,
+          round(CASE WHEN eraw <= 320.0 AND v_zero > 0
+                THEN 128.0 * ln(128.0 / v_zero) ELSE eraw END, 6)
+            AS hll_estimate
+        FROM fin f JOIN ex USING (source)
       """.stripMargin.trim))
   )
 }
