@@ -28,6 +28,7 @@ object DedupQueries {
   @volatile private var x39Codebooks: Option[Pq.Codebooks] = None
   @volatile private var x40Artifacts: Option[(Array[Array[Double]], Pq.Codebooks)] = None
   @volatile private var x47Centroids: Option[Array[Array[Double]]] = None
+  @volatile private var x77Centroids: Option[Array[Array[Double]]] = None
 
   private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
@@ -1391,6 +1392,91 @@ object DedupQueries {
         UNION ALL
         SELECT CAST(2 AS BIGINT), count(*),
           CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
-      """.stripMargin.trim))
+      """.stripMargin.trim)),
+
+    // ── X77: embedding-space drift monitor (similarity.EmbedDrift) —
+    //    the embedding analog of x67's token-KL batch gate: an ingest
+    //    batch (odd vec_ids) scored against a frozen baseline (even
+    //    vec_ids) under the baseline-trained frozen quantizer —
+    //    cell-occupancy KL + mean-direction cosine + the accept
+    //    decision, the check an ANN ingest loop (x46) runs BEFORE
+    //    appending. FULL oracle via the x47 centroid-literal thunk:
+    //    assignment argmin, smoothed KL terms, mean cosine and the gate
+    //    all replay in DuckDB ──
+    QueryDef(
+      "x77_embed_drift",
+      (s, dir) => {
+        import graft.similarity.{EmbedDrift, SemDedup}
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 2 === 0)
+        val batch = emb.filter(col("vec_id") % 2 === 1)
+        val cents = SemDedup.trainCentroids(base, "vec_id", "embedding",
+          nClusters = 8, seed = 7L)
+        x77Centroids = Some(cents)
+        EmbedDrift.drift(base, batch, "embedding", cents, gate = 0.05)
+      },
+      () => x77Centroids.map { cs =>
+        val centVals = cs.zipWithIndex
+          .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
+          .mkString(",\n          ")
+        s"""
+        WITH cents(cell, c) AS (VALUES
+          $centVals
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), cb AS (
+          SELECT cell,
+            sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS nb,
+            sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS nx
+          FROM asgn GROUP BY cell
+        ), full_ AS (
+          SELECT cents.cell, coalesce(nb, 0) AS nb, coalesce(nx, 0) AS nx
+          FROM cents LEFT JOIN cb USING (cell)
+        ), tot AS (
+          SELECT sum(nb) AS tb, sum(nx) AS tx FROM full_
+        ), terms AS (
+          SELECT cell, nb, nx,
+            ((nx + 1) / (tx + 8.0)) *
+              ln(((nx + 1) / (tx + 8.0)) / ((nb + 1) / (tb + 8.0))) AS term
+          FROM full_, tot
+        ), mv AS (
+          SELECT (vec_id % 2) AS par, i.i AS pos, avg(v[i.i]) AS m
+          FROM e, (SELECT unnest(generate_series(1, len(v))) AS i) i
+          GROUP BY 1, 2
+        ), mc AS (
+          SELECT round(
+            sum(a.m * b.m) / (sqrt(sum(a.m * a.m)) * sqrt(sum(b.m * b.m))),
+            6) AS mcos
+          FROM (SELECT pos, m FROM mv WHERE par = 0) a
+          JOIN (SELECT pos, m FROM mv WHERE par = 1) b USING (pos)
+        ), klt AS (
+          SELECT round(sum(term), 6) AS kl FROM terms
+        )
+        SELECT 'n_base' AS metric, CAST(cell AS INT) AS cell,
+          CAST(nb AS DOUBLE) AS value FROM terms
+        UNION ALL
+        SELECT 'n_batch', CAST(cell AS INT), CAST(nx AS DOUBLE) FROM terms
+        UNION ALL
+        SELECT 'kl_term', CAST(cell AS INT), round(term, 6) FROM terms
+        UNION ALL
+        SELECT 'kl', -1, kl FROM klt
+        UNION ALL
+        SELECT 'mean_cos', -1, mcos FROM mc
+        UNION ALL
+        SELECT 'accept', -1,
+          CASE WHEN kl <= 0.05 THEN 1.0 ELSE 0.0 END FROM klt
+        """.stripMargin.trim
+      })
   )
 }
