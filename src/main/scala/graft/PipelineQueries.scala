@@ -1290,6 +1290,43 @@ object PipelineQueries {
                 THEN 128.0 * ln(128.0 / v_zero) ELSE eraw END, 6)
             AS hll_estimate
         FROM fin f JOIN ex USING (source)
+      """.stripMargin.trim)),
+
+    // ── X78: deterministic shard writer + persisted-file manifest
+    //    (Pipeline.writeShards) — the dataset-shipping stage: md5-routed
+    //    shards written as partitioned parquet, manifest recomputed from
+    //    the FILES (docs, tokens, id range, order-independent content
+    //    fingerprint per shard). FULL oracle: shard routing and every
+    //    manifest column replay from `documents` in DuckDB — a manifest
+    //    mismatch means the write lost or altered rows ──
+    QueryDef(
+      "x78_shard_manifest",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_shards_$tag"
+        Pipeline.writeShards(Tables.documents(s, dir), "doc_id", "text",
+          path, nShards = 8)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, text,
+            ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+              AS shard
+          FROM documents
+        ), t AS (
+          SELECT shard, doc_id,
+            len(string_split_regex(trim(text), '\s+')) AS ntok,
+            ('0x' || substring(md5(
+              regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8))::BIGINT
+              AS ch
+          FROM d
+        )
+        SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+          CAST(sum(ntok) AS BIGINT) AS n_tokens,
+          CAST(min(doc_id) AS BIGINT) AS id_min,
+          CAST(max(doc_id) AS BIGINT) AS id_max,
+          CAST(sum(ch) AS BIGINT) AS content_sum
+        FROM t GROUP BY shard
       """.stripMargin.trim))
   )
 }

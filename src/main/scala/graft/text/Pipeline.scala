@@ -389,4 +389,45 @@ object Pipeline {
       else ((pack + 1, budget - t), Seq(pack + 1))
     }
   }
+
+  /** Deterministic training-shard writer + manifest — the final "ship
+    * the dataset" stage: every row is routed to one of `nShards` shards
+    * by the md5 hash of its id (growth-stable: a doc's shard never
+    * depends on what else is in the corpus), the shards land as one
+    * partitioned parquet write (repartitioned by shard first, so each
+    * shard gets O(1) files, not one per upstream task), and the returned
+    * manifest is computed FROM THE PERSISTED FILES — it certifies what
+    * was actually written, not what was meant to be.
+    *
+    * Manifest rows per shard: `n_docs`, `n_tokens` (whitespace tokens),
+    * `id_min`/`id_max`, and `content_sum` — the sum of each doc's 32-bit
+    * content-hash prefix (order-independent, so it replays in ANSI SQL
+    * and survives any read order; a flipped byte in any document moves
+    * it). At 100 TB this is the handoff contract between the data
+    * pipeline and the trainer: shard-level fingerprints that both sides
+    * can recompute independently.
+    */
+  def writeShards(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, s"need nShards > 0: $nShards")
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(nShards.toLong))
+    df.withColumn("__shard", shard)
+      .repartition(nShards, col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(path)
+    val back = df.sparkSession.read.parquet(path)
+    back.groupBy(col("__shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col(textCol)), "\\s+"))).cast("long").as("n_tokens"),
+        min(col(idCol)).as("id_min"),
+        max(col(idCol)).as("id_max"),
+        sum(conv(substring(md5(TextOps.normalize(col(textCol))), 1, 8), 16, 10)
+          .cast("long")).as("content_sum"))
+  }
 }
