@@ -1477,6 +1477,59 @@ object DedupQueries {
         SELECT 'accept', -1,
           CASE WHEN kl <= 0.05 THEN 1.0 ELSE 0.0 END FROM klt
         """.stripMargin.trim
-      })
+      }),
+
+    // ── X79: corpus-level duplicated-span profile
+    //    (TextOps.duplicatedSpanProfile) — the k-token-anchor
+    //    approximation of Lee et al. 2022's suffix-array ExactSubstr
+    //    dedup: grams occurring >1 time mark duplicated anchors, per-doc
+    //    interval merge yields maximal duplicated spans >= minLen, and
+    //    each affected doc reports its duplication profile. FULL oracle:
+    //    tokenization, gram hashing, the >=2 count, the running-max
+    //    interval merge and the span stats all replay in DuckDB ──
+    QueryDef(
+      "x79_dup_spans",
+      (s, dir) => {
+        TextOps.duplicatedSpanProfile(Tables.documents(s, dir), "doc_id",
+          "text", k = 8, minLen = 16)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(norm, ' ') AS w FROM d
+        ), g AS (
+          SELECT doc_id, len(w) AS n, i.i - 1 AS p,
+            substring(md5(array_to_string(w[i.i:i.i+7], ' ')), 1, 16) AS h
+          FROM w, (SELECT unnest(generate_series(1, len(w) - 7)) AS i) i
+          WHERE len(w) >= 8
+        ), dup AS (
+          SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        ), a AS (
+          SELECT doc_id, n, p, p + 7 AS e FROM g JOIN dup USING (h)
+        ), f AS (
+          SELECT doc_id, n, p, e,
+            CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+            THEN 1 ELSE 0 END AS nw
+          FROM a
+        ), sps AS (
+          SELECT doc_id, n, p, e,
+            sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+          FROM f
+        ), sp AS (
+          SELECT doc_id, span, min(p) AS s_, max(e) AS x_, min(n) AS nn
+          FROM sps GROUP BY doc_id, span
+          HAVING max(e) - min(p) + 1 >= 16
+        )
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(x_ - s_ + 1) AS BIGINT) AS dup_tokens,
+          CAST(min(nn) AS BIGINT) AS total_tokens,
+          round(CAST(sum(x_ - s_ + 1) AS DOUBLE) / CAST(min(nn) AS DOUBLE), 6)
+            AS dup_frac
+        FROM sp GROUP BY doc_id
+      """.stripMargin.trim))
   )
 }

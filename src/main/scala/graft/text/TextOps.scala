@@ -601,4 +601,73 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Corpus-level duplicated-span profile — the k-token-anchor
+    * approximation of exact-substring dedup (Lee, Ippolito, Nystrom,
+    * Zhang, Eck, Callison-Burch & Carlini 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499, whose
+    * suffix-array ExactSubstr finds all duplicated substrings ≥ L
+    * tokens): every k-token gram occurring more than once in the corpus
+    * (across docs OR repeated within one) marks its k positions as
+    * duplicated; per document, overlapping/adjacent duplicated anchors
+    * merge into maximal spans, and spans of at least `minLen` tokens are
+    * reported. Any duplicated substring of ≥ k tokens is covered by
+    * duplicated anchors, so ≥-minLen substrings are never missed;
+    * distinct duplicate sources whose spans touch merge into one span
+    * (the documented over-merge of the anchor approximation vs the
+    * suffix array).
+    *
+    * Scale shape: one tokenize pass per doc (token array let-bound — the
+    * HOF-binding rule), grams leave the doc as 16-hex-char md5 hashes
+    * (ids+positions+hashes through the one shuffle, never gram text),
+    * duplicated-hash detection is a count-≥-2 aggregate, and the span
+    * merge is a per-doc ordered window (running max + flag-sum interval
+    * merge) — no self-join, no all-pairs, output bounded by span count.
+    *
+    * Output per doc (docs with no qualifying span are absent):
+    * `idCol, n_spans, dup_tokens, total_tokens, dup_frac (6 dp)`.
+    */
+  def duplicatedSpanProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minLen: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2 && minLen >= k, s"need k >= 2, minLen >= k: $k $minLen")
+    // 0-based anchor starts; empty when the doc is shorter than k tokens
+    val grams = element_at(transform(array(split(normalize(col(textCol)), " ")), w =>
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))), 1)
+    val g = graft.Tables.spread(df)
+      .select(col(idCol).as("__id"),
+        size(split(normalize(col(textCol)), " ")).as("__n"),
+        posexplode(grams).as(Seq("__p", "__g")))
+      .select(col("__id"), col("__n"), col("__p"),
+        substring(md5(col("__g")), 1, 16).as("__h"))
+    val dup = g.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("__h"))
+    val anchors = g.join(dup, "__h")
+      .select(col("__id"), col("__n"), col("__p"),
+        (col("__p") + (k - 1)).as("__e"))
+    val ord = Window.partitionBy(col("__id")).orderBy(col("__p"))
+    val prevEnd = max(col("__e")).over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = anchors
+      .withColumn("__new",
+        when(col("__p") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = flagged.groupBy(col("__id"), col("__span"))
+      .agg(min(col("__p")).as("__s"), max(col("__e")).as("__x"),
+        first(col("__n")).as("__n"))
+      .filter(col("__x") - col("__s") + 1 >= minLen)
+    spans.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__x") - col("__s") + 1).as("dup_tokens"),
+        first(col("__n")).cast("long").as("total_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
+  }
 }

@@ -428,4 +428,41 @@ class PipelineSpec extends SparkSpec {
       a2.getAs[Long]("content_sum") != b2.getAs[Long]("content_sum") }
     assert(diffs == 1, s"exactly one shard fingerprint must move: $diffs")
   }
+
+  test("duplicatedSpanProfile: planted cross-doc span, exact boundaries") {
+    import spark.implicits._
+    import graft.text.TextOps
+    // 20 unique lead tokens, then a 10-token sentence repeated in doc 2
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = (0 until 10).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("a", 20)} $shared"),
+      (2L, s"${uniq("b", 15)} $shared ${uniq("c", 5)}"),
+      (3L, uniq("d", 40))
+    ).toDF("doc_id", "text")
+    val out = TextOps.duplicatedSpanProfile(docs, "doc_id", "text",
+      k = 4, minLen = 8)
+      .orderBy("doc_id").collect()
+    // doc 3 has no duplicated grams; docs 1 and 2 each carry the
+    // 10-token shared span (anchors cover exactly tokens of the span)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(out.forall(_.getAs[Long]("n_spans") == 1L))
+    assert(out.forall(_.getAs[Long]("dup_tokens") == 10L))
+    assert(out.map(_.getAs[Long]("total_tokens")).toSeq == Seq(30L, 30L))
+  }
+
+  test("duplicatedSpanProfile: within-doc repetition counts too") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val rep = (0 until 8).map(i => s"loop$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$rep ${(0 until 10).map(i => s"u$i").mkString(" ")} $rep"))
+      .toDF("doc_id", "text")
+    val out = TextOps.duplicatedSpanProfile(docs, "doc_id", "text",
+      k = 4, minLen = 8)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_spans") == 2L)
+    assert(out.head.getAs[Long]("dup_tokens") == 16L)
+  }
 }
