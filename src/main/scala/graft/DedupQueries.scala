@@ -1530,6 +1530,171 @@ object DedupQueries {
           round(CAST(sum(x_ - s_ + 1) AS DOUBLE) / CAST(min(nn) AS DOUBLE), 6)
             AS dup_frac
         FROM sp GROUP BY doc_id
+      """.stripMargin.trim)),
+
+    // ── X81: perceptual-hash image dedup (Multimodal.dHash) — every
+    //    image doc carries a REAL 8×6 gray PNG planted from
+    //    pixel_i = (d·31 + d·i + i²) % 256; the engine decodes it
+    //    (zlib inflate + de-filter), nearest-neighbor-resizes to 9×8 and
+    //    packs the 64 horizontal-gradient bits; exact grouping on the
+    //    hash is the re-encode-duplicate screen. FULL oracle: the resize
+    //    index arithmetic and the pixel formula replay in DuckDB, so a
+    //    codec, resize, or bit-pack bug breaks the hash ──
+    QueryDef(
+      "x81_image_dhash",
+      (s, dir) => {
+        val imgs = dhashFrame(s, dir)
+        imgs.groupBy(col("__h._1").as("dhash_hi"), col("__h._2").as("dhash_lo"))
+          .agg(count(lit(1)).as("n_imgs"), min(col("doc_id")).as("keeper_id"))
+      },
+      Some(s"""
+        WITH $dhashSqlCtes
+        SELECT dhash_hi, dhash_lo, count(*) AS n_imgs, min(doc_id) AS keeper_id
+        FROM dh GROUP BY 1, 2
+      """.stripMargin.trim)),
+
+    // ── X82: near-duplicate image merge — Hamming-banded self-join over
+    //    the DISTINCT dHash values (8 bands × 8 bits; pigeonhole-complete
+    //    for distance ≤ 7). The scale story: exact grouping (x81) first
+    //    collapses the corpus to its distinct hashes, so the pair search
+    //    runs over |distinct| rows, not |images| — banding then keeps it
+    //    candidate-only even when |distinct| is large. FULL oracle: the
+    //    distinct-hash set is replayable (x81), and DuckDB brute-forces
+    //    all hash pairs with xor+bit_count — banding recall vs the
+    //    brute force is exactly what the compare proves ──
+    QueryDef(
+      "x82_image_neardup",
+      (s, dir) => {
+        val hashes = dhashFrame(s, dir)
+          .groupBy(col("__h._1").as("hi"), col("__h._2").as("lo"))
+          .agg(count(lit(1)).as("n"))
+        val banded = hashes.select(col("hi"), col("lo"), col("n"),
+          explode(sequence(lit(0), lit(7))).as("band"))
+          .withColumn("bv", expr(
+            "CASE WHEN band < 4 THEN shiftright(lo, band * 8) & 255" +
+              " ELSE shiftright(hi, (band - 4) * 8) & 255 END"))
+        val a = banded.as("a"); val b = banded.as("b")
+        a.join(broadcast(b),
+            col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+              (col("a.hi") < col("b.hi") ||
+                (col("a.hi") === col("b.hi") && col("a.lo") < col("b.lo"))))
+          .select(col("a.hi").as("hi_a"), col("a.lo").as("lo_a"), col("a.n").as("n_a"),
+            col("b.hi").as("hi_b"), col("b.lo").as("lo_b"), col("b.n").as("n_b"))
+          .distinct()
+          .withColumn("hamming",
+            (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+              bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long"))
+          .filter(col("hamming") <= 7)
+      },
+      Some(s"""
+        WITH $dhashSqlCtes,
+        d AS (
+          SELECT dhash_hi AS hi, dhash_lo AS lo, count(*) AS n
+          FROM dh GROUP BY 1, 2
+        )
+        SELECT a.hi AS hi_a, a.lo AS lo_a, a.n AS n_a,
+          b.hi AS hi_b, b.lo AS lo_b, b.n AS n_b,
+          CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+            AS hamming
+        FROM d a, d b
+        WHERE (a.hi < b.hi OR (a.hi = b.hi AND a.lo < b.lo))
+          AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+      """.stripMargin.trim)),
+
+    // ── X83: audio frame features (Multimodal.frameFeatures) — every
+    //    audio doc carries a REAL mono 16-bit WAV (the x21 planting
+    //    formula); the engine decodes the PCM and emits per-frame energy
+    //    / zero-crossing / Σ|x| features as a pure HOF expression (no UDF
+    //    past the decode), aggregated per (source, frame). FULL oracle:
+    //    integer-exact features replay from the sample formula in DuckDB ──
+    QueryDef(
+      "x83_audio_frames",
+      (s, dir) => {
+        val mkWav = udf { (docId: Long) =>
+          Wav.encodePcm16(8000, 1,
+            Array.tabulate(32)(i => ((docId * 17 + i * 3) % 2048 - 1024).toInt))
+        }
+        Tables.spread(Tables.documents(s, dir))
+          .filter(col("doc_id") % 3 === 1)
+          .withColumn("__s", Multimodal.decodeSamples(mkWav(col("doc_id"))))
+          .select(col("source"),
+            explode(Multimodal.frameFeatures(col("__s"), 16)).as("__f"))
+          .groupBy(col("source"), col("__f.frame_idx").as("frame_idx"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("__f.sum_sq")).as("sum_sq"),
+            sum(col("__f.n_zc")).as("n_zc"),
+            sum(col("__f.sum_abs")).as("sum_abs"))
+      },
+      Some("""
+        WITH wav AS (
+          SELECT doc_id, source FROM documents WHERE doc_id % 3 = 1
+        ), s AS (
+          SELECT doc_id, source, i.i AS i,
+            ((doc_id * 17 + 3 * i.i) % 2048) - 1024 AS x
+          FROM wav, (SELECT unnest(generate_series(0, 31)) AS i) i
+        ), lagd AS (
+          SELECT *, lag(x) OVER (PARTITION BY doc_id ORDER BY i) AS lx FROM s
+        ), f AS (
+          SELECT doc_id, source, i // 16 AS frame_idx,
+            CAST(sum(x * x) AS BIGINT) AS sum_sq,
+            CAST(sum(CASE WHEN i % 16 >= 1 AND x * lx < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_zc,
+            CAST(sum(abs(x)) AS BIGINT) AS sum_abs
+          FROM lagd GROUP BY 1, 2, 3
+        )
+        SELECT source, CAST(frame_idx AS BIGINT) AS frame_idx,
+          count(*) AS n_frames,
+          CAST(sum(sum_sq) AS BIGINT) AS sum_sq,
+          CAST(sum(n_zc) AS BIGINT) AS n_zc,
+          CAST(sum(sum_abs) AS BIGINT) AS sum_abs
+        FROM f GROUP BY 1, 2
       """.stripMargin.trim))
   )
+
+  /** Image docs with their dHash struct (`__h`): every doc_id % 3 == 0 row
+    * carries a planted 8×6 gray PNG with pixel_i = (d·31 + d·i + i²) % 256
+    * (the x21 planting idiom with a quadratic term so distinct doc_id
+    * classes land on distinct-but-near hashes — 256 distinct values with
+    * Hamming-5..7 neighbor pairs, exercising both the exact group and the
+    * banded merge).
+    */
+  private def dhashFrame(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val mkImg = udf { (docId: Long) =>
+      Png.encode(8, 6, 1,
+        Array.tabulate(48)(i => ((docId * 31 + docId * i + i * i) % 256).toInt))
+    }
+    Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 3 === 0)
+      .withColumn("__h", Multimodal.dHash(mkImg(col("doc_id"))))
+  }
+
+  /** Shared DuckDB CTE chain `img, bits, dh` rebuilding each image doc's
+    * dHash from the planting formula: bit j (row-major over the 9×8
+    * resized grid) compares the nearest-neighbor source pixels at
+    * columns c and c+1; lo packs bits 0–31, hi bits 32–63.
+    */
+  // lazy: referenced from the eager `defs` literal above its definition
+  private lazy val dhashSqlCtes: String = """img AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        ), bits AS (
+          SELECT i.doc_id, j.j,
+            CASE WHEN
+              (i.doc_id * 31 + i.doc_id * (((j.j // 8) * 6 // 8) * 8 + ((j.j % 8) * 8 // 9))
+                 + (((j.j // 8) * 6 // 8) * 8 + ((j.j % 8) * 8 // 9))
+                 * (((j.j // 8) * 6 // 8) * 8 + ((j.j % 8) * 8 // 9))) % 256
+              >
+              (i.doc_id * 31 + i.doc_id * (((j.j // 8) * 6 // 8) * 8 + (((j.j % 8) + 1) * 8 // 9))
+                 + (((j.j // 8) * 6 // 8) * 8 + (((j.j % 8) + 1) * 8 // 9))
+                 * (((j.j // 8) * 6 // 8) * 8 + (((j.j % 8) + 1) * 8 // 9))) % 256
+            THEN 1 ELSE 0 END AS bit
+          FROM img i, (SELECT unnest(generate_series(0, 63)) AS j) j
+        ), dh AS (
+          SELECT doc_id,
+            CAST(sum(CASE WHEN j >= 32 AND bit = 1
+              THEN (1::BIGINT << (j - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+            CAST(sum(CASE WHEN j < 32 AND bit = 1
+              THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS dhash_lo
+          FROM bits GROUP BY doc_id
+        )"""
 }

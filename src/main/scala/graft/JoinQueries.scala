@@ -148,6 +148,42 @@ object JoinQueries {
           round(sum(e.value), 6) AS sum_value
         FROM events e JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY c.c_nationkey
+      """.stripMargin.trim)),
+
+    // ── X84: co-located bucketed join (sources/Bucketed) — both tables
+    //    written `bucketBy(16, custkey) + sortBy` into the session
+    //    catalog, then sort-merge joined with ZERO exchange on either
+    //    input (require()-enforced from the executed plan, and
+    //    spec-checked; the merge hint pins SMJ so a broadcast can't mask
+    //    the layout at this SF). The 100 TB story: the join's shuffle is
+    //    paid once at layout time, every later join of the pair is a
+    //    bucket-local merge. Oracle: the PLAIN join — the layout must be
+    //    invisible in the results ──
+    QueryDef(
+      "x84_bucketed_join",
+      (s, dir) => {
+        import graft.sources.Bucketed
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val ot = Bucketed.writeBucketed(
+          Tables.orders(s, dir), s"orders_b_$tag", "o_custkey", 16)
+        val ct = Bucketed.writeBucketed(
+          Tables.customer(s, dir).withColumnRenamed("c_custkey", "o_custkey"),
+          s"customer_b_$tag", "o_custkey", 16)
+        val j = Bucketed.bucketedJoin(s, ot, ct, "o_custkey")
+        val n = Bucketed.exchangeCount(j)
+        require(n == 0, s"bucketed join planned $n exchanges; layout not co-located")
+        j.groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"),
+            min(col("o_orderkey")).as("min_orderkey"))
+      },
+      Some("""
+        SELECT c.c_nationkey AS nationkey,
+          count(*) AS n_orders,
+          round(sum(o.o_totalprice), 2) AS sum_price,
+          min(o.o_orderkey) AS min_orderkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
       """.stripMargin.trim)))
 
   /** Salted-join demo entry (x52): events fact side salted 8 ways against

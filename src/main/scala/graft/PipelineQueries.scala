@@ -1327,6 +1327,77 @@ object PipelineQueries {
           CAST(max(doc_id) AS BIGINT) AS id_max,
           CAST(sum(ch) AS BIGINT) AS content_sum
         FROM t GROUP BY shard
+      """.stripMargin.trim)),
+
+    // ── X80: URL canonicalization + canonical-URL dedup (Urls) — the
+    //    cheapest dedup stage of a crawl pipeline, run before any
+    //    content-based stage (RefinedWeb orders it first for exactly this
+    //    reason). Synthetic URLs planted per doc_id exercise every rule:
+    //    upper-case scheme, WWW. prefix, default :443 port, trailing
+    //    slash, utm_* trackers in shifting positions, #fragment. FULL
+    //    oracle: the same regex chain + param sort replays in DuckDB, so
+    //    both sides compute canonical_url from the same raw string ──
+    QueryDef(
+      "x80_url_dedup",
+      (s, dir) => {
+        val d = col("doc_id")
+        val raw = concat(
+          when(d % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+          when(d % 5 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".example.com"),
+          when(d % 4 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), (d % 50).cast("string"),
+          when(d % 3 === 0, lit("/")).otherwise(lit("")),
+          lit("?"),
+          when(d % 2 === 0, concat(lit("utm_source=feed&id="), (d % 25).cast("string")))
+            .otherwise(concat(lit("id="), (d % 25).cast("string"), lit("&utm_campaign=x"))),
+          when(d % 7 === 0, lit("#frag")).otherwise(lit("")))
+        graft.text.Urls.dedupByUrl(
+          Tables.documents(s, dir).withColumn("url", raw), "url", "doc_id")
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+            (CASE WHEN doc_id % 5 = 0 THEN 'WWW.' ELSE '' END) ||
+            source || '.example.com' ||
+            (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+            '/docs/' || CAST(doc_id % 50 AS VARCHAR) ||
+            (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) ||
+            '?' ||
+            (CASE WHEN doc_id % 2 = 0
+              THEN 'utm_source=feed&id=' || CAST(doc_id % 25 AS VARCHAR)
+              ELSE 'id=' || CAST(doc_id % 25 AS VARCHAR) || '&utm_campaign=x' END) ||
+            (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+          FROM documents
+        ), c1 AS (
+          SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM u
+        ), c2 AS (
+          SELECT doc_id,
+            lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+            lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS host0,
+            regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS path0,
+            regexp_extract(nf, '\?(.*)', 1) AS q0
+          FROM c1
+        ), c3 AS (
+          SELECT doc_id, scheme,
+            CASE WHEN scheme = 'https'
+                 THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':443$', '')
+                 WHEN scheme = 'http'
+                 THEN regexp_replace(regexp_replace(host0, '^www\.', ''), ':80$', '')
+                 ELSE regexp_replace(host0, '^www\.', '') END AS host,
+            CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+                 ELSE regexp_replace(path0, '/+$', '') END AS path,
+            COALESCE(array_to_string(list_sort(list_filter(string_split(q0, '&'),
+              x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)(=|$)'))),
+              '&'), '') AS qs
+          FROM c2
+        )
+        SELECT scheme || '://' || host || path ||
+            (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url,
+          count(*) AS n_docs, min(doc_id) AS keeper_id
+        FROM c3 GROUP BY 1
       """.stripMargin.trim))
   )
 }

@@ -120,6 +120,79 @@ object Multimodal {
       .groupBy(groupCols.map(col) :+ col("byte"): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** 64-bit perceptual difference hash (dHash, Krawetz's public
+    * kind-of-like-a-hash construction) of a decoded image: nearest-neighbor
+    * resize of the first channel to a 9×8 grid, then one bit per
+    * horizontal neighbor pair (`left > right`), packed row-major. Returned
+    * as `struct(dhash_hi, dhash_lo)` — two 32-bit halves in `long`
+    * columns so the value stays exactly representable on every engine
+    * (a single 64-bit pack would need the sign bit; two unsigned halves
+    * replay in plain integer SQL). Non-image payloads → null.
+    *
+    * Decode + resize + pack is a per-row imperative kernel (same
+    * justification as [[decodeSamples]]); it stays a narrow projection so
+    * the dedup shape around it — one hash shuffle on the hash value — is
+    * unchanged at scale. Near-duplicate images differ in a few bits;
+    * exact grouping on the pair catches re-encodes, and a banded
+    * Hamming join (8 bands × 8 bits, complete for distance ≤ 7 by
+    * pigeonhole — the SimHash band trick) catches the rest.
+    */
+  val dHash: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (bytes: Array[Byte]) =>
+      Png.decode(bytes).map { img =>
+        val w = img.width; val h = img.height; val ch = img.channels
+        def px(r: Int, c: Int): Int =
+          img.samples((r * h / 8) * w * ch + (c * w / 9) * ch)
+        var hi = 0L; var lo = 0L
+        var j = 0
+        while (j < 64) {
+          val r = j / 8; val c = j % 8
+          if (px(r, c) > px(r, c + 1)) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        (hi, lo)
+      }.orNull
+    }
+
+  /** Fixed-length audio frame features over decoded samples: for each
+    * complete `frameLen`-sample frame, `(frame_idx, sum_sq, n_zc,
+    * sum_abs)` — energy (Σx²), zero crossings (adjacent pairs with
+    * strictly negative product), and Σ|x|; integer-exact so the values
+    * replay bit-for-bit in any SQL engine. A trailing partial frame is
+    * dropped (the keras/librosa "valid" framing convention).
+    *
+    * Pure HOF expression — no UDF past the decode. Both the sample array
+    * and each frame slice are let-bound via the single-element
+    * `transform(array(…), v => …)` idiom so no outer expression is
+    * re-evaluated per element (the round-9 quadratic-lambda lesson,
+    * see [[graft.text.Quality]]'s header).
+    */
+  def frameFeatures(decoded: Column, frameLen: Int): Column = {
+    require(frameLen > 1)
+    element_at(
+      transform(array(decoded), s =>
+        when(size(s) >= frameLen,
+          transform(sequence(lit(0), floor(size(s) / frameLen).cast("int") - 1),
+            f => element_at(
+              transform(array(slice(s, f * frameLen + 1, lit(frameLen))), fr =>
+                struct(
+                  f.cast("long").as("frame_idx"),
+                  aggregate(fr, lit(0L),
+                    (a, x) => a + x.cast("long") * x.cast("long")).as("sum_sq"),
+                  aggregate(sequence(lit(1), lit(frameLen - 1)), lit(0L),
+                    (a, i) => a + when(
+                      element_at(fr, i) * element_at(fr, i + 1) < 0, 1L)
+                      .otherwise(0L)).as("n_zc"),
+                  aggregate(fr, lit(0L),
+                    (a, x) => a + abs(x).cast("long")).as("sum_abs"))),
+              1)))
+          .otherwise(array().cast(
+            "array<struct<frame_idx:bigint,sum_sq:bigint,n_zc:bigint,sum_abs:bigint>>"))),
+      1)
+  }
+
   /** Per-group Shannon entropy (bits/byte) of the byte distribution plus
     * payload totals — the "feature extraction" step of the stub pipeline.
     * Two hash aggregations (histogram, then entropy over ≤256 rows per

@@ -193,4 +193,29 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       s"asof must never plan a pair-materializing join:\n$plan")
   }
+
+  test("Bucketed: co-located layout elides the join shuffle; results unchanged") {
+    import spark.implicits._
+    import graft.sources.Bucketed
+    val fact = (1 to 200).map(i => (i.toLong % 40, i.toLong, i * 1.5)).toDF("k", "id", "v")
+    val dim = (0L to 39L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val ft = Bucketed.writeBucketed(fact, "spec_fact", "k", 8)
+    val dt = Bucketed.writeBucketed(dim, "spec_dim", "k", 8)
+
+    val j = Bucketed.bucketedJoin(spark, ft, dt, "k")
+    assert(Bucketed.exchangeCount(j) == 0,
+      "co-bucketed SMJ must plan zero exchanges:\n" + j.queryExecution.executedPlan)
+
+    // contrast: the same join over the raw (un-bucketed) frames shuffles
+    val raw = fact.hint("merge").join(dim, "k")
+    assert(Bucketed.exchangeCount(raw) > 0, "plain SMJ should need exchanges")
+
+    // the layout must be invisible in the results
+    val got = j.groupBy($"k").agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = fact.join(dim, "k").groupBy($"k")
+      .agg(org.apache.spark.sql.functions.sum($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == exp)
+  }
 }

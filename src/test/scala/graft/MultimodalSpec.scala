@@ -228,4 +228,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got("c")._1 == 64L)
     assert(math.abs(got("c")._2 - 0.0) < 1e-9)
   }
+
+  test("dHash packs the 9x8 resized horizontal-gradient bits; null for non-images") {
+    import spark.implicits._
+    // pixels in 11..185 so a +10 brightness shift below cannot clip or wrap
+    val w = 8; val h = 6
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 175 + 11)
+    def expect(ps: Array[Int]): (Long, Long) = {
+      def p(r: Int, c: Int): Int = ps((r * h / 8) * w + (c * w / 9))
+      var hi = 0L; var lo = 0L
+      for (j <- 0 until 64) {
+        val r = j / 8; val c = j % 8
+        if (p(r, c) > p(r, c + 1)) {
+          if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val wav = Wav.encodePcm16(8000, 1, Array(1, -2, 3))
+    val df = Seq((0, Png.encode(w, h, 1, px)),
+      (1, Png.encode(w, h, 1, px.map(_ + 10))), // brighter copy, same gradients
+      (2, wav)).toDF("id", "content")
+    val rows = df.select(col("id"), Multimodal.dHash(col("content")).as("h"))
+      .orderBy("id").collect()
+    val g0 = rows(0).getStruct(1)
+    assert((g0.getLong(0), g0.getLong(1)) == expect(px))
+    // the perceptual property: uniform brightness shift → identical hash
+    assert(rows(1).getStruct(1) == g0)
+    assert(rows(2).isNullAt(1))
+  }
+
+  test("frameFeatures: per-frame energy/zero-crossings/abs, partial frame dropped") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(1, -2, 3, -4, 9)), Tuple1(Seq(5)), Tuple1(Seq.empty[Int]))
+      .toDF("s")
+    val got = df.select(Multimodal.frameFeatures(col("s"), 2).as("f"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0))
+    assert(got(0).map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))) ==
+      Seq((0L, 5L, 1L, 3L), (1L, 25L, 1L, 7L)))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
 }
