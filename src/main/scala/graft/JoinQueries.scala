@@ -184,7 +184,115 @@ object JoinQueries {
           min(o.o_orderkey) AS min_orderkey
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X85: stream-static enrichment join — the canonical Structured
+    //    Streaming deployment shape (stream of events, slowly-changing
+    //    dim at rest): click events through a REAL MemoryStream query,
+    //    each micro-batch broadcast-joined against the static customer
+    //    dim — per-batch join, no stream state, no shuffle of the stream
+    //    side. Oracle = the plain batch join: the streaming execution
+    //    must be invisible in the results ──
+    QueryDef(
+      "x85_stream_static_join",
+      (s, dir) => streamStaticEnrich(s, dir),
+      Some("""
+        SELECT c.c_nationkey,
+          count(*) AS n_clicks,
+          round(sum(e.value), 6) AS sum_value,
+          min(e.event_id) AS min_event
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'click'
+        GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X86: date-partitioned layout + partition pruning
+    //    (sources/Partitioned) — orders written partitioned by month,
+    //    a two-month slice read back with the pruned-partition count
+    //    require()-checked off the executed scan (== 2 directories
+    //    listed, not the whole table). The lake layout that makes a
+    //    time-slice query at 100 TB cost the slice, not the table.
+    //    Oracle: the same slice straight off the base table ──
+    QueryDef(
+      "x86_partition_prune",
+      (s, dir) => {
+        import graft.sources.Partitioned
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_orders_bymonth_$tag"
+        Partitioned.writeByKey(
+          Tables.orders(s, dir)
+            .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM")),
+          path, "o_month")
+        val slice = Partitioned.scan(s, path)
+          .filter(col("o_month").isin("1997-03", "1997-04"))
+        val n = Partitioned.prunedPartitionCount(slice)
+        require(n == 2, s"expected 2 pruned partitions, scan selected $n")
+        slice.groupBy(col("o_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"),
+            min(col("o_orderkey")).as("min_orderkey"))
+      },
+      Some("""
+        SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+          count(*) AS n_orders,
+          round(sum(o_totalprice), 2) AS sum_price,
+          min(o_orderkey) AS min_orderkey
+        FROM orders
+        WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-03', '1997-04')
+        GROUP BY 1
       """.stripMargin.trim)))
+
+  /** The x85 harness: click events collected once and replayed through a
+    * MemoryStream in three micro-batches; the streaming frame is
+    * broadcast-joined per batch against the static customer dim and the
+    * enriched rows land in a memory sink (aggregated batch-side). Same
+    * harness caveats as x50 (`streamRangeJoin` doc): the driver-side
+    * collect feeds ONLY the test stream — a deployment reads Kafka; the
+    * stream-static join itself holds no state, so corpus size never
+    * accumulates in the query.
+    */
+  private def streamStaticEnrich(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("value").cast("double"))
+      .as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+    val sink = "x85_sink"
+    s.catalog.dropTempView(sink)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q =
+      try {
+        mem.toDF().toDF("event_id", "user_id", "value")
+          .join(broadcast(cust), Seq("user_id"))
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .option("checkpointLocation",
+            Scratch.sub(s"x85_ckpt_${System.nanoTime()}"))
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    try {
+      clicks.grouped(math.max(1, (clicks.length + 2) / 3)).foreach { batch =>
+        if (System.nanoTime() > deadline)
+          throw new RuntimeException("x85 stream exceeded its 120s deadline")
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_clicks"),
+        round(sum(col("value")), 6).as("sum_value"),
+        min(col("event_id")).as("min_event"))
+  }
 
   /** Salted-join demo entry (x52): events fact side salted 8 ways against
     * the customer dim, revenue rolled up per nation. Results are exactly

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hive-style partitioned parquet layout + partition-pruning proof.
+  *
+  * The other half of the 100 TB layout story next to [[Bucketed]]: facts
+  * land partitioned by a coarse key (almost always an ingest date), so a
+  * query over a time slice LISTS only the matching directories — the scan
+  * cost scales with the slice, not the table. At 100 TB with daily
+  * partitions, a one-week query touches 7/1800 directories; without the
+  * layout every query pays the full listing + footer reads even when the
+  * row filter is pushed down.
+  *
+  * [[prunedPartitionCount]] reads the SELECTED partition count off the
+  * executed scan node — the load-independent proof that pruning actually
+  * happened (a plan can show a `PartitionFilters` entry and still list
+  * everything if the filter column isn't a partition column).
+  */
+object Partitioned {
+
+  /** Write `df` partitioned by `partCol` (one directory per value).
+    * The frame is hash-repartitioned on the key first so each directory
+    * gets O(1) files instead of one per upstream task — without this a
+    * 1000-task stage writing 1800 date directories emits 1.8M tiny files
+    * (the classic small-files failure; every later LIST and footer read
+    * pays for it). Keys too hot for one task would instead salt the
+    * repartition (`partCol`, salt) — not needed at the coarse-date
+    * granularity this layout targets.
+    */
+  def writeByKey(df: DataFrame, path: String, partCol: String): Unit =
+    df.repartition(org.apache.spark.sql.functions.col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  def scan(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Number of partition directories the plan's file scan actually
+    * selected after pruning, or -1 when no partition-filtered scan is in
+    * the plan (e.g. the filter didn't reach the scan as a partition
+    * filter — the failure this proof exists to catch).
+    */
+  def prunedPartitionCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collectFirst {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty =>
+        f.selectedPartitions.partitionCount
+    }.getOrElse(-1)
+  }
+}
