@@ -29,6 +29,8 @@ object DedupQueries {
   @volatile private var x40Artifacts: Option[(Array[Array[Double]], Pq.Codebooks)] = None
   @volatile private var x47Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x77Centroids: Option[Array[Array[Double]]] = None
+  @volatile private var x17Centroids: Option[Array[Array[Double]]] = None
+  @volatile private var x18Centroids: Option[Array[Array[Double]]] = None
 
   private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
@@ -43,6 +45,61 @@ object DedupQueries {
     * probing its `nprobe` nearest cells (distance-then-cell-asc order —
     * `Ivf.probeCells`), candidates restricted to probed cells.
     */
+  /** Full DuckDB replay of the IVF-FLAT cosine top-3 search over
+    * `embeddings` (queries = vec_id < 20, excludeSelf) from centroid
+    * literals: every corpus row assigned to its argmin cell (squared
+    * euclidean, cell-asc ties — `probeCells`' rule), each query probing
+    * its `nprobe` nearest cells, candidates restricted to probed cells,
+    * exact cosine re-rank (desc, id-asc ties — the `rankTopK` contract).
+    */
+  private def ivfFlatReplaySql(cents: Array[Array[Double]], nprobe: Int): String = {
+    val centVals = cents.zipWithIndex
+      .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
+      .mkString(",\n          ")
+    s"""
+        WITH cents(cell, c) AS (VALUES
+          $centVals
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv,
+            sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS qn
+          FROM e WHERE vec_id < 20
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), probe AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, ad.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY ad.d, ad.cell) AS rn
+            FROM q JOIN ad ON ad.vec_id = q.qid) WHERE rn <= $nprobe
+        ), cand AS (
+          SELECT q.qid, q.qv, q.qn, e.vec_id AS cid, e.v AS cv
+          FROM q JOIN probe USING (qid)
+               JOIN asgn ON asgn.cell = probe.cell
+               JOIN e ON e.vec_id = asgn.vec_id
+          WHERE e.vec_id <> q.qid
+        ), scored AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qv, cv), p -> p[1] * p[2]), (x, y) -> x + y)
+              / (qn * sqrt(list_reduce(list_transform(cv, x -> x * x), (x, y) -> x + y))) AS cos
+          FROM cand
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM scored) WHERE rank <= 3
+    """.stripMargin.trim
+  }
+
   private def pqReplaySql(
       cb: Pq.Codebooks,
       cents: Option[Array[Array[Double]]],
@@ -350,17 +407,21 @@ object DedupQueries {
       "x17_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        Ivf.cosineTopKIvf(emb, emb.filter(col("vec_id") < 20), "embedding",
-          "vec_id", "vec_id", k = 3, nlist = 8, nprobe = 3, seed = 7L)
+        val cents = Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L)
+        x17Centroids = Some(cents) // FULL-oracle thunk: replay from literals
+        Ivf.cosineTopKIvfWith(emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 3)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      () => x17Centroids.map(c => ivfFlatReplaySql(c, nprobe = 3))),
 
     // ── X18: persisted IVF index — corpus written bucketed by quantizer
     //    cell, query path reads ONLY the probed cells' partitions (static
     //    IN-list partition pruning; the probed set is bounded by nlist).
-    //    Same quantizer seed as x17 → identical results; rows-only ──
+    //    Same quantizer seed as x17 → identical results. FULL oracle via
+    //    the persisted-centroid thunk (assign → probe → exact-cosine
+    //    re-rank replayed in DuckDB from the index's own artifacts) ──
     QueryDef(
       "x18_ann_ivf_indexed",
       (s, dir) => {
@@ -374,12 +435,17 @@ object DedupQueries {
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val path = s"${Scratch.dir}/graft_ivf_index_$tag"
         Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L)
+        // FULL-oracle thunk: replay probe + re-rank from what the index
+        // actually persisted (the x29/x40 pattern)
+        x18Centroids = Some(
+          s.read.parquet(s"$path/centroids").orderBy(col("cell"))
+            .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray))
         Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
           "embedding", "vec_id", k = 3, nprobe = 3)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      () => x18Centroids.map(c => ivfFlatReplaySql(c, nprobe = 3))),
 
     // ── X29: incremental IVF ingest — build the index on the even half
     //    of the corpus, append the odd half against the FROZEN quantizer

@@ -1398,6 +1398,82 @@ object PipelineQueries {
             (CASE WHEN qs = '' THEN '' ELSE '?' || qs END) AS canonical_url,
           count(*) AS n_docs, min(doc_id) AS keeper_id
         FROM c3 GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X87: JSONL ingest with corrupt-record quarantine — the
+    //    wire-format robustness surface every crawl ingest needs: JSONL
+    //    written to disk with a deterministic fraction of lines
+    //    truncated mid-record (doc_id % 97 == 0), read back
+    //    schema-enforced in PERMISSIVE mode with `_corrupt_record`, and
+    //    accounted per source with corrupt rows quarantined under
+    //    `__corrupt` instead of poisoning the batch (the
+    //    FAILFAST/silent-DROPMALFORMED alternatives lose either the
+    //    batch or the accounting). FULL oracle: the truncation rule
+    //    replays from `documents` ──
+    QueryDef(
+      "x87_jsonl_ingest",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_jsonl_$tag"
+        val line = to_json(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+        Tables.documents(s, dir)
+          .select(when(col("doc_id") % 97 === 0, substring(line, 1, 10))
+            .otherwise(line).as("value"))
+          .write.mode("overwrite").text(path)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, _corrupt_record STRING")
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(path)
+          .groupBy(coalesce(col("source"), lit("__corrupt")).as("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+      },
+      Some("""
+        SELECT source, count(*) AS n_rows,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 97 <> 0 GROUP BY source
+        UNION ALL
+        SELECT '__corrupt' AS source, count(*) AS n_rows, 0 AS sum_chars
+        FROM documents WHERE doc_id % 97 = 0
+      """.stripMargin.trim)),
+
+    // ── X88: schema-evolution ingest (mergeSchema) — the second
+    //    production ingest surface: an early batch written WITHOUT the
+    //    `lang` column, a later batch WITH it, both read as one frame
+    //    via mergeSchema with the missing column null-filled for old
+    //    rows. The accounting proves old batches stay readable and the
+    //    new column attaches only where it exists. FULL oracle: the
+    //    batch split rule replays from `documents` ──
+    QueryDef(
+      "x88_schema_evolution",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_evo_$tag"
+        val docs = Tables.documents(s, dir)
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$path/batch=1")
+        docs.filter(col("doc_id") % 2 =!= 0)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          .write.mode("overwrite").parquet(s"$path/batch=2")
+        s.read.option("mergeSchema", "true").parquet(path)
+          .groupBy(col("batch"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("lang")).as("n_with_lang"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""
+        SELECT CAST(1 AS INT) AS batch, count(*) AS n_rows,
+          CAST(0 AS BIGINT) AS n_with_lang,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT CAST(2 AS INT) AS batch, count(*) AS n_rows,
+          count(lang) AS n_with_lang,
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents WHERE doc_id % 2 <> 0
       """.stripMargin.trim))
   )
 }

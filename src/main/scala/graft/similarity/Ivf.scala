@@ -69,22 +69,58 @@ object Ivf {
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 7L,
-      excludeSelf: Boolean = true): DataFrame = {
-    require(nprobe <= nlist)
-    val vecs = corpus.select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      excludeSelf: Boolean = true): DataFrame =
+    cosineTopKIvfWith(corpus, queries, featCol, corpusIdCol, queryIdCol, k,
+      trainQuantizer(corpus, featCol, corpusIdCol, nlist, seed), nprobe,
+      excludeSelf)
+
+  /** Train the coarse quantizer alone and return its centroids (row i =
+    * cell i) — the reusable half of [[cosineTopKIvf]]: a trained
+    * quantizer serves every later search/build against the same corpus
+    * (the FAISS `train`-once contract), and the returned arrays are plain
+    * driver data an oracle can interpolate as literals.
+    *
+    * Random init, not k-means||: the parallel init runs several extra
+    * full passes to seed centers, which dominates quantizer training cost
+    * while coarse-quantizer recall is insensitive to init quality (FAISS
+    * trains its IVF quantizer from random samples for the same reason);
+    * recall vs the exact baseline is asserted in AnnSpec either way.
+    */
+  def trainQuantizer(
+      corpus: DataFrame,
+      featCol: String,
+      idCol: String,
+      nlist: Int,
+      seed: Long = 7L,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    val vecs = corpus.select(col(idCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__v", array_to_vector(col("__cf").cast("array<double>")))
-    // random init, not k-means||: the parallel init runs several extra
-    // full passes to seed centers, which dominates quantizer training cost
-    // while coarse-quantizer recall is insensitive to init quality (FAISS
-    // trains its IVF quantizer from random samples for the same reason);
-    // recall vs the exact baseline is asserted in AnnSpec either way
     val km = new KMeans().setK(nlist).setSeed(seed).setInitMode("random")
-      .setMaxIter(10)
+      .setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cell")
-    val model = km.fit(quantizerInput(vecs, "__cid"))
-    val centroids = model.clusterCenters.map(_.toArray)
-    val assigned = model.transform(vecs)
-      .select(col("__cid"), col("__cf"), col("__cell"))
+    km.fit(quantizerInput(vecs, "__cid")).clusterCenters.map(_.toArray)
+  }
+
+  /** [[cosineTopKIvf]] against an ALREADY-trained quantizer. Cell
+    * assignment uses the same codegen'd `probeCells` argmin as
+    * [[appendToIndex]] (squared euclidean, cell-asc tie-break) — one
+    * arithmetic rule across build, append and query, and the exact rule
+    * an external replay computes from the centroid literals.
+    */
+  def cosineTopKIvfWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      queryIdCol: String,
+      k: Int,
+      centroids: Array[Array[Double]],
+      nprobe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe <= centroids.length)
+    val assigned = corpus
+      .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__cell", probeCells(col("__cf"), centroids, 1).getItem(0))
       .withColumn("__cn", Ann.norm(col("__cf")))
     val q = broadcast(
       queries.select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
@@ -184,7 +220,15 @@ object Ivf {
       .setFeaturesCol("__v").setPredictionCol("__cell")
     val trainSample = quantizerInput(vecs, "__cid")
     val model = km.fit(trainSample)
-    val assigned = model.transform(vecs).select(col("__cid"), col("__cf"), col("__cell"))
+    // assignment via the SAME codegen'd argmin as appendToIndex and
+    // cosineTopKIvfWith — one arithmetic rule (squared euclidean,
+    // cell-asc ties) across build, append and query, replayable from the
+    // centroid literals; model.transform would route near-ties through
+    // MLlib's norm-trick distance instead
+    val builtCents = model.clusterCenters.map(_.toArray)
+    val assigned = vecs
+      .withColumn("__cell", probeCells(col("__cf"), builtCents, 1).getItem(0))
+      .select(col("__cid"), col("__cf"), col("__cell"))
     val stored =
       if (pqM > 0) {
         val dim = model.clusterCenters.head.size
