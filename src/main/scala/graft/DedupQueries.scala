@@ -328,7 +328,52 @@ object DedupQueries {
           dim = 64, threshold = 0.4, bands = 16, bitsPerBand = 3)
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      // FULL oracle since round 9 (was rows-only): plane literals + the
+      // fixed-order ArrayDot projection make the sign bits replayable;
+      // the hot-bucket star cap (n > MaxBucket → (min, member) spanning
+      // pairs) is replayed from the bucket stats
+      Some(s"""
+        WITH planes(p, w) AS (VALUES
+          ${Queries.planeSqlValues(dim = 64, nPlanes = 48, seed = 42L)}
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), proj AS (
+          SELECT e.vec_id, planes.p,
+            list_reduce(list_transform(list_zip(e.v, planes.w),
+              z -> z[1] * z[2]), (x, y) -> x + y) AS pr
+          FROM e CROSS JOIN planes
+        ), bv AS (
+          SELECT vec_id, p // 3 AS band,
+            CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % 3)) ELSE 0 END)
+              AS BIGINT) AS v
+          FROM proj GROUP BY vec_id, p // 3
+        ), bstat AS (
+          SELECT band, v, count(*) AS n, min(vec_id) AS mn FROM bv GROUP BY 1, 2
+        ), smallp AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib
+          FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v
+            AND a.vec_id < b.vec_id
+          JOIN bstat s ON s.band = a.band AND s.v = a.v
+          WHERE s.n <= 256
+        ), starp AS (
+          SELECT s.mn AS ia, bv.vec_id AS ib
+          FROM bv JOIN bstat s ON s.band = bv.band AND s.v = bv.v
+          WHERE s.n > 256 AND bv.vec_id <> s.mn
+        ), cand AS (
+          SELECT DISTINCT ia, ib FROM (
+            SELECT ia, ib FROM smallp UNION ALL SELECT ia, ib FROM starp)
+        ), scored AS (
+          SELECT cand.ia, cand.ib,
+            list_reduce(list_transform(list_zip(a.v, b.v),
+              z -> z[1] * z[2]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))) AS cos
+          FROM cand JOIN e a ON a.vec_id = cand.ia JOIN e b ON b.vec_id = cand.ib
+        )
+        SELECT ia AS id_a, ib AS id_b, round(cos, 6) AS cosine
+        FROM scored WHERE cos >= 0.4
+      """.stripMargin.trim)),
 
     // ── X15: multimodal binary payloads — documents' text re-encoded as
     //    opaque binary, then byte-distribution feature extraction

@@ -42,6 +42,16 @@ object Queries {
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
 
+  /** `(p, [w...]::DOUBLE[])` VALUES rows of [[Ann.planeMatrix]] for the
+    * hyperplane-LSH oracles (x3 here, x20 in DedupQueries) — the plane
+    * matrix is a deterministic pure function, so the literals match the
+    * engine's planes exactly (Double.toString round-trips IEEE754).
+    */
+  private[graft] def planeSqlValues(dim: Int, nPlanes: Int, seed: Long): String =
+    graft.similarity.Ann.planeMatrix(dim, nPlanes, seed).zipWithIndex
+      .map { case (w, p) => s"($p, ${w.mkString("[", ", ", "]")}::DOUBLE[])" }
+      .mkString(",\n          ")
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── S1: per-series z-score, population std (scalers.py:42-77) ──
@@ -452,9 +462,12 @@ object Queries {
         SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
       """.stripMargin.trim)),
 
-    // ── X3: LSH-bucketed approximate cosine top-k (the 100 TB ANN path;
-    //    xxhash64 hyperplanes are not SQL-portable → rows-only check;
-    //    recall vs the exact path is asserted in AnnSpec) ──
+    // ── X3: LSH-bucketed approximate cosine top-k (the 100 TB ANN path).
+    //    FULL oracle since round 9: the seeded plane matrix is a
+    //    deterministic constant interpolated as literals (the x41 JL
+    //    trick), and the per-plane ArrayDot projection has a fixed
+    //    summation order, so DuckDB replays sign bits → bands →
+    //    candidates → exact-cosine top-k bit-identically ──
     QueryDef(
       "x3_ann_lsh",
       (s, dir) => {
@@ -468,7 +481,39 @@ object Queries {
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      Some(s"""
+        WITH planes(p, w) AS (VALUES
+          ${planeSqlValues(dim = 64, nPlanes = 32, seed = 42L)}
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), proj AS (
+          SELECT e.vec_id, planes.p,
+            list_reduce(list_transform(list_zip(e.v, planes.w),
+              z -> z[1] * z[2]), (x, y) -> x + y) AS pr
+          FROM e CROSS JOIN planes
+        ), bv AS (
+          SELECT vec_id, p // 4 AS band,
+            CAST(sum(CASE WHEN pr >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END)
+              AS BIGINT) AS v
+          FROM proj GROUP BY vec_id, p // 4
+        ), cand AS (
+          SELECT DISTINCT a.vec_id AS cid, b.vec_id AS qid
+          FROM bv a JOIN bv b ON a.band = b.band AND a.v = b.v
+          WHERE b.vec_id < 20 AND a.vec_id <> b.vec_id
+        ), scored AS (
+          SELECT cand.qid, cand.cid,
+            list_reduce(list_transform(list_zip(q.v, c.v),
+              z -> z[1] * z[2]), (x, y) -> x + y)
+              / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+                 * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y))) AS cos
+          FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e c ON c.vec_id = cand.cid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM scored) WHERE rank <= 3
+      """.stripMargin.trim)),
 
     // ── X71: graph-based ANN — per-shard navigable-small-world graphs
     //    (Nsw.cosineTopKNsw), the graph-family scale path beside the

@@ -137,17 +137,23 @@ object Ann {
     * being re-derived per row (the previous per-element xxhash64 formula
     * cost `rows × planes × dim` interpreted hash calls).
     */
-  private def planeMatrix(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] =
+  /** The seeded hyperplane matrix behind [[hyperplaneSignatures]] —
+    * public so an external replay (or a second cluster) can reproduce the
+    * exact planes: row p, component d = `HashRandom.gaussian(seed, p, d)`,
+    * a deterministic pure function interpolable as SQL literals (the
+    * [[jlMatrix]] contract).
+    */
+  def planeMatrix(dim: Int, nPlanes: Int, seed: Long): Seq[Seq[Double]] =
     (0 until nPlanes).map(p =>
       (0 until dim).map(d => graft.functions.HashRandom.gaussian(seed, p.toLong, d.toLong)))
 
   /** Row-wise random-hyperplane (SimHash) signatures: `(__id, __sig)` with
-    * `nPlanes` sign bits packed into a long. Computed as
-    * posexplode(embedding) → `nPlanes` codegen'd `sum(x·w[p][d])`
-    * aggregates — whole-stage codegen, map-side partial sums, no
-    * interpreted lambda per element. Rows whose signatures share a banded
-    * bucket are near-duplicate candidates; joining on the bucket instead
-    * of the full cross product is the piece that scales.
+    * `nPlanes` sign bits packed into a long. Each projection is one
+    * codegen'd [[ArrayDot]] against its plane literal — a narrow
+    * projection, no explode, no shuffle, and (unlike the previous
+    * explode→sum formulation) a FIXED left-to-right summation order, so
+    * the sign bits are partitioning-independent and replay bit-identically
+    * from the plane literals in any engine that folds left.
     *
     * Vector length is validated per row (`assert_true`) — a short/long
     * embedding raises instead of silently collapsing into one bucket.
@@ -161,24 +167,14 @@ object Ann {
       seed: Long = 42L): DataFrame = {
     require(nPlanes <= 63)
     val w = planeMatrix(dim, nPlanes, seed)
-    // deliberately NOT Tables.spread here: the projection kernel is a few
-    // multiply-adds per row — measured on the single-file sf dirs the
-    // extra exchange costs more than the parallelism buys (x20 3.3→6.3 s),
-    // the opposite of the md5-shingle kernels in TextOps
-    val ex = df.select(
+    val checked =
+      when(assert_true(size(col(featCol)) === dim).isNull, col(featCol))
+        .cast("array<double>")
+    df.select(
       col(idCol).as("__id"),
-      posexplode(
-        when(assert_true(size(col(featCol)) === dim).isNull, col(featCol)))
-        .as(Seq("__d", "__x")))
-    val projs = (0 until nPlanes).map(p =>
-      sum(col("__x").cast("double") *
-        element_at(typedlit(w(p)), col("__d") + 1)).as(s"__p$p"))
-    ex.groupBy(col("__id"))
-      .agg(projs.head, projs.tail: _*)
-      .select(col("__id"),
-        (0 until nPlanes).map(p =>
-          when(col(s"__p$p") >= 0d, lit(1L << p)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("__sig"))
+      (0 until nPlanes).map(p =>
+        when(dot(checked, typedlit(w(p))) >= 0d, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as("__sig"))
   }
 
   /** LSH-bucketed approximate cosine top-k: candidates = pairs sharing a
