@@ -240,6 +240,42 @@ object JoinQueries {
         FROM orders
         WHERE strftime(o_orderdate, '%Y-%m') IN ('1997-03', '1997-04')
         GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X89: small-file compaction (Partitioned.compact) — the lake
+    //    maintenance job every streaming/partitioned ingest needs: a
+    //    deliberately fragmented layout (32 writer tasks × per-type
+    //    directories) rewritten into a fresh snapshot with O(1) files per
+    //    directory; the ≥8× file-count drop is require()-enforced and the
+    //    aggregates are read FROM the compacted snapshot. Oracle: the
+    //    base table — compaction must be invisible in the data ──
+    QueryDef(
+      "x89_compaction",
+      (s, dir) => {
+        import graft.sources.Partitioned
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val frag = s"${Scratch.dir}/graft_frag_$tag"
+        val compacted = s"${Scratch.dir}/graft_compacted_$tag"
+        Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .repartition(32) // simulate 32 ingest writer tasks
+          .write.mode("overwrite").partitionBy("event_type").parquet(frag)
+        Partitioned.compact(s, frag, compacted, "event_type")
+        val (before, after) = (Partitioned.fileCount(frag),
+          Partitioned.fileCount(compacted))
+        require(after * 8 <= before,
+          s"compaction must collapse the file count: $before -> $after")
+        Partitioned.scan(s, compacted)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"),
+            min(col("event_id")).as("min_event"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+          round(sum(value), 6) AS sum_value,
+          min(event_id) AS min_event
+        FROM events GROUP BY 1
       """.stripMargin.trim)))
 
   /** The x85 harness: click events collected once and replayed through a

@@ -35,6 +35,32 @@ object Partitioned {
   def scan(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Compact a fragmented partitioned layout into a NEW snapshot at
+    * `dstPath`: one coalescing pass per partition key (the [[writeByKey]]
+    * shuffle), so each directory ends with O(1) files regardless of how
+    * many tasks wrote the source. Rewriting to a fresh path rather than
+    * in place is the immutable-lake pattern — readers keep the old
+    * snapshot until a manifest/pointer swap (x78's contract), and a
+    * failed compaction leaves nothing half-rewritten. Row content is
+    * untouched by construction; the driver query's oracle re-derives the
+    * compacted aggregates from the base table to prove it.
+    */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+      partCol: String): Unit =
+    writeByKey(scan(spark, srcPath), dstPath, partCol)
+
+  /** Total data-file count under `path` (recursive, `_`-prefixed
+    * bookkeeping files excluded) — the before/after measure of
+    * [[compact]].
+    */
+  def fileCount(path: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0
+      else 1
+    walk(new java.io.File(path))
+  }
+
   /** Number of partition directories the plan's file scan actually
     * selected after pruning, or -1 when no partition-filtered scan is in
     * the plan (e.g. the filter didn't reach the scan as a partition

@@ -26,4 +26,18 @@ class PartitionedSpec extends SparkSpec {
     val rowFiltered = Partitioned.scan(spark, path).filter(col("v") > 100)
     assert(Partitioned.prunedPartitionCount(rowFiltered) == -1)
   }
+
+  test("compact collapses the file count and preserves every row") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"k${i % 3}", i * 1.0)).toDF("id", "k", "v")
+    val frag = Scratch.sub("compact_frag")
+    val dst = Scratch.sub("compact_dst")
+    df.repartition(16).write.mode("overwrite").partitionBy("k").parquet(frag)
+    Partitioned.compact(spark, frag, dst, "k")
+    assert(Partitioned.fileCount(frag) >= 16)
+    assert(Partitioned.fileCount(dst) <= 3) // one file per key directory
+    val a = Partitioned.scan(spark, frag).collect().map(_.toString).sorted
+    val b = Partitioned.scan(spark, dst).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
