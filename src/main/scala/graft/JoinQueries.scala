@@ -276,6 +276,47 @@ object JoinQueries {
           round(sum(value), 6) AS sum_value,
           min(event_id) AS min_event
         FROM events GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X90: idempotent partition re-processing — dynamic
+    //    partitionOverwriteMode, the OSS-parquet answer to "a batch job
+    //    died and retried; did the lake double-count?": re-running a
+    //    slice's write overwrites ONLY the partitions present in the
+    //    incoming data (static mode would truncate the whole table; plain
+    //    append would duplicate). The 'click' slice is rewritten TWICE
+    //    and the total row count is require()-checked unchanged. Oracle:
+    //    the base table — retries must be invisible ──
+    QueryDef(
+      "x90_idempotent_overwrite",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_dynover_$tag"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        ev.repartition(col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(path)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        try {
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+          (1 to 2).foreach { _ => // the retried micro-batch
+            ev.filter(col("event_type") === "click")
+              .repartition(col("event_type"))
+              .write.mode("overwrite").partitionBy("event_type").parquet(path)
+          }
+        } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        val (n, n0) = (s.read.parquet(path).count(), ev.count())
+        require(n == n0, s"retry duplicated or truncated rows: $n0 -> $n")
+        s.read.parquet(path)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"),
+            min(col("event_id")).as("min_event"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+          round(sum(value), 6) AS sum_value,
+          min(event_id) AS min_event
+        FROM events GROUP BY 1
       """.stripMargin.trim)))
 
   /** The x85 harness: click events collected once and replayed through a

@@ -138,9 +138,10 @@ object IncrementalNearDup {
     * `path` creates the index — the bootstrap batch IS the initial
     * corpus. `idCol` must be unique within the batch and across batches.
     *
-    * The returned frame is uncached and re-executes against the PINNED
-    * pre-append snapshot (correct by construction — same contract as
-    * [[IncrementalDedup.dedupIncremental]]).
+    * The returned frame semi-joins the batch against the survivor ids
+    * read back from the files this call just appended (a pinned
+    * new-file list) — so consuming it re-reads O(batch) ids, never the
+    * sketch/verify DAG, and re-execution stays deterministic.
     */
   def dedupIncremental(
       batch: DataFrame,
@@ -162,7 +163,16 @@ object IncrementalNearDup {
     val ws = TextOps.wordShingles(col(textCol), shingleN)
     val shingles = when(coalesce(size(ws), lit(0)) > 0, ws)
       .otherwise(array(TextOps.normalize(col(textCol))))
-    val sigs = TextOps.minHashSignaturesBy(batch, idCol, shingles, numHashes)
+    // Cache the signatures for the duration of the call: the frame feeds
+    // the within-batch screen, the rep and member verify sides, the
+    // cross-index verify and both appends — uncached, Catalyst plans the
+    // md5-shingle × numHashes sketch once PER CONSUMER (measured 18 s for
+    // x75 at sf0.1; ~6 s cached). 128 longs + id per row, released below.
+    val sigs = TextOps.minHashSignaturesBy(batch, idCol, shingles, numHashes).cache()
+    // materialize the cache BEFORE fan-out: the survivor job references
+    // sigs from several branches, and branches racing an unpopulated
+    // cache each compute the sketch themselves
+    sigs.count()
 
     val batchBands = bandRows(sigs, bands, rowsPerBand)
 
@@ -194,7 +204,11 @@ object IncrementalNearDup {
         .select(col("__band"), col("__khash"), col("__id").as("__idx"))
       val idxSigs = spark.read.parquet(sigSnap: _*)
         .select(col("__id").as("__idx"), col("__sig").as("__sigb"))
-      val cand = bandRows(bsurv, bands, rowsPerBand)
+      // band rows of the within-batch survivors = the already-built
+      // batchBands semi-joined on the survivor ids (cheaper than
+      // re-deriving bandRows(bsurv), whose lineage repeats the anti-join)
+      val cand = batchBands
+        .join(bsurv.select(col("__id")), Seq("__id"), "left_semi")
         .join(idxBands, Seq("__band", "__khash"))
         .select(col("__id"), col("__idx"))
         .distinct()
@@ -218,9 +232,23 @@ object IncrementalNearDup {
         .withColumn("__b", pmod(crc32(col("__id").cast("string")), lit(nBuckets)))
         .repartition(col("__b"))
         .write.mode("append").partitionBy("__b").parquet(sigsPath(path))
-    } finally survivors.unpersist(blocking = false)
+    } finally {
+      survivors.unpersist(blocking = false)
+      sigs.unpersist(blocking = false)
+    }
 
-    batch.join(
-      survivors.select(col("__id").as(idCol)), Seq(idCol), "left_semi")
+    // The survivors ARE what the sig append just persisted — read their
+    // ids back from the newly-added files (pre-append snapshot diff)
+    // instead of keeping the whole dedup DAG in the returned frame's
+    // lineage: with both caches released above, every caller action
+    // would otherwise re-run the sketch + both verifies per consumption
+    // (one full re-run per stats pass in x75). A pinned new-file list
+    // keeps re-execution deterministic the same way the probe's pinned
+    // snapshot does.
+    val newSigFiles = (listFiles(spark, sigsPath(path)).toSet -- sigSnap.toSet).toSeq
+    if (newSigFiles.isEmpty) batch.filter(lit(false)) // everything deduped away
+    else batch.join(
+      spark.read.parquet(newSigFiles: _*).select(col("__id").as(idCol)),
+      Seq(idCol), "left_semi")
   }
 }

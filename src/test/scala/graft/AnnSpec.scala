@@ -174,6 +174,14 @@ class AnnSpec extends SparkSpec {
     val plan = indexed.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [__cell"),
       s"expected a __cell partition filter in:\n$plan")
+
+    // quantizer-reuse contract: training once and searching With the
+    // returned centroids is the same computation as the one-shot path
+    val cents = graft.similarity.Ivf.trainQuantizer(
+      df, "embedding", "vec_id", nlist = 10, seed = 7L)
+    val withCents = graft.similarity.Ivf.cosineTopKIvfWith(
+      df, queries, "embedding", "vec_id", "vec_id", k, cents, nprobe = 3)
+    assert(rows(withCents) == rows(inMem))
   }
 
   test("appendToIndex grows the index without re-clustering; results keep parity") {
