@@ -967,6 +967,63 @@ object Queries {
           AND l_quantity < 24
       """.stripMargin.trim)),
 
+    // ── X91: hierarchical ROLLUP — the OLAP subtotal surface
+    //    (priority × status subtotals + grand total in ONE pass; Spark
+    //    expands grouping sets inside a single aggregation instead of
+    //    unioning three scans). Null grouping keys are coalesced to
+    //    '<all>' so the subtotal rows compare engine-portably ──
+    QueryDef(
+      "x91_rollup",
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .rollup(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"),
+            grouping_id().as("gid"))
+          .select(coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+            coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+            col("n_orders"), col("sum_price"), col("gid"))
+      },
+      Some("""
+        SELECT coalesce(o_orderpriority, '<all>') AS priority,
+          coalesce(o_orderstatus, '<all>') AS status,
+          count(*) AS n_orders,
+          round(sum(o_totalprice), 2) AS sum_price,
+          CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      """.stripMargin.trim)),
+
+    // ── X92: PIVOT — event counts and value sums spread into one column
+    //    per event type (explicit value list, so the output schema is
+    //    static — the only pivot shape that scales: a discovery pivot
+    //    runs an extra distinct pass AND breaks schema stability).
+    //    Oracle: portable CASE aggregation ──
+    QueryDef(
+      "x92_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        Tables.events(s, dir)
+          .withColumn("hour",
+            expr("CAST(ts div 1000000000 % 86400 div 3600 AS INT)"))
+          .groupBy(col("hour"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("v"))
+          // pivot leaves absent (hour, type) combos null; a COUNT is 0 in
+          // every ANSI engine, so align the count columns (sums stay null)
+          .select(col("hour") +: types.flatMap(t => Seq(
+            coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+            col(s"${t}_v"))): _*)
+      },
+      Some("""
+        SELECT CAST(epoch_ns(ts) // 1000000000 % 86400 // 3600 AS INT) AS hour,
+          """ + Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"""count(*) FILTER (WHERE event_type = '$t') AS "${t}_n",
+          round(sum(value) FILTER (WHERE event_type = '$t'), 6) AS "${t}_v"""")
+          .mkString(",\n          ") + """
+        FROM events GROUP BY 1
+      """.stripMargin.trim)),
+
     // ── D1: exact KNN classify (k=5, squared euclidean, deterministic
     //    tie-breaks) — test split vec_id % 20 = 0 ──
     QueryDef(
