@@ -570,8 +570,115 @@ object ExtraQueries {
           count(*) AS n_events,
           round(avg(value), 6) AS avg_value
         FROM s GROUP BY event_type, sid
+      """.stripMargin.trim)),
+
+    // ── X93: streaming LATE-DATA accounting — the watermark's other half
+    //    (x33 proved on-time emission; this proves the DROP rule). Rows
+    //    are delivered out of order on an engineered schedule: events
+    //    sorted by time, split into terciles (batches 0-2), and every
+    //    event_id % 7 == 0 row held back one batch — so batches 1-3
+    //    carry genuinely late rows, some beyond the 1-hour delay. A late
+    //    row is dropped iff its window was already finalized
+    //    (window_end ≤ watermark, where the watermark during batch k is
+    //    max delivered event-time of batches < k, floored to ms, minus
+    //    the delay). The oracle replays batch assignment, per-batch
+    //    watermark and the drop rule EXACTLY, so the retained window
+    //    aggregates hash-match only if the engine's late semantics do ──
+    QueryDef(
+      "x93_stream_late_data",
+      (s, dir) => streamLateParity(s, dir)
+        .select(col("event_type"),
+          unix_timestamp(col("window_start")).as("bucket_start_s"),
+          col("n_events"),
+          round(col("avg_value"), 6).as("avg_value")),
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_ns(ts) // 1000 AS us, value,
+            (event_id % 7 = 0) AS delayed,
+            row_number() OVER (ORDER BY ts, event_id) - 1 AS r,
+            count(*) OVER () AS n
+          FROM events
+        ), b AS (
+          SELECT event_type, us, value,
+            CAST(least(r * 3 // n + CASE WHEN delayed THEN 1 ELSE 0 END, 3)
+              AS INT) AS k
+          FROM e
+        ), mx AS (
+          SELECT k, max(us) AS mxus FROM b GROUP BY k
+        ), wm AS (
+          SELECT k, max(mxus) OVER (ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+          FROM mx
+        ), kept AS (
+          SELECT b.event_type, b.us, b.value
+          FROM b JOIN wm USING (k)
+          WHERE wm.prevmax IS NULL
+            OR (b.us // 3600000000 + 1) * 3600000000
+               > (wm.prevmax // 1000 - 3600000) * 1000
+        )
+        SELECT event_type,
+          us // 3600000000 * 3600 AS bucket_start_s,
+          count(*) AS n_events,
+          round(avg(value), 6) AS avg_value
+        FROM kept GROUP BY 1, 2
       """.stripMargin.trim))
   )
+
+  /** The x93 harness: like [[streamWindowParity]] but with an engineered
+    * out-of-order delivery schedule — time-ordered terciles with every
+    * `event_id % 7 == 0` row held back one batch — through
+    * `StreamingOps.tumblingAgg` (1-hour windows, 1-hour delay), closed by
+    * the two far-future sentinel batches.
+    */
+  private def streamLateParity(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pts = ev(s, dir)
+      .select(col("event_type"), col("ts"), col("value").cast("double"),
+        col("event_id"))
+      .as[(String, Long, Double, Long)]
+      .collect().sortBy(r => (r._2, r._4))
+    val n = pts.length
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val maxT = pts.map(_._2).max
+    val batches = Array.fill(4)(Seq.newBuilder[(String, Long, Double)])
+    pts.zipWithIndex.foreach { case ((et, t, v, id), r) =>
+      val k0 = (r.toLong * 3 / n).toInt
+      val k = math.min(k0 + (if (id % 7 == 0) 1 else 0), 3)
+      batches(k) += ((et, t, v))
+    }
+    val sink = "x93_sink"
+    s.catalog.dropTempView(sink)
+    val mem = MemoryStream[(String, Long, Double)]
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    val q =
+      try {
+        val in = mem.toDF().toDF("event_type", "t", "value")
+          .withColumn("event_time", timestamp_micros(expr("t div 1000")))
+        graft.streaming.StreamingOps.tumblingAgg(
+          in, "event_time", Seq("event_type"), width = "1 hour", delay = "1 hour")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x93_ckpt_${System.nanoTime()}")
+          .outputMode("append").start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      val all = batches.map(_.result()).filter(_.nonEmpty) ++ Seq(
+        Seq(("__sentinel", maxT + 4 * hourNs, 0.0)),
+        Seq(("__sentinel", maxT + 8 * hourNs, 0.0)))
+      all.foreach { b =>
+        if (System.nanoTime() > deadline)
+          throw new RuntimeException("x93 stream exceeded its 120s deadline")
+        mem.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink).filter(col("event_type") =!= "__sentinel")
+  }
 
   /** Sentinel-closure variant of [[streamParity]] for watermarked window
     * aggregates (x33/x34): append mode only emits a window once the
