@@ -621,8 +621,72 @@ object ExtraQueries {
           count(*) AS n_events,
           round(avg(value), 6) AS avg_value
         FROM kept GROUP BY 1, 2
+      """.stripMargin.trim)),
+
+    // ── X95: checkpoint recovery — the exactly-once restart contract: a
+    //    streaming query writes a parquet file sink for one micro-batch,
+    //    is STOPPED, and a NEW query (same plan, same checkpoint, same
+    //    sink) resumes for the remaining batches. The file sink's
+    //    transaction log must neither re-emit the pre-restart batch nor
+    //    lose it; the aggregate over the sink files hash-matches the
+    //    batch oracle only if recovery was exactly-once ──
+    QueryDef(
+      "x95_stream_restart",
+      (s, dir) => streamRestart(s, dir),
+      Some("""
+        SELECT event_type, count(*) AS n_events,
+          round(sum(value * 2), 6) AS sum_doubled,
+          min(event_id) AS min_event
+        FROM events GROUP BY 1
       """.stripMargin.trim))
   )
+
+  /** The x95 harness: one MemoryStream, two writeStream incarnations
+    * sharing a checkpoint + parquet sink. Batch 1 runs under the first
+    * query; the query is stopped (a crash stand-in); the second query
+    * resumes from the checkpoint for batches 2-3. Output is read back
+    * from the sink FILES (through the sink's own transaction log, which
+    * is what enforces exactly-once across the restart).
+    */
+  private def streamRestart(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val pts = ev(s, dir)
+      .select(col("event_id"), col("event_type"), col("value").cast("double"))
+      .as[(Long, String, Double)]
+      .collect().sortBy(_._1)
+    val stamp = System.nanoTime()
+    val ck = s"${Scratch.dir}/x95_ckpt_$stamp"
+    val out = s"${Scratch.dir}/x95_sink_$stamp"
+    val mem = MemoryStream[(Long, String, Double)]
+    def startQuery() = {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try mem.toDF().toDF("event_id", "event_type", "value")
+        .withColumn("doubled", col("value") * 2)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
+    val batches = pts.grouped(chunk).toSeq
+    val q1 = startQuery()
+    try { mem.addData(batches.head: _*); q1.processAllAvailable() }
+    finally q1.stop() // the "crash"
+    val q2 = startQuery()
+    try {
+      batches.tail.foreach { b => mem.addData(b: _*); q2.processAllAvailable() }
+    } finally q2.stop()
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("doubled")), 6).as("sum_doubled"),
+        min(col("event_id")).as("min_event"))
+  }
 
   /** The x93 harness: like [[streamWindowParity]] but with an engineered
     * out-of-order delivery schedule — time-ordered terciles with every

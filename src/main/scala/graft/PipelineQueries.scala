@@ -1474,6 +1474,61 @@ object PipelineQueries {
           count(lang) AS n_with_lang,
           CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents WHERE doc_id % 2 <> 0
+      """.stripMargin.trim)),
+
+    // ── X94: the dataset card — the per-source report a corpus release
+    //    ships: volume, token mass, exact length quantiles (p50/p90,
+    //    linear-interpolated — `percentile`, never approx, per the oracle
+    //    contract), language spread, and the exact-duplicate rate (docs
+    //    sharing a content hash beyond the keeper). Two aggregation
+    //    passes: hash-group for the dup rate, one grouped pass for the
+    //    rest; FULL oracle ──
+    QueryDef(
+      "x94_dataset_card",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val dups = docs
+          .groupBy(graft.text.TextOps.contentHash(col("text")).as("__h"),
+            col("source"))
+          .agg(count(lit(1)).as("__n"))
+          .groupBy(col("source"))
+          .agg(sum(col("__n") - 1).as("n_exact_dups"))
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            expr("CAST(percentile(n_chars, 0.5) AS DOUBLE)").as("p50_chars"),
+            expr("CAST(percentile(n_chars, 0.9) AS DOUBLE)").as("p90_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(size(split(trim(col("text")), "\\s+"))
+              .cast("long")).as("n_words"))
+          .join(dups, Seq("source"))
+          .withColumn("dup_rate",
+            round(col("n_exact_dups").cast("double") / col("n_docs"), 6))
+      },
+      Some("""
+        WITH d AS (
+          SELECT source,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h,
+            n_chars,
+            len(string_split_regex(trim(text), '\s+')) AS nw,
+            lang
+          FROM documents
+        ), dups AS (
+          SELECT source, CAST(sum(n - 1) AS BIGINT) AS n_exact_dups FROM (
+            SELECT source, h, count(*) AS n FROM d GROUP BY 1, 2)
+          GROUP BY 1
+        ), card AS (
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+            CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS p50_chars,
+            CAST(quantile_cont(n_chars, 0.9) AS DOUBLE) AS p90_chars,
+            count(DISTINCT lang) AS n_langs,
+            CAST(sum(nw) AS BIGINT) AS n_words
+          FROM d GROUP BY 1
+        )
+        SELECT card.*, dups.n_exact_dups,
+          round(CAST(dups.n_exact_dups AS DOUBLE) / card.n_docs, 6) AS dup_rate
+        FROM card JOIN dups USING (source)
       """.stripMargin.trim))
   )
 }
