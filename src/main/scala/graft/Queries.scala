@@ -967,6 +967,72 @@ object Queries {
           AND l_quantity < 24
       """.stripMargin.trim)),
 
+    // ── Q12-style: conditional aggregation across a fact-fact join —
+    //    line counts split by order priority class per return flag (the
+    //    TPC-H q12 CASE-inside-SUM shape; one join, one agg, priorities
+    //    classified inline so the fact table is scanned once) ──
+    QueryDef(
+      "q12_priority_mix",
+      (s, dir) => {
+        val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(sum(when(hi, 1L).otherwise(0L)).as("high_lines"),
+            sum(when(!hi, 1L).otherwise(0L)).as("low_lines"),
+            round(sum(when(hi, col("l_extendedprice")).otherwise(0d)), 2)
+              .as("high_revenue"))
+      },
+      Some("""
+        SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_lines,
+          round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN l_extendedprice ELSE 0 END), 2) AS high_revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── Q18-style: large-order identification — aggregate-then-filter
+    //    subquery joined back to its dimensions (the TPC-H q18 HAVING
+    //    shape): lineitem grouped by order, quantity-thresholded, the
+    //    small survivor set joined to orders + customer. The threshold
+    //    filter lands on the AGGREGATE, so the join input collapses
+    //    before any dimension is touched ──
+    QueryDef(
+      "q18_big_orders",
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > 300)
+        big.join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("total_price"),
+            round(col("total_qty"), 2).as("total_qty"))
+          .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""
+        SELECT c_name, o_orderkey,
+          round(o_totalprice, 2) AS total_price,
+          round(total_qty, 2) AS total_qty
+        FROM (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+        ) big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey ASC
+        LIMIT 100
+      """.stripMargin.trim)),
+
     // ── X91: hierarchical ROLLUP — the OLAP subtotal surface
     //    (priority × status subtotals + grand total in ONE pass; Spark
     //    expands grouping sets inside a single aggregation instead of
