@@ -1482,7 +1482,11 @@ object PipelineQueries {
     //    contract), language spread, and the exact-duplicate rate (docs
     //    sharing a content hash beyond the keeper). Two aggregation
     //    passes: hash-group for the dup rate, one grouped pass for the
-    //    rest; FULL oracle ──
+    //    rest; FULL oracle. Scale note: exact `percentile` buffers each
+    //    group's values — right for a report over ≤ thousands of sources,
+    //    wrong for per-document groups; at 100 TB swap in
+    //    `approx_percentile(…, 0.5, 10000)` (same plan shape, GK-sketch
+    //    bounded memory) and accept the sketch error in the card ──
     QueryDef(
       "x94_dataset_card",
       (s, dir) => {

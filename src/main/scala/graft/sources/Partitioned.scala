@@ -51,7 +51,9 @@ object Partitioned {
 
   /** Total data-file count under `path` (recursive, `_`-prefixed
     * bookkeeping files excluded) — the before/after measure of
-    * [[compact]].
+    * [[compact]]. Local-filesystem walk (a proof/test helper); against
+    * HDFS/object storage count via `FileSystem.listFiles(path, true)`
+    * instead.
     */
   def fileCount(path: String): Int = {
     def walk(f: java.io.File): Int =

@@ -258,6 +258,19 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(2).isNullAt(1))
   }
 
+  test("dHash on RGB uses the first channel and matches the gray equivalent") {
+    import spark.implicits._
+    val w = 8; val h = 6
+    val gray = Array.tabulate(w * h)(i => (i * 53 + 7) % 256)
+    // RGB image whose R channel equals the gray image (G/B arbitrary)
+    val rgb = gray.flatMap(v => Array(v, (v + 91) % 256, (v * 3) % 256))
+    val df = Seq((0, Png.encode(w, h, 1, gray)), (1, Png.encode(w, h, 3, rgb)))
+      .toDF("id", "content")
+    val rows = df.select(col("id"), Multimodal.dHash(col("content")).as("h"))
+      .orderBy("id").collect()
+    assert(rows(0).getStruct(1) == rows(1).getStruct(1))
+  }
+
   test("frameFeatures: per-frame energy/zero-crossings/abs, partial frame dropped") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq(1, -2, 3, -4, 9)), Tuple1(Seq(5)), Tuple1(Seq.empty[Int]))
