@@ -317,6 +317,44 @@ object JoinQueries {
           round(sum(value), 6) AS sum_value,
           min(event_id) AS min_event
         FROM events GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X96: format interchange — the same fact slice written and read
+    //    back through ORC (the other columnar format), CSV (schema-on-
+    //    read with explicit types; header kept) and JSON lines; one
+    //    aggregate per format, all three rows forced equal by the oracle
+    //    (CROSS JOIN over the format tags). Proves the sink/source pair
+    //    round-trips types exactly — including Double.toString
+    //    round-tripping through the text formats ──
+    QueryDef(
+      "x96_format_roundtrip",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val base = s"${Scratch.dir}/graft_fmt_$tag"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"), col("value"))
+        ev.write.mode("overwrite").orc(s"$base/orc")
+        ev.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+        ev.write.mode("overwrite").json(s"$base/json")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "event_id BIGINT, event_type STRING, value DOUBLE")
+        val back = Seq(
+          "orc" -> s.read.orc(s"$base/orc"),
+          "csv" -> s.read.schema(schema).option("header", "true").csv(s"$base/csv"),
+          "json" -> s.read.schema(schema).json(s"$base/json"))
+        back.map { case (fmt, df) =>
+          df.groupBy(lit(fmt).as("fmt"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum(col("value")), 6).as("sum_value"),
+              min(col("event_id")).as("min_event"))
+        }.reduce(_.unionAll(_))
+      },
+      Some("""
+        SELECT f.fmt, count(*) AS n_events,
+          round(sum(value), 6) AS sum_value,
+          min(event_id) AS min_event
+        FROM events CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) f(fmt)
+        GROUP BY 1
       """.stripMargin.trim)))
 
   /** The x85 harness: click events collected once and replayed through a
