@@ -1533,6 +1533,78 @@ object PipelineQueries {
         SELECT card.*, dups.n_exact_dups,
           round(CAST(dups.n_exact_dups AS DOUBLE) / card.n_docs, 6) AS dup_rate
         FROM card JOIN dups USING (source)
+      """.stripMargin.trim)),
+
+    // ── X97: C4 line-level cleaning (Quality.c4LineClean/c4DocKeep, the
+    //    published Raffel et al. heuristics). The corpus text is
+    //    single-line, so each doc is rebuilt into planted 5-word lines
+    //    whose terminators / javascript poison / brace block follow
+    //    doc_id arithmetic — every rule fires on a known subset. The
+    //    oracle derives the SAME accounting purely arithmetically (line
+    //    keep = terminator + word-count + poison predicates), so the
+    //    string pipeline must agree with first principles ──
+    QueryDef(
+      "x97_c4_line_clean",
+      (s, dir) => {
+        val d = col("doc_id")
+        val raw = concat(
+          array_join(
+            element_at(transform(array(split(trim(col("text")), "\\s+")), w =>
+              transform(
+                sequence(lit(0), ceil(size(w) / lit(5.0)).cast("int") - 1),
+                i => {
+                  val li = array_join(slice(w, i * 5 + 1, lit(5)), " ")
+                  when(pmod(d + i, lit(11)) === 0, concat(li, lit(" javascript.")))
+                    .when(pmod(d + i, lit(3)) === 0, concat(li, lit(".")))
+                    .when(pmod(d + i, lit(3)) === 1, concat(li, lit("?")))
+                    .otherwise(li)
+                })), 1),
+            "\n"),
+          when(d % 13 === 0, lit("\n{ code block }")).otherwise(lit("")))
+        Tables.documents(s, dir)
+          .withColumn("__raw", raw)
+          .withColumn("__c", graft.text.Quality.c4LineClean(col("__raw")))
+          .withColumn("__keep",
+            graft.text.Quality.c4DocKeep(col("__raw"), col("__c")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("__keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+            sum(when(col("__keep"),
+              size(filter(split(col("__c"), "\n"), l => length(l) > 0)).cast("long"))
+              .otherwise(0L)).as("n_lines_out"),
+            sum(when(col("__keep"), length(col("__c")).cast("long"))
+              .otherwise(0L)).as("sum_chars_out"))
+      },
+      Some("""
+        WITH wdoc AS (
+          SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+          FROM documents
+        ), ln AS (
+          SELECT doc_id, source, i.i AS i,
+            len(w) - i.i * 5 AS remaining,
+            len(array_to_string(w[(i.i*5+1):(i.i*5+5)], ' ')) AS lilen
+          FROM wdoc,
+            (SELECT unnest(generate_series(0,
+              CAST(ceil(len(w) / 5.0) AS INT) - 1)) AS i) i
+        ), lk AS (
+          SELECT doc_id, source, i, lilen,
+            CASE WHEN (doc_id + i) % 11 = 0 THEN 0
+                 WHEN (doc_id + i) % 3 IN (0, 1) AND least(remaining, 5) >= 3 THEN 1
+                 ELSE 0 END AS keep
+          FROM ln
+        ), agg AS (
+          SELECT doc_id, source, sum(keep) AS nkept,
+            sum(CASE WHEN keep = 1 THEN lilen + 1 ELSE 0 END) AS kchars
+          FROM lk GROUP BY 1, 2
+        )
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN nkept >= 3 AND doc_id % 13 <> 0
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+          CAST(sum(CASE WHEN nkept >= 3 AND doc_id % 13 <> 0
+            THEN nkept ELSE 0 END) AS BIGINT) AS n_lines_out,
+          CAST(sum(CASE WHEN nkept >= 3 AND doc_id % 13 <> 0
+            THEN kchars + nkept - 1 ELSE 0 END) AS BIGINT) AS sum_chars_out
+        FROM agg GROUP BY 1
       """.stripMargin.trim))
   )
 }

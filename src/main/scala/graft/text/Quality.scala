@@ -544,4 +544,30 @@ object Quality {
       .getOrElse(throw new IllegalArgumentException(s"unknown pii kind $kind"))
     text.rlike(re)
   }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2, the published
+    * heuristics): a line survives iff, after trimming, it ends in a
+    * terminal punctuation mark (`.`, `!`, `?`, `"`), has at least three
+    * whitespace words, and does not contain "javascript" (case-folded).
+    * Returns the document rebuilt from the surviving lines (newline-
+    * joined). Pure array HOFs on the lambda variable — codegen'd, no
+    * shuffle, no outer-expression re-evaluation.
+    */
+  def c4LineClean(text: Column): Column = {
+    val kept = filter(transform(split(text, "\n"), l => trim(l)), t =>
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= 3 &&
+        !lower(t).contains("javascript"))
+    array_join(kept, "\n")
+  }
+
+  /** C4 document gate over the CLEANED text: keep documents with at
+    * least `minLines` surviving lines and none of the published
+    * page-level poison markers (`{` — code; "lorem ipsum" — boilerplate),
+    * checked against the ORIGINAL text as C4 does.
+    */
+  def c4DocKeep(original: Column, cleaned: Column, minLines: Int = 3): Column =
+    (size(filter(split(cleaned, "\n"), l => length(l) > 0)) >= minLines) &&
+      !original.contains("{") &&
+      !lower(original).contains("lorem ipsum")
 }

@@ -256,4 +256,32 @@ class QualitySpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("passes"), "top-2gram repetition should fail")
     assert(!out(2).getAs[Boolean]("passes"), "short doc should fail")
   }
+
+  test("c4LineClean applies the published line rules; c4DocKeep the page rules") {
+    import spark.implicits._
+    val doc = Seq(
+      "Good first sentence here.",      // kept
+      "Also a fine question?",          // kept
+      "too short.",                     // < 3 words
+      "no terminal punctuation at all", // no terminator
+      "  Trimmed line survives too.  ", // kept after trim
+      "enable JavaScript to view this." // poison word, case-folded
+    ).mkString("\n")
+    val got = Seq(Tuple1(doc)).toDF("t")
+      .select(Quality.c4LineClean(org.apache.spark.sql.functions.col("t")).as("c"))
+      .head().getString(0)
+    assert(got == Seq("Good first sentence here.", "Also a fine question?",
+      "Trimmed line survives too.").mkString("\n"))
+
+    def keep(orig: String, minLines: Int = 3): Boolean =
+      Seq(Tuple1(orig)).toDF("t")
+        .select(Quality.c4DocKeep(org.apache.spark.sql.functions.col("t"),
+          Quality.c4LineClean(org.apache.spark.sql.functions.col("t")),
+          minLines).as("k"))
+        .head().getBoolean(0)
+    assert(keep(doc))                              // 3 surviving lines
+    assert(!keep(doc + "\nvar x = { a: 1 };"))     // brace poison
+    assert(!keep(doc + "\nLorem Ipsum filler."))   // boilerplate poison
+    assert(!keep(doc, minLines = 4))               // threshold
+  }
 }
