@@ -897,6 +897,14 @@ object PipelineQueries {
       "x69_pretrain_dataset",
       (s, dir) => {
         import graft.text.TextOps
+        // Scale note: composed as ONE Catalyst plan, the branches
+        // (corpus/bench split, contamination's two sides, near-dup,
+        // packing) re-scan `documents` 13× (explain-audited round 9) —
+        // free at bench SF, wrong at 100 TB. The production shape
+        // materializes each stage to parquet and reads it back (the
+        // x78/x89 snapshot pattern), paying one write per stage instead
+        // of repeated upstream recompute; semantics identical, which is
+        // why the single-plan form stays the oracle-checked one here.
         val docs = Tables.documents(s, dir)
         val lang = TextOps.languageId(docs, "text", "pred_lang")
         val qual = TextOps.qualityScore(lang, "text", "__q")
