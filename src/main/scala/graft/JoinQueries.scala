@@ -355,6 +355,80 @@ object JoinQueries {
           min(event_id) AS min_event
         FROM events CROSS JOIN (VALUES ('orc'), ('csv'), ('json')) f(fmt)
         GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X98: AQE skew-join re-plan — the runtime half of the skew story
+    //    (x52 is the by-hand salting): a quarter of the fact rows are
+    //    folded onto one hot key, broadcast is disabled so the shuffle
+    //    SMJ is what AQE sees, and the skew thresholds are scaled to the
+    //    bench SF so OptimizeSkewedJoin actually splits the hot
+    //    partition — require()-checked from the POST-execution adaptive
+    //    plan (the only view that shows it). Oracle: the plain folded
+    //    join — the re-plan must be invisible in the results ──
+    QueryDef(
+      "x98_aqe_skew",
+      (s, dir) => {
+        // spread first: the hot partition must arrive from MANY map tasks
+        // for AQE to split it (skew specs are per-mapper ranges; a
+        // single-file local scan is one mapper, and a one-mapper hot
+        // partition reports "not splittable" — on a real cluster the
+        // upstream stage always has many tasks, which spread() simulates)
+        val ev = Tables.spread(Tables.events(s, dir))
+          .withColumn("k",
+            when(col("user_id") % 4 === 0, lit(7L)).otherwise(col("user_id")))
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("k"), col("c_nationkey"))
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+          "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+          "spark.sql.adaptive.forceOptimizeSkewedJoin",
+          "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+          "spark.sql.adaptive.coalescePartitions.enabled")
+        val prev = keys.map(k => k -> s.conf.getOption(k))
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          // bench-SF scaling: the hot partition is ~3x the median (25% of
+          // the fact rows on one key vs a near-uniform tail), so the
+          // default factor 5 would never fire here; production keeps the
+          // defaults and sees the same mechanism at MB scale
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+          // the downstream re-aggregation shuffles on a different key, so
+          // splitting the join costs nothing extra here — but the rule's
+          // conservative extra-shuffle guard can't see that; force it
+          s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+          s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+          s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+          val out = ev.join(cust, "k")
+            .groupBy(col("c_nationkey"))
+            .agg(count(lit(1)).as("n_events"),
+              round(sum(col("value")), 6).as("sum_value"))
+          // execute THIS QueryExecution so its adaptive plan finalizes,
+          // then read the skew marker off the final plan
+          out.queryExecution.toRdd.count()
+          val plan = (out.queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case p => p
+          }).toString
+          require(plan.contains("skew=true"),
+            s"AQE did not split the skewed partition:\n$plan")
+          out
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT c_nationkey, count(*) AS n_events,
+          round(sum(value), 6) AS sum_value
+        FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 7 ELSE user_id END AS k,
+                value FROM events) e
+        JOIN customer ON e.k = c_custkey
+        GROUP BY 1
       """.stripMargin.trim)))
 
   /** The x85 harness: click events collected once and replayed through a
