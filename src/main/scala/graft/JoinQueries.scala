@@ -429,7 +429,86 @@ object JoinQueries {
                 value FROM events) e
         JOIN customer ON e.k = c_custkey
         GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X99: AQE partition coalescing — the self-healing half of
+    //    shuffle-partition sizing: a tiny per-user aggregate under 32
+    //    configured partitions is coalesced at runtime to a handful
+    //    (require()-checked from the final adaptive plan), so an
+    //    over-provisioned `spark.sql.shuffle.partitions` — which a 100 TB
+    //    job sizes for its BIGGEST stage — costs nothing on its small
+    //    stages. Oracle: the same two-level aggregate ──
+    QueryDef(
+      "x99_aqe_coalesce",
+      (s, dir) => {
+        val out = Tables.events(s, dir)
+          .groupBy(col("user_id")).agg(sum(col("value")).as("sv"))
+          .groupBy((col("user_id") % 10).as("g"))
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("sv")), 6).as("sum_value"))
+        val plan = finalAdaptivePlan(out)
+        require(plan.contains("AQEShuffleRead coalesced"),
+          s"AQE did not coalesce the small shuffle:\n$plan")
+        out
+      },
+      Some("""
+        SELECT user_id % 10 AS g, count(*) AS n_users,
+          round(sum(sv), 6) AS sum_value
+        FROM (SELECT user_id, sum(value) AS sv FROM events GROUP BY 1)
+        GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X100: exchange reuse — one shuffle, two consumers: the per-user
+    //    aggregate feeds both branches of a union, and the second branch
+    //    must plan a ReusedExchange over the first's shuffle instead of
+    //    recomputing it (require()-checked). The pattern every diamond-
+    //    shaped pipeline leans on — without it each consumer re-scans and
+    //    re-shuffles the fact table (the x69 comment's trade-off,
+    //    optimizer-solved when the subtrees canonicalize equal) ──
+    QueryDef(
+      "x100_exchange_reuse",
+      (s, dir) => {
+        val agg = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(round(sum(col("value")), 6).as("sv"))
+        val hi = agg.filter(col("sv") > 0)
+          .select(lit("hi").as("side"), col("sv"))
+        val lo = agg.filter(col("sv") <= 0)
+          .select(lit("lo").as("side"), col("sv"))
+        val out = hi.unionAll(lo).groupBy(col("side"))
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(col("sv")), 6).as("sum_value"))
+        val plan = finalAdaptivePlan(out)
+        require(plan.contains("ReusedExchange"),
+          s"the second union branch recomputed the aggregate shuffle:\n$plan")
+        out
+      },
+      Some("""
+        WITH a AS (
+          SELECT user_id, round(sum(value), 6) AS sv FROM events GROUP BY 1
+        )
+        SELECT side, count(*) AS n_users, round(sum(sv), 6) AS sum_value
+        FROM (
+          SELECT 'hi' AS side, sv FROM a WHERE sv > 0
+          UNION ALL
+          SELECT 'lo' AS side, sv FROM a WHERE sv <= 0)
+        GROUP BY 1
       """.stripMargin.trim)))
+
+  /** Execute `df`'s own QueryExecution and return the FINAL adaptive
+    * plan as text — the only view that shows runtime re-plans (skew
+    * splits, coalesced reads, reused stages). The caller's later
+    * consumption re-executes; these proof queries are small by
+    * construction.
+    */
+  private def finalAdaptivePlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.toRdd.count()
+    (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+  }
 
   /** The x85 harness: click events collected once and replayed through a
     * MemoryStream in three micro-batches; the streaming frame is
