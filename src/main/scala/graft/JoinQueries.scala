@@ -358,7 +358,7 @@ object JoinQueries {
       """.stripMargin.trim)),
 
     // ── X98: AQE skew-join re-plan — the runtime half of the skew story
-    //    (x52 is the by-hand salting): a quarter of the fact rows are
+    //    (x52 is the by-hand salting): half of the fact rows are
     //    folded onto one hot key, broadcast is disabled so the shuffle
     //    SMJ is what AQE sees, and the skew thresholds are scaled to the
     //    bench SF so OptimizeSkewedJoin actually splits the hot
@@ -375,7 +375,7 @@ object JoinQueries {
         // upstream stage always has many tasks, which spread() simulates)
         val ev = Tables.spread(Tables.events(s, dir))
           .withColumn("k",
-            when(col("user_id") % 4 === 0, lit(7L)).otherwise(col("user_id")))
+            when(col("user_id") % 2 === 0, lit(7L)).otherwise(col("user_id")))
         val cust = Tables.customer(s, dir)
           .select(col("c_custkey").as("k"), col("c_nationkey"))
         val keys = Seq(
@@ -394,13 +394,15 @@ object JoinQueries {
           // the fact rows on one key vs a near-uniform tail), so the
           // default factor 5 would never fire here; production keeps the
           // defaults and sees the same mechanism at MB scale
-          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+          // thresholds sized so the proof holds from the sf0.001 smoke
+          // (hot partition ~10 KB there) up through the bench SFs
+          s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
           s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
           // the downstream re-aggregation shuffles on a different key, so
           // splitting the join costs nothing extra here — but the rule's
           // conservative extra-shuffle guard can't see that; force it
           s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-          s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+          s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
           s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
           val out = ev.join(cust, "k")
             .groupBy(col("c_nationkey"))
@@ -425,7 +427,7 @@ object JoinQueries {
       Some("""
         SELECT c_nationkey, count(*) AS n_events,
           round(sum(value), 6) AS sum_value
-        FROM (SELECT CASE WHEN user_id % 4 = 0 THEN 7 ELSE user_id END AS k,
+        FROM (SELECT CASE WHEN user_id % 2 = 0 THEN 7 ELSE user_id END AS k,
                 value FROM events) e
         JOIN customer ON e.k = c_custkey
         GROUP BY 1
