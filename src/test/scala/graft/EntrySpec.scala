@@ -7,9 +7,29 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries ALLOWED to plan a both-sides-shuffled CartesianProduct:
+    * each is a documented bounded exact baseline over a sliced input,
+    * never a corpus-scale path. Anything else planning one is a scale
+    * regression. (BroadcastNestedLoopJoin is NOT flagged: its build side
+    * is a broadcast — driver-bounded by construction — and the registry
+    * uses it deliberately for the crossJoin(broadcast(scalarStats))
+    * totals-attachment idiom and the broadcast-query exact rankers.)
+    */
+  private val cartesianAllowlist = Set(
+    "x14_embed_dup" // cosineDupPairsExact over a 500-id slice (the exact baseline)
+  )
+
   test("all registered queries run on sf0.001 and return rows") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, "/root/testdata/sf0.001").count()
+      val df = fn(spark, "/root/testdata/sf0.001")
+      // plan-regression guard, same pass as the smoke count: no query may
+      // silently pick up a both-sides-materializing join
+      if (!cartesianAllowlist.contains(name)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"query $name plans a cartesian product:\n$plan")
+      }
+      val n = df.count()
       assert(n > 0, s"query $name returned 0 rows")
     }
   }
