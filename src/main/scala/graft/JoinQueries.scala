@@ -136,6 +136,33 @@ object JoinQueries {
         GROUP BY e.event_id, e.user_id
       """.stripMargin.trim)),
 
+    // ── X101: stream-stream LEFT OUTER interval join — x50's shape with
+    //    the outer contract: an error with NO click in its band must
+    //    still emit, null-padded, and streaming can only do that once
+    //    the watermark proves no match can still arrive — the sentinel
+    //    batches (on BOTH streams; the global watermark is the min
+    //    across sources) force that proof for every real row. Oracle =
+    //    the batch LEFT join: matched errors carry their counts,
+    //    unmatched ones exactly one (0, null) row ──
+    QueryDef(
+      "x101_stream_outer_join",
+      (s, dir) => streamOuterRangeJoin(s, dir),
+      Some(s"""
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'error'
+        ), c AS (
+          SELECT user_id, epoch_us(ts) AS t, value
+          FROM events WHERE event_type = 'click'
+        )
+        SELECT e.event_id, e.user_id,
+          CAST(count(c.t) AS BIGINT) AS n_recent_clicks,
+          round(sum(c.value), 6) AS sum_click_value
+        FROM e LEFT JOIN c ON c.user_id = e.user_id
+          AND c.t > e.t - ${DayNs / 1000L} AND c.t <= e.t
+        GROUP BY 1, 2
+      """.stripMargin.trim)),
+
     // ── X52: skew-salted fact-dim join — events salted 8 ways against
     //    customer, revenue per nation. The oracle is the PLAIN join:
     //    salting must be invisible in the results ──
@@ -593,6 +620,23 @@ object JoinQueries {
     */
   private def streamRangeJoin(
       s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    streamRangeJoinImpl(s, dir, "inner", "x50", sentinels = false)
+
+  /** x101: the LEFT OUTER variant — errors with no click in the band must
+    * still emit (null-padded), which only happens once the watermark
+    * passes the row's join window; two far-future sentinel batches on
+    * BOTH streams (the global watermark is the min across sources) force
+    * that flush, the x33 sentinel-closure device applied to outer joins.
+    */
+  private def streamOuterRangeJoin(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    streamRangeJoinImpl(s, dir, "left_outer", "x101", sentinels = true)
+
+  private def streamRangeJoinImpl(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      joinType: String, tag: String, sentinels: Boolean)
       : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -606,7 +650,7 @@ object JoinQueries {
       .collect().sortBy(_._3) // arrival ≈ event order → monotone watermark
     val errs = side("error")
     val clicks = side("click")
-    val sink = "x50_sink"
+    val sink = s"${tag}_sink"
     s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
     val memE = MemoryStream[(Long, Long, Long, Double)]
     val memC = MemoryStream[(Long, Long, Long, Double)]
@@ -634,11 +678,12 @@ object JoinQueries {
         e.join(c,
             col("e_user_id") === col("c_user_id") &&
               col("c_event_time") > col("e_event_time") - expr("interval 24 hours") &&
-              col("c_event_time") <= col("e_event_time"))
+              col("c_event_time") <= col("e_event_time"),
+            joinType)
           .select(col("e_event_id"), col("e_user_id"), col("c_value"))
           .writeStream.format("memory").queryName(sink)
           .option("checkpointLocation",
-            s"${Scratch.dir}/x50_ckpt_${System.nanoTime()}")
+            s"${Scratch.dir}/${tag}_ckpt_${System.nanoTime()}")
           .outputMode("append").start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
@@ -649,16 +694,28 @@ object JoinQueries {
       chunks(errs).zipAll(chunks(clicks), Seq.empty, Seq.empty).foreach {
         case (eb, cb) =>
           if (System.nanoTime() > deadline)
-            throw new RuntimeException("x50 stream exceeded its 120s deadline")
+            throw new RuntimeException(s"$tag stream exceeded its 120s deadline")
           if (eb.nonEmpty) memE.addData(eb: _*)
           if (cb.nonEmpty) memC.addData(cb: _*)
           q.processAllAvailable()
       }
+      if (sentinels) {
+        val dayNs = 86400000000000L
+        val maxT = (errs ++ clicks).map(_._3).max
+        Seq(maxT + 2 * dayNs, maxT + 4 * dayNs).foreach { t =>
+          memE.addData((-1L, -1L, t, 0.0)); memC.addData((-1L, -1L, t, 0.0))
+          q.processAllAvailable()
+        }
+      }
     } finally q.stop()
     s.table(sink)
+      .filter(col("e_user_id") =!= -1L)
       .groupBy(col("e_event_id").as("event_id"),
         col("e_user_id").as("user_id"))
-      .agg(count(lit(1)).as("n_recent_clicks"),
+      // count(c_value) counts MATCHED rows only — identical to count(*)
+      // for the inner variant (clicks never carry null values) and the
+      // outer contract (an unmatched error's single null row counts 0)
+      .agg(count(col("c_value")).as("n_recent_clicks"),
         round(sum(col("c_value")), 6).as("sum_click_value"))
   }
 }
