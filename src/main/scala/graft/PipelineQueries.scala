@@ -1613,6 +1613,35 @@ object PipelineQueries {
           CAST(sum(CASE WHEN nkept >= 3 AND doc_id % 13 <> 0
             THEN kchars + nkept - 1 ELSE 0 END) AS BIGINT) AS sum_chars_out
         FROM agg GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X102: single-pass pipeline telemetry (`observe`/Observation) —
+    //    the production counters question: "how many rows went IN to this
+    //    filter?" answered WITHOUT a second scan. An observe() node
+    //    before the gate collects input row/char totals as a side channel
+    //    of the same action that counts the output; the oracle recomputes
+    //    both from the base table, so the observed values must equal a
+    //    real re-aggregation ──
+    QueryDef(
+      "x102_observed_clean",
+      (s, dir) => {
+        val obs = org.apache.spark.sql.Observation(s"x102_${System.nanoTime()}")
+        val gated = Tables.documents(s, dir)
+          .observe(obs, count(lit(1)).as("rows_in"),
+            sum(col("n_chars")).as("chars_in"))
+          .filter(length(col("text")) >= 50)
+        val kept = gated.count() // ONE scan: fills the counters AND the output count
+        val m = obs.get
+        import s.implicits._
+        Seq((m("rows_in").asInstanceOf[Long], m("chars_in").asInstanceOf[Long],
+          kept)).toDF("rows_in", "chars_in", "rows_kept")
+      },
+      Some("""
+        SELECT count(*) AS rows_in,
+          CAST(sum(n_chars) AS BIGINT) AS chars_in,
+          CAST(sum(CASE WHEN length(text) >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+            AS rows_kept
+        FROM documents
       """.stripMargin.trim))
   )
 }
