@@ -1,0 +1,157 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
+
+import graft.functions.{FFT, HashRandom, Scored, TopKAgg}
+import graft.multimodal.{Png, Wav}
+
+/** Property-based checks over the pure kernels — seeded, so every run
+  * exercises the same cases (no flaky CI), but the cases themselves are
+  * adversarial in a way hand-written goldens aren't: arbitrary sizes,
+  * duplicate sort keys, clipping boundaries, hostile URL shapes.
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop, n: Int = 60): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n)
+        .withInitialSeed(Seed(20260814L)),
+      p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("FFT: full-band bandpass is the identity (round-trip) at any length") {
+    val sig = for {
+      n <- Gen.choose(1, 257)
+      xs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield xs.toArray
+    check(Prop.forAll(sig) { x =>
+      val back = FFT.bandpass(x, low = 0.0, high = 0.5, sampleRate = 1.0)
+      x.indices.forall(i => math.abs(back(i) - x(i)) < 1e-8)
+    })
+  }
+
+  test("FFT: Parseval's identity holds at any length") {
+    val sig = for {
+      n <- Gen.choose(1, 200)
+      xs <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+    } yield xs.toArray
+    check(Prop.forAll(sig) { x =>
+      val (re, im) = FFT.fft(x)
+      val time = x.map(v => v * v).sum
+      val freq = re.indices.map(k => re(k) * re(k) + im(k) * im(k)).sum / x.length
+      math.abs(time - freq) <= 1e-7 * math.max(1.0, time)
+    })
+  }
+
+  test("Png: encode/decode round-trips any size and channel count") {
+    val img = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 12)
+      ch <- Gen.oneOf(1, 2, 3, 4)
+      px <- Gen.listOfN(w * h * ch, Gen.choose(0, 255))
+    } yield (w, h, ch, px.toArray)
+    check(Prop.forAll(img) { case (w, h, ch, px) =>
+      Png.decode(Png.encode(w, h, ch, px)).exists(d =>
+        d.width == w && d.height == h && d.channels == ch &&
+          d.samples.sameElements(px))
+    })
+  }
+
+  test("Wav: 16-bit PCM round-trips the full sample range") {
+    val audio = for {
+      n <- Gen.choose(1, 300)
+      xs <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+      sr <- Gen.oneOf(8000, 16000, 44100)
+    } yield (sr, xs.toArray)
+    check(Prop.forAll(audio) { case (sr, xs) =>
+      Wav.decode(Wav.encodePcm16(sr, 1, xs)).exists(a =>
+        a.sampleRate == sr && a.samples.sameElements(xs))
+    })
+  }
+
+  test("TopKAgg: any partitioning + merge order equals sorted take-k") {
+    val input = for {
+      k <- Gen.choose(1, 8)
+      n <- Gen.choose(0, 60)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.oneOf(Gen.choose(-5.0, 5.0), Gen.oneOf(0.0, 1.0, Double.NaN))
+        id <- Gen.choose(0L, 20L) // narrow id range → duplicate ids + scores
+      } yield Scored(s, id, 0L))
+      cuts <- Gen.choose(1, 5)
+    } yield (k, rows, cuts)
+    check(Prop.forAll(input) { case (k, rows, cuts) =>
+      val agg = new TopKAgg(k)
+      val chunks = if (rows.isEmpty) Seq(Seq.empty[Scored])
+        else rows.grouped(math.max(1, rows.length / cuts)).toSeq
+      val merged = chunks
+        .map(c => c.foldLeft(agg.zero)((b, r) => agg.reduce(b, r)))
+        .reduceLeft((a, b) => agg.merge(a, b))
+      val got = agg.finish(merged).hits
+      val expect = rows.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a.score, b.score)
+        c < 0 || (c == 0 && a.id < b.id)
+      }.take(k)
+      got == expect
+    })
+  }
+
+  test("HashRandom: uniform stays in (0,1), deterministic, stream-separated") {
+    val args = for {
+      seed <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      stream <- Gen.choose(0L, 1000L)
+      idx <- Gen.choose(0L, 100000L)
+    } yield (seed, stream, idx)
+    check(Prop.forAll(args) { case (seed, st, i) =>
+      val u = HashRandom.uniform(seed, st, i)
+      val g = HashRandom.gaussian(seed, st, i)
+      u > 0.0 && u < 1.0 &&
+        u == HashRandom.uniform(seed, st, i) && // deterministic
+        !g.isNaN && !g.isInfinite
+    })
+  }
+
+  test("Urls.canonicalize: idempotent, tracker-free, lowercase scheme://host") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val seg = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val param = Gen.oneOf(
+      seg.map(s => s"$s=1"),
+      Gen.oneOf("utm_source=x", "utm_campaign=y", "gclid=z", "fbclid=w", "ref=r"))
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- seg
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      npath <- Gen.choose(0, 3)
+      path <- Gen.listOfN(npath, seg).map(ps => ps.map("/" + _).mkString)
+      slash <- Gen.oneOf("", "/", "//")
+      nq <- Gen.choose(0, 4)
+      params <- Gen.listOfN(nq, param)
+      frag <- Gen.oneOf("", "#top", "#a/b?c")
+    } yield s"$scheme://$www$host.example$port$path$slash" +
+      (if (params.nonEmpty) "?" + params.mkString("&") else "") + frag
+    // sample a deterministic batch and evaluate all properties in ONE pass
+    val urls = (0 until 200).flatMap(i =>
+      urlGen.apply(Gen.Parameters.default, Seed(1000L + i))).distinct
+    assert(urls.size > 150, "generator should produce a rich sample")
+    val rows = urls.toDF("u")
+      .select(col("u"),
+        graft.text.Urls.canonicalize(col("u")).as("c1"),
+        graft.text.Urls.canonicalize(graft.text.Urls.canonicalize(col("u"))).as("c2"))
+      .collect()
+    rows.foreach { r =>
+      val (u, c1, c2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(c1 == c2, s"not idempotent: $u -> $c1 -> $c2")
+      assert(!c1.contains("utm_") && !c1.contains("gclid") && !c1.contains("fbclid"),
+        s"tracker survived: $u -> $c1")
+      val prefix = c1.takeWhile(_ != '/')
+      assert(prefix == prefix.toLowerCase, s"scheme not lowercased: $u -> $c1")
+      assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
+    }
+  }
+}
