@@ -115,6 +115,56 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("connectedComponents equals union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    (1 to 8).foreach { _ =>
+      val nNodes = 2 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(60)
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        // driver-side union-find with min-label components
+        val parent = Array.tabulate(nNodes)(identity)
+        def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val expect = touched.map(id => id -> {
+          // min node id in the component (root chain compresses to min
+          // because unions always point the larger root at the smaller)
+          find(id.toInt).toLong
+        }).toMap
+        val got = graft.text.Components
+          .connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"edges=$edges\ngot=$got\nexpect=$expect")
+      }
+    }
+  }
+
+  test("quantizeInt8: reconstruction error bounded by half a quantization step") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(16)((rnd.nextDouble() * 2 - 1) * math.pow(10, rnd.nextInt(4) - 1).toFloat)
+        .map(_.toFloat)))
+    val df = graft.similarity.Ann.quantizeInt8(vecs.toDF("id", "v"), "v")
+    val rows = df.select(col("v"), graft.similarity.Ann.dequantizeInt8(col("q8"), col("q8_scale")).as("r"),
+      col("q8_scale")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0); val rec = r.getSeq[Double](1); val sc = r.getDouble(2)
+      v.indices.foreach { i =>
+        assert(math.abs(rec(i) - v(i)) <= sc / 2 + 1e-12,
+          s"component $i: ${v(i)} -> ${rec(i)} (scale $sc)")
+      }
+    }
+  }
+
   test("Urls.canonicalize: idempotent, tracker-free, lowercase scheme://host") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
