@@ -115,6 +115,46 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("single-pass MinHashAgg signatures equal the row-wise fold on random texts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vocab = "the quick brown fox lazy dog data spark query table row scan".split(" ")
+    val rnd = new scala.util.Random(31)
+    val docs = Seq.tabulate(25)(i =>
+      (i.toLong, Seq.fill(6 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val rowWise = df.select(col("doc_id"),
+      graft.text.TextOps.minHashSignature(col("text"), 5, 64).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aggWise = graft.text.TextOps.minHashSignatures(df, "doc_id", "text",
+      shingleN = 5, numHashes = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rowWise.keySet == aggWise.keySet)
+    rowWise.foreach { case (id, s) =>
+      assert(s == aggWise(id), s"doc $id: row-wise and agg signatures diverge")
+    }
+  }
+
+  test("EWMA scan kernel equals a per-key foldLeft on random series") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = for (k <- 0 until 5; t <- 0 until 80)
+      yield (s"k$k", t.toLong, rnd.nextDouble() * 20 - 10)
+    val alpha = 0.3
+    val got = graft.operators.Filters.exponentialSmoothing(
+      rows.toDF("key", "t", "value"), Seq("key"), Seq("t"), "value", "ewma", alpha)
+      .select(col("key"), col("t"), col("ewma"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.groupBy(_._1).foreach { case (k, series) =>
+      var s = Double.NaN
+      series.sortBy(_._2).foreach { case (_, t, v) =>
+        s = if (s.isNaN) v else alpha * v + (1 - alpha) * s
+        assert(math.abs(got((k, t)) - s) < 1e-12, s"$k@$t: ${got((k, t))} vs $s")
+      }
+    }
+  }
+
   test("connectedComponents equals union-find on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
