@@ -115,6 +115,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("asofJoin (backward, tolerance) equals brute force on random series") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val leftRows = Seq.tabulate(120)(i =>
+      (i.toLong, s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong))
+    val rightRows = Seq.tabulate(150)(j =>
+      (1000L + j, s"k${rnd.nextInt(6)}", rnd.nextInt(1000).toLong, rnd.nextDouble()))
+    val tol = 120L
+    val got = graft.operators.Joins.asofJoin(
+      leftRows.toDF("lid", "key", "t"),
+      rightRows.toDF("rid", "key", "t", "v"),
+      Seq("key"), "t", "t", payload = Seq("v"), rightOrder = "rid",
+      tolerance = Some(tol))
+      .select(col("lid"), col("asof_v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    leftRows.foreach { case (lid, k, t) =>
+      val cands = rightRows.filter(r => r._2 == k && r._3 <= t && t - r._3 <= tol)
+      val expect =
+        if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._3, r._1))._4) // latest time, max rid tie-break
+      assert(got(lid) == expect, s"left $lid ($k@$t): ${got(lid)} vs $expect")
+    }
+  }
+
   test("single-pass MinHashAgg signatures equal the row-wise fold on random texts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
