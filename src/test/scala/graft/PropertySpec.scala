@@ -115,6 +115,22 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("Spline.cubic/quadratic/linear interpolate their knots exactly") {
+    val knots = for {
+      n <- Gen.choose(4, 20)
+      gaps <- Gen.listOfN(n, Gen.choose(0.1, 3.0))
+      ys <- Gen.listOfN(n, Gen.choose(-50.0, 50.0))
+    } yield (gaps.scanLeft(0.0)(_ + _).tail.toArray, ys.toArray)
+    check(Prop.forAll(knots) { case (xs, ys) =>
+      Seq[(Array[Double], Array[Double], Array[Double]) => Array[Double]](
+        graft.functions.Spline.cubic, graft.functions.Spline.quadratic,
+        graft.functions.Spline.linear).forall { f =>
+        val at = f(xs, ys, xs)
+        ys.indices.forall(i => math.abs(at(i) - ys(i)) < 1e-8 * math.max(1.0, math.abs(ys(i))))
+      }
+    }, n = 40)
+  }
+
   test("asofJoin (backward, tolerance) equals brute force on random series") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
