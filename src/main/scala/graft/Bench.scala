@@ -39,6 +39,8 @@ object Bench {
       // host's boot disk is routinely IO-throttled by co-tenants (see
       // Scratch's header); MB-scale bench shuffles must not pay for it
       .config("spark.local.dir", Scratch.sub("spark"))
+      // catalog-managed tables (Bucketed) land on scratch, not in the repo cwd
+      .config("spark.sql.warehouse.dir", Scratch.sub("warehouse_default"))
       .getOrCreate()
     spark.sparkContext.setLogLevel(
       sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))

@@ -17,6 +17,8 @@ object Verify {
       // shuffle/spill scratch on RAM-backed tmpfs when available (see
       // Scratch's header — the boot disk is routinely IO-throttled)
       .config("spark.local.dir", Scratch.sub("spark"))
+      // catalog-managed tables (Bucketed) land on scratch, not in the repo cwd
+      .config("spark.sql.warehouse.dir", Scratch.sub("warehouse_default"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -15,6 +15,8 @@ trait SparkSpec extends AnyFunSuite {
     // the host disk is routinely IO-throttled by co-tenants, which turns
     // streaming state-store commits in the specs into multi-second ops
     .config("spark.local.dir", Scratch.sub("spark-test"))
+    // catalog-managed tables (Bucketed) land on scratch, not the repo cwd
+    .config("spark.sql.warehouse.dir", Scratch.sub("warehouse_test"))
     .getOrCreate()
 
   /** Fresh RAM-backed checkpoint dir for one streaming query. A session-
