@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `runMain graft.Bench` as
+// JSON; sbt's "[success] Total time: ..." epilogue printed after the
+// program's output has broken that parse four rounds running
+// (BENCH_r06..r09 "parsed": null). Suppressing the success banner makes the
+// bench summary line the final line of the captured stream.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // read by the command engine, not tasks — lint false-positive
+// ... and sbt prefixes forked-program stdout with "[info] ", which a strict
+// JSON parse of that last line would also trip over. StdoutOutput passes the
+// child's streams through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
