@@ -626,6 +626,17 @@ object TextOps {
     *
     * Output per doc (docs with no qualifying span are absent):
     * `idCol, n_spans, dup_tokens, total_tokens, dup_frac (6 dp)`.
+    *
+    * Recall/precision contract vs the suffix-array algorithm (proved by
+    * the planted-span recall spec in QualitySpec): anchors are taken at
+    * EVERY token position (stride 1), so any exactly-duplicated
+    * substring of >= minLen (>= k) tokens has all of its k-grams
+    * duplicated and is FULLY covered by one reported span — recall over
+    * duplicated token positions is exactly 1.0, independent of the
+    * span's offset or length. The approximation is one-sided: spans can
+    * only OVER-cover (touching spans from distinct duplicate sources
+    * merge, and chains of individually-duplicated k-grams can assemble a
+    * >= minLen span where no single >= minLen substring is duplicated).
     */
   def duplicatedSpanProfile(
       df: DataFrame,
@@ -633,6 +644,28 @@ object TextOps {
       textCol: String,
       k: Int = 8,
       minLen: Int = 16): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, k, minLen)
+    spans.groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("__x") - col("__s") + 1).as("dup_tokens"),
+        first(col("__n")).cast("long").as("total_tokens"))
+      .withColumn("dup_frac",
+        round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
+  }
+
+  /** Span-level frame behind [[duplicatedSpanProfile]]: one row per
+    * maximal merged duplicated span of >= minLen tokens —
+    * `__id, __s (0-based first token), __x (0-based last token,
+    * inclusive), __n (doc token count)`. Exposed so the recall spec can
+    * compare reported span extents against a brute-force duplicated-
+    * substring scan position by position.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      minLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2 && minLen >= k, s"need k >= 2, minLen >= k: $k $minLen")
     // 0-based anchor starts; empty when the doc is shorter than k tokens
@@ -659,15 +692,10 @@ object TextOps {
         when(col("__p") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
       .withColumn("__span", sum(col("__new")).over(
         ord.rowsBetween(Window.unboundedPreceding, 0)))
-    val spans = flagged.groupBy(col("__id"), col("__span"))
+    flagged.groupBy(col("__id"), col("__span"))
       .agg(min(col("__p")).as("__s"), max(col("__e")).as("__x"),
         first(col("__n")).as("__n"))
       .filter(col("__x") - col("__s") + 1 >= minLen)
-    spans.groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("__x") - col("__s") + 1).as("dup_tokens"),
-        first(col("__n")).cast("long").as("total_tokens"))
-      .withColumn("dup_frac",
-        round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
+      .drop("__span")
   }
 }

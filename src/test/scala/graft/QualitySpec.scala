@@ -284,4 +284,97 @@ class QualitySpec extends SparkSpec {
     assert(!keep(doc + "\nLorem Ipsum filler."))   // boilerplate poison
     assert(!keep(doc, minLines = 4))               // threshold
   }
+
+  // ------------------------------------------------------------------
+  // duplicatedSpans recall contract vs brute-force ExactSubstr
+  // ------------------------------------------------------------------
+  //
+  // The scaladoc on TextOps.duplicatedSpanProfile claims that because
+  // anchors are taken at EVERY token position (stride 1), recall over
+  // duplicated token positions is exactly 1.0 vs the suffix-array
+  // ExactSubstr contract (Lee et al. 2022): every position inside a
+  // duplicated substring of >= minLen tokens must fall inside a
+  // reported span, regardless of the span's offset or length. This
+  // spec proves it against a driver-side brute force and also pins
+  // the documented one-sidedness (reported spans may OVER-cover).
+  //
+  // Brute-force definition: position p of doc d is duplicated iff it is
+  // covered by some window of exactly minLen tokens whose text occurs
+  // >= 2 times in the corpus (every duplicated substring of length
+  // L >= minLen contains p in at least one duplicated minLen-window,
+  // and every duplicated minLen-window is itself such a substring — so
+  // exact-minLen windows mark precisely the ExactSubstr positions).
+
+  test("duplicatedSpans: recall 1.0 vs brute-force ExactSubstr on adversarial planted spans") {
+    import spark.implicits._
+    import graft.text.TextOps
+    val k = 4
+    val minLen = 8
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i")
+    val spanA = (0 until 8).map(i => s"aa$i")   // length == minLen exactly
+    val spanB = (0 until 13).map(i => s"bb$i")  // length 13, doc-start copy
+    val spanC = (0 until 9).map(i => s"cc$i")   // length 9, doc-END copies
+    val spanD = (0 until 10).map(i => s"dd$i")  // within-doc repetition
+    val e1 = (0 until 4).map(i => s"ee$i")      // == k, chains with e2
+    val e2 = (0 until 4).map(i => s"ff$i")      // == k
+    // Adversarial placement: A at offsets 20 and 3 (different alignment
+    // mod k), B at position 0, C flush against both doc ends, D twice in
+    // one doc, E1+E2 adjacent so their k-anchors chain into a >= minLen
+    // span although no single >= minLen substring is duplicated.
+    val docs = Seq(
+      1L -> (uniq("u1x", 20) ++ spanA ++ uniq("u1y", 12)),
+      2L -> (uniq("u2x", 3) ++ spanA ++ uniq("u2y", 15) ++ spanB ++ uniq("u2z", 6)),
+      3L -> (spanB ++ uniq("u3x", 25) ++ spanC),
+      4L -> (uniq("u4x", 30) ++ spanC),
+      5L -> uniq("u5x", 40),
+      6L -> (uniq("u6x", 5) ++ spanD ++ uniq("u6y", 5) ++ spanD ++ uniq("u6z", 3)),
+      7L -> (uniq("u7x", 10) ++ e1 ++ e2 ++ uniq("u7y", 10)),
+      8L -> (uniq("u8x", 12) ++ e1 ++ uniq("u8y", 12)),
+      9L -> (uniq("u9x", 7) ++ e2 ++ uniq("u9y", 14)))
+    // driver-side brute force over exact minLen-windows
+    val winCount = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, toks) <- docs; w <- toks.sliding(minLen) if w.length == minLen)
+      winCount(w.mkString(" ")) = winCount.getOrElse(w.mkString(" "), 0) + 1
+    val brute: Map[Long, Set[Int]] = docs.map { case (id, toks) =>
+      val marked = scala.collection.mutable.Set.empty[Int]
+      for ((w, s) <- toks.sliding(minLen).zipWithIndex
+           if w.length == minLen && winCount(w.mkString(" ")) >= 2)
+        marked ++= (s until s + minLen)
+      id -> marked.toSet
+    }.toMap
+    val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val spans = TextOps.duplicatedSpans(df, "doc_id", "text", k, minLen)
+      .collect()
+      .groupBy(_.getAs[Long]("__id"))
+      .map { case (id, rs) =>
+        id -> rs.map(r => (r.getAs[Number]("__s").intValue,
+          r.getAs[Number]("__x").intValue)).toSeq }
+    val covered: Map[Long, Set[Int]] = docs.map { case (id, _) =>
+      id -> spans.getOrElse(id, Seq.empty)
+        .flatMap { case (s, x) => s to x }.toSet
+    }.toMap
+    // RECALL = 1.0: every brute-force duplicated position is covered
+    for ((id, pos) <- brute; p <- pos)
+      assert(covered(id).contains(p), s"doc $id position $p missed")
+    // exact boundaries where no chaining exists: docs 1-4 and 6 report
+    // spans matching the planted extents position for position
+    for (id <- Seq(1L, 2L, 3L, 4L, 6L))
+      assert(covered(id) == brute(id), s"doc $id over/under-covered")
+    assert(spans(3L).toSet == Set((0, 12), (38, 46)))   // B at 0, C at end
+    assert(spans(6L).size == 2 && covered(6L).size == 20)
+    assert(!covered.contains(5L) || covered(5L).isEmpty) // clean doc silent
+    // ONE-SIDEDNESS: doc 7's chained k-grams assemble a reported span of
+    // 8 tokens although brute force marks nothing (no single >= minLen
+    // duplicated substring exists there) — over-coverage, never a miss
+    assert(brute(7L).isEmpty && covered(7L) == (10 until 18).toSet)
+    // and the chain sources themselves (len k < minLen) stay unreported
+    assert(covered(8L).isEmpty && covered(9L).isEmpty)
+    // corpus-level recall/precision numbers for the scaladoc contract
+    val bruteTotal = brute.values.map(_.size).sum
+    val coverTotal = covered.values.map(_.size).sum
+    val hit = brute.map { case (id, ps) => ps.count(covered(id).contains) }.sum
+    assert(hit == bruteTotal)                  // recall exactly 1.0
+    assert(coverTotal == bruteTotal + 8)       // only doc 7 over-covers
+  }
 }
