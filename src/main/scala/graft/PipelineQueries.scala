@@ -11,6 +11,164 @@ import graft.text.Pipeline
   */
 object PipelineQueries {
 
+  /** Fitted BPE merge tables stashed by the x55/x56 runs for their thunk
+    * oracles (the x39/x40 device — `Verify` dumps oracle_sql.json after
+    * the query loop, so the thunks see the trained state).
+    */
+  @volatile private var x55Merges: Option[Seq[(String, String)]] = None
+  @volatile private var x56Merges: Option[Seq[(String, String)]] = None
+
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
+  /** Scalar replay of `Bpe.mergePair` (merge every occurrence of the best
+    * pair, leftmost-first on overlaps) as DuckDB list lambdas. Expects
+    * in-scope columns `syms` (VARCHAR[]) and `kept` (INT[] of 1-based
+    * merge positions); `kept` itself keeps, within each maximal
+    * consecutive run of occurrence positions, those at even offset from
+    * the run start — exactly the left-to-right non-overlapping scan.
+    */
+  private val bpeMergeStepSql =
+    """list_filter(list_transform(generate_series(1, CAST(len(syms) AS INT)), p ->
+      |      CASE WHEN list_contains(kept, p) THEN syms[p] || syms[p+1]
+      |           WHEN list_contains(kept, p-1) THEN NULL
+      |           ELSE syms[p] END), x -> x IS NOT NULL)""".stripMargin
+
+  /** `kept` from `occ` (ascending 1-based occurrence positions): run
+    * start of i = the smallest s with [s, i] fully inside occ; keep i
+    * when its offset from the run start is even.
+    */
+  private val bpeKeptSql =
+    """list_filter(occ, i ->
+      |        (i - list_min(list_filter(generate_series(1, i), s2 ->
+      |           len(list_filter(occ, u -> u BETWEEN s2 AND i)) = i - s2 + 1))) % 2 = 0
+      |      )""".stripMargin
+
+  /** x55 thunk oracle: re-derive each training merge from first
+    * principles. The recursive CTE carries the capped word-frequency
+    * vocab's segmentation round by round (evolution driven by the
+    * stashed merges — the only interpolated state); the output argmax
+    * pair per round is recomputed from the evolved state with ordinary
+    * aggregation, so every merge decision is independently checked.
+    */
+  private def bpeTrainReplaySql(merges: Seq[(String, String)]): String = {
+    if (merges.isEmpty)
+      return "SELECT CAST(NULL AS BIGINT) AS rank, '' AS \"left\", '' AS \"right\" WHERE FALSE"
+    val values = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"($i, '${sqlLit(a)}', '${sqlLit(b)}')"
+    }.mkString(",\n          ")
+    s"""
+        WITH RECURSIVE merges(rank, l, r) AS (VALUES
+          $values),
+        d AS (
+          SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        ),
+        wtok AS (SELECT unnest(string_split(norm, ' ')) AS w FROM d),
+        wc AS (
+          SELECT w, count(*) AS c FROM wtok WHERE len(w) >= 2 GROUP BY w
+          ORDER BY c DESC, w LIMIT 65536
+        ),
+        state(rnd, w, c, syms) AS (
+          SELECT 0, w, c, regexp_extract_all(w, '.') FROM wc
+          UNION ALL
+          SELECT rnd + 1, w, c, $bpeMergeStepSql
+          FROM (
+            SELECT s.rnd, s.w, s.c, s.syms,
+              $bpeKeptSql AS kept
+            FROM (
+              SELECT s.rnd, s.w, s.c, s.syms,
+                list_filter(generate_series(1, CAST(len(s.syms) AS INT) - 1),
+                  i -> s.syms[i] = m.l AND s.syms[i+1] = m.r) AS occ
+              FROM state s JOIN merges m ON m.rank = s.rnd
+            ) s
+          ) s
+        ),
+        pr AS (
+          SELECT rnd, syms[i] AS a, syms[i+1] AS b, c
+          FROM (SELECT rnd, syms, c,
+                  unnest(generate_series(1, CAST(len(syms) AS INT) - 1)) AS i
+                FROM state)
+        ),
+        agg AS (
+          SELECT rnd, a, b, sum(c) AS n,
+            row_number() OVER (PARTITION BY rnd ORDER BY sum(c) DESC, a, b) AS rn
+          FROM pr GROUP BY rnd, a, b
+        )
+        SELECT CAST(rnd AS BIGINT) AS rank, a AS "left", b AS "right"
+        FROM agg WHERE rn = 1 AND rnd < (SELECT count(*) FROM merges)
+        ORDER BY rank
+    """.stripMargin.trim
+  }
+
+  /** x56 thunk oracle: replay the greedy encode (`Bpe.encodeWord`) per
+    * distinct corpus word — recursive CTE merging the lowest-rank
+    * adjacent pair present (MAP-literal rank lookup) until none remains;
+    * terminal rows are those with no mergeable pair. Token lengths then
+    * join back to the per-doc word stream and roll up by source, exactly
+    * the engine's tokenCounts → source aggregate.
+    */
+  private def bpeEncodeReplaySql(merges: Seq[(String, String)]): String = {
+    val rkKeys = merges.map { case (a, b) =>
+      s"'${sqlLit(a)}' || chr(1) || '${sqlLit(b)}'"
+    }.mkString(", ")
+    val rkVals = merges.indices.mkString(", ")
+    val rankLookup =
+      if (merges.isEmpty) "1000000"
+      else
+        s"""coalesce(map_extract(map([$rkKeys], [$rkVals]),
+          |                  syms[i] || chr(1) || syms[i+1])[1], 1000000)""".stripMargin
+    val rankList =
+      s"""list_transform(generate_series(1, CAST(len(syms) AS INT) - 1), i ->
+        |                $rankLookup)""".stripMargin
+    s"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, source,
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        ),
+        wtok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM d),
+        words AS (SELECT DISTINCT w FROM wtok WHERE len(w) >= 2),
+        enc(w, syms) AS (
+          SELECT w, regexp_extract_all(w, '.') FROM words
+          UNION ALL
+          SELECT w, $bpeMergeStepSql
+          FROM (
+            SELECT w, syms,
+              $bpeKeptSql AS kept
+            FROM (
+              SELECT w, syms,
+                list_filter(generate_series(1, CAST(len(syms) AS INT) - 1),
+                  i -> syms[i] = bl AND syms[i+1] = br) AS occ
+              FROM (
+                SELECT w, syms, syms[bi] AS bl, syms[bi+1] AS br
+                FROM (
+                  SELECT w, syms, list_position(rl, list_min(rl)) AS bi
+                  FROM (
+                    SELECT w, syms, $rankList AS rl
+                    FROM enc)
+                  WHERE list_min(rl) < 1000000)))
+          )
+        ),
+        fin AS (
+          SELECT w, CAST(len(syms) AS BIGINT) AS tl FROM enc
+          WHERE coalesce(list_min($rankList), 1000000) = 1000000
+        ),
+        toklen AS (
+          SELECT w, tl FROM fin
+          UNION ALL
+          SELECT DISTINCT w, CAST(1 AS BIGINT) AS tl FROM wtok WHERE len(w) = 1
+        ),
+        perdoc AS (
+          SELECT wtok.doc_id, sum(toklen.tl) AS n_tokens
+          FROM wtok JOIN toklen USING (w) GROUP BY wtok.doc_id
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(perdoc.n_tokens, 0)) AS BIGINT) AS n_tokens
+        FROM d LEFT JOIN perdoc USING (doc_id)
+        GROUP BY d.source
+    """.stripMargin.trim
+  }
+
   /** Shared x8-style DuckDB token count (ceil(len/4) per whitespace word). */
   private val tokSql =
     """greatest(COALESCE(list_aggregate(
@@ -462,35 +620,49 @@ object PipelineQueries {
     // ── X55: BPE tokenizer TRAINING — 60 merges learned from the corpus
     //    word-frequency table (one distributed pass; the merge loop runs
     //    on the bounded vocab driver-side, the HF-tokenizers contract).
-    //    Deterministic (ties break lexicographically) but the iterative
-    //    re-segmentation is not ANSI-expressible → rows-only; BpeSpec
-    //    carries hand-computed merge goldens + train/encode agreement ──
+    //    FULL oracle via the x39/x40 fitted-state thunk: the run stashes
+    //    its merge table, and DuckDB re-derives every merge decision from
+    //    first principles — a recursive CTE evolves the vocab
+    //    segmentation round by round (the interpolated merges drive only
+    //    the state evolution), and the per-round argmax pair
+    //    (count desc, pair asc) is recomputed independently from the
+    //    corpus word counts. A wrong engine merge at round r would
+    //    diverge from the recomputed argmax → hash mismatch; the
+    //    interpolated evolution input is itself validated transitively
+    //    round by round. BpeSpec keeps the hand-computed goldens ──
     QueryDef(
       "x55_bpe_train",
       (s, dir) => {
         val merges = graft.text.Bpe.train(
           Tables.documents(s, dir), "text", numMerges = 60)
+        x55Merges = Some(merges)
         s.createDataFrame(merges.zipWithIndex.map { case ((a, b), i) =>
           (i.toLong, a, b)
         }).toDF("rank", "left", "right")
       },
-      None),
+      () => x55Merges.map(bpeTrainReplaySql)),
 
     // ── X56: BPE tokenization under the x55 merges — per-source token
     //    totals after applying the learned tokenizer (broadcast ranks,
-    //    one distributed map with a per-partition word memo). rows-only
-    //    (apply loop not ANSI-expressible); BpeSpec pins exact counts ──
+    //    one distributed map with a per-partition word memo). FULL oracle
+    //    via the same thunk device: the learned ranks interpolate as a
+    //    MAP literal and DuckDB replays the greedy apply loop per
+    //    distinct word in a recursive CTE (merge the lowest-rank adjacent
+    //    pair present, all occurrences left-to-right, until none
+    //    remains), then joins token lengths back to the per-doc word
+    //    stream. BpeSpec pins exact counts on its own fixtures ──
     QueryDef(
       "x56_bpe_tokenize",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val merges = graft.text.Bpe.train(docs, "text", numMerges = 60)
+        x56Merges = Some(merges)
         graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
           .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
       },
-      None),
+      () => x56Merges.map(bpeEncodeReplaySql)),
 
     // ── X57: interpolated Kneser–Ney bigram cross-entropy
     //    (Quality.knBigramCrossEntropy) — the CCNet-style LM quality
