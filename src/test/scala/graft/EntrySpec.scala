@@ -38,4 +38,29 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  /** x69's single-plan composition re-scans `documents` once per branch
+    * (corpus/bench split, contamination's two sides, near-dup, packing) —
+    * 13 logical scans, explain-audited and accepted at bench SF with the
+    * stage-materialization alternative documented in-query for 100×
+    * scale. This budget pins that audit: the next pipeline stage added to
+    * the capstone must either stay within budget or force the documented
+    * switch to materialized stages — never silently become scan #14.
+    */
+  test("x69 scan budget: at most 13 logical documents scans") {
+    val df = SparkEntry.queries("x69_pretrain_dataset")(
+      spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().count {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.exists(_.toString.contains("documents"))
+        case _ => false
+      }
+      case _ => false
+    }
+    assert(scans > 0 && scans <= 13,
+      s"x69 plans $scans documents scans (budget 13): adding a branch " +
+        "requires the stage-materialization redesign documented in-query")
+  }
 }
