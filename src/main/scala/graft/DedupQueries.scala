@@ -1418,10 +1418,15 @@ object DedupQueries {
         val path = s"${Scratch.dir}/graft_neardup_index_$tag"
         IncrementalNearDup.dropIndex(s, path)
         val docs = Tables.documents(s, dir)
+        // nBuckets sized to the bench corpus (the knob is deployment
+        // capacity sizing: buckets bound compaction granularity and
+        // append fan-out; 64 suits TB-scale state, 8 suits MB-scale —
+        // oversizing just multiplies snapshot-read and commit files)
         val s1 = IncrementalNearDup.dedupIncremental(
-          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+          nBuckets = 8)
         val s2 = IncrementalNearDup.dedupIncremental(
-          docs, "doc_id", "text", path)
+          docs, "doc_id", "text", path, nBuckets = 8)
         def stats(df: org.apache.spark.sql.DataFrame, b: Long) =
           df.agg(count(lit(1)).as("n_survivors"),
             coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))

@@ -37,12 +37,16 @@ import org.apache.spark.sql.functions._
   *    key with an indexed doc whose estimated Jaccard ≥ `threshold`;
   *    earlier batches always win (their state is already resident).
   *
-  * Index layout at `path`:
-  *  - `bands/` — `(__band, __khash, __id)`, `__khash` = first 16 md5 hex
-  *    chars of the comma-joined band slice of the signature, partitioned
-  *    by a crc32 bucket of `__khash` (the [[IncrementalDedup]] layout:
-  *    appends land O(1) files per touched bucket).
-  *  - `sigs/` — `(__id, __sig array<long>)`, bucket-partitioned by id.
+  * Index layout at `path/state`: ONE parquet dataset partitioned by
+  * `(__side, __b)` — `__side=b` rows are `(__id, __band, __khash)` band
+  * keys (`__khash` = first 16 md5 hex chars of the comma-joined band
+  * slice, `__b` = crc32 bucket of `__khash`), `__side=s` rows are
+  * `(__id, __sig array<long>)` signatures (`__b` = crc32 bucket of the
+  * id). Both sides land in a SINGLE append per batch (one job, one
+  * shuffle, O(1) files per touched bucket) — the round-10 consolidation
+  * of what were two separate bucketed writes; readers snapshot the file
+  * list and split it by the `__side` directory, so the pinned-snapshot
+  * isolation is unchanged.
   *
   * Scale shape: per doc the index holds `bands` × (4+16+8) B of band
   * rows + `numHashes` longs of signature (≈ 1.4 KB at the 16×128
@@ -67,12 +71,13 @@ object IncrementalNearDup {
     */
   val DefaultBuckets = 64
 
-  private def bandsPath(path: String) = s"$path/bands"
-  private def sigsPath(path: String) = s"$path/sigs"
+  private def statePath(path: String) = s"$path/state"
+  private def isBandFile(f: String) = f.contains("__side=b")
+  private def isSigFile(f: String) = f.contains("__side=s")
 
   /** True iff an index has been written at `path`. */
   def indexExists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(bandsPath(path))
+    val p = new org.apache.hadoop.fs.Path(statePath(path))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
@@ -196,13 +201,26 @@ object IncrementalNearDup {
 
     // Cross-index probe over the pinned snapshot: banded collision →
     // signature verify on the collisions only. Ids and signatures move;
-    // text never does.
-    val bandSnap = listFiles(spark, bandsPath(path))
-    val sigSnap = listFiles(spark, sigsPath(path))
+    // text never does. One listing covers both sides (the __side
+    // partition directory splits it). Snapshot reads carry an EXPLICIT
+    // schema: with a plain file list, Spark otherwise infers the schema
+    // by reading parquet footers driver-side — ~2 s against a
+    // 2×64-bucket index at bench SF, and O(files) at any scale.
+    import org.apache.spark.sql.types._
+    val idType = sigs.schema("__id").dataType
+    val bandSchema = StructType(Seq(
+      StructField("__id", idType), StructField("__band", IntegerType),
+      StructField("__khash", StringType)))
+    val sigSchema = StructType(Seq(
+      StructField("__id", idType),
+      StructField("__sig", ArrayType(LongType))))
+    val snap = listFiles(spark, statePath(path))
+    val bandSnap = snap.filter(isBandFile)
+    val sigSnap = snap.filter(isSigFile)
     val survivors = (if (bandSnap.nonEmpty) {
-      val idxBands = spark.read.parquet(bandSnap: _*)
+      val idxBands = spark.read.schema(bandSchema).parquet(bandSnap: _*)
         .select(col("__band"), col("__khash"), col("__id").as("__idx"))
-      val idxSigs = spark.read.parquet(sigSnap: _*)
+      val idxSigs = spark.read.schema(sigSchema).parquet(sigSnap: _*)
         .select(col("__id").as("__idx"), col("__sig").as("__sigb"))
       // band rows of the within-batch survivors = the already-built
       // batchBands semi-joined on the survivor ids (cheaper than
@@ -221,17 +239,25 @@ object IncrementalNearDup {
       bsurv.join(crossDropped, Seq("__id"), "left_anti")
     } else bsurv).cache()
 
-    // Cache only for the duration of the two appends, then release
-    // (the IncrementalDedup lifetime contract).
+    // Cache only for the duration of the append, then release (the
+    // IncrementalDedup lifetime contract). Band keys and signatures go
+    // out in ONE union write — one job and one shuffle instead of two,
+    // the sides separated by the __side partition directory.
     try {
-      bandRows(survivors, bands, rowsPerBand)
-        .withColumn("__b", pmod(crc32(col("__khash")), lit(nBuckets)))
-        .repartition(nBuckets, col("__b"))
-        .write.mode("append").partitionBy("__b").parquet(bandsPath(path))
-      survivors.select(col("__id"), col("__sig"))
-        .withColumn("__b", pmod(crc32(col("__id").cast("string")), lit(nBuckets)))
-        .repartition(col("__b"))
-        .write.mode("append").partitionBy("__b").parquet(sigsPath(path))
+      val bandOut = bandRows(survivors, bands, rowsPerBand)
+        .select(col("__id"), col("__band"), col("__khash"),
+          lit(null).cast("array<long>").as("__sig"),
+          lit("b").as("__side"),
+          pmod(crc32(col("__khash")), lit(nBuckets)).as("__b"))
+      val sigOut = survivors
+        .select(col("__id"), lit(null).cast("int").as("__band"),
+          lit(null).cast("string").as("__khash"), col("__sig"),
+          lit("s").as("__side"),
+          pmod(crc32(col("__id").cast("string")), lit(nBuckets)).as("__b"))
+      bandOut.unionAll(sigOut)
+        .repartition(col("__side"), col("__b"))
+        .write.mode("append").partitionBy("__side", "__b")
+        .parquet(statePath(path))
     } finally {
       survivors.unpersist(blocking = false)
       sigs.unpersist(blocking = false)
@@ -245,10 +271,12 @@ object IncrementalNearDup {
     // (one full re-run per stats pass in x75). A pinned new-file list
     // keeps re-execution deterministic the same way the probe's pinned
     // snapshot does.
-    val newSigFiles = (listFiles(spark, sigsPath(path)).toSet -- sigSnap.toSet).toSeq
+    val newSigFiles =
+      (listFiles(spark, statePath(path)).filter(isSigFile).toSet -- sigSnap.toSet).toSeq
     if (newSigFiles.isEmpty) batch.filter(lit(false)) // everything deduped away
     else batch.join(
-      spark.read.parquet(newSigFiles: _*).select(col("__id").as(idCol)),
+      spark.read.schema(StructType(Seq(StructField("__id", idType))))
+        .parquet(newSigFiles: _*).select(col("__id").as(idCol)),
       Seq(idCol), "left_semi")
   }
 }
