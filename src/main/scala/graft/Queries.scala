@@ -52,6 +52,138 @@ object Queries {
       .map { case (w, p) => s"($p, ${w.mkString("[", ", ", "]")}::DOUBLE[])" }
       .mkString(",\n          ")
 
+  /** Persisted NSW adjacency stashed by the x73 run for its thunk oracle
+    * (the x39/x40 fitted-state device): `(id, shard, sorted neighbor
+    * ids)` for every node of the grown index.
+    */
+  @volatile private var x73Graph: Option[Seq[(Long, Int, Seq[Long])]] = None
+
+  /** x73 thunk oracle: replay the NSW greedy beam search in a DuckDB
+    * recursive CTE. The interpolated state is the graph STRUCTURE only
+    * (id, shard, neighbor list — what the index persisted); vectors,
+    * norms and every cosine come from the embeddings table, and the walk
+    * itself — best-first beam with a visited set, candidate queue and
+    * width-48 result list, exactly `Nsw.Graph.search` — is replayed one
+    * state-machine step per recursive row: an 'S' step pops the best
+    * candidate (termination when the queue is empty or its best falls
+    * below the worst kept), an 'E' step admits ONE fresh neighbor
+    * (skip-scanning past already-visited ones in-list, so iterations
+    * stay proportional to admissions, not adjacency length). Struct
+    * elements are (c, -id) so DuckDB's lexicographic list_sort realizes
+    * the engine's (cosine, -id) tie order; the terminal state per
+    * (query, shard) is the max-iteration row, its found list is cut to
+    * k per shard, and the global rank mirrors `Ann.rankTopKScored`
+    * (cosine desc, id asc). Widths/filters are pinned to the x73
+    * registration: queries vec_id < 20, k = 3, beam width 48.
+    */
+  private def nswWalkReplaySql(graph: Seq[(Long, Int, Seq[Long])]): String = {
+    val gvals = graph.map { case (id, sh, nbs) =>
+      s"($id, $sh, [${nbs.mkString(",")}]::BIGINT[])"
+    }.mkString(",\n          ")
+    s"""
+        WITH RECURSIVE g(id, shard, nbs) AS (VALUES
+          $gvals
+        ), evn AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS nrm
+          FROM embeddings
+        ), qv AS (
+          SELECT id AS qid, v, nrm FROM evn WHERE id < 20
+        ), gn AS (
+          SELECT g.shard, g.id, g.nbs, evn.v, evn.nrm
+          FROM g JOIN evn ON evn.id = g.id
+        ), entry AS (
+          SELECT shard, min(id) AS eid FROM g GROUP BY shard
+        ), init AS (
+          SELECT q.qid, e.shard, 0 AS it, 'S' AS phase,
+            CAST(NULL AS BIGINT) AS cur, CAST(NULL AS INT) AS nbpos,
+            [e.eid] AS visited,
+            [{'c': CASE WHEN q.nrm * n.nrm > 0
+                THEN list_reduce(list_transform(list_zip(q.v, n.v), z -> z[1]*z[2]), (x,y) -> x+y)
+                     / (q.nrm * n.nrm) ELSE 0.0 END,
+               'ni': -e.eid}] AS cand,
+            [{'c': CASE WHEN q.nrm * n.nrm > 0
+                THEN list_reduce(list_transform(list_zip(q.v, n.v), z -> z[1]*z[2]), (x,y) -> x+y)
+                     / (q.nrm * n.nrm) ELSE 0.0 END,
+               'ni': -e.eid}] AS found
+          FROM entry e JOIN gn n ON n.shard = e.shard AND n.id = e.eid
+          CROSS JOIN qv q
+        ), walk(qid, shard, it, phase, cur, nbpos, visited, cand, found) AS (
+          SELECT * FROM init
+          UNION ALL
+          SELECT qid, shard, it + 1,
+            CASE WHEN phase = 'S' THEN 'E'
+                 WHEN nxt IS NULL THEN 'S' ELSE 'E' END AS phase,
+            CASE WHEN phase = 'S' THEN -sc[len(sc)].ni
+                 WHEN nxt IS NULL THEN NULL ELSE cur END AS cur,
+            CASE WHEN phase = 'S' THEN 1
+                 WHEN nxt IS NULL THEN NULL ELSE nxt + 1 END AS nbpos,
+            CASE WHEN phase = 'E' AND nxt IS NOT NULL THEN list_append(visited, nbid)
+                 ELSE visited END AS visited,
+            CASE WHEN phase = 'S' THEN sc[1:len(sc)-1]
+                 WHEN nxt IS NOT NULL AND admit THEN list_append(cand, {'c': cc, 'ni': -nbid})
+                 ELSE cand END AS cand,
+            CASE WHEN phase = 'E' AND nxt IS NOT NULL AND admit THEN
+                   CASE WHEN len(found) + 1 > 48
+                        THEN list_sort(list_append(found, {'c': cc, 'ni': -nbid}))[2:]
+                        ELSE list_append(found, {'c': cc, 'ni': -nbid}) END
+                 ELSE found END AS found
+          FROM (
+            SELECT t.*,
+              CASE WHEN t.nxt IS NOT NULL AND t.qnrm * nv.nrm > 0
+                   THEN list_reduce(list_transform(list_zip(t.qv, nv.v), z -> z[1]*z[2]),
+                          (x,y) -> x+y) / (t.qnrm * nv.nrm)
+                   ELSE 0.0 END AS cc,
+              CASE WHEN t.wf IS NULL THEN true
+                   ELSE (CASE WHEN t.nxt IS NOT NULL AND t.qnrm * nv.nrm > 0
+                         THEN list_reduce(list_transform(list_zip(t.qv, nv.v), z -> z[1]*z[2]),
+                                (x,y) -> x+y) / (t.qnrm * nv.nrm) ELSE 0.0 END) > t.wf
+                   END AS admit,
+              CASE WHEN t.nxt IS NOT NULL THEN t.nbs[t.nxt] END AS nbid
+            FROM (
+              SELECT s.qid, s.shard, s.it, s.phase, s.cur, s.nbpos,
+                s.visited, s.cand, s.found,
+                q.v AS qv, q.nrm AS qnrm,
+                list_sort(s.cand) AS sc,
+                CASE WHEN len(s.found) < 48 THEN NULL
+                     ELSE list_sort(s.found)[1].c END AS wf,
+                n.nbs AS nbs,
+                CASE WHEN s.phase = 'E' THEN
+                  list_min(list_filter(generate_series(s.nbpos, CAST(len(n.nbs) AS INT)),
+                    p -> NOT list_contains(s.visited, n.nbs[p])))
+                END AS nxt
+              FROM walk s
+              JOIN qv q ON q.qid = s.qid
+              LEFT JOIN gn n ON s.phase = 'E' AND n.shard = s.shard AND n.id = s.cur
+            ) t
+            LEFT JOIN evn nv ON t.nxt IS NOT NULL AND nv.id = t.nbs[t.nxt]
+          )
+          WHERE NOT (phase = 'S' AND (len(cand) = 0 OR (wf IS NOT NULL AND sc[len(sc)].c < wf)))
+        ), fin AS (
+          SELECT qid, shard, found,
+            row_number() OVER (PARTITION BY qid, shard ORDER BY it DESC) AS rn
+          FROM walk
+        ), res AS (
+          SELECT qid, shard, u.e.c AS c, -u.e.ni AS nid,
+            row_number() OVER (PARTITION BY qid, shard
+              ORDER BY u.e.c DESC, -u.e.ni ASC) AS srank
+          FROM (
+            SELECT qid, shard, unnest(list_reverse(list_sort(found))) AS e
+            FROM fin WHERE rn = 1) u
+          WHERE -u.e.ni <> qid
+        )
+        SELECT qid AS vec_id, CAST(grank AS INT) AS rank, nid AS neighbor_id,
+          round(c, 6) AS cosine
+        FROM (
+          SELECT qid, nid, c,
+            row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS grank
+          FROM res WHERE srank <= 3)
+        WHERE grank <= 3
+    """.stripMargin.trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── S1: per-series z-score, population std (scalers.py:42-77) ──
@@ -536,8 +668,12 @@ object Queries {
     // ── X73: persisted NSW graph index — build, grow by an append batch
     //    (only the touched shards are read/rewritten), then search the
     //    stream-grown graph. The x18/x29 production contract for the
-    //    graph family; rows-only (greedy walks not ANSI-expressible),
-    //    AnnSpec pins recall + untouched-shard immutability ──
+    //    graph family. FULL oracle via the fitted-state thunk: the run
+    //    reads back the adjacency it just persisted (structure only —
+    //    ids, shards, neighbor lists) and DuckDB replays the greedy beam
+    //    walk itself step by step in a recursive CTE
+    //    ([[nswWalkReplaySql]]); AnnSpec keeps recall + untouched-shard
+    //    immutability ──
     QueryDef(
       "x73_ann_nsw_indexed",
       (s, dir) => {
@@ -549,13 +685,19 @@ object Queries {
           path, numShards = 8)
         graft.similarity.Nsw.appendToIndex(
           emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path)
+        x73Graph = Some(s.read.parquet(s"$path/nodes")
+          .select(col("id").cast("long"), col("__shard").cast("int"),
+            col("neighbors").cast("array<bigint>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+          .sortBy(t => (t._2, t._1)).toSeq)
         graft.similarity.Nsw.searchIndex(
           s, path, emb.filter(col("vec_id") < 20),
           "embedding", "vec_id", k = 3)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      () => x73Graph.map(nswWalkReplaySql)),
 
     // ── X5: token stats per (source, lang) ──
     QueryDef(
