@@ -304,6 +304,68 @@ object PipelineQueries {
         FROM r GROUP BY source, pack
       """.stripMargin.trim)),
 
+    // ── X103: sequence packing, first-fit-DECREASING bins (Johnson 1973
+    //    FFD — the padding-minimizing pretraining layout): per stratum,
+    //    docs sorted by (token count desc, id) split into bounded shards,
+    //    each shard first-fit packed with every bin open. The bins-list
+    //    state bounds at docsPerShard per task (the Pipeline.packBinFFD
+    //    scale contract). FULL oracle: the rank window, the shard split
+    //    and the first-fit fold replay in a recursive CTE carrying the
+    //    remaining-capacity list per (source, shard) ──
+    QueryDef(
+      "x103_seq_pack_ffd",
+      (s, dir) => {
+        Pipeline.packBinFFD(Tables.documents(s, dir),
+          Seq("source"), "doc_id", "text", capacity = 256L,
+          docsPerShard = 64)
+          .select(col("doc_id"), col("source"), col("__pshard").as("shard"),
+            col("bin"), col("__tok").as("n_tokens"))
+      },
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source, CAST($tokSql AS BIGINT) AS tok,
+            row_number() OVER (PARTITION BY source
+              ORDER BY $tokSql DESC, doc_id) AS rk
+          FROM documents
+        ), sd AS (
+          SELECT source, CAST((rk - 1) // 64 AS BIGINT) AS shard,
+            row_number() OVER (PARTITION BY source, (rk - 1) // 64
+              ORDER BY rk) AS pos,
+            doc_id, tok
+          FROM t
+        ), pack(source, shard, pos, bins, asg) AS (
+          SELECT source, shard, 1,
+            [CAST(256 - tok AS BIGINT)],
+            [{'d': doc_id, 'b': CAST(0 AS BIGINT), 't': tok}]
+          FROM sd WHERE pos = 1
+          UNION ALL
+          SELECT source, shard, pos + 1,
+            CASE WHEN fit IS NULL THEN list_append(bins, CAST(256 - tok AS BIGINT))
+                 ELSE list_transform(generate_series(1, CAST(len(bins) AS INT)),
+                        i -> CASE WHEN i = fit THEN bins[i] - tok ELSE bins[i] END)
+            END,
+            list_append(asg, {'d': doc_id,
+              'b': CAST(CASE WHEN fit IS NULL THEN len(bins)
+                        ELSE fit - 1 END AS BIGINT), 't': tok})
+          FROM (
+            SELECT p.source, p.shard, p.pos, p.bins, p.asg,
+              sd.doc_id, sd.tok,
+              list_min(list_filter(generate_series(1, CAST(len(p.bins) AS INT)),
+                i -> p.bins[i] >= sd.tok)) AS fit
+            FROM pack p JOIN sd ON sd.source = p.source
+              AND sd.shard = p.shard AND sd.pos = p.pos + 1
+          )
+        ), fin AS (
+          SELECT source, shard, asg,
+            row_number() OVER (PARTITION BY source, shard
+              ORDER BY pos DESC) AS rn
+          FROM pack
+        )
+        SELECT u.a.d AS doc_id, source, shard, u.a.b AS bin,
+          CAST(u.a.t AS BIGINT) AS n_tokens
+        FROM (SELECT source, shard, unnest(asg) AS a FROM fin WHERE rn = 1) u
+      """.stripMargin.trim)),
+
     // ── X27: Gopher-rule quality signals (Rae et al. 2021 A1) — word
     //    shape, stopword hits, top-2-gram repetition, and the composed
     //    keep/drop verdict, all replayed exactly in DuckDB (the verdict

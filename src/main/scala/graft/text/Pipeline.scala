@@ -390,6 +390,58 @@ object Pipeline {
     }
   }
 
+  /** Sequence packing, first-fit-DECREASING bin style — the
+    * padding-minimizing layout (Johnson 1973 FFD, the 11/9·OPT
+    * guarantee): within each stratum, documents sorted by token count
+    * descending (id ascending on ties) are placed into the FIRST open
+    * bin with room, opening a new bin when none fits; an oversize doc
+    * gets a bin of its own. Unlike [[packGreedy]] (first-fit-in-order:
+    * only the newest pack is open, O(1) state), FFD keeps every bin
+    * open, so its state is the list of remaining capacities — which is
+    * why the packing runs per bounded SHARD: a rank window splits each
+    * stratum into `docsPerShard`-sized shards (same sorted order) and
+    * bins never cross shards. That bounds scan state at `docsPerShard`
+    * longs per task, keeps shards independently parallel, and is the
+    * standard production trade-off (packing quality is already
+    * approximate; sharding costs a fraction of a bin per shard).
+    * Deterministic end to end: the sort, the shard split and first-fit
+    * are all total-order rules, so the layout replays bit-for-bit in
+    * ANSI SQL (the x103 oracle folds the same rule in a recursive CTE).
+    *
+    * Appends `__tok`, `__pshard` (0-based shard within stratum) and
+    * `bin` (0-based within shard).
+    */
+  def packBinFFD(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      textCol: String,
+      capacity: Long,
+      docsPerShard: Int = 4096): DataFrame = {
+    require(capacity > 0 && docsPerShard > 0,
+      s"need capacity > 0, docsPerShard > 0: $capacity $docsPerShard")
+    import org.apache.spark.sql.expressions.Window
+    val withTok = df
+      .withColumn("__tok", greatest(TextOps.bpeishTokenCount(col(textCol)), lit(1L)))
+      .withColumn("__negtok", -col("__tok"))
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("__negtok"), col(idCol))
+    val sharded = withTok.withColumn("__pshard",
+      ((row_number().over(w) - 1) / docsPerShard).cast("long"))
+    val tokIdx = sharded.schema.fieldIndex("__tok")
+    Recurrence.rowScan[Vector[Long]](
+      sharded, strataCols :+ "__pshard", Seq("__negtok", idCol),
+      Seq(StructField("bin", LongType, nullable = false))) { r =>
+      val t = r.getLong(tokIdx)
+      (Vector(capacity - t), Seq(0L))
+    } { case (bins, r) =>
+      val t = r.getLong(tokIdx)
+      val i = bins.indexWhere(_ >= t)
+      if (i >= 0) (bins.updated(i, bins(i) - t), Seq(i.toLong))
+      else (bins :+ (capacity - t), Seq(bins.size.toLong))
+    }.drop("__negtok")
+  }
+
   /** Deterministic training-shard writer + manifest — the final "ship
     * the dataset" stage: every row is routed to one of `nShards` shards
     * by the md5 hash of its id (growth-stable: a doc's shard never

@@ -39,6 +39,49 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 2L), (2L, 1L), (2L, 2L)))
   }
 
+  test("FFD packing: decreasing order, open bins, oversize isolation") {
+    import spark.implicits._
+    // capacity 256; tokens by doc: 0→100, 1→100, 2→100, 3→250, 4→30, 5→300
+    // FFD order (tok desc, id): 5(300), 3(250), 0..2(100), 4(30)
+    //   5 → bin0 (oversize, rem −44); 3 → bin1 (rem 6); 100s → bin2
+    //   (rem 156→56), third 100 → bin3 (rem 156); 30 → bin2 (rem 26)
+    // vs greedy-in-id-order which needs 5 packs on the same input
+    val toks = Seq(100, 100, 100, 250, 30, 300)
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, "s", docOf(t)) }
+      .toDF("doc_id", "source", "text")
+    val out = Pipeline.packBinFFD(df, Seq("source"), "doc_id", "text", 256L)
+      .orderBy(col("doc_id"))
+      .select(col("bin"), col("__pshard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((2L, 0L), (2L, 0L), (3L, 0L), (1L, 0L), (2L, 0L), (0L, 0L)))
+    // bin count 4 < greedy's 5: the decreasing order earns its sort
+    val nBins = out.map(_._1).distinct.size
+    val greedy = Pipeline.packGreedy(df, Seq("source"), Seq("doc_id"), "text", 256L)
+      .select(col("pack_id")).distinct().count()
+    assert(nBins == 4 && greedy == 5)
+    // capacity invariant: no bin over capacity except a lone oversize doc
+    val byBin = toks.zipWithIndex.map { case (t, i) => (out(i)._1, t) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byBin.foreach { case (_, ts) =>
+      assert(ts.sum <= 256 || ts.size == 1)
+    }
+  }
+
+  test("FFD packing: shard split bounds state and restarts bins") {
+    import spark.implicits._
+    // 6 docs of 200 tokens, docsPerShard = 2 → shards {0,1,2} in
+    // (tok desc, id) order = id order here; each shard packs its 2 docs
+    // into 2 bins (200+200 > 256)
+    val df = (0 until 6).map(i => (i.toLong, "s", docOf(200)))
+      .toDF("doc_id", "source", "text")
+    val out = Pipeline.packBinFFD(df, Seq("source"), "doc_id", "text", 256L,
+      docsPerShard = 2)
+      .orderBy(col("doc_id"))
+      .select(col("__pshard"), col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+  }
+
   test("packing is per-group: a second source restarts packs and offsets") {
     import spark.implicits._
     val df = Seq((0L, "a", docOf(200)), (1L, "a", docOf(200)),
