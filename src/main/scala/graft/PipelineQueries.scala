@@ -175,6 +175,198 @@ object PipelineQueries {
       |      list_transform(string_split_regex(trim(text), '\s+'),
       |        w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum'), 0), 1)""".stripMargin
 
+  /** The x69/x104 pipeline: language → quality → exact dedup → near-dup
+    * cluster drop → decontamination vs the held-out bench slice →
+    * temperature mixture → concat-chunk packing → per-source manifest.
+    * With `stagePath` set, the two fan-out points — the cleaned corpus
+    * (feeding the corpus/bench split, both contamination sides and the
+    * mixer) and the decontaminated corpus (feeding the mixer's rate
+    * aggregate and the row filter) — are written to parquet and read
+    * back, so downstream branches scan a materialized stage instead of
+    * recomputing the spine. Semantics are identical either way (the
+    * round-trip preserves rows and columns), which is why both forms
+    * share [[pretrainOracleSql]].
+    */
+  private def pretrainPipeline(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String,
+      stagePath: Option[String]): org.apache.spark.sql.DataFrame = {
+    import graft.text.TextOps
+    def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+      stagePath match {
+        case Some(p) =>
+          df.write.mode("overwrite").parquet(s"$p/$name")
+          s.read.parquet(s"$p/$name")
+        case None => df
+      }
+    val docs = Tables.documents(s, dir)
+    val lang = TextOps.languageId(docs, "text", "pred_lang")
+    val qual = TextOps.qualityScore(lang, "text", "__q")
+    val kept = qual.filter(col("pred_lang") === "en" && col("__q") >= 0.5)
+    val deduped = TextOps.exactDedup(kept, "text", Seq("doc_id"))
+    val pairs = TextOps.nearDupPairsBy(deduped, "doc_id",
+      TextOps.wordShingles(col("text"), 3),
+      numHashes = 128, bands = 16, threshold = 0.8)
+    val drops = graft.text.Components
+      .connectedComponents(pairs, "id_a", "id_b")
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val cleaned = stage(deduped.join(drops, Seq("doc_id"), "left_anti"),
+      "cleaned")
+    val corpus = cleaned.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val flagged = Pipeline.contaminationReport(
+      corpus, bench, "doc_id", "text", n = 5, minShared = 1)
+      .select(col("doc_id"))
+    val decon = stage(corpus.join(flagged, Seq("doc_id"), "left_anti"),
+      "decon")
+    val mixed = Pipeline.temperatureSample(
+      decon, "doc_id", "source", alpha = 0.5, targetFrac = 0.75,
+      seed = 43L)
+    Pipeline.packChunked(mixed, Seq("source"), Seq("doc_id"),
+      "text", budget = 256L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("total_tokens"),
+        (max(col("chunk_last")) + 1).as("n_chunks"),
+        round(min(col("__rate")), 6).as("mix_rate"))
+  }
+
+  /** x69/x104 shared oracle: the x22b + x23 + x59 + x25 CTE chains
+    * composed — both the single-plan and the staged build produce the
+    * same manifest, so one replay checks both.
+    */
+  private lazy val pretrainOracleSql: String = {
+        val hits = graft.text.TextOps.langStopwords.map { case (lang, ws) =>
+          s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS h_$lang"
+        }.mkString(", ")
+        val allStops = graft.text.TextOps.langStopwords.flatMap(_._2).distinct
+          .map("'" + _ + "'").mkString(",")
+        s"""
+        WITH h AS (
+          SELECT doc_id, source, text, $hits FROM documents
+        ), l AS (
+          SELECT doc_id, source, text,
+            CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                 WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                 WHEN h_fr >= h_es THEN 'fr'
+                 ELSE 'es' END AS pred_lang
+          FROM h
+        ), t AS (
+          SELECT doc_id, source, text, pred_lang,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x IN ($allStops))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) AS DOUBLE) AS nchar
+          FROM l
+        ), q AS (
+          SELECT doc_id, source, text,
+            1 / (1 + exp(-(0.2 * ln(1 + ntok) + 2 * (nstop / greatest(ntok, 1))
+              - 8 * (npunct / greatest(nchar, 1)) - 1))) AS quality
+          FROM t WHERE pred_lang = 'en'
+        ), kept AS (
+          SELECT * FROM q WHERE quality >= 0.5
+        ), ded AS (
+          SELECT doc_id, source, text,
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+              ORDER BY doc_id) AS rk
+            FROM kept) WHERE rk = 1
+        ), w AS (
+          SELECT doc_id, string_split(norm, ' ') AS w FROM ded
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(generate_series(1, len(w)-2),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM w WHERE len(w) >= 3
+        ), ab AS (
+          SELECT doc_id, s,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id, s,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+        ), jp AS (
+          SELECT id_a, id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+          FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                    JOIN sh b ON cand.id_b = b.doc_id
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM jp WHERE jac >= 0.8
+          UNION
+          SELECT id_b, id_a FROM jp WHERE jac >= 0.8
+        ), rc AS (
+          WITH RECURSIVE reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          )
+          SELECT id, min(lbl) AS component FROM reach GROUP BY id
+        ), cleaned AS (
+          SELECT * FROM ded
+          WHERE doc_id NOT IN (SELECT id FROM rc WHERE id <> component)
+        ), corp AS (
+          SELECT * FROM cleaned WHERE doc_id % 7 != 0
+        ), cg AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(w)-4),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+          FROM (SELECT doc_id, string_split(norm, ' ') AS w FROM corp)
+          WHERE len(w) >= 5
+        ), bg AS (
+          SELECT DISTINCT unnest(list_distinct(list_transform(
+            generate_series(1, len(w)-4),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
+          FROM (
+            SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents WHERE doc_id % 7 = 0)
+          WHERE len(w) >= 5
+        ), decon AS (
+          SELECT * FROM corp
+          WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
+        ), mc AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS ns FROM decon GROUP BY source
+        ), mt AS (
+          SELECT sum(ns) AS n, sum(sqrt(ns)) AS z FROM mc
+        ), mr AS (
+          SELECT source, least(1.0, 0.75 * mt.n * (sqrt(ns) / mt.z) / ns) AS rate
+          FROM mc, mt
+        ), mixed AS (
+          SELECT d.doc_id, d.source, d.text, r.rate
+          FROM decon d JOIN mr r USING (source)
+          WHERE (('0x' || substring(md5('43:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0) < r.rate
+        ), toks AS (
+          SELECT doc_id, source, rate, $tokSql AS tok FROM mixed
+        ), o AS (
+          SELECT doc_id, source, rate, tok,
+            COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM toks
+        )
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(tok) AS BIGINT) AS total_tokens,
+          CAST(max((off + tok - 1) // 256) + 1 AS BIGINT) AS n_chunks,
+          round(min(rate), 6) AS mix_rate
+        FROM o GROUP BY source
+        """.stripMargin.trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── X23: benchmark decontamination — word 5-gram overlap of every
@@ -1126,179 +1318,32 @@ object PipelineQueries {
     //    held-out bench slice (x23), temperature-scaled mixture
     //    sampling (x59's sqrt-exact rates, seed 43), and concat-chunk
     //    packing (x25) — emitting the per-source dataset manifest.
-    //    FULL oracle: the x22b + x23 + x59 + x25 CTE chains composed ──
+    //    FULL oracle: the x22b + x23 + x59 + x25 CTE chains composed.
+    //    Scale note: composed as ONE plan the branches re-scan
+    //    `documents` 13× (EntrySpec pins the budget); x104 is the SAME
+    //    pipeline with the stage materialization that collapses it ──
     QueryDef(
       "x69_pretrain_dataset",
-      (s, dir) => {
-        import graft.text.TextOps
-        // Scale note: composed as ONE Catalyst plan, the branches
-        // (corpus/bench split, contamination's two sides, near-dup,
-        // packing) re-scan `documents` 13× (explain-audited round 9) —
-        // free at bench SF, wrong at 100 TB. The production shape
-        // materializes each stage to parquet and reads it back (the
-        // x78/x89 snapshot pattern), paying one write per stage instead
-        // of repeated upstream recompute; semantics identical, which is
-        // why the single-plan form stays the oracle-checked one here.
-        val docs = Tables.documents(s, dir)
-        val lang = TextOps.languageId(docs, "text", "pred_lang")
-        val qual = TextOps.qualityScore(lang, "text", "__q")
-        val kept = qual.filter(col("pred_lang") === "en" && col("__q") >= 0.5)
-        val deduped = TextOps.exactDedup(kept, "text", Seq("doc_id"))
-        val pairs = TextOps.nearDupPairsBy(deduped, "doc_id",
-          TextOps.wordShingles(col("text"), 3),
-          numHashes = 128, bands = 16, threshold = 0.8)
-        val drops = graft.text.Components
-          .connectedComponents(pairs, "id_a", "id_b")
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as("doc_id"))
-        val cleaned = deduped.join(drops, Seq("doc_id"), "left_anti")
-        val corpus = cleaned.filter(col("doc_id") % 7 =!= 0)
-        val bench = docs.filter(col("doc_id") % 7 === 0)
-        val flagged = Pipeline.contaminationReport(
-          corpus, bench, "doc_id", "text", n = 5, minShared = 1)
-          .select(col("doc_id"))
-        val decon = corpus.join(flagged, Seq("doc_id"), "left_anti")
-        val mixed = Pipeline.temperatureSample(
-          decon, "doc_id", "source", alpha = 0.5, targetFrac = 0.75,
-          seed = 43L)
-        Pipeline.packChunked(mixed, Seq("source"), Seq("doc_id"),
-          "text", budget = 256L)
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("__tok")).as("total_tokens"),
-            (max(col("chunk_last")) + 1).as("n_chunks"),
-            round(min(col("__rate")), 6).as("mix_rate"))
-      },
-      Some {
-        val hits = graft.text.TextOps.langStopwords.map { case (lang, ws) =>
-          s"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x IN (${ws.map("'" + _ + "'").mkString(",")}))) AS BIGINT) AS h_$lang"
-        }.mkString(", ")
-        val allStops = graft.text.TextOps.langStopwords.flatMap(_._2).distinct
-          .map("'" + _ + "'").mkString(",")
-        s"""
-        WITH h AS (
-          SELECT doc_id, source, text, $hits FROM documents
-        ), l AS (
-          SELECT doc_id, source, text,
-            CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-                 WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
-                 WHEN h_fr >= h_es THEN 'fr'
-                 ELSE 'es' END AS pred_lang
-          FROM h
-        ), t AS (
-          SELECT doc_id, source, text, pred_lang,
-            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
-            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-              x -> x IN ($allStops))) AS DOUBLE) AS nstop,
-            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
-            CAST(length(text) AS DOUBLE) AS nchar
-          FROM l
-        ), q AS (
-          SELECT doc_id, source, text,
-            1 / (1 + exp(-(0.2 * ln(1 + ntok) + 2 * (nstop / greatest(ntok, 1))
-              - 8 * (npunct / greatest(nchar, 1)) - 1))) AS quality
-          FROM t WHERE pred_lang = 'en'
-        ), kept AS (
-          SELECT * FROM q WHERE quality >= 0.5
-        ), ded AS (
-          SELECT doc_id, source, text,
-            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-          FROM (
-            SELECT *, row_number() OVER (
-              PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-              ORDER BY doc_id) AS rk
-            FROM kept) WHERE rk = 1
-        ), w AS (
-          SELECT doc_id, string_split(norm, ' ') AS w FROM ded
-        ), sh AS (
-          SELECT doc_id,
-            list_distinct(list_transform(generate_series(1, len(w)-2),
-              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-          FROM w WHERE len(w) >= 3
-        ), ab AS (
-          SELECT doc_id, s,
-            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
-            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
-          FROM sh
-        ), sig AS (
-          SELECT doc_id, s,
-            list_transform(generate_series(0, 127), k ->
-              list_aggregate(list_transform(generate_series(1, len(av)),
-                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
-          FROM ab
-        ), banded AS (
-          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
-          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
-        ), cand AS (
-          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
-            AND l.doc_id < r.doc_id
-        ), jp AS (
-          SELECT id_a, id_b,
-            len(list_intersect(a.s, b.s))::DOUBLE /
-            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
-          FROM cand JOIN sh a ON cand.id_a = a.doc_id
-                    JOIN sh b ON cand.id_b = b.doc_id
-        ), edges AS (
-          SELECT id_a AS src, id_b AS dst FROM jp WHERE jac >= 0.8
-          UNION
-          SELECT id_b, id_a FROM jp WHERE jac >= 0.8
-        ), rc AS (
-          WITH RECURSIVE reach(id, lbl) AS (
-            SELECT src, src FROM edges
-            UNION
-            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
-          )
-          SELECT id, min(lbl) AS component FROM reach GROUP BY id
-        ), cleaned AS (
-          SELECT * FROM ded
-          WHERE doc_id NOT IN (SELECT id FROM rc WHERE id <> component)
-        ), corp AS (
-          SELECT * FROM cleaned WHERE doc_id % 7 != 0
-        ), cg AS (
-          SELECT doc_id, unnest(list_distinct(list_transform(
-            generate_series(1, len(w)-4),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
-          FROM (SELECT doc_id, string_split(norm, ' ') AS w FROM corp)
-          WHERE len(w) >= 5
-        ), bg AS (
-          SELECT DISTINCT unnest(list_distinct(list_transform(
-            generate_series(1, len(w)-4),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS g
-          FROM (
-            SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
-            FROM documents WHERE doc_id % 7 = 0)
-          WHERE len(w) >= 5
-        ), decon AS (
-          SELECT * FROM corp
-          WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g))
-        ), mc AS (
-          SELECT source, CAST(count(*) AS DOUBLE) AS ns FROM decon GROUP BY source
-        ), mt AS (
-          SELECT sum(ns) AS n, sum(sqrt(ns)) AS z FROM mc
-        ), mr AS (
-          SELECT source, least(1.0, 0.75 * mt.n * (sqrt(ns) / mt.z) / ns) AS rate
-          FROM mc, mt
-        ), mixed AS (
-          SELECT d.doc_id, d.source, d.text, r.rate
-          FROM decon d JOIN mr r USING (source)
-          WHERE (('0x' || substring(md5('43:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
-                 / 4294967296.0) < r.rate
-        ), toks AS (
-          SELECT doc_id, source, rate, $tokSql AS tok FROM mixed
-        ), o AS (
-          SELECT doc_id, source, rate, tok,
-            COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-          FROM toks
-        )
-        SELECT source, count(*) AS n_docs,
-          CAST(sum(tok) AS BIGINT) AS total_tokens,
-          CAST(max((off + tok - 1) // 256) + 1 AS BIGINT) AS n_chunks,
-          round(min(rate), 6) AS mix_rate
-        FROM o GROUP BY source
-        """.stripMargin.trim
-      }),
+      (s, dir) => pretrainPipeline(s, dir, stagePath = None),
+      Some(pretrainOracleSql)),
+
+    // ── X104: the SAME pretraining-dataset build with STAGE
+    //    MATERIALIZATION — the documented 100 TB shape of x69: the
+    //    cleaned corpus (post near-dup cluster drop) and the
+    //    decontaminated corpus are each written to parquet and read
+    //    back (the x78/x89 snapshot pattern), so every downstream
+    //    branch re-reads a materialized stage instead of recomputing
+    //    the upstream spine: the final plan scans documents ZERO times
+    //    (EntrySpec pins x69's 13-scan budget and x104's zero), and
+    //    each stage write pays its own bounded spine exactly once.
+    //    Identical semantics, identical manifest, the SAME oracle ──
+    QueryDef(
+      "x104_pretrain_dataset_staged",
+      (s, dir) => pretrainPipeline(s, dir, stagePath = Some(
+        s"${Scratch.dir}/graft_pretrain_stage_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_"))),
+      Some(pretrainOracleSql)),
+
 
     // ── X70: pre-shuffle skew diagnostics (Diagnostics.skewReport) —
     //    the measurement step before x52's salting: heavy-hitter keys

@@ -47,11 +47,9 @@ class EntrySpec extends SparkSpec {
     * the capstone must either stay within budget or force the documented
     * switch to materialized stages — never silently become scan #14.
     */
-  test("x69 scan budget: at most 13 logical documents scans") {
-    val df = SparkEntry.queries("x69_pretrain_dataset")(
-      spark, "/root/testdata/sf0.001")
+  private def documentsScans(df: org.apache.spark.sql.DataFrame): Int = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val scans = df.queryExecution.optimizedPlan.collectLeaves().count {
+    df.queryExecution.optimizedPlan.collectLeaves().count {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation =>
           h.location.rootPaths.exists(_.toString.contains("documents"))
@@ -59,8 +57,26 @@ class EntrySpec extends SparkSpec {
       }
       case _ => false
     }
+  }
+
+  test("x69 scan budget: at most 13 logical documents scans") {
+    val df = SparkEntry.queries("x69_pretrain_dataset")(
+      spark, "/root/testdata/sf0.001")
+    val scans = documentsScans(df)
     assert(scans > 0 && scans <= 13,
       s"x69 plans $scans documents scans (budget 13): adding a branch " +
-        "requires the stage-materialization redesign documented in-query")
+        "requires the stage-materialization redesign (x104)")
+  }
+
+  /** The staged build's RETURNED plan must read only materialized stages
+    * — zero documents scans — which is the whole point of x104: the
+    * 13-scan recompute tree of x69 collapses to a handful of bounded
+    * stage-write jobs plus a final plan over parquet snapshots.
+    */
+  test("x104 staged build: final plan reads zero documents scans") {
+    val df = SparkEntry.queries("x104_pretrain_dataset_staged")(
+      spark, "/root/testdata/sf0.001")
+    assert(documentsScans(df) == 0,
+      "x104's final plan must scan only the materialized stages")
   }
 }
