@@ -558,6 +558,58 @@ object PipelineQueries {
         FROM (SELECT source, shard, unnest(asg) AS a FROM fin WHERE rn = 1) u
       """.stripMargin.trim)),
 
+    // ── X105: dataset snapshot diff (Pipeline.datasetDiff) — the
+    //    corpus-governance answer to "what changed between releases":
+    //    snapshot B is the corpus with an engineered drop (removed),
+    //    tamper (modified) and append (added) slice; the diff is ONE
+    //    full-outer join on (id, content hash), text never shuffled.
+    //    FULL oracle replaying the hash compare and the engineered
+    //    mutations ──
+    QueryDef(
+      "x105_dataset_diff",
+      (s, dir) => {
+        val a = Tables.documents(s, dir)
+        val b = a.filter(col("doc_id") % 11 =!= 3)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 4, concat(col("text"), lit(" tampered")))
+              .otherwise(col("text")))
+          .unionByName(
+            a.filter(col("doc_id") % 17 === 5)
+              .withColumn("doc_id", col("doc_id") + 1000000L))
+        Pipeline.datasetDiff(a, b, "doc_id", "text", carryCols = Seq("source"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, source,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ), b AS (
+          SELECT doc_id, source,
+            md5(regexp_replace(lower(trim(
+              CASE WHEN doc_id % 13 = 4 THEN text || ' tampered' ELSE text END
+            )), '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 11 != 3
+          UNION ALL
+          SELECT doc_id + 1000000, source,
+            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          FROM documents WHERE doc_id % 17 = 5
+        ), d AS (
+          SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+            COALESCE(a.source, b.source) AS source,
+            CASE WHEN a.doc_id IS NULL THEN 'added'
+                 WHEN b.doc_id IS NULL THEN 'removed'
+                 WHEN a.h != b.h THEN 'modified'
+                 ELSE 'unchanged' END AS status
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        )
+        SELECT source, status, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM d GROUP BY source, status
+      """.stripMargin.trim)),
+
     // ── X27: Gopher-rule quality signals (Rae et al. 2021 A1) — word
     //    shape, stopword hits, top-2-gram repetition, and the composed
     //    keep/drop verdict, all replayed exactly in DuckDB (the verdict
@@ -1820,6 +1872,55 @@ object PipelineQueries {
         SELECT card.*, dups.n_exact_dups,
           round(CAST(dups.n_exact_dups AS DOUBLE) / card.n_docs, 6) AS dup_rate
         FROM card JOIN dups USING (source)
+      """.stripMargin.trim)),
+
+    // ── X106: approx-quantile sketch with a PROVEN rank-error bound —
+    //    the 100 TB path x94's scale note promises: exact `percentile`
+    //    buffers every group's values (a sort at scale), while
+    //    `approx_percentile` is a mergeable GK-style sketch with
+    //    deterministic rank error ≤ n/accuracy. The query computes both,
+    //    counts the approx value's true rank interval (lt, le) with one
+    //    join-back pass, and emits the bound verdict
+    //    floor((p−ε)·n) ≤ rank ≤ ceil((p+ε)·n) as a column — the oracle
+    //    pins the EXACT quantiles numerically and the verdicts to TRUE,
+    //    so a sketch regression past its contract hash-fails ──
+    QueryDef(
+      "x106_quantile_sketch",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("value").cast("double"))
+        val eps = 0.01 // accuracy 100 → relative rank error ≤ 1%
+        val approx = ev.groupBy(col("event_type"))
+          .agg(expr("approx_percentile(value, array(0.5D, 0.9D), 100)").as("__ap"),
+            count(lit(1)).as("n"))
+          .select(col("event_type"), col("n"),
+            element_at(col("__ap"), 1).as("__a50"),
+            element_at(col("__ap"), 2).as("__a90"))
+        import org.apache.spark.sql.Column
+        def bound(p: Double, le: Column, lt: Column, n: Column): Column =
+          le >= floor(lit(p - eps) * n) && lt <= ceil(lit(p + eps) * n)
+        ev.join(broadcast(approx), Seq("event_type"))
+          .groupBy(col("event_type"), col("n"))
+          .agg(
+            expr("CAST(percentile(value, 0.5D) AS DOUBLE)").as("__e50"),
+            expr("CAST(percentile(value, 0.9D) AS DOUBLE)").as("__e90"),
+            sum(when(col("value") <= col("__a50"), 1L).otherwise(0L)).as("__le50"),
+            sum(when(col("value") < col("__a50"), 1L).otherwise(0L)).as("__lt50"),
+            sum(when(col("value") <= col("__a90"), 1L).otherwise(0L)).as("__le90"),
+            sum(when(col("value") < col("__a90"), 1L).otherwise(0L)).as("__lt90"))
+          .select(col("event_type"), col("n"),
+            round(col("__e50"), 6).as("p50_exact"),
+            round(col("__e90"), 6).as("p90_exact"),
+            bound(0.5, col("__le50"), col("__lt50"), col("n")).as("p50_within_bound"),
+            bound(0.9, col("__le90"), col("__lt90"), col("n")).as("p90_within_bound"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+          round(quantile_cont(value, 0.5), 6) AS p50_exact,
+          round(quantile_cont(value, 0.9), 6) AS p90_exact,
+          TRUE AS p50_within_bound,
+          TRUE AS p90_within_bound
+        FROM events GROUP BY event_type
       """.stripMargin.trim)),
 
     // ── X97: C4 line-level cleaning (Quality.c4LineClean/c4DocKeep, the

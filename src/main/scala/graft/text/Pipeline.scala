@@ -390,6 +390,40 @@ object Pipeline {
     }
   }
 
+  /** Snapshot diff — the corpus-governance primitive behind "what
+    * changed between dataset releases": every doc in either snapshot is
+    * classified `added` (only in `b`), `removed` (only in `a`),
+    * `modified` (both, normalized content hash differs) or `unchanged`.
+    * One full-outer hash-shuffle join on the id; content hashes are
+    * computed map-side ([[TextOps.contentHash]], 16 B/doc through the
+    * shuffle) so document text never moves or compares directly —
+    * at 100 TB the diff costs one join over (id, hash) pairs.
+    * Output: `idCol`, `status`, plus `source` carried from whichever
+    * side has the row.
+    */
+  def datasetDiff(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      textCol: String,
+      carryCols: Seq[String] = Seq.empty): DataFrame = {
+    def keyed(df: DataFrame, tag: String) =
+      df.select(
+        (col(idCol).as(s"__id_$tag") +:
+          TextOps.contentHash(col(textCol)).as(s"__h_$tag") +:
+          carryCols.map(c => col(c).as(s"__${c}_$tag"))): _*)
+    keyed(a, "a").join(keyed(b, "b"),
+        col("__id_a") === col("__id_b"), "full_outer")
+      .select(
+        (coalesce(col("__id_a"), col("__id_b")).as(idCol) +:
+          when(col("__id_a").isNull, "added")
+            .when(col("__id_b").isNull, "removed")
+            .when(col("__h_a") =!= col("__h_b"), "modified")
+            .otherwise("unchanged").as("status") +:
+          carryCols.map(c =>
+            coalesce(col(s"__${c}_a"), col(s"__${c}_b")).as(c))): _*)
+  }
+
   /** Sequence packing, first-fit-DECREASING bin style — the
     * padding-minimizing layout (Johnson 1973 FFD, the 11/9·OPT
     * guarantee): within each stratum, documents sorted by token count

@@ -286,4 +286,45 @@ class PropertySpec extends SparkSpec {
       assert(!c1.contains("#"), s"fragment survived: $u -> $c1")
     }
   }
+
+  test("packBinFFD: capacity invariant, completeness, partition-invariance on random corpora") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // random doc sizes incl. oversize outliers, two strata, odd counts
+    val rows = (0 until 3).flatMap { trial =>
+      val n = 20 + rnd.nextInt(40)
+      (0 until n).map { i =>
+        val t = if (rnd.nextInt(10) == 0) 260 + rnd.nextInt(200)
+                else 1 + rnd.nextInt(200)
+        (trial * 1000L + i, if (i % 2 == 0) s"s${trial}a" else s"s${trial}b",
+          Seq.fill(t)("aaaa").mkString(" "))
+      }
+    }
+    val df = rows.toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.text.Pipeline.packBinFFD(d, Seq("source"), "doc_id", "text",
+        capacity = 256L, docsPerShard = 16)
+        .select(col("doc_id"), col("source"), col("__pshard"), col("bin"),
+          col("__tok"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .sortBy(_._1).toSeq
+    val out = run(df)
+    // completeness: every doc assigned exactly once
+    assert(out.map(_._1) == rows.map(_._1).sorted)
+    // capacity invariant: a bin's fill <= capacity unless a lone oversize
+    out.groupBy(t => (t._2, t._3, t._4)).foreach { case (_, docs) =>
+      assert(docs.map(_._5).sum <= 256 || docs.size == 1,
+        s"overfull shared bin: $docs")
+    }
+    // shard bound: no shard holds more than docsPerShard docs
+    out.groupBy(t => (t._2, t._3)).foreach { case (_, docs) =>
+      assert(docs.size <= 16)
+    }
+    // partition-invariance: a shuffled, repartitioned input packs identically
+    val shuffled = rows.reverse.toDF("doc_id", "source", "text").repartition(7)
+    assert(run(shuffled) == out, "packing must not depend on input layout")
+  }
 }
