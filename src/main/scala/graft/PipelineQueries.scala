@@ -1874,6 +1874,33 @@ object PipelineQueries {
         FROM card JOIN dups USING (source)
       """.stripMargin.trim)),
 
+    // ── X107: deterministic global shuffle + round-robin sharding
+    //    (Pipeline.globalShuffle) — the training-epoch ORDER between
+    //    packing and shipping: rank = position in the total
+    //    (md5 coin, id) order, shard = rank mod n, so every shard is an
+    //    unbiased interleaved sample of the corpus. Range sort + the
+    //    two-pass zipWithIndex device (never a one-task global window).
+    //    FULL per-doc oracle: DuckDB replays the coin and the row_number
+    //    order exactly ──
+    QueryDef(
+      "x107_global_shuffle",
+      (s, dir) => {
+        Pipeline.globalShuffle(Tables.documents(s, dir), "doc_id",
+          nShards = 8, seed = 7L)
+          .select(col("doc_id"), col("source"), col("shuffle_rank"),
+            col("shard"))
+      },
+      Some("""
+        SELECT doc_id, source,
+          row_number() OVER (ORDER BY
+            (('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0), doc_id) - 1 AS shuffle_rank,
+          (row_number() OVER (ORDER BY
+            (('0x' || substring(md5('7:' || doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0), doc_id) - 1) % 8 AS shard
+        FROM documents
+      """.stripMargin.trim)),
+
     // ── X106: approx-quantile sketch with a PROVEN rank-error bound —
     //    the 100 TB path x94's scale note promises: exact `percentile`
     //    buffers every group's values (a sort at scale), while

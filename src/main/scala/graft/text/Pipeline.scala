@@ -390,6 +390,62 @@ object Pipeline {
     }
   }
 
+  /** Deterministic global shuffle + round-robin sharding — the step
+    * between packing and shipping that every pretraining dataset needs:
+    * a training-epoch ORDER that is (a) statistically a uniform shuffle,
+    * (b) bit-reproducible across runs and clusters, and (c) turns each
+    * shard into an unbiased interleaved sample of the whole corpus (the
+    * trainer-side contract that lets any shard subset stand in for the
+    * dataset). Rank = the row's position in the total (coin, id) order,
+    * shard = rank mod nShards.
+    *
+    * Scale shape: a global `row_number()` window would move the corpus
+    * to ONE task; instead this is a sampled RANGE sort
+    * (`repartitionByRange` on the coin — every reducer gets a slice of
+    * the order) plus the two-pass zipWithIndex device: a light first
+    * pass counts rows per sorted partition, the driver folds the
+    * offsets (numPartitions longs — bounded state), and the second pass
+    * streams each partition adding offset + local index. The rank is a
+    * pure function of the total order, so boundaries — and therefore
+    * re-runs on any cluster — never change the result. The count pass
+    * re-executes the sort (stateless by design, no cache leak); persist
+    * the sorted stage first (the x104 pattern) when the double sort
+    * matters. Appends `shuffle_rank` (0-based) and `shard`.
+    */
+  def globalShuffle(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: Long): DataFrame = {
+    require(nShards > 0, s"need nShards > 0: $nShards")
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = df.withColumn("__u", hashUniform(seed, col(idCol)))
+      .repartitionByRange(col("__u"), col(idCol))
+      .sortWithinPartitions(col("__u"), col(idCol))
+    val counts = sorted.mapPartitions { it =>
+      Iterator((TaskContext.getPartitionId(), it.size.toLong))
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .collect().toMap
+    val maxP = if (counts.isEmpty) -1 else counts.keys.max
+    val offsets = (0 to maxP).scanLeft(0L)((acc, p) =>
+      acc + counts.getOrElse(p, 0L)).toArray
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = StructType(sorted.schema.fields ++ Seq(
+      StructField("shuffle_rank", LongType, nullable = false),
+      StructField("shard", LongType, nullable = false)))
+    val n = nShards.toLong
+    sorted.mapPartitions { it =>
+      val off = bc.value(TaskContext.getPartitionId())
+      it.zipWithIndex.map { case (r, i) =>
+        val rank = off + i
+        Row.fromSeq(r.toSeq :+ rank :+ (rank % n))
+      }
+    }(Encoders.row(outSchema)).drop("__u")
+  }
+
   /** Snapshot diff — the corpus-governance primitive behind "what
     * changed between dataset releases": every doc in either snapshot is
     * classified `added` (only in `b`), `removed` (only in `a`),

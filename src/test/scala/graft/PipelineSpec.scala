@@ -82,6 +82,25 @@ class PipelineSpec extends SparkSpec {
     assert(out == Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
   }
 
+  test("globalShuffle: contiguous ranks, round-robin shards, layout-invariant") {
+    import spark.implicits._
+    val rows = (0 until 97).map(i => (i.toLong, s"doc $i"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Pipeline.globalShuffle(d, "doc_id", nShards = 4, seed = 5L)
+        .select(col("doc_id"), col("shuffle_rank"), col("shard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val out = run(rows.toDF("doc_id", "text"))
+    // ranks are a permutation of 0..n-1; shard = rank mod 4
+    assert(out.map(_._2).sorted == (0L until 97L))
+    assert(out.forall { case (_, rk, sh) => sh == rk % 4 })
+    // shard sizes differ by at most one (round-robin)
+    val sizes = out.groupBy(_._3).view.mapValues(_.size).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    // a different input layout yields the identical order
+    assert(run(rows.reverse.toDF("doc_id", "text").repartition(13)) == out)
+  }
+
   test("packing is per-group: a second source restarts packs and offsets") {
     import spark.implicits._
     val df = Seq((0L, "a", docOf(200)), (1L, "a", docOf(200)),
