@@ -1648,6 +1648,60 @@ object DedupQueries {
         FROM sp GROUP BY doc_id
       """.stripMargin.trim)),
 
+    // ── X108: EXACT ExactSubstr profile (Lee et al. 2022's suffix-array
+    //    contract) — the k = minLen instantiation of the span profiler:
+    //    a position is in a duplicated >= minLen substring IFF a
+    //    duplicated exact-minLen window covers it, so minLen-gram
+    //    anchors at stride 1 mark PRECISELY the ExactSubstr position
+    //    set — none of x79's k < minLen chain over-merge. Same one
+    //    count->=2 shuffle; each position hashes minLen tokens instead
+    //    of k (the distributed trade vs the suffix array's low-memory
+    //    sequential build). FULL oracle = the x79 replay at width 16 ──
+    QueryDef(
+      "x108_exact_substr",
+      (s, dir) => {
+        TextOps.exactSubstrProfile(Tables.documents(s, dir), "doc_id",
+          "text", minLen = 16)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT doc_id, string_split(norm, ' ') AS w FROM d
+        ), g AS (
+          SELECT doc_id, len(w) AS n, i.i - 1 AS p,
+            substring(md5(array_to_string(w[i.i:i.i+15], ' ')), 1, 16) AS h
+          FROM w, (SELECT unnest(generate_series(1, len(w) - 15)) AS i) i
+          WHERE len(w) >= 16
+        ), dup AS (
+          SELECT h FROM g GROUP BY h HAVING count(*) >= 2
+        ), a AS (
+          SELECT doc_id, n, p, p + 15 AS e FROM g JOIN dup USING (h)
+        ), f AS (
+          SELECT doc_id, n, p, e,
+            CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+            THEN 1 ELSE 0 END AS nw
+          FROM a
+        ), sps AS (
+          SELECT doc_id, n, p, e,
+            sum(nw) OVER (PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+          FROM f
+        ), sp AS (
+          SELECT doc_id, span, min(p) AS s_, max(e) AS x_, min(n) AS nn
+          FROM sps GROUP BY doc_id, span
+          HAVING max(e) - min(p) + 1 >= 16
+        )
+        SELECT doc_id, count(*) AS n_spans,
+          CAST(sum(x_ - s_ + 1) AS BIGINT) AS dup_tokens,
+          CAST(min(nn) AS BIGINT) AS total_tokens,
+          round(CAST(sum(x_ - s_ + 1) AS DOUBLE) / CAST(min(nn) AS DOUBLE), 6)
+            AS dup_frac
+        FROM sp GROUP BY doc_id
+      """.stripMargin.trim)),
+
     // ── X81: perceptual-hash image dedup (Multimodal.dHash) — every
     //    image doc carries a REAL 8×6 gray PNG planted from
     //    pixel_i = (d·31 + d·i + i²) % 256; the engine decodes it

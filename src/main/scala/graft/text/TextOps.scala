@@ -653,6 +653,31 @@ object TextOps {
         round(col("dup_tokens").cast("double") / col("total_tokens"), 6))
   }
 
+  /** EXACT ExactSubstr profile — the suffix-array contract of Lee et al.
+    * 2022 (every position inside an exactly-duplicated substring of
+    * ≥ minLen tokens, and nothing else), as the `k = minLen`
+    * instantiation of [[duplicatedSpanProfile]]. Why this is exact and
+    * not an approximation: a position lies inside a duplicated
+    * substring of length ≥ minLen IFF it is covered by a duplicated
+    * window of EXACTLY minLen tokens (any longer duplicate contains
+    * such a window over each of its positions; any duplicated
+    * minLen-window is itself such a substring) — so marking duplicated
+    * minLen-gram anchors at stride 1 and merging covers precisely the
+    * ExactSubstr position set, with none of the k < minLen chain
+    * over-merge (a chain of duplicated minLen-windows is itself fully
+    * duplicated coverage). The suffix array is the low-memory path to
+    * the same set; here each position hashes minLen tokens instead
+    * (minLen/k × the anchor tier's per-position work) through the same
+    * single count-≥-2 shuffle — the trade a distributed engine prefers.
+    * Proved equal to the brute-force exact-window scan in QualitySpec.
+    */
+  def exactSubstrProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 16): DataFrame =
+    duplicatedSpanProfile(df, idCol, textCol, k = minLen, minLen = minLen)
+
   /** Span-level frame behind [[duplicatedSpanProfile]]: one row per
     * maximal merged duplicated span of >= minLen tokens —
     * `__id, __s (0-based first token), __x (0-based last token,

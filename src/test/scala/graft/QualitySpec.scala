@@ -376,5 +376,19 @@ class QualitySpec extends SparkSpec {
     val hit = brute.map { case (id, ps) => ps.count(covered(id).contains) }.sum
     assert(hit == bruteTotal)                  // recall exactly 1.0
     assert(coverTotal == bruteTotal + 8)       // only doc 7 over-covers
+
+    // EXACT tier (k = minLen): coverage must equal brute force on EVERY
+    // doc — including the adversarial chain doc, where the k < minLen
+    // approximation over-covers and the exact tier must stay silent
+    val exact = TextOps.duplicatedSpans(df, "doc_id", "text",
+        k = minLen, minLen = minLen)
+      .collect()
+      .groupBy(_.getAs[Long]("__id"))
+      .map { case (id, rs) => id -> rs.flatMap(r =>
+        r.getAs[Number]("__s").intValue to r.getAs[Number]("__x").intValue)
+        .toSet }
+    for ((id, _) <- docs.map(d => d._1 -> ()).toMap)
+      assert(exact.getOrElse(id, Set.empty) == brute(id),
+        s"exact tier must equal brute force on doc $id")
   }
 }
