@@ -1021,6 +1021,34 @@ object Queries {
         FROM events GROUP BY event_type, bucket_start_s
       """.stripMargin.trim)),
 
+    // ── X109: SLIDING event-time windows — `window(t, 2h, slide 1h)`,
+    //    the overlapping complement of x10's tumbling buckets (and of
+    //    G1's row-based sliding segmentation): every event lands in
+    //    exactly duration/slide = 2 epoch-aligned windows, which Spark
+    //    plans as a generate+shuffle (no self-join). FULL oracle: the
+    //    two hour-aligned window starts replay as unnest arithmetic ──
+    QueryDef(
+      "x109_sliding_windows",
+      (s, dir) => {
+        ev(s, dir)
+          .withColumn("__t", timestamp_micros(expr("ts div 1000")))
+          .groupBy(col("event_type"),
+            window(col("__t"), "2 hours", "1 hour").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum(col("value")), 6).as("sum_value"))
+          .select(col("event_type"),
+            col("w.start").cast("long").as("win_start_s"),
+            col("n_events"), col("sum_value"))
+      },
+      Some("""
+        SELECT event_type,
+          ((epoch_us(ts) // 3600000000) - k.k) * 3600 AS win_start_s,
+          count(*) AS n_events,
+          round(sum(value), 6) AS sum_value
+        FROM events, unnest(generate_series(0, 1)) k(k)
+        GROUP BY event_type, win_start_s
+      """.stripMargin.trim)),
+
     // ── Q5-style: revenue per supplier nation in ASIA (multi-join;
     //    nation/region auto-broadcast) ──
     QueryDef(
