@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.text.Pipeline
 
 /** Corpus-preparation pipeline queries (SURVEY §2.8 north-star): benchmark
-  * decontamination, deterministic domain mixing, and both sequence-packing
-  * layouts — all oracle-checked (the sampling hash and the packing
-  * recurrences replay exactly in DuckDB).
+  * decontamination, deterministic domain mixing, and all three
+  * sequence-packing layouts (concat-chunk, greedy first-fit,
+  * first-fit-decreasing bins) — all oracle-checked (the sampling hash
+  * and the packing recurrences replay exactly in DuckDB).
   */
 object PipelineQueries {
 
