@@ -760,6 +760,62 @@ object Queries {
         """.stripMargin.trim
       }),
 
+    // ── X110: Cavnar–Trenkle n-gram language-ID (LangId) — the
+    //    published rank-profile method beside x7's stopword argmax:
+    //    per-language top-100 char-3-gram profiles from the labeled
+    //    corpus, per-doc top-50 rank lists, out-of-place distance with
+    //    absent-gram penalty, argmin with total-order tie-breaks.
+    //    Profiles are langs×100 rows broadcast-joined; classification
+    //    is one explode + keyed window + grouped aggregate,
+    //    corpus-linear. FULL oracle: training AND classification replay
+    //    in DuckDB windows (no fitted state — the profile build is
+    //    itself deterministic SQL) ──
+    QueryDef(
+      "x110_langid_ngram",
+      (s, dir) => {
+        import graft.text.LangId
+        val docs = Tables.documents(s, dir)
+        val prof = LangId.profiles(docs, "text", "lang")
+        LangId.classify(docs, "doc_id", "text", prof, "lang")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+            regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), g AS (
+          SELECT doc_id, lang, substring(norm, i.i, 3) AS g
+          FROM d, (SELECT unnest(generate_series(1, length(norm) - 2)) AS i) i
+          WHERE length(norm) >= 3
+        ), prof AS (
+          SELECT lang, g, rank FROM (
+            SELECT lang, g, row_number() OVER (PARTITION BY lang
+              ORDER BY count(*) DESC, g) AS rank
+            FROM g GROUP BY lang, g)
+          WHERE rank <= 100
+        ), dr AS (
+          SELECT doc_id, g, dr FROM (
+            SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+              ORDER BY count(*) DESC, g) AS dr
+            FROM g GROUP BY doc_id, g)
+          WHERE dr <= 50
+        ), langs AS (
+          SELECT DISTINCT lang FROM prof
+        ), scored AS (
+          SELECT dr.doc_id, langs.lang,
+            sum(coalesce(abs(dr.dr - prof.rank), 100)) AS dist
+          FROM dr CROSS JOIN langs
+          LEFT JOIN prof ON prof.lang = langs.lang AND prof.g = dr.g
+          GROUP BY dr.doc_id, langs.lang
+        )
+        SELECT doc_id, lang AS pred_lang, CAST(dist AS BIGINT) AS distance
+        FROM (
+          SELECT doc_id, lang, dist, row_number() OVER (PARTITION BY doc_id
+            ORDER BY dist, lang) AS rk
+          FROM scored)
+        WHERE rk = 1
+      """.stripMargin.trim)),
+
     // ── X22: composed corpus-cleaning pass — the end-to-end shape of a
     //    training-data pipeline: language filter (en) → quality gate
     //    (≥ 0.5) → exact dedup on normalized content (first doc_id wins)

@@ -285,6 +285,31 @@ class QualitySpec extends SparkSpec {
     assert(!keep(doc, minLines = 4))               // threshold
   }
 
+  test("LangId: Cavnar-Trenkle profiles separate languages the stopword argmax can't see") {
+    import spark.implicits._
+    import graft.text.LangId
+    // two synthetic "languages" with disjoint character inventories —
+    // no stopwords in common with the x7 lists, so only the n-gram
+    // profiles can tell them apart
+    val aa = "zxq wvu zxw qvz xqw zuv wqx" // lang A inventory
+    val bb = "min nim imn nmi mni inm nmn" // lang B inventory
+    val train = (0 until 6).map(i => (i.toLong, "A", s"$aa $aa extra$i")) ++
+      (6 until 12).map(i => (i.toLong, "B", s"$bb $bb extra$i"))
+    val docs = train.toDF("doc_id", "lang", "text")
+    val prof = LangId.profiles(docs, "text", "lang", n = 3, profileSize = 40)
+    // profile is deterministic: rank 1 per language is a fixed gram
+    val p = prof.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(p.count(_._3 == 1) == 2)
+    // classify unseen docs drawn from each inventory
+    val test = Seq((100L, s"$aa zxq wvu"), (101L, s"$bb nim mni"))
+      .toDF("doc_id", "text")
+    val got = LangId.classify(test, "doc_id", "text", prof, "lang",
+        n = 3, profileSize = 40, docGrams = 30)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(100L -> "A", 101L -> "B"))
+  }
+
   // ------------------------------------------------------------------
   // duplicatedSpans recall contract vs brute-force ExactSubstr
   // ------------------------------------------------------------------
