@@ -665,6 +665,26 @@ object Queries {
       },
       None),
 
+    // ── X111: HIERARCHICAL NSW (Malkov & Yashunin 2016) — the
+    //    production-default multi-layer graph ANN (hnswlib/FAISS-HNSW):
+    //    geometric levels from the id (P(level ≥ l) = m^−l,
+    //    deterministic), upper layers as sparse express lanes descended
+    //    greedily before the ef-beam on layer 0. Same shard-parallel
+    //    architecture as x71; rows-only (the layered walk is the x71
+    //    no-oracle case squared), AnnSpec pins recall ≥ 0.9 vs exact,
+    //    bit-determinism and the geometric layer decay ──
+    QueryDef(
+      "x111_ann_hnsw",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.similarity.Hnsw.cosineTopKHnsw(
+          emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      None),
+
     // ── X73: persisted NSW graph index — build, grow by an append batch
     //    (only the touched shards are read/rewritten), then search the
     //    stream-grown graph. The x18/x29 production contract for the

@@ -110,6 +110,34 @@ class AnnSpec extends SparkSpec {
     assert(a.toSet == b.toSet)
   }
 
+  test("HNSW top-k: recall ≥ 0.9, deterministic, geometric level decay") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    def run() = graft.similarity.Hnsw.cosineTopKHnsw(
+      df, queries, "embedding", "vec_id", "vec_id", k)
+    val hnsw = resultSet(run())
+    val recall = (exact & hnsw).size.toDouble / exact.size
+    assert(recall >= 0.9, s"HNSW recall $recall (${(exact & hnsw).size}/${exact.size})")
+    // bit-identical run to run (levels, insertion and ties all total-order)
+    val a = run().collect().map(_.toSeq).toSeq
+    val b = run().collect().map(_.toSeq).toSeq
+    assert(a.toSet == b.toSet)
+    // level distribution: P(level >= l) = m^-l — over many ids the layer
+    // populations must decay geometrically (upper layers sparse express
+    // lanes, never a flat graph in disguise)
+    val m = 8
+    val levels = (0L until 4000L).map(graft.similarity.Hnsw.levelOf(_, m, 11L))
+    val l0 = levels.count(_ >= 0).toDouble
+    val l1 = levels.count(_ >= 1).toDouble
+    val l2 = levels.count(_ >= 2).toDouble
+    assert(l1 / l0 > 0.5 / m && l1 / l0 < 2.0 / m, s"P(l>=1)=${l1 / l0}")
+    assert(l2 / l0 < 2.0 / (m * m), s"P(l>=2)=${l2 / l0}")
+  }
+
   test("persisted NSW index: search recall, append touches only its shards, appended rows findable") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
     val df = clustered.cache()
