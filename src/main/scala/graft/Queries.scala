@@ -184,6 +184,197 @@ object Queries {
     """.stripMargin.trim
   }
 
+  /** Persisted HNSW adjacency stashed by the x112 run for its thunk
+    * oracle: `(id, shard, level, per-layer sorted neighbor ids)`.
+    */
+  @volatile private var x112Graph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
+
+  /** x112 thunk oracle: the [[nswWalkReplaySql]] device extended with
+    * HNSW's express-lane descent. Phase 'N' rows replay the greedy
+    * argmax hop one neighbor-scan step at a time (carrying the running
+    * (best, bestC) pair; a finished scan either re-scans from the
+    * improved node, drops a layer, or — at layer 1 with no improvement —
+    * seeds the layer-0 beam from the descent result), and the beam
+    * phases 'S'/'E' are exactly the x73 machine over the layer-0
+    * adjacency. The per-shard entry is the min-id node of the max
+    * level — the persisted-entry contract of `Hnsw.searchIndex`.
+    */
+  private def hnswWalkReplaySql(
+      graph: Seq[(Long, Int, Int, Seq[Seq[Long]])]): String = {
+    val gvals = graph.map { case (id, sh, lvl, layers) =>
+      val lay = layers.map(l => s"[${l.mkString(",")}]::BIGINT[]")
+        .mkString("[", ",", "]")
+      s"($id, $sh, $lvl, $lay)"
+    }.mkString(",\n          ")
+    def cosOf(q: String, v: String) =
+      s"""CASE WHEN ${q}nrm * $v.nrm > 0 THEN
+        |            list_reduce(list_transform(list_zip(${q}v, $v.v), z -> z[1]*z[2]), (x,y) -> x+y)
+        |            / (${q}nrm * $v.nrm) ELSE 0.0 END""".stripMargin
+    s"""
+        WITH RECURSIVE g(id, shard, level, layers) AS (VALUES
+          $gvals
+        ), evn AS (
+          SELECT vec_id AS id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+            sqrt(list_reduce(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a+b)) AS nrm
+          FROM embeddings
+        ), qv AS (
+          SELECT id AS qid, v, nrm FROM evn WHERE id < 20
+        ), gn AS (
+          SELECT g.shard, g.id, g.level, g.layers, evn.v, evn.nrm
+          FROM g JOIN evn ON evn.id = g.id
+        ), shmax AS (
+          SELECT shard, max(level) AS maxl FROM g GROUP BY shard
+        ), entry AS (
+          SELECT g.shard, min(g.id) AS eid, min(s.maxl) AS maxl
+          FROM g JOIN shmax s ON s.shard = g.shard AND g.level = s.maxl
+          GROUP BY g.shard
+        ), init AS (
+          SELECT q.qid, e.shard, 0 AS it,
+            CASE WHEN e.maxl = 0 THEN 'S' ELSE 'N' END AS phase,
+            CASE WHEN e.maxl = 0 THEN NULL ELSE e.maxl END AS layer,
+            e.eid AS cur,
+            ${cosOf("q.", "n")} AS curc,
+            CAST(1 AS INT) AS nbpos,
+            e.eid AS best,
+            ${cosOf("q.", "n")} AS bestc,
+            CASE WHEN e.maxl = 0 THEN [e.eid] END AS visited,
+            CASE WHEN e.maxl = 0 THEN [{'c': ${cosOf("q.", "n")}, 'ni': -e.eid}] END AS cand,
+            CASE WHEN e.maxl = 0 THEN [{'c': ${cosOf("q.", "n")}, 'ni': -e.eid}] END AS found
+          FROM entry e JOIN gn n ON n.shard = e.shard AND n.id = e.eid
+          CROSS JOIN qv q
+        ), walk(qid, shard, it, phase, layer, cur, curc, nbpos, best, bestc,
+                visited, cand, found) AS (
+          SELECT * FROM init
+          UNION ALL
+          SELECT qid, shard, it + 1,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN 'N'
+              WHEN phase = 'N' AND best <> cur THEN 'N'
+              WHEN phase = 'N' AND layer > 1 THEN 'N'
+              WHEN phase = 'N' THEN 'S'
+              WHEN phase = 'S' THEN 'E'
+              WHEN nxt IS NULL THEN 'S' ELSE 'E' END AS phase,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN layer
+              WHEN phase = 'N' AND best <> cur THEN layer
+              WHEN phase = 'N' AND layer > 1 THEN layer - 1
+              ELSE NULL END AS layer,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN cur
+              WHEN phase = 'N' THEN best
+              WHEN phase = 'S' THEN -sc[len(sc)].ni
+              WHEN nxt IS NULL THEN NULL ELSE cur END AS cur,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN curc
+              WHEN phase = 'N' THEN bestc
+              ELSE NULL END AS curc,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN nbpos + 1
+              WHEN phase = 'N' THEN 1
+              WHEN phase = 'S' THEN 1
+              WHEN nxt IS NULL THEN NULL ELSE nxt + 1 END AS nbpos,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN
+                CASE WHEN cc > bestc OR (cc = bestc AND nbid < best) THEN nbid ELSE best END
+              WHEN phase = 'N' THEN best
+              ELSE NULL END AS best,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN
+                CASE WHEN cc > bestc OR (cc = bestc AND nbid < best) THEN cc ELSE bestc END
+              WHEN phase = 'N' THEN bestc
+              ELSE NULL END AS bestc,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN NULL
+              WHEN phase = 'N' AND best <> cur THEN NULL
+              WHEN phase = 'N' AND layer > 1 THEN NULL
+              WHEN phase = 'N' THEN [cur]
+              WHEN phase = 'E' AND nxt IS NOT NULL THEN list_append(visited, nbid)
+              ELSE visited END AS visited,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN NULL
+              WHEN phase = 'N' AND best <> cur THEN NULL
+              WHEN phase = 'N' AND layer > 1 THEN NULL
+              WHEN phase = 'N' THEN [{'c': curc, 'ni': -cur}]
+              WHEN phase = 'S' THEN sc[1:len(sc)-1]
+              WHEN nxt IS NOT NULL AND admit THEN list_append(cand, {'c': cc, 'ni': -nbid})
+              ELSE cand END AS cand,
+            CASE
+              WHEN phase = 'N' AND nbpos <= nlen THEN NULL
+              WHEN phase = 'N' AND best <> cur THEN NULL
+              WHEN phase = 'N' AND layer > 1 THEN NULL
+              WHEN phase = 'N' THEN [{'c': curc, 'ni': -cur}]
+              WHEN phase = 'E' AND nxt IS NOT NULL AND admit THEN
+                CASE WHEN len(found) + 1 > 48
+                     THEN list_sort(list_append(found, {'c': cc, 'ni': -nbid}))[2:]
+                     ELSE list_append(found, {'c': cc, 'ni': -nbid}) END
+              ELSE found END AS found
+          FROM (
+            SELECT t.*,
+              CASE WHEN t.nb0 IS NOT NULL AND t.qnrm * nv.nrm > 0
+                   THEN list_reduce(list_transform(list_zip(t.qv, nv.v), z -> z[1]*z[2]),
+                          (x,y) -> x+y) / (t.qnrm * nv.nrm)
+                   ELSE 0.0 END AS cc,
+              CASE WHEN t.wf IS NULL THEN true
+                   ELSE (CASE WHEN t.nb0 IS NOT NULL AND t.qnrm * nv.nrm > 0
+                         THEN list_reduce(list_transform(list_zip(t.qv, nv.v), z -> z[1]*z[2]),
+                                (x,y) -> x+y) / (t.qnrm * nv.nrm) ELSE 0.0 END) > t.wf
+                   END AS admit,
+              t.nb0 AS nbid
+            FROM (
+              SELECT s.qid, s.shard, s.it, s.phase, s.layer, s.cur, s.curc,
+                s.nbpos, s.best, s.bestc, s.visited, s.cand, s.found,
+                q.v AS qv, q.nrm AS qnrm,
+                list_sort(s.cand) AS sc,
+                CASE WHEN len(s.found) < 48 THEN NULL
+                     ELSE list_sort(s.found)[1].c END AS wf,
+                CASE WHEN s.phase = 'N' THEN len(n.layers[s.layer + 1])
+                     ELSE NULL END AS nlen,
+                CASE WHEN s.phase = 'E' THEN
+                  list_min(list_filter(generate_series(s.nbpos,
+                      CAST(len(n.layers[1]) AS INT)),
+                    p -> NOT list_contains(s.visited, n.layers[1][p])))
+                END AS nxt,
+                CASE
+                  WHEN s.phase = 'N' AND s.nbpos <= len(n.layers[s.layer + 1])
+                    THEN n.layers[s.layer + 1][s.nbpos]
+                  WHEN s.phase = 'E' THEN n.layers[1][
+                    list_min(list_filter(generate_series(s.nbpos,
+                        CAST(len(n.layers[1]) AS INT)),
+                      p -> NOT list_contains(s.visited, n.layers[1][p])))]
+                  ELSE NULL END AS nb0
+              FROM walk s
+              JOIN qv q ON q.qid = s.qid
+              LEFT JOIN gn n ON s.phase IN ('N', 'E') AND n.shard = s.shard
+                AND n.id = s.cur
+            ) t
+            LEFT JOIN evn nv ON t.nb0 IS NOT NULL AND nv.id = t.nb0
+          )
+          WHERE NOT (phase = 'S' AND (len(cand) = 0 OR (wf IS NOT NULL AND sc[len(sc)].c < wf)))
+        ), fin AS (
+          SELECT qid, shard, found,
+            row_number() OVER (PARTITION BY qid, shard ORDER BY it DESC) AS rn
+          FROM walk WHERE found IS NOT NULL
+        ), res AS (
+          SELECT qid, shard, u.e.c AS c, -u.e.ni AS nid,
+            row_number() OVER (PARTITION BY qid, shard
+              ORDER BY u.e.c DESC, -u.e.ni ASC) AS srank
+          FROM (
+            SELECT qid, shard, unnest(list_reverse(list_sort(found))) AS e
+            FROM fin WHERE rn = 1) u
+          WHERE -u.e.ni <> qid
+        )
+        SELECT qid AS vec_id, CAST(grank AS INT) AS rank, nid AS neighbor_id,
+          round(c, 6) AS cosine
+        FROM (
+          SELECT qid, nid, c,
+            row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid ASC) AS grank
+          FROM res WHERE srank <= 3)
+        WHERE grank <= 3
+    """.stripMargin.trim
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── S1: per-series z-score, population std (scalers.py:42-77) ──
@@ -684,6 +875,36 @@ object Queries {
             round(col("cosine"), 6).as("cosine"))
       },
       None),
+
+    // ── X112: persisted HNSW index — build + persist the layered graphs
+    //    (per-layer sorted adjacency, level column, __shard-partitioned
+    //    parquet), then search the reopened index. FULL oracle via the
+    //    x73 device extended with the express-lane descent
+    //    ([[hnswWalkReplaySql]]): the run stashes the persisted layered
+    //    adjacency (structure only) and DuckDB replays entry selection,
+    //    the greedy argmax descent AND the layer-0 beam step by step ──
+    QueryDef(
+      "x112_ann_hnsw_indexed",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_hnsw_index_$tag"
+        graft.similarity.Hnsw.writeIndex(emb, "embedding", "vec_id", path,
+          numShards = 8)
+        x112Graph = Some(s.read.parquet(s"$path/nodes")
+          .select(col("id").cast("long"), col("__shard").cast("int"),
+            col("level").cast("int"), col("layers").cast("array<array<bigint>>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
+          .sortBy(t => (t._2, t._1)).toSeq)
+        graft.similarity.Hnsw.searchIndex(
+          s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      () => x112Graph.map(hnswWalkReplaySql)),
 
     // ── X73: persisted NSW graph index — build, grow by an append batch
     //    (only the touched shards are read/rewritten), then search the

@@ -100,7 +100,11 @@ object Hnsw {
       found.sortBy { case (c, i) => (-c, i) }.map(_._2).toArray
     }
 
-    /** Greedy ef=1 descent on one layer (the express-lane hop). */
+    /** Greedy ef=1 descent on one layer (the express-lane hop): hop to
+      * the argmax of {cur} ∪ adj(cur) under (cosine, −id) until cur is
+      * its own argmax — one pure argmax per hop, replayable step by
+      * step (the x73 oracle device extends to this shape).
+      */
     private def greedyStep(v: Array[Double], nv: Double, start: Int,
         layer: Int, limit: Int): Int = {
       var cur = start
@@ -108,14 +112,15 @@ object Hnsw {
       var improved = true
       while (improved) {
         improved = false
+        var best = cur
+        var bestC = curC
         adj(layer)(cur).foreach { nb =>
           if (nb < limit) {
             val c = cos(v, nv, nb)
-            if (c > curC || (c == curC && nb < cur)) {
-              cur = nb; curC = c; improved = true
-            }
+            if (c > bestC || (c == bestC && nb < best)) { best = nb; bestC = c }
           }
         }
+        if (best != cur) { cur = best; curC = bestC; improved = true }
       }
       cur
     }
@@ -189,6 +194,109 @@ object Hnsw {
       .as[(Long, Seq[Double])].collect()
       .map { case (id, v) => (id, v.toArray, math.sqrt(v.map(x => x * x).sum)) }
       .sortBy(_._1)
+  }
+
+  /** Persist per-shard HNSW graphs: `<path>/nodes` parquet partitioned
+    * by `__shard` with `(id, vec, level, layers)` where `layers(l)` is
+    * layer l's sorted neighbor-ID list (length level+1), plus
+    * `<path>/meta` with the build parameters. Sharding is the [[Nsw]]
+    * contract — explicit `pmod(xxhash64(id), numShards)`.
+    */
+  def writeIndex(
+      corpus: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      path: String,
+      numShards: Int = 8,
+      m: Int = 8,
+      efConstruction: Int = 32,
+      levelSeed: Long = 11L): Unit = {
+    require(numShards > 0 && m > 1 && efConstruction >= m,
+      s"need numShards>0, m>1, efConstruction>=m: $numShards $m $efConstruction")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (mm, efc, seed) = (m, efConstruction, levelSeed)
+    corpus
+      .select(col(corpusIdCol).cast("long").as("id"),
+        col(featCol).cast("array<double>").as("vec"))
+      .withColumn("__shard",
+        pmod(xxhash64(col("id")), lit(numShards.toLong)).cast("int"))
+      .repartition(numShards, col("__shard"))
+      .as[(Long, Seq[Double], Int)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).iterator.flatMap { case (shard, rows) =>
+          val nodes = rows.map { case (id, v, _) => (id, v.toArray) }
+            .sortBy(_._1)
+          val g = new Graph(nodes.map(_._1), nodes.map(_._2),
+            nodes.map(n => levelOf(n._1, mm, seed)), mm, efc)
+          g.build()
+          g.ids.indices.iterator.map { i =>
+            val layers = (0 to g.levels(i)).map { l =>
+              g.adj(l)(i).map(g.ids(_)).sorted.toSeq
+            }
+            (g.ids(i), g.vecs(i).toSeq, g.levels(i), layers, shard)
+          }
+        }
+      }
+      .toDF("id", "vec", "level", "layers", "__shard")
+      .repartition(numShards, col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
+    Seq((numShards, m, efConstruction, levelSeed))
+      .toDF("num_shards", "m", "ef_construction", "level_seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Search a persisted HNSW index: rebuild each shard's layered
+    * adjacency from the stored neighbor lists (no re-linking) and run
+    * the full descent + layer-0 beam for the broadcast queries.
+    */
+  def searchIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      featCol: String,
+      queryIdCol: String,
+      k: Int,
+      efSearch: Int = 48,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && efSearch >= k, s"need k>0, efSearch>=k: $k $efSearch")
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (mm, efc) = (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"))
+    val qB = spark.sparkContext.broadcast(
+      collectQueries(queries, featCol, queryIdCol))
+    val (ef, kk, excl) = (efSearch, k, excludeSelf)
+    val locals = spark.read.parquet(s"$path/nodes")
+      .select(col("id").cast("long"), col("vec").cast("array<double>"),
+        col("level").cast("int"),
+        col("layers").cast("array<array<bigint>>"), col("__shard").cast("int"))
+      .repartition(col("__shard"))
+      .as[(Long, Seq[Double], Int, Seq[Seq[Long]], Int)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._5).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._1)
+          val g = new Graph(sorted.map(_._1), sorted.map(_._2.toArray),
+            sorted.map(_._3), mm, efc)
+          val idx = g.ids.zipWithIndex.toMap
+          sorted.zipWithIndex.foreach { case ((_, _, lvl, layers, _), i) =>
+            (0 to lvl).foreach { l =>
+              if (l < layers.length) g.adj(l)(i) ++= layers(l).flatMap(idx.get)
+            }
+          }
+          // persisted entry contract: min id among max-level nodes
+          val maxL = g.levels.max
+          g.entry = g.levels.indexWhere(_ == maxL)
+          qB.value.iterator.flatMap { case (qid, qv, qn) =>
+            g.search(qv, qn, math.max(ef, kk + 1))
+              .iterator
+              .map(i => (qid, g.ids(i), g.cos(qv, qn, i)))
+              .filter { case (q, cid, _) => !excl || q != cid }
+              .take(kk)
+          }
+        }
+      }
+      .toDF("__qid", "__cid", "__cos")
+    Ann.rankTopKScored(locals, queryIdCol, k, col("__cos"))
   }
 
   /** Approximate cosine top-k via per-shard HNSW graphs built on the

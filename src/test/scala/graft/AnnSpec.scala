@@ -138,6 +138,24 @@ class AnnSpec extends SparkSpec {
     assert(l2 / l0 < 2.0 / (m * m), s"P(l>=2)=${l2 / l0}")
   }
 
+  test("persisted HNSW index: search recall ≥ 0.9 and bit-determinism") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${Scratch.sub("hnsw-test")}/idx"
+    graft.similarity.Hnsw.writeIndex(df, "embedding", "vec_id", path,
+      numShards = 4)
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    def run() = graft.similarity.Hnsw.searchIndex(
+      spark, path, queries, "embedding", "vec_id", k)
+    val got = resultSet(run())
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9, s"persisted HNSW recall $recall")
+    assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
+  }
+
   test("persisted NSW index: search recall, append touches only its shards, appended rows findable") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
     val df = clustered.cache()
