@@ -1632,6 +1632,86 @@ object PipelineQueries {
         FROM fin f JOIN ex USING (source)
       """.stripMargin.trim)),
 
+    // ── X115: persisted sketch ROLLUP — the pattern that makes x76's
+    //    HLL matter at 100 TB: three "daily" batches each persist their
+    //    per-source registers (a few KB of parquet per day), the
+    //    monthly job merges the register files WITHOUT rescanning any
+    //    text, and a require() proves losslessness at runtime (merged
+    //    registers == direct whole-corpus registers, both directions).
+    //    FULL oracle: merge-lossless means the direct x76 replay IS the
+    //    rollup's answer ──
+    QueryDef(
+      "x115_sketch_rollup",
+      (s, dir) => {
+        import graft.functions.Hll
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_hll_rollup_$tag"
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        (0 until 3).foreach { b =>
+          Hll.registersBy(toks.filter(pmod(col("doc_id"), lit(3)) === b),
+            Seq("source"), "word", p = 7, seed = 7L)
+            .write.mode("overwrite").parquet(s"$path/day=$b")
+        }
+        val back = (0 until 3).map(b => s.read.parquet(s"$path/day=$b"))
+        val merged = Hll.merge(back, Seq("source"))
+        val direct = Hll.registersBy(toks, Seq("source"), "word", p = 7, seed = 7L)
+        val diff = merged.exceptAll(direct).count() +
+          direct.exceptAll(merged).count()
+        require(diff == 0,
+          s"HLL register merge must be lossless; $diff rows differ")
+        Hll.estimateBy(merged, Seq("source"), p = 7)
+          .select(col("source"), col("n_present"),
+            col("v_zero").cast("long").as("v_zero"),
+            round(col("harmonic_sum"), 6).as("harmonic_sum"),
+            round(col("hll_estimate"), 6).as("hll_estimate"),
+            lit(3L).as("n_batches"), lit(true).as("merge_lossless"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, w FROM (
+            SELECT source,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0
+        ), h AS (
+          SELECT source, w,
+            ('0x' || substring(md5('7:' || w), 1, 12))::BIGINT AS h
+          FROM t
+        ), ir AS (
+          SELECT source, h >> 41 AS idx,
+            CASE WHEN h % 2199023255552 = 0 THEN 42
+                 ELSE 42 - length(bin(h % 2199023255552)) END AS rk
+          FROM h
+        ), regs AS (
+          SELECT source, idx, max(rk) AS r FROM ir GROUP BY 1, 2
+        ), agg AS (
+          SELECT source, count(*) AS n_present,
+            sum(power(2.0, -r)) AS sp
+          FROM regs GROUP BY source
+        ), est AS (
+          SELECT source, n_present,
+            128 - n_present AS v_zero,
+            sp + (128.0 - n_present) AS s_
+          FROM agg
+        ), fin AS (
+          SELECT source, n_present, v_zero, s_,
+            (0.7213/(1 + 1.079/128.0))*128*128 / s_ AS eraw
+          FROM est
+        )
+        SELECT source, n_present,
+          CAST(v_zero AS BIGINT) AS v_zero,
+          round(s_, 6) AS harmonic_sum,
+          round(CASE WHEN eraw <= 320.0 AND v_zero > 0
+                THEN 128.0 * ln(128.0 / v_zero) ELSE eraw END, 6)
+            AS hll_estimate,
+          CAST(3 AS BIGINT) AS n_batches,
+          TRUE AS merge_lossless
+        FROM fin
+      """.stripMargin.trim)),
+
     // ── X78: deterministic shard writer + persisted-file manifest
     //    (Pipeline.writeShards) — the dataset-shipping stage: md5-routed
     //    shards written as partitioned parquet, manifest recomputed from

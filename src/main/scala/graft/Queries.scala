@@ -876,6 +876,45 @@ object Queries {
       },
       None),
 
+    // ── X113: hard-negative mining (Ann.hardNegatives) — the
+    //    contrastive-training data-prep step: per anchor, the top-k
+    //    most-similar corpus rows with cosine BELOW the near-dup
+    //    threshold (the highest-similarity non-positives; would-be
+    //    false negatives excluded by the same 0.95 the dedup stage
+    //    uses). cosineTopK's broadcast+stream plan with the filter
+    //    fused before the bounded top-k aggregate. FULL oracle ──
+    QueryDef(
+      "x113_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.similarity.Ann.hardNegatives(
+          emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3, posThreshold = 0.95)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20
+        ), d AS (
+          SELECT q.qid, e.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.qv, e.v), z -> z[1]*z[2]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y))
+               * sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y))) AS cos
+          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+        )
+        SELECT qid AS vec_id, CAST(rank AS INT) AS rank,
+          cid AS neighbor_id, round(cos, 6) AS cosine
+        FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d WHERE cos < 0.95)
+        WHERE rank <= 3
+      """.stripMargin.trim)),
+
     // ── X112: persisted HNSW index — build + persist the layered graphs
     //    (per-layer sorted adjacency, level column, __shard-partitioned
     //    parquet), then search the reopened index. FULL oracle via the

@@ -131,6 +131,37 @@ object Ann {
     rankTopK(cands, queryIdCol, k)
   }
 
+  /** Hard-negative mining for embedding/contrastive training — per
+    * anchor, the top-k most-similar corpus rows whose cosine stays
+    * BELOW `posThreshold`: the highest-similarity non-positives, with
+    * near-duplicates (the would-be false negatives every contrastive
+    * recipe filters first) excluded by the same threshold the dedup
+    * stage uses. Plan shape is [[cosineTopK]] unchanged — broadcast
+    * anchors, one corpus stream, the filter fused BEFORE the bounded
+    * top-k aggregate so excluded positives never occupy heap slots.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      anchors: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      anchorIdCol: String,
+      k: Int,
+      posThreshold: Double): DataFrame = {
+    require(k > 0 && posThreshold > 0, s"need k>0, posThreshold>0: $k $posThreshold")
+    val q = broadcast(anchors
+      .select(col(anchorIdCol).as("__qid"), col(featCol).as("__qf"))
+      .withColumn("__qn", norm(col("__qf"))))
+    val cands = corpus
+      .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__cn", norm(col("__cf")))
+      .crossJoin(q)
+      .filter(col("__cid") =!= col("__qid"))
+      .filter(dot(col("__qf"), col("__cf")) / (col("__qn") * col("__cn"))
+        < posThreshold)
+    rankTopK(cands, anchorIdCol, k)
+  }
+
   /** Deterministic Gaussian hyperplane matrix (`nPlanes × dim`), minted
     * driver-side from [[HashRandom]] — a pure function of the seed, so
     * identical on every executor/run, and shipped as a literal instead of
