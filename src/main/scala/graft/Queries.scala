@@ -1053,10 +1053,8 @@ object Queries {
     QueryDef(
       "x110_langid_ngram",
       (s, dir) => {
-        import graft.text.LangId
-        val docs = Tables.documents(s, dir)
-        val prof = LangId.profiles(docs, "text", "lang")
-        LangId.classify(docs, "doc_id", "text", prof, "lang")
+        graft.text.LangId.classifySelfLabeled(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
       },
       Some("""
         WITH d AS (

@@ -58,6 +58,46 @@ object LangId {
       .select(col(labelCol), col("__g").as("gram"), col("rank"))
   }
 
+  /** One-pass self-labeled train+classify — [[profiles]] ∘ [[classify]]
+    * over the SAME corpus, with the char-gram tokenization paid ONCE:
+    * the per-(doc, gram) count frame is materialized
+    * (`localCheckpoint`) and feeds both the per-language profiles (a
+    * re-aggregation — profile counts are exactly the per-doc counts
+    * summed over each language's docs) and the per-doc rank lists.
+    * Composing the two public APIs instead plans the corpus explode
+    * twice (measured 17 s vs ~half at bench SF). Output and oracle are
+    * identical to the composition.
+    */
+  def classifySelfLabeled(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      n: Int = 3,
+      profileSize: Int = 100,
+      docGrams: Int = 50): DataFrame = {
+    val gc = df
+      .select(col(idCol).as("__id"), col(labelCol),
+        explode(charGrams(textCol, n)).as("__g"))
+      .groupBy(col("__id"), col(labelCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val wLang = Window.partitionBy(col(labelCol))
+      .orderBy(col("__c").desc, col("__g"))
+    val prof = gc.groupBy(col(labelCol), col("__g"))
+      .agg(sum(col("__c")).as("__c"))
+      .withColumn("rank", row_number().over(wLang))
+      .filter(col("rank") <= profileSize)
+      .select(col(labelCol), col("__g").as("gram"), col("rank"))
+    val wDoc = Window.partitionBy(col("__id"))
+      .orderBy(col("__c").desc, col("__g"))
+    val docRanks = gc
+      .withColumn("__dr", row_number().over(wDoc))
+      .filter(col("__dr") <= docGrams)
+      .select(col("__id"), col("__g"), col("__dr"))
+    score(docRanks, prof, labelCol, profileSize, idCol)
+  }
+
   /** Classify every document: `(idCol, pred_lang, distance)` where
     * `pred_lang` minimizes the out-of-place distance of the doc's
     * top-`docGrams` rank list against each profile (absent grams cost
@@ -82,6 +122,19 @@ object LangId {
       .withColumn("__dr", row_number().over(wDoc))
       .filter(col("__dr") <= docGrams)
       .select(col("__id"), col("__g"), col("__dr"))
+    score(docRanks, prof, labelCol, profileSize, idCol)
+  }
+
+  /** Shared scorer: out-of-place distance per (doc, language) + argmin
+    * pick. `docRanks` = `(__id, __g, __dr)`, `prof` = the [[profiles]]
+    * frame.
+    */
+  private def score(
+      docRanks: DataFrame,
+      prof: DataFrame,
+      labelCol: String,
+      profileSize: Int,
+      idCol: String): DataFrame = {
     val langs = prof.select(col(labelCol)).distinct()
     val scored = docRanks
       .crossJoin(broadcast(langs))

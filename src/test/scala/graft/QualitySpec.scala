@@ -308,6 +308,14 @@ class QualitySpec extends SparkSpec {
         n = 3, profileSize = 40, docGrams = 30)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(100L -> "A", 101L -> "B"))
+    // the one-pass fused form equals the two-API composition exactly
+    val composed = LangId.classify(docs, "doc_id", "text", prof, "lang",
+        n = 3, profileSize = 40, docGrams = 30)
+      .collect().map(_.toSeq).toSet
+    val fused = LangId.classifySelfLabeled(docs, "doc_id", "text", "lang",
+        n = 3, profileSize = 40, docGrams = 30)
+      .collect().map(_.toSeq).toSet
+    assert(fused == composed)
   }
 
   // ------------------------------------------------------------------
