@@ -611,6 +611,105 @@ object PipelineQueries {
         FROM d GROUP BY source, status
       """.stripMargin.trim)),
 
+    // ── X114: packing-efficiency report — the decision artifact for
+    //    "which packer do I ship": per source, the container counts and
+    //    signed padding overhead (containers × budget − tokens) of all
+    //    three layouts — concat-chunk (x25: zero waste except the final
+    //    partial chunk, but docs straddle boundaries), greedy
+    //    first-fit-in-order (x26) and FFD bins (x103). One aggregate
+    //    per packer over the same token column. FULL oracle composing
+    //    the three proven replays (arithmetic + the two recursive
+    //    folds) ──
+    QueryDef(
+      "x114_packing_efficiency",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val base = docs.select(col("source"),
+            greatest(graft.text.TextOps.bpeishTokenCount(col("text")), lit(1L))
+              .as("__tok"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("total_tokens"))
+        val greedy = Pipeline.packGreedy(docs, Seq("source"), Seq("doc_id"),
+            "text", budget = 256L)
+          .groupBy(col("source"))
+          .agg((max(col("pack_id")) + 1).as("packs_greedy"))
+        val ffd = Pipeline.packBinFFD(docs, Seq("source"), "doc_id", "text",
+            capacity = 256L, docsPerShard = 64)
+          .groupBy(col("source"))
+          .agg(countDistinct(col("__pshard"), col("bin")).as("bins_ffd"))
+        base.join(greedy, "source").join(ffd, "source")
+          .select(col("source"), col("n_docs"), col("total_tokens"),
+            ceil(col("total_tokens") / lit(256.0)).cast("long").as("chunks_concat"),
+            col("packs_greedy"), col("bins_ffd"),
+            (col("packs_greedy") * 256L - col("total_tokens")).as("overhead_greedy"),
+            (col("bins_ffd") * 256L - col("total_tokens")).as("overhead_ffd"))
+      },
+      Some(s"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, source, CAST($tokSql AS BIGINT) AS tok
+          FROM documents
+        ), base AS (
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(tok) AS BIGINT) AS total_tokens
+          FROM t GROUP BY source
+        ), go AS (
+          SELECT source, tok,
+            row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM t
+        ), gr AS (
+          SELECT source, rn, tok, CAST(0 AS BIGINT) AS pack, 256 - tok AS rem
+          FROM go WHERE rn = 1
+          UNION ALL
+          SELECT g.source, g.rn, g.tok,
+            CASE WHEN g.tok <= r.rem THEN r.pack ELSE r.pack + 1 END,
+            CASE WHEN g.tok <= r.rem THEN r.rem - g.tok ELSE 256 - g.tok END
+          FROM gr r JOIN go g ON g.source = r.source AND g.rn = r.rn + 1
+        ), greedy AS (
+          SELECT source, max(pack) + 1 AS packs_greedy FROM gr GROUP BY source
+        ), fo AS (
+          SELECT source, CAST((rk - 1) // 64 AS BIGINT) AS shard,
+            row_number() OVER (PARTITION BY source, (rk - 1) // 64
+              ORDER BY rk) AS pos,
+            tok
+          FROM (
+            SELECT source, tok,
+              row_number() OVER (PARTITION BY source
+                ORDER BY tok DESC, doc_id) AS rk
+            FROM t)
+        ), fn AS (
+          SELECT source, shard, max(pos) AS np FROM fo GROUP BY 1, 2
+        ), fp(source, shard, pos, bins) AS (
+          SELECT source, shard, 1, [CAST(256 - tok AS BIGINT)]
+          FROM fo WHERE pos = 1
+          UNION ALL
+          SELECT source, shard, pos + 1,
+            CASE WHEN fit IS NULL THEN list_append(bins, CAST(256 - tok AS BIGINT))
+                 ELSE list_transform(generate_series(1, CAST(len(bins) AS INT)),
+                        i -> CASE WHEN i = fit THEN bins[i] - tok ELSE bins[i] END)
+            END
+          FROM (
+            SELECT p.source, p.shard, p.pos, p.bins, f.tok,
+              list_min(list_filter(generate_series(1, CAST(len(p.bins) AS INT)),
+                i -> p.bins[i] >= f.tok)) AS fit
+            FROM fp p JOIN fo f ON f.source = p.source
+              AND f.shard = p.shard AND f.pos = p.pos + 1
+          )
+        ), ffd AS (
+          SELECT source, CAST(sum(nb) AS BIGINT) AS bins_ffd FROM (
+            SELECT f.source, f.shard, len(f.bins) AS nb,
+              row_number() OVER (PARTITION BY f.source, f.shard
+                ORDER BY f.pos DESC) AS rn
+            FROM fp f)
+          WHERE rn = 1 GROUP BY source
+        )
+        SELECT base.source, n_docs, total_tokens,
+          CAST(ceil(total_tokens / 256.0) AS BIGINT) AS chunks_concat,
+          CAST(packs_greedy AS BIGINT) AS packs_greedy, bins_ffd,
+          CAST(packs_greedy * 256 - total_tokens AS BIGINT) AS overhead_greedy,
+          CAST(bins_ffd * 256 - total_tokens AS BIGINT) AS overhead_ffd
+        FROM base JOIN greedy USING (source) JOIN ffd USING (source)
+      """.stripMargin.trim)),
+
     // ── X27: Gopher-rule quality signals (Rae et al. 2021 A1) — word
     //    shape, stopword hits, top-2-gram repetition, and the composed
     //    keep/drop verdict, all replayed exactly in DuckDB (the verdict
