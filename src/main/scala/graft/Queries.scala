@@ -876,6 +876,48 @@ object Queries {
       },
       None),
 
+    // ── X116: SEMANTIC decontamination (Ann.semanticContamination) —
+    //    the embedding-space tier completing the decon family (exact
+    //    x23, Bloom x44, fuzzy MinHash x63): corpus vectors flagged on
+    //    cosine ≥ 0.4 to any bench vector (vec_id%7==0 slice, the x23
+    //    split; 0.4 is this corpus's established x14 near-dup level —
+    //    its synthetic embeddings top out near 0.49 cross-pair),
+    //    catching paraphrase-level leakage no n-gram screen sees.
+    //    Bench broadcast, corpus streamed once. FULL oracle ──
+    QueryDef(
+      "x116_decontaminate_semantic",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.similarity.Ann.semanticContamination(
+          emb.filter(col("vec_id") % 7 =!= 0),
+          emb.filter(col("vec_id") % 7 === 0),
+          "embedding", "vec_id", "vec_id", threshold = 0.4)
+          .select(col("vec_id"), col("bench_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), c AS (
+          SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 7 != 0
+        ), b AS (
+          SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id % 7 = 0
+        ), d AS (
+          SELECT cid, bid,
+            list_reduce(list_transform(list_zip(cv, bv), z -> z[1]*z[2]), (x,y) -> x+y)
+            / (sqrt(list_reduce(list_transform(cv, x -> x*x), (x,y) -> x+y))
+               * sqrt(list_reduce(list_transform(bv, x -> x*x), (x,y) -> x+y))) AS cos
+          FROM c CROSS JOIN b
+        )
+        SELECT cid AS vec_id, bid AS bench_id, round(cos, 6) AS cosine
+        FROM (
+          SELECT cid, bid, cos,
+            row_number() OVER (PARTITION BY cid ORDER BY cos DESC, bid) AS rk
+          FROM d WHERE cos >= 0.4)
+        WHERE rk = 1
+      """.stripMargin.trim)),
+
     // ── X113: hard-negative mining (Ann.hardNegatives) — the
     //    contrastive-training data-prep step: per anchor, the top-k
     //    most-similar corpus rows with cosine BELOW the near-dup

@@ -131,6 +131,45 @@ object Ann {
     rankTopK(cands, queryIdCol, k)
   }
 
+  /** Semantic decontamination — the embedding-space tier of the
+    * decontamination family (exact n-gram overlap, Bloom screen, fuzzy
+    * MinHash being the textual tiers): a corpus row is flagged when its
+    * cosine to ANY bench row reaches `threshold`, catching paraphrased
+    * or translated eval leakage no n-gram screen can see (the modern
+    * practice behind phi-/FineWeb-style decontamination). Eval suites
+    * are driver-small, so the bench side broadcasts and the corpus
+    * streams ONCE — per corpus row one fused max-over-bench reduction,
+    * no shuffle of corpus vectors at all. Output: one row per flagged
+    * corpus id with its best-matching bench id and cosine
+    * (ties: higher cosine, then lower bench id).
+    */
+  def semanticContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      benchIdCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0, s"need threshold > 0: $threshold")
+    val q = broadcast(bench
+      .select(col(benchIdCol).as("__bid"), col(featCol).as("__bf"))
+      .withColumn("__bn", norm(col("__bf"))))
+    val cands = corpus
+      .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
+      .withColumn("__cn", norm(col("__cf")))
+      .crossJoin(q)
+      .withColumn("__cos",
+        dot(col("__cf"), col("__bf")) / (col("__cn") * col("__bn")))
+      .filter(col("__cos") >= threshold)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__cid"))
+      .orderBy(col("__cos").desc, col("__bid"))
+    cands.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__cid").as(corpusIdCol), col("__bid").as("bench_id"),
+        col("__cos").as("cosine"))
+  }
+
   /** Hard-negative mining for embedding/contrastive training — per
     * anchor, the top-k most-similar corpus rows whose cosine stays
     * BELOW `posThreshold`: the highest-similarity non-positives, with

@@ -532,6 +532,40 @@ class AnnSpec extends SparkSpec {
     assert(kept <= 40, s"expected heavy semantic collapse, kept $kept / 100")
   }
 
+  test("semanticContamination matches brute-force max-cosine flagging") {
+    val df = clustered.cache()
+    // bench = the 20 clean base vectors (rep 0); corpus = the 80 noisy reps
+    val bench = df.filter(col("vec_id") % 5 === 0)
+    val corpus = df.filter(col("vec_id") % 5 =!= 0)
+    val out = Ann.semanticContamination(corpus, bench, "embedding",
+      "vec_id", "vec_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    // brute force on the collected fixture
+    val vecs = df.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val benchIds = vecs.keys.filter(_ % 5 == 0).toSeq.sorted
+    val expected = vecs.keys.filter(_ % 5 != 0).toSeq.sorted.flatMap { cid =>
+      val best = benchIds.map(b => (b, cos(vecs(cid), vecs(b))))
+        .maxBy { case (b, c) => (c, -b.toDouble) }
+      if (best._2 >= 0.9) Some(cid -> best) else None
+    }.toMap
+    assert(out.keySet == expected.keySet,
+      s"flag sets differ: extra=${out.keySet -- expected.keySet} missing=${expected.keySet -- out.keySet}")
+    // every noisy rep of a cluster sits near its base -> heavy flagging
+    assert(expected.size >= 70, s"fixture should contaminate most reps, got ${expected.size}")
+    expected.foreach { case (cid, (bid, c)) =>
+      assert(out(cid)._1 == bid, s"corpus $cid best bench ${out(cid)._1} != $bid")
+      assert(math.abs(out(cid)._2 - c) < 1e-9)
+    }
+    // raising the threshold above every cross-pair empties the result
+    assert(Ann.semanticContamination(corpus, bench, "embedding",
+      "vec_id", "vec_id", threshold = 1.0 + 1e-9).count() == 0L)
+  }
+
   test("cosineDupPairs (LSH) recovers the exact near-dup pairs on clustered data") {
     val df = clustered.cache()
     def pairSet(r: DataFrame) = r.collect()
