@@ -7,11 +7,14 @@ import graft.ml._
 
 /** Detector queries (D2–D8) over the `embeddings` table: seeded 80/20
   * split on `vec_id % 5`, fit on train, predict test, and report the
-  * confusion matrix (true label × predicted label × count). Fitted tree
-  * models are not ANSI-SQL-expressible, so these are declared WITHOUT
-  * `oracleSql` (driver records the rows-only check per the contract);
-  * semantic parity is covered by `DetectorsSpec` on the FIXTURES
-  * `clf-blobs` scenario.
+  * confusion matrix (true label × predicted label × count). The tree
+  * detectors (D2, D4–D7) carry FULL oracles via the fitted-tree replay
+  * (`TreeSql` — the fit itself is not ANSI-expressible, but the fitted
+  * ensemble is bounded driver state whose exact decision function
+  * replays as nested CASE literals). The SVM family (margins through
+  * RFF/poly/Nystroem feature maps) and the hyper-searches (whole CV
+  * loops) stay rows-only per the contract; semantic parity for those is
+  * covered by `DetectorsSpec` on the FIXTURES `clf-blobs` scenario.
   *
   * Sizing note: each query trains a deliberately small model — the point
   * is end-to-end distributed fit/predict through the driver harness, not
@@ -38,15 +41,50 @@ object MlQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Fitted-tree replay SQL stashed by the D2/D4–D7 runs for their thunk
+    * oracles (the x39/x40 fitted-state device extended to whole tree
+    * ensembles — `TreeSql`): each query exports its freshly-fitted
+    * forest as nested CASE expressions, so `Verify`'s post-run
+    * `oracle_sql.json` dump replays the exact decision function DuckDB-
+    * side and hash-checks the full fit → predict → confusion path.
+    */
+  @volatile private var treeReplay: Map[String, String] = Map.empty
+
+  /** The `testWhere` clause reproducing [[confusion]]'s test split. */
+  private def testWhere(maxLabel: Int, minLabel: Int): String = {
+    val bounds =
+      (if (minLabel > 0) s" AND label >= $minLabel" else "") +
+        (if (maxLabel != Int.MaxValue) s" AND label < $maxLabel" else "")
+    s"vec_id % 5 = 0$bounds"
+  }
+
+  private def stashRf(name: String, det: FaultDetector, where: String): Unit =
+    treeReplay += name -> TreeSql.rfConfusionReplaySql(
+      det.fittedClassifierStage
+        .asInstanceOf[org.apache.spark.ml.classification.RandomForestClassificationModel],
+      det.labelDomain, where)
+
+  private def stashGbt(name: String, det: FaultDetector, where: String): Unit =
+    treeReplay += name -> TreeSql.gbtConfusionReplaySql(
+      det.fittedClassifierStage
+        .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel],
+      det.labelDomain, where)
+
   val defs: Seq[QueryDef] = Seq(
 
-    // ── D2: random forest (multiclass-native) ──
+    // ── D2: random forest (multiclass-native). FULL oracle via the
+    //    fitted-forest replay: 20 trees exported as CASE literals, votes
+    //    summed in Spark's own order (TreeSql header) ──
     QueryDef(
       "d2_rf_detector",
-      (s, dir) => confusion(
-        new RandomForestFaultDetector(
-          nEstimators = 20, maxDepth = Some(5), randomState = 7L), s, dir),
-      None),
+      (s, dir) => {
+        val det = new RandomForestFaultDetector(
+          nEstimators = 20, maxDepth = Some(5), randomState = 7L)
+        val out = confusion(det, s, dir)
+        stashRf("d2_rf_detector", det, testWhere(Int.MaxValue, 0))
+        out
+      },
+      () => treeReplay.get("d2_rf_detector")),
 
     // ── D3: SVM — RBF via random Fourier features + OneVsRest LinearSVC ──
     QueryDef(
@@ -76,40 +114,62 @@ object MlQueries {
           maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
       None),
 
-    // ── D4: gradient boosting (binary GBT on a 2-class slice) ──
+    // ── D4: gradient boosting (binary GBT on a 2-class slice). FULL
+    //    oracle: fitted-tree margin replay (Σ leaf·weight, class 1 iff
+    //    margin > 0) ──
     QueryDef(
       "d4_gbt_detector",
-      (s, dir) => confusion(
-        new GradientBoostingFaultDetector(
-          nEstimators = 10, maxDepth = 3, randomState = 7L), s, dir, maxLabel = 2),
-      None),
+      (s, dir) => {
+        val det = new GradientBoostingFaultDetector(
+          nEstimators = 10, maxDepth = 3, randomState = 7L)
+        val out = confusion(det, s, dir, maxLabel = 2)
+        stashGbt("d4_gbt_detector", det, testWhere(2, 0))
+        out
+      },
+      () => treeReplay.get("d4_gbt_detector")),
 
-    // ── D5: XGB-parity wrapper (column subsampling + split-gain) ──
+    // ── D5: XGB-parity wrapper (column subsampling + split-gain). FULL
+    //    oracle via the same GBT margin replay ──
     QueryDef(
       "d5_xgb_detector",
-      (s, dir) => confusion(
-        new XGBFaultDetector(
+      (s, dir) => {
+        val det = new XGBFaultDetector(
           nEstimators = 10, maxDepth = 3, colsampleBytree = 0.8,
-          randomState = 7L), s, dir, maxLabel = 4, minLabel = 2),
-      None),
+          randomState = 7L)
+        val out = confusion(det, s, dir, maxLabel = 4, minLabel = 2)
+        stashGbt("d5_xgb_detector", det, testWhere(4, 2))
+        out
+      },
+      () => treeReplay.get("d5_xgb_detector")),
 
-    // ── D6: LGBM-parity wrapper (num_leaves→depth, auto obj switch) ──
+    // ── D6: LGBM-parity wrapper (num_leaves→depth, auto obj switch).
+    //    FULL oracle via the GBT margin replay ──
     QueryDef(
       "d6_lgbm_detector",
-      (s, dir) => confusion(
-        new LGBMFaultDetector(
+      (s, dir) => {
+        val det = new LGBMFaultDetector(
           nEstimators = 10, numLeaves = 15, minChildSamples = 5,
-          randomState = 7L), s, dir, maxLabel = 6, minLabel = 4),
-      None),
+          randomState = 7L)
+        val out = confusion(det, s, dir, maxLabel = 6, minLabel = 4)
+        stashGbt("d6_lgbm_detector", det, testWhere(6, 4))
+        out
+      },
+      () => treeReplay.get("d6_lgbm_detector")),
 
-    // ── D7: CatBoost-parity wrapper (overfit-detector early stop) ──
+    // ── D7: CatBoost-parity wrapper (overfit-detector early stop). FULL
+    //    oracle via the GBT margin replay (early stop only drops trees;
+    //    the fitted ensemble replays identically) ──
     QueryDef(
       "d7_catboost_detector",
-      (s, dir) => confusion(
-        new CatBoostFaultDetector(
+      (s, dir) => {
+        val det = new CatBoostFaultDetector(
           iterations = 10, learningRate = 0.3, depth = 3,
-          randomState = 7L), s, dir, maxLabel = 8, minLabel = 6),
-      None),
+          randomState = 7L)
+        val out = confusion(det, s, dir, maxLabel = 8, minLabel = 6)
+        stashGbt("d7_catboost_detector", det, testWhere(8, 6))
+        out
+      },
+      () => treeReplay.get("d7_catboost_detector")),
 
     // ── D8: seeded random-search CV; output = best point + CV accuracy ──
     QueryDef(

@@ -78,6 +78,18 @@ abstract class FaultDetector(
 
   def getParams: Map[String, Any] = if (bestParams.nonEmpty) bestParams else params
 
+  /** The fitted pipeline's final (classifier) stage — driver-bounded
+    * state the TreeSql replay oracles export as SQL literals.
+    */
+  def fittedClassifierStage: org.apache.spark.ml.Transformer = {
+    val m = pipelineModel.getOrElse(
+      throw new IllegalStateException("Model must be fitted first"))
+    m.stages.last
+  }
+
+  /** Sorted original label domain (index ↔ encoded class). */
+  def labelDomain: Array[Double] = labelValues.clone()
+
   protected def prepFeatures(df: DataFrame, featCol: String): DataFrame =
     df.withColumn("features", array_to_vector(col(featCol).cast("array<double>")))
 

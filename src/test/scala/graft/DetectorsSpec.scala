@@ -50,6 +50,56 @@ class DetectorsSpec extends SparkSpec {
     proba.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
   }
 
+  test("fitted-tree replay semantics: Scala walk of the exported trees = model predictions") {
+    import org.apache.spark.ml.classification.{GBTClassificationModel, RandomForestClassificationModel}
+    import org.apache.spark.ml.graftbridge.TreeBridge
+    import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
+    // the exact rules TreeSql's SQL encodes, replayed in Scala against the
+    // real models — pins the bridge + vote/margin semantics independently
+    // of DuckDB (the driver's oracle covers the SQL rendering itself)
+    def walk(n: Node, feat: Array[Double]): LeafNode = n match {
+      case l: LeafNode => l
+      case i: InternalNode =>
+        val s = i.split.asInstanceOf[ContinuousSplit]
+        walk(if (feat(s.featureIndex) <= s.threshold) i.leftChild else i.rightChild, feat)
+    }
+    val testRows = testDf.select("id", "feat", "fault_class").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+
+    val rf = new RandomForestFaultDetector(nEstimators = 20, maxDepth = Some(5))
+    rf.fit(trainDf, "feat", "fault_class")
+    val rfm = rf.fittedClassifierStage.asInstanceOf[RandomForestClassificationModel]
+    val rfPred = rf.predict(testDf, "feat").select("id", "pred_label")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    testRows.foreach { case (id, feat) =>
+      val votes = Array.ofDim[Double](rfm.numClasses)
+      rfm.trees.foreach { t =>
+        val stats = TreeBridge.classCounts(walk(t.rootNode, feat))
+        val total = stats.sum
+        var c = 0
+        while (c < votes.length) { votes(c) += stats(c) / total; c += 1 }
+      }
+      val arg = votes.indices.maxBy(c => (votes(c), -c))
+      assert(rf.labelDomain(arg) == rfPred(id), s"RF replay diverges at id=$id")
+    }
+    // SQL rendering sanity: every tree present, vote sum spans all 20
+    val sql = TreeSql.rfConfusionReplaySql(rfm, rf.labelDomain, "vec_id % 5 = 0")
+    assert(sql.contains("AS t19") && sql.contains("t19[c]"))
+
+    val gbt = new GradientBoostingFaultDetector(nEstimators = 10, maxDepth = 3)
+    gbt.fit(trainDf.filter(col("fault_class") < 2), "feat", "fault_class")
+    val gm = gbt.fittedClassifierStage.asInstanceOf[GBTClassificationModel]
+    val binTest = testDf.filter(col("fault_class") < 2)
+    val gbtPred = gbt.predict(binTest, "feat").select("id", "pred_label")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    gbtPred.keys.foreach { id =>
+      val margin = gm.trees.zip(gm.treeWeights)
+        .map { case (t, w) => walk(t.rootNode, testRows(id)).prediction * w }.sum
+      val want = gbt.labelDomain(if (margin > 0) 1 else 0)
+      assert(want == gbtPred(id), s"GBT replay diverges at id=$id")
+    }
+  }
+
   test("D3 SVM (RBF via random Fourier features, OneVsRest multiclass)") {
     val det = new SVMFaultDetector(maxIter = 30)
     checkDetector(det)
