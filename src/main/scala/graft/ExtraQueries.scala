@@ -13,6 +13,55 @@ import graft.text.TextOps
   */
 object ExtraQueries {
 
+  /** Fitted-forest replay SQL stashed by the t3 run for its thunk oracle
+    * (the fitted-state device — see `MlQueries.treeReplay`): rebuilds the
+    * downsample(10) → global minmax → 8-lag/2-lead window chain in
+    * DuckDB, applies each horizon's exported forest to the lag columns,
+    * and recomputes the per-horizon RMSE over the held-out series.
+    */
+  @volatile private var t3Replay: Option[String] = None
+
+  private def t3ReplaySql(fc: TimeSeriesForecaster): String = {
+    import org.apache.spark.ml.regression.RandomForestRegressionModel
+    val Seq(m1, m2) = fc.fittedModels.map(_.asInstanceOf[RandomForestRegressionModel])
+    val p1 = graft.ml.TreeSql.rfRegressionPredictSql(m1, i => s"x$i")
+    val p2 = graft.ml.TreeSql.rfRegressionPredictSql(m2, i => s"x$i")
+    s"""
+        WITH s AS (
+          SELECT event_id, event_type, ts, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events
+        ), d AS (
+          SELECT * FROM s WHERE (rn-1) % 10 = 0
+        ), g AS (SELECT min(value) AS mn, max(value) AS mx FROM d),
+        n AS (
+          SELECT event_id, event_type, ts,
+            CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS nv
+          FROM d, g
+        ), w AS (
+          SELECT event_type,
+            lag(nv, 7) OVER w AS x0, lag(nv, 6) OVER w AS x1,
+            lag(nv, 5) OVER w AS x2, lag(nv, 4) OVER w AS x3,
+            lag(nv, 3) OVER w AS x4, lag(nv, 2) OVER w AS x5,
+            lag(nv, 1) OVER w AS x6, nv AS x7,
+            lead(nv, 1) OVER w AS y1, lead(nv, 2) OVER w AS y2
+          FROM n WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ), f AS (
+          SELECT * FROM w
+          WHERE x0 IS NOT NULL AND y2 IS NOT NULL AND event_type = 'purchase'
+        ), p AS (
+          SELECT y1, y2,
+            $p1 AS p1,
+            $p2 AS p2
+          FROM f
+        )
+        SELECT round(sqrt(avg((p1 - y1) * (p1 - y1))), 6) AS rmse_y1,
+          round(sqrt(avg((p2 - y2) * (p2 - y2))), 6) AS rmse_y2,
+          (SELECT count(*) FROM f) AS n_test_windows
+        FROM p
+    """.stripMargin.trim
+  }
+
   private def ev(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.events(s, dir)
 
@@ -353,11 +402,15 @@ object ExtraQueries {
         FROM d, g
       """.stripMargin.trim)),
 
-    // ── T3: forecast train/eval — GBT-per-horizon over T1/T2 windows
+    // ── T3: forecast train/eval — RF-per-horizon over T1/T2 windows
     //    (the documented MLlib substitution for the reference's keras
     //    LSTM, time_series_model.py:168-275). Train on four series, hold
-    //    out one, report per-horizon RMSE + window counts; the fitted
-    //    model is not SQL-expressible → rows-only check; RMSE quality
+    //    out one, report per-horizon RMSE + window counts. FULL oracle
+    //    since round 10 via the fitted-tree replay (TreeSql): the
+    //    downsample → minmax → lag-window chain is the t1/t2 replay, and
+    //    each horizon's fitted regression forest is exported as nested
+    //    CASE literals over the lag columns — mean-of-leaves, the exact
+    //    RandomForestRegressionModel.predict rule. RMSE quality is still
     //    asserted vs a persistence baseline in ForecastSpec ──
     QueryDef(
       "t3_forecast_eval",
@@ -376,12 +429,13 @@ object ExtraQueries {
           timeSteps = 8, outputStep = 2, modelType = "rf",
           maxIter = 20, maxDepth = 5, seed = 7L)
         fc.fit(train)
+        t3Replay = Some(t3ReplaySql(fc))
         fc.evaluate(test)
           .select(round(col("rmse_y1"), 6).as("rmse_y1"),
             round(col("rmse_y2"), 6).as("rmse_y2"))
           .crossJoin(test.agg(count(lit(1)).as("n_test_windows")))
       },
-      None),
+      () => t3Replay),
 
     // ── T4: DEEP forecast train/eval — the reference's actual LSTM
     //    architecture (time_series_model.py:175-178: LSTM → Dropout →

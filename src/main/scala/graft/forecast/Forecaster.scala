@@ -82,6 +82,11 @@ class TimeSeriesForecaster(
     this
   }
 
+  /** The fitted per-horizon regressors (index 0 ↔ y1) — bounded driver
+    * state the TreeSql replay oracle exports as SQL literals.
+    */
+  def fittedModels: Seq[Transformer] = models
+
   /** Adds `pred_y1..pred_y{os}` columns. */
   def predict(df: DataFrame): DataFrame = {
     require(models.nonEmpty, "fit() before predict()")

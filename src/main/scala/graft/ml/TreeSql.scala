@@ -32,20 +32,23 @@ import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
 object TreeSql {
 
   /** Nested-CASE SQL for one tree: `leaf` renders the terminal value,
-    * `v` names the DOUBLE[] feature column (1-indexed in DuckDB).
+    * `feat` renders a 0-based feature index as a SQL expression (array
+    * subscript or a named lag column).
     */
-  private def caseSql(node: Node, v: String, leaf: LeafNode => String): String =
+  private def caseSql(node: Node, feat: Int => String, leaf: LeafNode => String): String =
     node match {
       case l: LeafNode => leaf(l)
       case n: InternalNode =>
         val cond = n.split match {
-          case c: ContinuousSplit => s"$v[${c.featureIndex + 1}] <= ${c.threshold}"
+          case c: ContinuousSplit => s"${feat(c.featureIndex)} <= ${c.threshold}"
           case other => throw new IllegalArgumentException(
             s"only continuous splits are replayable, got ${other.getClass.getSimpleName}")
         }
-        s"(CASE WHEN $cond THEN ${caseSql(n.leftChild, v, leaf)}" +
-          s" ELSE ${caseSql(n.rightChild, v, leaf)} END)"
+        s"(CASE WHEN $cond THEN ${caseSql(n.leftChild, feat, leaf)}" +
+          s" ELSE ${caseSql(n.rightChild, feat, leaf)} END)"
     }
+
+  private def arrayFeat(v: String): Int => String = i => s"$v[${i + 1}]"
 
   /** A leaf's normalized class distribution — exactly the per-tree vote
     * RF's predictRaw adds (`stats(i) / stats.sum`, both computed in the
@@ -68,7 +71,7 @@ object TreeSql {
     val k = model.numClasses
     require(labels.length == k, s"label domain ${labels.length} != numClasses $k")
     val treeCols = model.trees.zipWithIndex.map { case (t, i) =>
-      val sql = caseSql(t.rootNode, "v",
+      val sql = caseSql(t.rootNode, arrayFeat("v"),
         l => leafProbs(l).mkString("[", ", ", "]::DOUBLE[]"))
       s"$sql AS t$i"
     }.mkString(",\n          ")
@@ -107,7 +110,7 @@ object TreeSql {
       testWhere: String): String = {
     require(labels.length == 2, s"binary GBT expected, labels: ${labels.length}")
     val margin = model.trees.zip(model.treeWeights).map { case (t, w) =>
-      s"(${caseSql(t.rootNode, "v", l => l.prediction.toString)}) * $w"
+      s"(${caseSql(t.rootNode, arrayFeat("v"), l => l.prediction.toString)}) * $w"
     }.mkString("\n            + ")
     s"""
         WITH e AS (
@@ -123,5 +126,20 @@ object TreeSql {
           count(*) AS n
         FROM m GROUP BY 1, 2
     """.stripMargin.trim
+  }
+
+  /** Scalar prediction expression for a fitted regression forest —
+    * `RandomForestRegressionModel.predict` is the plain mean of leaf
+    * predictions (summed in tree order, divided by numTrees). `feat`
+    * renders a 0-based feature index (e.g. `i => s"x$$i"` for the lag
+    * columns a VectorAssembler packed in order).
+    */
+  def rfRegressionPredictSql(
+      model: org.apache.spark.ml.regression.RandomForestRegressionModel,
+      feat: Int => String): String = {
+    val sum = model.trees
+      .map(t => caseSql(t.rootNode, feat, l => l.prediction.toString))
+      .mkString("\n            + ")
+    s"($sum) / ${model.getNumTrees}.0"
   }
 }
