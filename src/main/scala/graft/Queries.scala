@@ -58,6 +58,11 @@ object Queries {
     */
   @volatile private var x73Graph: Option[Seq[(Long, Int, Seq[Long])]] = None
 
+  /** Quantizer centroids stashed by the x117 run for its thunk oracle
+    * (the x17 persisted-centroid device).
+    */
+  @volatile private var x117Centroids: Option[Array[Array[Double]]] = None
+
   /** x73 thunk oracle: replay the NSW greedy beam search in a DuckDB
     * recursive CTE. The interpolated state is the graph STRUCTURE only
     * (id, shard, neighbor list — what the index persisted); vectors,
@@ -917,6 +922,54 @@ object Queries {
           FROM d WHERE cos >= 0.4)
         WHERE rk = 1
       """.stripMargin.trim)),
+
+    // ── X117: cluster-stratified diversity sampling
+    //    (DiversitySample.clusterStratified) — the embedding-space
+    //    complement of the source mixers x59/x60: nearest-centroid cells
+    //    capped at 12 rows each by md5 draw, so dominant modes shrink
+    //    while tail clusters survive. FULL oracle via the persisted-
+    //    centroid thunk (the x17 device): DuckDB replays argmin
+    //    assignment, per-cell population and the md5-rank draw ──
+    QueryDef(
+      "x117_diversity_sample",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = graft.similarity.Ivf.trainQuantizer(
+          emb, "embedding", "vec_id", nlist = 8, seed = 11L)
+        x117Centroids = Some(cents)
+        graft.similarity.DiversitySample.clusterStratified(
+          emb, "embedding", "vec_id", cents, capPerCell = 12)
+      },
+      () => x117Centroids.map { cents =>
+        val centVals = cents.zipWithIndex
+          .map { case (c, i) => s"($i, ${c.mkString("[", ", ", "]")}::DOUBLE[])" }
+          .mkString(",\n          ")
+        s"""
+        WITH cents(cell, c) AS (VALUES
+          $centVals
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), r AS (
+          SELECT vec_id, cell,
+            count(*) OVER (PARTITION BY cell) AS cell_n,
+            row_number() OVER (PARTITION BY cell
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+          FROM asgn
+        )
+        SELECT vec_id, cell, cell_n FROM r WHERE rk <= 12
+        """.stripMargin.trim
+      }),
 
     // ── X113: hard-negative mining (Ann.hardNegatives) — the
     //    contrastive-training data-prep step: per anchor, the top-k

@@ -532,6 +532,47 @@ class AnnSpec extends SparkSpec {
     assert(kept <= 40, s"expected heavy semantic collapse, kept $kept / 100")
   }
 
+  test("clusterStratified: per-cell cap enforced, assignment = brute-force argmin, deterministic") {
+    import graft.similarity.DiversitySample
+    val df = clustered.cache()
+    // 4 hand-planted centroids = the base directions of clusters 0..3 —
+    // every vector of those clusters should land on its own centroid
+    val cents = Array.tabulate(4)(c =>
+      Array.tabulate(16)(j => HashRandom.gaussian(13L, c.toLong, j.toLong)))
+    val out = DiversitySample.clusterStratified(df, "embedding", "vec_id", cents, capPerCell = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCell = out.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      assert(rows.length <= 7, s"cell $cell kept ${rows.length} > cap")
+      assert(rows.map(_._3).distinct.length == 1, s"cell $cell cell_n inconsistent")
+      assert(rows.head._3 >= rows.length, s"cell $cell population < kept")
+    }
+    // populations over all cells partition the corpus
+    assert(byCell.values.map(_.head._3).sum == 100L)
+    // assignment parity vs brute-force argmin on the collected fixture
+    val vecs = df.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    out.foreach { case (id, cell, _) =>
+      val want = cents.indices.minBy(c => (sq(vecs(id), cents(c)), c))
+      assert(cell == want, s"vec $id assigned $cell, argmin says $want")
+    }
+    // surviving members of each planted quintuple sit in their own
+    // cluster's cell (clusters 0..3 ARE the centroids; survival itself
+    // is up to the md5 draw once far clusters crowd into the same cell)
+    (0 until 4).foreach { c =>
+      val members = (0 until 5).map(r => (c * 5 + r).toLong).toSet
+      out.filter(t => members(t._1)).foreach { case (id, cell, _) =>
+        assert(cell == c, s"vec $id of quintuple $c landed in cell $cell")
+      }
+    }
+    // md5 draw is stateless — a re-run returns the identical kept set
+    val again = DiversitySample.clusterStratified(df, "embedding", "vec_id", cents, capPerCell = 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("semanticContamination matches brute-force max-cosine flagging") {
     val df = clustered.cache()
     // bench = the 20 clean base vectors (rep 0); corpus = the 80 noisy reps
