@@ -971,6 +971,58 @@ object Queries {
         """.stripMargin.trim
       }),
 
+    // ── X118: token-budget data selection (PrefixSum.runningTotal) —
+    //    "keep the best documents until half the token budget is
+    //    spent": quality-desc total order (x6's score, doc_id
+    //    tie-break), exact distributed prefix sum of the x25 token
+    //    model, cutoff at floor(total/2). The running total comes from
+    //    the range-sort + two-pass offset device, NOT a single-task
+    //    global window. FULL oracle: DuckDB replays the score, the
+    //    ROWS-frame cumulative sum and the budget cut. (Order ties
+    //    break on doc_id; the engines' exp/ln may differ in the last
+    //    ulp, but adjacent scores on this corpus are separated far
+    //    above ulp scale.) ──
+    QueryDef(
+      "x118_token_budget_select",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = TextOps.qualityScore(docs, "text", "__q")
+          .withColumn("__tok", TextOps.bpeishTokenCount(col("text")))
+          .select(col("doc_id"), col("__q"), col("__tok"))
+        val run = graft.operators.PrefixSum.runningTotal(scored,
+          Seq(col("__q").desc, col("doc_id").asc), "__tok", "running")
+        val budget = broadcast(scored.agg(
+          floor(sum(col("__tok")) / lit(2)).cast("long").as("__budget")))
+        run.crossJoin(budget)
+          .filter(col("running") <= col("__budget"))
+          .select(col("doc_id"), col("__tok").as("tokens"), col("running"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
+            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+              x -> x IN (${TextOps.langStopwords.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop,
+            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
+            CAST(length(text) AS DOUBLE) AS nchar,
+            list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'),
+              w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum') AS tok
+          FROM documents
+        ), q AS (
+          SELECT doc_id, tok,
+            1 / (1 + exp(-(0.2 * ln(1 + ntok) + 2 * (nstop / greatest(ntok, 1))
+              - 8 * (npunct / greatest(nchar, 1)) - 1))) AS score
+          FROM t
+        ), r AS (
+          SELECT doc_id, tok, sum(tok) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+          FROM q
+        ), g AS (
+          SELECT CAST(floor(sum(tok) / 2.0) AS BIGINT) AS budget FROM q
+        )
+        SELECT doc_id, tok AS tokens, running FROM r, g WHERE running <= budget
+      """.stripMargin.trim)),
+
     // ── X113: hard-negative mining (Ann.hardNegatives) — the
     //    contrastive-training data-prep step: per anchor, the top-k
     //    most-similar corpus rows with cosine BELOW the near-dup

@@ -101,6 +101,27 @@ class PipelineSpec extends SparkSpec {
     assert(run(rows.reverse.toDF("doc_id", "text").repartition(13)) == out)
   }
 
+  test("runningTotal: exact prefix sums over a descending order, layout-invariant") {
+    import graft.operators.PrefixSum
+    import spark.implicits._
+    // weights vary, scores collide on purpose (id tie-break must order them)
+    val rows = (0 until 143).map(i =>
+      (i.toLong, (i * 37 % 11).toDouble, (i * 13 % 29 + 1).toLong))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      PrefixSum.runningTotal(d, Seq(col("score").desc, col("id").asc), "w", "run")
+        .select(col("id"), col("run")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val out = run(rows.toDF("id", "score", "w"))
+    // driver-side truth over the same total order
+    var acc = 0L
+    val want = rows.sortBy { case (id, s, _) => (-s, id) }
+      .map { case (id, _, w) => acc += w; (id, acc) }.sortBy(_._1).toSeq
+    assert(out == want)
+    // partitioning layout never changes the totals
+    assert(run(rows.reverse.toDF("id", "score", "w").repartition(17)) == out)
+    assert(run(rows.toDF("id", "score", "w").coalesce(1)) == out)
+  }
+
   test("packing is per-group: a second source restarts packs and offsets") {
     import spark.implicits._
     val df = Seq((0L, "a", docOf(200)), (1L, "a", docOf(200)),
