@@ -11,10 +11,12 @@ import graft.ml._
   * detectors (D2, D4–D7) carry FULL oracles via the fitted-tree replay
   * (`TreeSql` — the fit itself is not ANSI-expressible, but the fitted
   * ensemble is bounded driver state whose exact decision function
-  * replays as nested CASE literals). The SVM family (margins through
-  * RFF/poly/Nystroem feature maps) and the hyper-searches (whole CV
-  * loops) stay rows-only per the contract; semantic parity for those is
-  * covered by `DetectorsSpec` on the FIXTURES `clf-blobs` scenario.
+  * replays as nested CASE literals), and the SVM family (D3 ×3) via the
+  * whole-pipeline margin replay (`SvmSql` — scaler, kernel map and
+  * per-class LinearSVC exported as literals). Only the hyper-searches
+  * (whole CV loops) stay rows-only per the contract; semantic parity for
+  * those is covered by `DetectorsSpec` on the FIXTURES `clf-blobs`
+  * scenario.
   *
   * Sizing note: each query trains a deliberately small model — the point
   * is end-to-end distributed fit/predict through the driver harness, not
@@ -86,33 +88,83 @@ object MlQueries {
       },
       () => treeReplay.get("d2_rf_detector")),
 
-    // ── D3: SVM — RBF via random Fourier features + OneVsRest LinearSVC ──
+    // ── D3: SVM — RBF via random Fourier features + OneVsRest LinearSVC.
+    //    FULL oracle via the whole-pipeline replay (SvmSql): scaler
+    //    shift/reciprocal, seeded RFF planes and per-class margins all
+    //    exported as literals ──
     QueryDef(
       "d3_svm_detector",
-      (s, dir) => confusion(
-        new SVMFaultDetector(maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
-      None),
+      (s, dir) => {
+        val det = new SVMFaultDetector(maxIter = 20, randomState = 7L)
+        val out = confusion(det, s, dir, maxLabel = 4)
+        val stages = det.fittedStages
+        val scaler = stages.collectFirst {
+          case m: org.apache.spark.ml.feature.StandardScalerModel => m }.get
+        val rff = stages.collectFirst { case r: RandomFourierFeatures => r }.get
+        treeReplay += "d3_svm_detector" -> SvmSql.rffConfusionReplaySql(
+          scaler,
+          det.fittedClassifierStage
+            .asInstanceOf[org.apache.spark.ml.classification.OneVsRestModel],
+          det.labelDomain,
+          rffSeed = rff.getOrDefault(rff.seed),
+          rffDim = rff.getOrDefault(rff.numFeatures),
+          rffGamma = rff.getOrDefault(rff.gamma),
+          testWhere = testWhere(4, 0))
+        out
+      },
+      () => treeReplay.get("d3_svm_detector")),
 
     // ── D3b: SVM poly kernel — EXACT explicit feature map (multinomial-
     //    weighted monomials) in front of LinearSVC; kernel identity +
-    //    ring-separation asserted in DetectorsSpec ──
+    //    ring-separation asserted in DetectorsSpec. FULL oracle: the
+    //    deterministic term table + fitted margins replay (SvmSql) ──
     QueryDef(
       "d3_svm_poly",
-      (s, dir) => confusion(
-        new SVMFaultDetector(kernel = "poly", degree = 2, coef0 = 1.0,
-          maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
-      None),
+      (s, dir) => {
+        val det = new SVMFaultDetector(kernel = "poly", degree = 2, coef0 = 1.0,
+          maxIter = 20, randomState = 7L)
+        val out = confusion(det, s, dir, maxLabel = 4)
+        val stages = det.fittedStages
+        val scaler = stages.collectFirst {
+          case m: org.apache.spark.ml.feature.StandardScalerModel => m }.get
+        val poly = stages.collectFirst { case p: PolynomialKernelMap => p }.get
+        treeReplay += "d3_svm_poly" -> SvmSql.polyConfusionReplaySql(
+          scaler,
+          det.fittedClassifierStage
+            .asInstanceOf[org.apache.spark.ml.classification.OneVsRestModel],
+          det.labelDomain,
+          degree = poly.getOrDefault(poly.degree),
+          gamma = poly.getOrDefault(poly.gamma),
+          coef0 = poly.getOrDefault(poly.coef0),
+          testWhere = testWhere(4, 0))
+        out
+      },
+      () => treeReplay.get("d3_svm_poly")),
 
     // ── D3c: SVM sigmoid kernel — tanh is not PSD, so it rides the
     //    Nystroem landmark approximation (driver-side m×m eigensolve,
     //    broadcast transform); kernel fidelity + eigensolver goldens
-    //    asserted in DetectorsSpec ──
+    //    asserted in DetectorsSpec. FULL oracle: fitted landmarks +
+    //    eigenvector map + margins replay (SvmSql) ──
     QueryDef(
       "d3_svm_sigmoid",
-      (s, dir) => confusion(
-        new SVMFaultDetector(kernel = "sigmoid", coef0 = 0.25,
-          maxIter = 20, randomState = 7L), s, dir, maxLabel = 4),
-      None),
+      (s, dir) => {
+        val det = new SVMFaultDetector(kernel = "sigmoid", coef0 = 0.25,
+          maxIter = 20, randomState = 7L)
+        val out = confusion(det, s, dir, maxLabel = 4)
+        val stages = det.fittedStages
+        val scaler = stages.collectFirst {
+          case m: org.apache.spark.ml.feature.StandardScalerModel => m }.get
+        val nys = stages.collectFirst { case n: NystroemKernelModel => n }.get
+        treeReplay += "d3_svm_sigmoid" -> SvmSql.nystroemConfusionReplaySql(
+          scaler, nys,
+          det.fittedClassifierStage
+            .asInstanceOf[org.apache.spark.ml.classification.OneVsRestModel],
+          det.labelDomain,
+          testWhere = testWhere(4, 0))
+        out
+      },
+      () => treeReplay.get("d3_svm_sigmoid")),
 
     // ── D4: gradient boosting (binary GBT on a 2-class slice). FULL
     //    oracle: fitted-tree margin replay (Σ leaf·weight, class 1 iff

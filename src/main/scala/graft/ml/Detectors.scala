@@ -90,6 +90,13 @@ abstract class FaultDetector(
   /** Sorted original label domain (index ↔ encoded class). */
   def labelDomain: Array[Double] = labelValues.clone()
 
+  /** All fitted pipeline stages (feature prep + classifier) — the SvmSql
+    * replay needs the scaler and kernel-map stages too.
+    */
+  def fittedStages: Array[org.apache.spark.ml.Transformer] =
+    pipelineModel.getOrElse(
+      throw new IllegalStateException("Model must be fitted first")).stages
+
   protected def prepFeatures(df: DataFrame, featCol: String): DataFrame =
     df.withColumn("features", array_to_vector(col(featCol).cast("array<double>")))
 
