@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.{Multimodal, Png, Wav}
-import graft.similarity.{Ann, Ivf, Pq}
+import graft.similarity.{Ann, Ivf, Pq, RetrievalEval}
 import graft.text.{IncrementalDedup, IncrementalNearDup, TextOps}
 
 /** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
@@ -31,6 +31,7 @@ object DedupQueries {
   @volatile private var x77Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x17Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x18Centroids: Option[Array[Array[Double]]] = None
+  @volatile private var x119Centroids: Option[Array[Array[Double]]] = None
 
   private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
@@ -491,6 +492,88 @@ object DedupQueries {
             round(col("cosine"), 6).as("cosine"))
       },
       () => x18Centroids.map(c => ivfFlatReplaySql(c, nprobe = 3))),
+
+    // ── X119: retrieval-quality report (RetrievalEval.topKQuality) —
+    //    the metric layer of the ANN governance family: recall@3 /
+    //    MRR@3 / binary nDCG@3 of the IVF tier at a deliberately tight
+    //    nprobe=2 against the exact baseline, per query. The number an
+    //    index operator actually watches to size probe budgets. FULL
+    //    oracle via the persisted-centroid thunk: DuckDB replays BOTH
+    //    searches (exact top-k + the probed IVF subset) and the metric
+    //    arithmetic with the driver-pinned ln2/idcg constants ──
+    QueryDef(
+      "x119_retrieval_eval",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 30)
+        val cents = Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L)
+        x119Centroids = Some(cents)
+        val approx = Ivf.cosineTopKIvfWith(emb, queries, "embedding",
+          "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 2)
+        val exact = Ann.cosineTopK(emb, queries, "embedding",
+          "vec_id", "vec_id", k = 3)
+        RetrievalEval.topKQuality(approx, exact, "vec_id", "neighbor_id", "rank", 3)
+      },
+      () => x119Centroids.map { cents =>
+        val centVals = cents.zipWithIndex
+          .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
+          .mkString(",\n          ")
+        val ln2 = RetrievalEval.ln2
+        val idcg = RetrievalEval.idcgAt(3)
+        s"""
+        WITH cents(cell, c) AS (VALUES
+          $centVals
+        ), e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv,
+            sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS qn
+          FROM e WHERE vec_id < 30
+        ), dall AS (
+          SELECT q.qid, e.vec_id AS cid,
+            list_reduce(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]), (x, y) -> x + y)
+              / (q.qn * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+        ), ex AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+            FROM dall) WHERE rank <= 3
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), probe AS (
+          SELECT qid, cell FROM (
+            SELECT q.qid, ad.cell,
+              row_number() OVER (PARTITION BY q.qid ORDER BY ad.d, ad.cell) AS rn
+            FROM q JOIN ad ON ad.vec_id = q.qid) WHERE rn <= 2
+        ), a AS (
+          SELECT qid, cid, rank FROM (
+            SELECT dall.qid, dall.cid,
+              row_number() OVER (PARTITION BY dall.qid ORDER BY dall.cos DESC, dall.cid ASC) AS rank
+            FROM dall JOIN asgn ON asgn.vec_id = dall.cid
+                      JOIN probe ON probe.qid = dall.qid AND probe.cell = asgn.cell)
+          WHERE rank <= 3
+        ), j AS (
+          SELECT a.qid, a.rank,
+            CASE WHEN ex.cid IS NOT NULL THEN 1 ELSE 0 END AS rel
+          FROM a LEFT JOIN ex ON ex.qid = a.qid AND ex.cid = a.cid
+        )
+        SELECT qid AS vec_id,
+          round(sum(rel) / 3.0, 6) AS recall,
+          round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0), 6) AS mrr,
+          round(coalesce(sum(CASE WHEN rel = 1 THEN 1.0 / (ln(rank + 1.0) / $ln2) END), 0) / $idcg, 6) AS ndcg
+        FROM j GROUP BY qid
+        """.stripMargin.trim
+      }),
 
     // ── X29: incremental IVF ingest — build the index on the even half
     //    of the corpus, append the odd half against the FROZEN quantizer

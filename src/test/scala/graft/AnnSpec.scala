@@ -573,6 +573,35 @@ class AnnSpec extends SparkSpec {
     assert(out.toSet == again.toSet)
   }
 
+  test("topKQuality: hand-computed recall/MRR/nDCG on planted result sets") {
+    import graft.similarity.RetrievalEval
+    import spark.implicits._
+    // q1: approx = (b,1)(x,2)(c,3), exact = {a,b,c} → recall 2/3,
+    //     first hit at rank 1 → mrr 1, dcg = 1/log2(2) + 1/log2(4)
+    // q2: approx = (u,1)(v,2)(w,3), exact = {a,b,c} → all zero
+    // q3: approx = (a,1)(b,2)(c,3) = exact → all perfect
+    val approx = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 12L, 3L),
+      (2L, 90L, 1L), (2L, 91L, 2L), (2L, 92L, 3L),
+      (3L, 20L, 1L), (3L, 21L, 2L), (3L, 22L, 3L))
+      .toDF("vec_id", "neighbor_id", "rank")
+    val exact = Seq(
+      (1L, 11L, 1L), (1L, 10L, 2L), (1L, 12L, 3L),
+      (2L, 80L, 1L), (2L, 81L, 2L), (2L, 82L, 3L),
+      (3L, 20L, 1L), (3L, 21L, 2L), (3L, 22L, 3L))
+      .toDF("vec_id", "neighbor_id", "rank")
+    val out = RetrievalEval.topKQuality(approx, exact, "vec_id", "neighbor_id", "rank", 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idcg = RetrievalEval.idcgAt(3)
+    val ln2 = RetrievalEval.ln2
+    val dcg1 = 1.0 / (math.log(2.0) / ln2) + 1.0 / (math.log(4.0) / ln2)
+    assert(out(0) == ((1L, r6(2.0 / 3), 1.0, r6(dcg1 / idcg))))
+    assert(out(1) == ((2L, 0.0, 0.0, 0.0)))
+    assert(out(2) == ((3L, 1.0, 1.0, 1.0)))
+  }
+
   test("semanticContamination matches brute-force max-cosine flagging") {
     val df = clustered.cache()
     // bench = the 20 clean base vectors (rep 0); corpus = the 80 noisy reps
