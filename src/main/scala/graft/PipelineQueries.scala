@@ -2229,6 +2229,68 @@ object PipelineQueries {
           CAST(sum(CASE WHEN length(text) >= 50 THEN 1 ELSE 0 END) AS BIGINT)
             AS rows_kept
         FROM documents
+      """.stripMargin.trim)),
+
+    // ── X120: RAG-style per-document sliding-window chunking
+    //    (Pipeline.chunkSliding) — overlapping 32-token windows at
+    //    stride 24 (8 tokens of shared context), the retrieval chunk
+    //    layout every embedding/eval stage keys on. Per-row array
+    //    arithmetic: zero shuffles, no window functions, embarrassingly
+    //    parallel at any corpus size (contrast x25's corpus-layout
+    //    cumsum). Emission stops once the previous chunk reached the
+    //    doc's end — a short tail appears once, never as a redundant
+    //    suffix. FULL oracle: starts, slices and the chunk md5 replay
+    //    as DuckDB list arithmetic ──
+    QueryDef(
+      "x120_chunk_sliding",
+      (s, dir) => {
+        Pipeline.chunkSliding(Tables.documents(s, dir),
+          Seq("doc_id"), "text", chunkTokens = 32, stride = 24)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+            string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+              ' ') AS w
+          FROM documents
+        ), st AS (
+          SELECT doc_id, w, len(w) AS nw,
+            s.s AS start_token, (s.s / 24)::INT AS chunk_idx
+          FROM d, LATERAL (SELECT unnest(generate_series(0,
+            greatest(len(w) - 1, 0), 24)) AS s) s
+          WHERE s.s = 0 OR s.s + 8 < len(w)
+        )
+        SELECT doc_id, chunk_idx, CAST(start_token AS INT) AS start_token,
+          CAST(least(32, nw - start_token) AS INT) AS n_chunk_tokens,
+          md5(array_to_string(w[(start_token + 1):(start_token + 32)], ' '))
+            AS chunk_hash
+        FROM st
+      """.stripMargin.trim)),
+
+    // ── X121: exact heavy hitters via the two-pass
+    //    candidate-then-verify pattern (HeavyHitters.heavyTokens —
+    //    Manku–Motwani lossy counting per partition, union-of-summaries
+    //    superset guarantee, then an exact count restricted to the
+    //    broadcast candidate set). The 100 TB shape: the naive
+    //    groupBy shuffles the whole vocabulary; here the shuffle carries
+    //    only candidate survivors and the sketch pass is map-side only.
+    //    minSupport 3% ≥ ε 0.3% is the completeness condition that
+    //    licenses the exact GROUP BY … HAVING oracle ──
+    QueryDef(
+      "x121_heavy_hitters",
+      (s, dir) => {
+        graft.text.HeavyHitters.heavyTokens(Tables.documents(s, dir),
+          "text", minSupport = 0.03, epsilon = 0.003)
+      },
+      Some("""
+        WITH w AS (
+          SELECT unnest(string_split(regexp_replace(lower(trim(text)),
+            '\s+', ' ', 'g'), ' ')) AS token
+          FROM documents
+        ), tot AS (SELECT count(*) AS n FROM w)
+        SELECT token, count(*) AS n
+        FROM w GROUP BY token
+        HAVING count(*) >= (SELECT ceil(0.03 * n) FROM tot)
       """.stripMargin.trim))
   )
 }

@@ -59,14 +59,19 @@ object LangId {
   }
 
   /** One-pass self-labeled train+classify — [[profiles]] ∘ [[classify]]
-    * over the SAME corpus, with the char-gram tokenization paid ONCE:
-    * the per-(doc, gram) count frame is materialized
-    * (`localCheckpoint`) and feeds both the per-language profiles (a
-    * re-aggregation — profile counts are exactly the per-doc counts
-    * summed over each language's docs) and the per-doc rank lists.
-    * Composing the two public APIs instead plans the corpus explode
-    * twice (measured 17 s vs ~half at bench SF). Output and oracle are
-    * identical to the composition.
+    * over the SAME corpus, with per-doc counting never leaving the row:
+    * [[graft.functions.GramCountList]] emits each document's finished
+    * `(gram, count)` list already in `(count desc, gram asc)` order, so
+    * the per-doc top-`docGrams` rank list is a zero-shuffle
+    * `slice + posexplode` (the declarative path shuffles + window-sorts
+    * ~13M exploded rows at bench SF just to rank within each doc — all
+    * of whose grams sat in one row to begin with). The only cross-row
+    * step left is the per-LANGUAGE profile aggregation: one
+    * `explode → groupBy(lang, gram)` over the PRE-COUNTED entries
+    * (partial aggregation compresses to ~langs × distinct-grams per
+    * partition before the single shuffle), then the group-limited rank
+    * window on the aggregated frame. Output and oracle are identical to
+    * the [[profiles]] ∘ [[classify]] composition (equivalence-spec'd).
     */
   def classifySelfLabeled(
       df: DataFrame,
@@ -76,25 +81,24 @@ object LangId {
       n: Int = 3,
       profileSize: Int = 100,
       docGrams: Int = 50): DataFrame = {
-    val gc = df
-      .select(col(idCol).as("__id"), col(labelCol),
-        explode(charGrams(textCol, n)).as("__g"))
-      .groupBy(col("__id"), col(labelCol), col("__g"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+    val counted = df.select(col(idCol).as("__id"), col(labelCol),
+      graft.functions.GramCountList(TextOps.normalize(col(textCol)), n)
+        .as("__gc"))
     val wLang = Window.partitionBy(col(labelCol))
       .orderBy(col("__c").desc, col("__g"))
-    val prof = gc.groupBy(col(labelCol), col("__g"))
-      .agg(sum(col("__c")).as("__c"))
+    val prof = counted
+      .select(col(labelCol), explode(col("__gc")).as("__e"))
+      .select(col(labelCol), col("__e.gram").as("__g"), col("__e.c").as("__dc"))
+      .groupBy(col(labelCol), col("__g"))
+      .agg(sum(col("__dc")).as("__c"))
       .withColumn("rank", row_number().over(wLang))
       .filter(col("rank") <= profileSize)
       .select(col(labelCol), col("__g").as("gram"), col("rank"))
-    val wDoc = Window.partitionBy(col("__id"))
-      .orderBy(col("__c").desc, col("__g"))
-    val docRanks = gc
-      .withColumn("__dr", row_number().over(wDoc))
-      .filter(col("__dr") <= docGrams)
-      .select(col("__id"), col("__g"), col("__dr"))
+    val docRanks = counted
+      .select(col("__id"),
+        posexplode(slice(col("__gc"), 1, docGrams)).as(Seq("__pos", "__e")))
+      .select(col("__id"), col("__e.gram").as("__g"),
+        (col("__pos") + 1).cast("int").as("__dr"))
     score(docRanks, prof, labelCol, profileSize, idCol)
   }
 

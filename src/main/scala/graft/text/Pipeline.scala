@@ -341,6 +341,50 @@ object Pipeline {
     * Appends: `__tok` (token count), `chunk_first`, `chunk_last`,
     * `n_chunks` (how many chunks the doc touches).
     */
+  /** RAG/eval-style per-document chunking: overlapping token windows of
+    * `chunkTokens` whitespace tokens advancing by `stride`
+    * (`stride < chunkTokens` ⇒ consecutive chunks share
+    * `chunkTokens − stride` tokens of context — the standard retrieval
+    * chunk layout). Starts are `0, stride, 2·stride, …`; emission stops
+    * once the PREVIOUS chunk already reached the document's end (so a
+    * short tail is emitted once, never as a redundant suffix), and a
+    * document shorter than one chunk yields exactly its single chunk.
+    *
+    * Unlike [[packChunked]] (corpus-layout chunking ACROSS documents,
+    * window cumsum ⇒ one shuffle per group), this is per-row array
+    * arithmetic — zero shuffles, fully codegen'd, embarrassingly
+    * parallel at any corpus size. Emits one row per chunk:
+    * `(idCols…, chunk_idx, start_token, n_chunk_tokens, chunk_hash)`
+    * with `chunk_hash = md5(chunk text)` — the id a downstream
+    * embedding/dedup stage keys on without re-reading the parent doc.
+    */
+  def chunkSliding(
+      df: DataFrame,
+      idCols: Seq[String],
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(stride >= 1 && chunkTokens >= stride,
+      s"need 1 <= stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val words = split(TextOps.normalize(col(textCol)), " ")
+    // let-bind words/size as columns BEFORE the HOF: a lambda referencing
+    // the raw expressions would re-evaluate the split+regex per element
+    val starts = filter(
+      sequence(lit(0), greatest(col("__nw") - 1, lit(0)), lit(stride)),
+      s => s === 0 || s + (chunkTokens - stride) < col("__nw"))
+    df.select((idCols.map(col) :+ words.as("__w")): _*)
+      .withColumn("__nw", size(col("__w")))
+      .select((idCols.map(col) :+ col("__w") :+ col("__nw") :+
+        posexplode(starts).as(Seq("chunk_idx", "__s"))): _*)
+      .select((idCols.map(col) :+
+        col("chunk_idx") :+
+        col("__s").cast("int").as("start_token") :+
+        least(lit(chunkTokens), col("__nw") - col("__s")).cast("int")
+          .as("n_chunk_tokens") :+
+        md5(array_join(slice(col("__w"), col("__s") + 1, lit(chunkTokens)),
+          " ")).as("chunk_hash")): _*)
+  }
+
   def packChunked(
       df: DataFrame,
       groupCols: Seq[String],

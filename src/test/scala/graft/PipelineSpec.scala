@@ -548,4 +548,67 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_spans") == 2L)
     assert(out.head.getAs[Long]("dup_tokens") == 16L)
   }
+
+  test("chunkSliding: window starts, tail handling, overlap hash identity") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, stride 3 → starts 0,3,6 (s=9 dropped: the
+    // s=6 chunk [6,10) already reached the end); lengths 4,4,4
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"w$i").mkString(" ")),
+      (2L, "only two"), // shorter than one chunk → single chunk of 2
+      (3L, "")) // empty text → one token "" after split
+      .toDF("doc_id", "text")
+    val out = Pipeline.chunkSliding(docs, Seq("doc_id"), "text",
+      chunkTokens = 4, stride = 3)
+      .orderBy(col("doc_id"), col("chunk_idx")).collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getAs[Int]("start_token")).toSeq == Seq(0, 3, 6))
+    assert(d1.map(_.getAs[Int]("n_chunk_tokens")).toSeq == Seq(4, 4, 4))
+    assert(d1.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2.head.getAs[Int]("n_chunk_tokens") == 2)
+    assert(out.count(_.getLong(0) == 3L) == 1)
+    // identical chunk text ⇒ identical hash, across documents
+    val twin = Seq((7L, "a b c d"), (8L, "a b c d")).toDF("doc_id", "text")
+    val hs = Pipeline.chunkSliding(twin, Seq("doc_id"), "text", 4, 4)
+      .select(col("chunk_hash")).collect().map(_.getString(0))
+    assert(hs.distinct.length == 1)
+  }
+
+  test("lossy counting: bounded summary, proven superset of heavy items") {
+    import graft.text.HeavyHitters
+    // adversarial stream: 3 heavy items interleaved with a churn of
+    // singletons forcing prunes at every bucket boundary (vocab ≫ 1/ε)
+    val heavy = Seq("a", "b", "c")
+    val stream = new scala.util.Random(11).shuffle(
+      (heavy.flatMap(h => Seq.fill(400)(h)) ++
+        (0 until 5000).map(i => s"one$i")).toVector)
+    val eps = 0.01 // 1/ε = 100 < vocab ⇒ pruning definitely fires
+    val cands = HeavyHitters.lossyCandidates(stream.iterator, eps).toSet
+    val n = stream.size
+    // completeness: every item with count > ε·n survives
+    assert(heavy.forall(cands.contains), s"missing heavy items: $cands")
+    // boundedness: lossy counting keeps O(1/ε log εn) entries — far
+    // fewer than the 5003-item vocabulary
+    assert(cands.size < 1000, s"summary not bounded: ${cands.size}")
+    assert(400 > eps * n) // the guarantee's premise actually held
+  }
+
+  test("heavyTokens: exact counts at the support threshold, end to end") {
+    import spark.implicits._
+    // 100 "hot" + 60 "warm" + 40 unique fillers; support 0.3 ⇒ only
+    // hot (100/200 = .5) and warm (60/200 = .3) qualify
+    val words = Seq.fill(100)("hot") ++ Seq.fill(60)("warm") ++
+      (0 until 40).map(i => s"filler$i")
+    val docs = words.grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val out = HeavyHittersRef.heavyTokens(docs, "text",
+      minSupport = 0.3, epsilon = 0.01)
+      .orderBy(col("token")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("hot", 100L), ("warm", 60L)))
+  }
+
+  private val HeavyHittersRef = graft.text.HeavyHitters
 }

@@ -318,6 +318,46 @@ class QualitySpec extends SparkSpec {
     assert(fused == composed)
   }
 
+  test("GramCountList: counts, (count desc, gram asc) order, short-input edge") {
+    import spark.implicits._
+    import graft.functions.GramCountList
+    // "abab" 2-grams: ab×2, ba×1 → [(ab,2),(ba,1)]; tie order is
+    // binary-lexicographic: "aaa" 1-grams → [(a,3)] then "ba" vs "ab"
+    val df = Seq("abab", "ab", "a", "", "xyxyxy").toDF("s")
+      .select(col("s"), GramCountList(col("s"), 2).as("g"))
+    val got = df.collect().map { r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getString(0), e.getLong(1))).toList
+    }.toMap
+    assert(got("abab") == List(("ab", 2L), ("ba", 1L)))
+    assert(got("ab") == List(("ab", 1L)))
+    assert(got("a") == Nil) // shorter than n
+    assert(got("") == Nil)
+    // xyxyxy: xy×3, yx×2 — count-desc order
+    assert(got("xyxyxy") == List(("xy", 3L), ("yx", 2L)))
+    // equal counts tie-break: "cba" 1-grams → a,b,c ascending
+    val tie = Seq("cba").toDF("s")
+      .select(GramCountList(col("s"), 1).as("g"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(_.getString(0)).toList
+    assert(tie == List("a", "b", "c"))
+    // parity with the declarative explode→groupBy→window path on real text
+    val docs = Seq((1L, "the cat sat on the mat"), (2L, "abc abc abc"))
+      .toDF("id", "t")
+    val viaExpr = docs.select(col("id"),
+      explode(GramCountList(graft.text.TextOps.normalize(col("t")), 3)).as("e"))
+      .select(col("id"), col("e.gram").as("g"), col("e.c").as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaSql = docs.select(col("id"),
+        explode(org.apache.spark.sql.functions.transform(
+          sequence(lit(1), length(graft.text.TextOps.normalize(col("t"))) - 2),
+          i => graft.text.TextOps.normalize(col("t")).substr(i, lit(3))))
+          .as("g"))
+      .groupBy(col("id"), col("g")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaExpr == viaSql)
+  }
+
   // ------------------------------------------------------------------
   // duplicatedSpans recall contract vs brute-force ExactSubstr
   // ------------------------------------------------------------------
