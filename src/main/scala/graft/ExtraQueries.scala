@@ -20,6 +20,109 @@ object ExtraQueries {
     * and recomputes the per-horizon RMSE over the held-out series.
     */
   @volatile private var t3Replay: Option[String] = None
+  @volatile private var t4Replay: Option[String] = None
+
+  /** t4's LSTM forward pass replayed in ANSI SQL — the deepest
+    * fitted-state thunk in the registry: the trained flat parameter
+    * vector (8 hidden units × 8 steps × 4 gates, d=1) is interpolated
+    * as literals and the recurrence UNROLLED as 3 CTEs per time step
+    * (gates z → cell c → hidden h), then the dense head and the RMSE
+    * aggregate. Steps are `MATERIALIZED` so DuckDB's projection-merge
+    * cannot substitute the (multiply-referenced) hidden columns into an
+    * exponentially-blown expression. Accumulation order matches
+    * [[graft.forecast.DeepNet]] exactly (bias, then W·x, then U·h in
+    * unit order; `fg·c + ig·gg`; `og·tanh(c)`); `sigmoid` replays as
+    * its defining formula and `tanh` via the `1 − 2/(1+exp(2z))`
+    * identity (this DuckDB build lacks `tanh`) — both agree with the
+    * JVM to ~1 ulp, invisible under the round-6 contract.
+    */
+  private def t4ReplaySql(fc: graft.forecast.DeepForecaster): String = {
+    val cfg = fc.cfg
+    require(!cfg.conv && cfg.d == 1, "replay covers the lstm architecture")
+    require(cfg.t == 8 && cfg.os == 2,
+      "the feature-window SQL below is written for timeSteps=8, outputStep=2")
+    val p = fc.fittedParams
+    val H = cfg.h; val T = cfg.t; val os = cfg.os
+    def sig(z: String) = s"(1 / (1 + exp(-($z))))"
+    def th(z: String) = s"(1 - 2 / (1 + exp(2 * ($z))))"
+    def lit(v: Double) = s"(${v.toString})"
+    // z_{gate,u} at step k (1-based): bias + W·x_{k-1} + Σ_v U·h{k-1}_v
+    def z(block: Int, u: Int, k: Int): String = {
+      val b = lit(p(cfg.offB + block * H + u))
+      val w = lit(p(cfg.offW + (block * H + u) * cfg.d))
+      val uTerms = (0 until H).map(v =>
+        s" + ${lit(p(cfg.offU + (block * H + u) * H + v))} * h${k - 1}_$v")
+        .mkString
+      s"$b + $w * x${k - 1}$uTerms"
+    }
+    val s0 = (0 until H).map(u => s"0.0 AS h0_$u, 0.0 AS c0_$u").mkString(", ")
+    val steps = (1 to T).map { k =>
+      val gates = (0 until H).map { u =>
+        s"${z(0, u, k)} AS zi${k}_$u, ${z(1, u, k)} AS zf${k}_$u, " +
+          s"${z(2, u, k)} AS zg${k}_$u, ${z(3, u, k)} AS zo${k}_$u"
+      }.mkString(",\n            ")
+      val cells = (0 until H).map { u =>
+        s"${sig(s"zf${k}_$u")} * c${k - 1}_$u + " +
+          s"${sig(s"zi${k}_$u")} * ${th(s"zg${k}_$u")} AS c${k}_$u"
+      }.mkString(",\n            ")
+      val hid = (0 until H).map { u =>
+        s"${sig(s"zo${k}_$u")} * ${th(s"c${k}_$u")} AS h${k}_$u"
+      }.mkString(",\n            ")
+      s"""g$k AS MATERIALIZED (
+          SELECT *,
+            $gates
+          FROM s${k - 1}
+        ), cc$k AS MATERIALIZED (
+          SELECT *,
+            $cells
+          FROM g$k
+        ), s$k AS MATERIALIZED (
+          SELECT *,
+            $hid
+          FROM cc$k
+        )"""
+    }.mkString(", ")
+    val preds = (0 until os).map { j =>
+      val terms = (0 until H).map(u =>
+        s" + ${lit(p(cfg.offWd + j * H + u))} * h${T}_$u").mkString
+      s"${lit(p(cfg.offBd + j))}$terms AS p${j + 1}"
+    }.mkString(",\n            ")
+    val rmses = (1 to os).map(j =>
+      s"round(sqrt(avg((p$j - y$j) * (p$j - y$j))), 6) AS rmse_y$j")
+      .mkString(", ")
+    s"""
+        WITH s AS (
+          SELECT event_id, event_type, ts, value,
+            row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+          FROM events
+        ), d AS (
+          SELECT * FROM s WHERE (rn-1) % 10 = 0
+        ), g AS (SELECT min(value) AS mn, max(value) AS mx FROM d),
+        n AS (
+          SELECT event_id, event_type, ts,
+            CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END AS nv
+          FROM d, g
+        ), w AS (
+          SELECT event_type,
+            lag(nv, 7) OVER w AS x0, lag(nv, 6) OVER w AS x1,
+            lag(nv, 5) OVER w AS x2, lag(nv, 4) OVER w AS x3,
+            lag(nv, 3) OVER w AS x4, lag(nv, 2) OVER w AS x5,
+            lag(nv, 1) OVER w AS x6, nv AS x7,
+            lead(nv, 1) OVER w AS y1, lead(nv, 2) OVER w AS y2
+          FROM n WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        ), f AS (
+          SELECT * FROM w
+          WHERE x0 IS NOT NULL AND y2 IS NOT NULL AND event_type = 'purchase'
+        ), s0 AS (
+          SELECT *, $s0 FROM f
+        ), $steps
+        SELECT $rmses,
+          (SELECT count(*) FROM f) AS n_test_windows
+        FROM (SELECT y1, y2,
+            $preds
+          FROM s$T)
+    """.stripMargin.trim
+  }
 
   private def t3ReplaySql(fc: TimeSeriesForecaster): String = {
     import org.apache.spark.ml.regression.RandomForestRegressionModel
@@ -441,10 +544,13 @@ object ExtraQueries {
     //    architecture (time_series_model.py:175-178: LSTM → Dropout →
     //    Dense(out_steps), MSE+Adam), hand-built and trained data-parallel
     //    (broadcast params, treeAggregate gradients, driver Adam). Small
-    //    hidden/epochs here to bound bench time; the fitted weights are
-    //    not SQL-expressible → rows-only. BPTT correctness is proved by
-    //    the numerical gradient checks in ForecastSpec; forecast quality
-    //    by the beats-persistence assert there. ──
+    //    hidden/epochs here to bound bench time. FULL oracle since the
+    //    round-10 third block: the L-BFGS-style objection doesn't apply —
+    //    TRAINING stays rows-only-impossible, but the fitted weights are
+    //    bounded driver state, so inference replays in SQL (t4ReplaySql:
+    //    the unrolled forward pass over interpolated literals). BPTT
+    //    correctness is separately proved by the numerical gradient
+    //    checks in ForecastSpec; forecast quality by beats-persistence. ──
     QueryDef(
       "t4_deep_forecast",
       (s, dir) => {
@@ -458,12 +564,13 @@ object ExtraQueries {
           modelType = "lstm", hidden = 8, dropout = 0.1,
           epochs = 40, learningRate = 0.02, seed = 7L)
         fc.fit(train)
+        t4Replay = Some(t4ReplaySql(fc))
         fc.evaluate(test)
           .select(round(col("rmse_y1"), 6).as("rmse_y1"),
             round(col("rmse_y2"), 6).as("rmse_y2"))
           .crossJoin(test.agg(count(lit(1)).as("n_test_windows")))
       },
-      None),
+      () => t4Replay),
 
     // ── X11: semi-structured props column — JSON extraction surface
     //    (SURVEY §1.4: events.props → get_json_object) ──

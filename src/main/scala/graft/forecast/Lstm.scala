@@ -440,6 +440,16 @@ class DeepForecaster(
     this
   }
 
+  /** Fitted flat parameter vector (layout per [[DeepNet.Cfg]] offsets) —
+    * bounded driver state (`cfg.size` doubles), exposed so the t4 oracle
+    * can interpolate the weights as literals and replay the forward pass
+    * in SQL (the x39/x40 fitted-state thunk device).
+    */
+  def fittedParams: Array[Double] = {
+    require(params != null, "fit() before fittedParams")
+    params.clone()
+  }
+
   /** Adds `pred_y1..pred_y{os}` columns (dropout off at inference). */
   def predict(df: DataFrame): DataFrame = {
     require(params != null, "fit() before predict()")
