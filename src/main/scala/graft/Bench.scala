@@ -120,11 +120,16 @@ object Bench {
       .mkString("[", ",", "]")
     def num(d: Double) = if (d.isNaN) "null" else d.toString
     val probes = s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir""""
+    // Targeted SPARK_GRAFT_ONLY runs land in BENCH_SUBSET.json so a
+    // spike-adjudication rerun can never clobber the driver's canonical
+    // full-registry artifact (it happened in round 10 — a judge's subset
+    // run overwrote the per-query map the driver had just recorded).
+    val outFile = if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_LAST.json"
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,$probes}"""
-    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":"see BENCH_LAST.json",$probes}"""
+    val summary = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n":${results.size},"queries":"see $outFile",$probes}"""
     println(line)
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Exception => }
     println(summary)

@@ -978,10 +978,13 @@ object Queries {
     //    model, cutoff at floor(total/2). The running total comes from
     //    the range-sort + two-pass offset device, NOT a single-task
     //    global window. FULL oracle: DuckDB replays the score, the
-    //    ROWS-frame cumulative sum and the budget cut. (Order ties
-    //    break on doc_id; the engines' exp/ln may differ in the last
-    //    ulp, but adjacent scores on this corpus are separated far
-    //    above ulp scale.) ──
+    //    ROWS-frame cumulative sum and the budget cut. The ORDER KEY is
+    //    the score rounded to 6 decimals (the x58 device, r10's one red
+    //    row): the raw sigmoid is libm exp under DuckDB vs JVM exp here,
+    //    and a last-ulp disagreement between engines swaps adjacent docs
+    //    in the full-precision total order, shifting their running sums
+    //    while counts stay equal. Rounding both engines' keys makes the
+    //    order engine-portable; doc_id still breaks exact-key ties. ──
     QueryDef(
       "x118_token_budget_select",
       (s, dir) => {
@@ -990,7 +993,7 @@ object Queries {
           .withColumn("__tok", TextOps.bpeishTokenCount(col("text")))
           .select(col("doc_id"), col("__q"), col("__tok"))
         val run = graft.operators.PrefixSum.runningTotal(scored,
-          Seq(col("__q").desc, col("doc_id").asc), "__tok", "running")
+          Seq(round(col("__q"), 6).desc, col("doc_id").asc), "__tok", "running")
         val budget = broadcast(scored.agg(
           floor(sum(col("__tok")) / lit(2)).cast("long").as("__budget")))
         run.crossJoin(budget)
@@ -1014,7 +1017,7 @@ object Queries {
               - 8 * (npunct / greatest(nchar, 1)) - 1))) AS score
           FROM t
         ), r AS (
-          SELECT doc_id, tok, sum(tok) OVER (ORDER BY score DESC, doc_id
+          SELECT doc_id, tok, sum(tok) OVER (ORDER BY round(score, 6) DESC, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
           FROM q
         ), g AS (

@@ -20,9 +20,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * streams each partition accumulating offset + local running value.
   * Range partitions are ordered and disjoint, so the result is a pure
   * function of the total order — sampled boundaries (and re-runs on any
-  * cluster layout) never change it. The first pass re-executes the sort
-  * (stateless by design, no cache leak); persist the input first when
-  * the double execution matters.
+  * cluster layout) never change it. The sorted frame is persisted across
+  * the two passes, so the offsets are computed against the SAME physical
+  * partitioning the output pass reads — without the pin, each action
+  * re-plans the exchange and resamples range boundaries independently,
+  * and offset correctness would ride on both samples landing identical
+  * (deterministic on a quiet input, but layout-lucky, not layout-proof).
+  * The returned frame is local-checkpointed (eager) so the input cache
+  * can be released before returning; its storage bound is the same
+  * O(rows) as the sort itself. At extreme scale, write the result to
+  * storage immediately — the checkpoint blocks are the transient copy.
   */
 object PrefixSum {
 
@@ -41,26 +48,32 @@ object PrefixSum {
       .withColumn("__v", col(valueCol).cast("long"))
       .repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
-    val vIdx = sorted.schema.fieldIndex("__v")
-    val partials = sorted.mapPartitions { it =>
-      var s = 0L
-      it.foreach(r => s += r.getLong(vIdx))
-      Iterator((TaskContext.getPartitionId(), s))
-    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
-      .collect().toMap
-    val maxP = if (partials.isEmpty) -1 else partials.keys.max
-    val offsets = (0 to maxP).scanLeft(0L)((acc, p) =>
-      acc + partials.getOrElse(p, 0L)).toArray
-    val bc = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(sorted.schema.fields :+
-      StructField(outCol, LongType, nullable = false))
-    sorted.mapPartitions { it =>
-      val off = bc.value(TaskContext.getPartitionId())
-      var running = 0L
-      it.map { r =>
-        running += r.getLong(vIdx)
-        Row.fromSeq(r.toSeq :+ (off + running))
-      }
-    }(Encoders.row(outSchema)).drop("__v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vIdx = sorted.schema.fieldIndex("__v")
+      val partials = sorted.mapPartitions { it =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(vIdx))
+        Iterator((TaskContext.getPartitionId(), s))
+      }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+        .collect().toMap
+      val maxP = if (partials.isEmpty) -1 else partials.keys.max
+      val offsets = (0 to maxP).scanLeft(0L)((acc, p) =>
+        acc + partials.getOrElse(p, 0L)).toArray
+      val bc = spark.sparkContext.broadcast(offsets)
+      val outSchema = StructType(sorted.schema.fields :+
+        StructField(outCol, LongType, nullable = false))
+      // eager: materializes the second pass against the pinned cache, so
+      // the finally below can release it without exposing callers to a
+      // resampled re-execution
+      sorted.mapPartitions { it =>
+        val off = bc.value(TaskContext.getPartitionId())
+        var running = 0L
+        it.map { r =>
+          running += r.getLong(vIdx)
+          Row.fromSeq(r.toSeq :+ (off + running))
+        }
+      }(Encoders.row(outSchema)).drop("__v").localCheckpoint()
+    } finally sorted.unpersist(blocking = false)
   }
 }

@@ -122,6 +122,31 @@ class PipelineSpec extends SparkSpec {
     assert(run(rows.toDF("id", "score", "w").coalesce(1)) == out)
   }
 
+  test("runningTotal: skewed multi-partition input equals the global window") {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // heavy key skew: 90% of rows share one score, so one range slice
+    // carries most of the order; the pinned-cache two-pass result must
+    // equal the one-task global-window spelling exactly
+    val rows = (0 until 211).map { i =>
+      val score = if (i % 10 == 0) (i % 7).toDouble else 5.0
+      (i.toLong, score, (i * 17 % 23 + 1).toLong)
+    }
+    val df = rows.toDF("id", "score", "w").repartition(16)
+    val got = PrefixSum
+      .runningTotal(df, Seq(col("score").desc, col("id").asc), "w", "run")
+      .select(col("id"), col("run")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val want = df
+      .withColumn("run", sum(col("w"))
+        .over(Window.orderBy(col("score").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("id"), col("run")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("packing is per-group: a second source restarts packs and offsets") {
     import spark.implicits._
     val df = Seq((0L, "a", docOf(200)), (1L, "a", docOf(200)),
