@@ -1593,6 +1593,199 @@ object DedupQueries {
           CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
       """.stripMargin.trim)),
 
+    // ── X122: the streaming NEAR-dup ingest loop — the composed
+    //    production crawl-ingest shape that x45 (stream × exact index)
+    //    and x75 (batch steps × near-dup index) each prove half of: a
+    //    real Structured Streaming `foreachBatch` drive of
+    //    [[IncrementalNearDup.dedupIncremental]] over three document
+    //    micro-batches (doc_id % 3 — deterministic membership), each
+    //    near-deduped against the growing persisted LSH index
+    //    (within-batch star election → banded cross-index probe →
+    //    signature verify → survivor append), then batch 2 is RE-FED to
+    //    prove streaming re-delivery idempotence: every re-fed candidate
+    //    collides with its own index entry (est-Jaccard 1.0) or with the
+    //    still-resident near-dup that dropped it, so zero survive and the
+    //    index is untouched. Emits per-batch survivor stats + the final
+    //    sig-side index size. The driver-side collect feeds the
+    //    MemoryStream (the Kafka stand-in, as x30–x34/x45/x46); the
+    //    operator under test touches only the batch and the bucketed
+    //    index. FULL oracle: the x75 CTE cascade extended to three
+    //    batches plus a GENERICALLY-computed re-delivery pass (not a
+    //    hardcoded zero) — DuckDB re-runs the within screen and the
+    //    cross probe of the re-fed batch against s0∪s1∪s2 ──
+    QueryDef(
+      "x122_stream_ingest_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_neardup_stream_$tag"
+        IncrementalNearDup.dropIndex(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect()
+        val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val surv = IncrementalNearDup
+              .dedupIncremental(batch, "doc_id", "text", path, nBuckets = 8)
+              .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
+              .head()
+            stats += ((stats.size.toLong, surv.getLong(0), surv.getLong(1)))
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x122_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          val feeds = Seq(0L, 1L, 2L).map(m => docs.filter(_._1 % 3 == m)) :+
+            docs.filter(_._1 % 3 == 2) // re-delivery of batch 2
+          feeds.foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x122 stream exceeded its 180s deadline")
+            mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val sigRows = s.read.parquet(s"$path/state")
+          .filter(col("__side") === "s").count()
+        (stats.toSeq :+ (99L, sigRows, 0L))
+          .toDF("step", "n_survivors", "id_sum")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(w)-2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+            ELSE [norm] END AS s
+          FROM w
+        ), ab AS (
+          SELECT doc_id,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band,
+            substring(md5(array_to_string(sig[(b.b*8+1):(b.b*8+8)], ',')), 1, 16) AS kh
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), rep0 AS (
+          SELECT band, kh, min(doc_id) AS rep FROM banded
+          WHERE doc_id % 3 = 0 GROUP BY 1, 2
+        ), wd0 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN rep0 r ON x.band = r.band AND x.kh = r.kh AND x.doc_id > r.rep
+          JOIN sig sa ON sa.doc_id = r.rep
+          JOIN sig sb ON sb.doc_id = x.doc_id
+          WHERE x.doc_id % 3 = 0
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s0 AS (
+          SELECT doc_id FROM sig
+          WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM wd0)
+        ), rep1 AS (
+          SELECT band, kh, min(doc_id) AS rep FROM banded
+          WHERE doc_id % 3 = 1 GROUP BY 1, 2
+        ), wd1 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN rep1 r ON x.band = r.band AND x.kh = r.kh AND x.doc_id > r.rep
+          JOIN sig sa ON sa.doc_id = r.rep
+          JOIN sig sb ON sb.doc_id = x.doc_id
+          WHERE x.doc_id % 3 = 1
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), c1 AS (
+          SELECT doc_id FROM sig
+          WHERE doc_id % 3 = 1 AND doc_id NOT IN (SELECT doc_id FROM wd1)
+        ), xd1 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN banded ix ON x.band = ix.band AND x.kh = ix.kh
+          JOIN s0 ON ix.doc_id = s0.doc_id
+          JOIN sig sa ON sa.doc_id = x.doc_id
+          JOIN sig sb ON sb.doc_id = ix.doc_id
+          WHERE x.doc_id IN (SELECT doc_id FROM c1)
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s1 AS (
+          SELECT doc_id FROM c1 WHERE doc_id NOT IN (SELECT doc_id FROM xd1)
+        ), rep2 AS (
+          SELECT band, kh, min(doc_id) AS rep FROM banded
+          WHERE doc_id % 3 = 2 GROUP BY 1, 2
+        ), wd2 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN rep2 r ON x.band = r.band AND x.kh = r.kh AND x.doc_id > r.rep
+          JOIN sig sa ON sa.doc_id = r.rep
+          JOIN sig sb ON sb.doc_id = x.doc_id
+          WHERE x.doc_id % 3 = 2
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), c2 AS (
+          SELECT doc_id FROM sig
+          WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM wd2)
+        ), idx2 AS (
+          SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+        ), xd2 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN banded ix ON x.band = ix.band AND x.kh = ix.kh
+          JOIN idx2 ON ix.doc_id = idx2.doc_id
+          JOIN sig sa ON sa.doc_id = x.doc_id
+          JOIN sig sb ON sb.doc_id = ix.doc_id
+          WHERE x.doc_id IN (SELECT doc_id FROM c2)
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s2 AS (
+          SELECT doc_id FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM xd2)
+        ), idx3 AS (
+          SELECT doc_id FROM idx2 UNION ALL SELECT doc_id FROM s2
+        ), xd3 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN banded ix ON x.band = ix.band AND x.kh = ix.kh
+          JOIN idx3 ON ix.doc_id = idx3.doc_id
+          JOIN sig sa ON sa.doc_id = x.doc_id
+          JOIN sig sb ON sb.doc_id = ix.doc_id
+          WHERE x.doc_id IN (SELECT doc_id FROM c2)
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s3 AS (
+          SELECT doc_id FROM c2 WHERE doc_id NOT IN (SELECT doc_id FROM xd3)
+        )
+        SELECT CAST(0 AS BIGINT) AS step, count(*) AS n_survivors,
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM s0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT CAST(99 AS BIGINT),
+          (SELECT count(*) FROM s0) + (SELECT count(*) FROM s1)
+            + (SELECT count(*) FROM s2) + (SELECT count(*) FROM s3),
+          CAST(0 AS BIGINT)
+      """.stripMargin.trim)),
+
     // ── X77: embedding-space drift monitor (similarity.EmbedDrift) —
     //    the embedding analog of x67's token-KL batch gate: an ingest
     //    batch (odd vec_ids) scored against a frozen baseline (even
