@@ -15,6 +15,13 @@ import graft.sources.Simulators._
   */
 object SimQueries {
 
+  /** Per-sim (x0, input sequence) draws stashed by the m5 run for its
+    * thunk oracle (the x39/x40 fitted-state device; recomputed
+    * driver-side via [[Simulators.simDraws]], bit-identical to the
+    * executors' draws).
+    */
+  @volatile private var m5Draws: Option[Seq[(Long, Array[Double], IndexedSeq[Double])]] = None
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── M1: linear continuous, euler; deterministic grid of 10 sims ──
@@ -148,7 +155,19 @@ object SimQueries {
         FROM s
       """.stripMargin.trim)),
 
-    // ── M5: Monte-Carlo generator source (hash-seeded → rows-only) ──
+    // ── M5: Monte-Carlo generator source — FULL oracle via the
+    //    fitted-draw thunk (closing the r10 gap): the hash-RNG draws
+    //    (x0, sine amp/offset/phase → the whole input sequence) are
+    //    bounded per-sim driver state exactly like the IVF centroids, so
+    //    the run recomputes them driver-side ([[Simulators.simDraws]] —
+    //    bit-identical to the executors' draws), stashes them as SQL
+    //    literals, and DuckDB replays ONLY the Euler fold with the m3/m4
+    //    `list_reduce` device: a 4-wide accumulator [x1, x2, Σy, max|x1|]
+    //    stepped over (step, u_step) pairs, mirroring the engine's
+    //    matVec/addScaled evaluation order term for term so the fold is
+    //    bit-exact, with only the 6-decimal-rounded aggregates emitted.
+    //    A generator bug anywhere — wrong draw streams, wrong grid, a
+    //    dropped step, integrator drift — breaks the hash ──
     QueryDef(
       "m5_generator",
       (s, _) => {
@@ -156,6 +175,12 @@ object SimQueries {
           Array(Array(-1.0, 0.5), Array(0.0, -2.0)),
           Array(Array(1.0), Array(0.5)),
           Array(Array(1.0, 0.0)), Array(Array(0.0)))
+        m5Draws = Some((0L until 20L).map { i =>
+          val (x0, u) = Simulators.simDraws(
+            1, Array(-1.0, -1.0), Array(1.0, 1.0),
+            SineSignal(frequency = 0.5), 2.0, 0.02, 42L)(i)
+          (i, x0, u.map(_(0)))
+        })
         Simulators.generate(
           s, model,
           x0Low = Array(-1.0, -1.0), x0High = Array(1.0, 1.0),
@@ -168,7 +193,37 @@ object SimQueries {
             round(avg(element_at(col("output"), 1)), 6).as("y_mean"),
             round(max(abs(element_at(col("state"), 1))), 6).as("x1_absmax"))
       },
-      None),
+      () => m5Draws.map { draws =>
+        val rows = draws.map { case (i, x0, u) =>
+          s"($i, ${x0(0)}::DOUBLE, ${x0(1)}::DOUBLE, ${u.mkString("[", ", ", "]")}::DOUBLE[])"
+        }.mkString(",\n          ")
+        // the Euler step mirrors matVec/add2/addScaled evaluation order:
+        // x1' = x1 + 0.02*((-1.0*x1 + 0.5*x2) + 1.0*u),
+        // x2' = x2 + 0.02*((0.0*x1 + -2.0*x2) + 0.5*u); y = x1' (C=[1,0])
+        val x1n = "(acc[1] + 0.02*(((-1.0)*acc[1] + 0.5*acc[2]) + 1.0*e[2]))"
+        val x2n = "(acc[2] + 0.02*((0.0*acc[1] + (-2.0)*acc[2]) + 0.5*e[2]))"
+        s"""
+        WITH s(sim_id, x0a, x0b, u) AS (VALUES
+          $rows
+        ), f AS (
+          SELECT sim_id,
+            list_reduce(
+              list_prepend([x0a, x0b, 0.0, 0.0],
+                list_transform(generate_series(1, 100),
+                  k -> [CAST(k AS DOUBLE), u[k]])),
+              (acc, e) -> [
+                $x1n,
+                $x2n,
+                acc[3] + $x1n,
+                greatest(acc[4], abs($x1n))
+              ]) AS r
+          FROM s
+        )
+        SELECT sim_id, 100::BIGINT AS n_steps,
+          round(r[3]/100.0, 6) AS y_mean, round(r[4], 6) AS x1_absmax
+        FROM f
+        """.stripMargin.trim
+      }),
 
     // ── M5 partial oracle: the generator's hash-RNG draws are not
     //    ANSI-expressible (→ m5_generator stays rows-only), but the

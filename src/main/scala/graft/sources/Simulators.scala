@@ -791,10 +791,48 @@ object Simulators {
   private val OffStream = 3L
   private val PhaseStream = 4L
 
+  /** Per-sim draw replay: the `(x0, input sequence)` a given `simId`
+    * receives from [[generate]] — a pure function of `(seed, simId)`
+    * with no Spark dependency, exposed so fitted-state oracle thunks can
+    * recompute the drawn state DRIVER-side (bit-identical: same JVM
+    * `HashRandom`/`Math.sin` calls the executors make), stash it as SQL
+    * literals and replay only the integrator fold (the m3/m4
+    * `list_reduce` device over the x39/x40 literal-thunk pattern).
+    */
+  def simDraws(
+      inputDim: Int,
+      x0Low: Array[Double], x0High: Array[Double],
+      signal: InputSignal,
+      tFinal: Double, dt: Double,
+      seed: Long)(simId: Long): (Array[Double], IndexedSeq[Array[Double]]) = {
+    val m = inputDim
+    val simSeed = HashRandom.mix(seed ^ simId)
+    val x0 = Array.tabulate(x0Low.length)(j =>
+      HashRandom.uniform(simSeed, X0Stream, j.toLong, x0Low(j), x0High(j)))
+    val nSteps = (tFinal / dt).toInt
+    val u: IndexedSeq[Array[Double]] = signal match {
+      case ConstantSignal(lo, hi, dist) =>
+        val uVal = Array.tabulate(m) { j =>
+          if (dist == "uniform") HashRandom.uniform(simSeed, ConstStream, j.toLong, lo, hi)
+          else (lo + hi) / 2 + (hi - lo) / 6 * HashRandom.gaussian(simSeed, ConstStream, j.toLong)
+        }
+        IndexedSeq.fill(nSteps)(uVal)
+      case SineSignal(ampR, offR, phR, freq) =>
+        val amp = Array.tabulate(m)(j => HashRandom.uniform(simSeed, AmpStream, j.toLong, ampR._1, ampR._2))
+        val off = Array.tabulate(m)(j => HashRandom.uniform(simSeed, OffStream, j.toLong, offR._1, offR._2))
+        val ph = Array.tabulate(m)(j => HashRandom.uniform(simSeed, PhaseStream, j.toLong, phR._1, phR._2))
+        val t = linspace(tFinal, nSteps) _
+        IndexedSeq.tabulate(nSteps) { i =>
+          Array.tabulate(m)(j => off(j) + amp(j) * math.sin(HashRandom.twoPi * freq * t(i) + ph(j)))
+        }
+    }
+    (x0, u)
+  }
+
   /** Monte-Carlo batch: `numSimulations` trajectories of `model` with
     * x0 ~ U(x0Low, x0High) and the given input signal, distributed over
     * `spark.range` partitions. Deterministic in `seed` (per-sim streams
-    * are `mix(seed ^ simId)`-derived).
+    * are `mix(seed ^ simId)`-derived; see [[simDraws]]).
     */
   def generate(
       spark: SparkSession,
@@ -809,26 +847,7 @@ object Simulators {
     val m = model.inputDim
     spark.range(numSimulations.toLong).as[Long].mapPartitions { ids =>
       ids.flatMap { simId =>
-        val simSeed = HashRandom.mix(seed ^ simId)
-        val x0 = Array.tabulate(x0Low.length)(j =>
-          HashRandom.uniform(simSeed, X0Stream, j.toLong, x0Low(j), x0High(j)))
-        val nSteps = (tFinal / dt).toInt
-        val u: IndexedSeq[Array[Double]] = signal match {
-          case ConstantSignal(lo, hi, dist) =>
-            val uVal = Array.tabulate(m) { j =>
-              if (dist == "uniform") HashRandom.uniform(simSeed, ConstStream, j.toLong, lo, hi)
-              else (lo + hi) / 2 + (hi - lo) / 6 * HashRandom.gaussian(simSeed, ConstStream, j.toLong)
-            }
-            IndexedSeq.fill(nSteps)(uVal)
-          case SineSignal(ampR, offR, phR, freq) =>
-            val amp = Array.tabulate(m)(j => HashRandom.uniform(simSeed, AmpStream, j.toLong, ampR._1, ampR._2))
-            val off = Array.tabulate(m)(j => HashRandom.uniform(simSeed, OffStream, j.toLong, offR._1, offR._2))
-            val ph = Array.tabulate(m)(j => HashRandom.uniform(simSeed, PhaseStream, j.toLong, phR._1, phR._2))
-            val t = linspace(tFinal, nSteps) _
-            IndexedSeq.tabulate(nSteps) { i =>
-              Array.tabulate(m)(j => off(j) + amp(j) * math.sin(HashRandom.twoPi * freq * t(i) + ph(j)))
-            }
-        }
+        val (x0, u) = simDraws(m, x0Low, x0High, signal, tFinal, dt, seed)(simId)
         model.simulate(simId, u, x0, tFinal, dt)
       }
     }
