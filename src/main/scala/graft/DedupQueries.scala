@@ -32,6 +32,8 @@ object DedupQueries {
   @volatile private var x17Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x18Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x119Centroids: Option[Array[Array[Double]]] = None
+  @volatile private var x119NswGraph: Option[Seq[(Long, Int, Seq[Long])]] = None
+  @volatile private var x119HnswGraph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
 
   private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
@@ -494,42 +496,92 @@ object DedupQueries {
       () => x18Centroids.map(c => ivfFlatReplaySql(c, nprobe = 3))),
 
     // ── X119: retrieval-quality report (RetrievalEval.topKQuality) —
-    //    the metric layer of the ANN governance family: recall@3 /
-    //    MRR@3 / binary nDCG@3 of the IVF tier at a deliberately tight
-    //    nprobe=2 against the exact baseline, per query. The number an
-    //    index operator actually watches to size probe budgets. FULL
-    //    oracle via the persisted-centroid thunk: DuckDB replays BOTH
-    //    searches (exact top-k + the probed IVF subset) and the metric
-    //    arithmetic with the driver-pinned ln2/idcg constants ──
+    //    the metric layer of the ANN governance family, extended in r11
+    //    to grade EVERY approximate tier against one exact baseline:
+    //    recall@3 / MRR@3 / binary nDCG@3 for (a) the IVF probe tier at
+    //    a deliberately tight nprobe=2, (b) the persisted NSW graph
+    //    search (x73's engine) and (c) the persisted HNSW search
+    //    (x112's engine), one summary row per tier — the artifact an
+    //    index operator reads to pick IVF-vs-graph and size
+    //    nprobe/efSearch budgets. Per-query metrics are rounded to 6
+    //    decimals, then the tier mean is formed over exact integer
+    //    micro-units (sum of round(metric·1e6) as BIGINT, divided back
+    //    as doubles) so the summary is bit-identical across engines
+    //    WITHOUT a final rounding step — a mean of rounded values can
+    //    sit exactly on a rounding boundary, the x118 lesson. FULL
+    //    oracle: DuckDB replays the exact top-k, the probed IVF subset
+    //    (centroid-literal thunk), BOTH graph walks (the x73/x112
+    //    recursive state machines embedded as subqueries) and the
+    //    metric arithmetic with driver-pinned ln2/idcg constants ──
     QueryDef(
       "x119_retrieval_eval",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val queries = emb.filter(col("vec_id") < 30)
-        val cents = Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L)
-        x119Centroids = Some(cents)
-        val approx = Ivf.cosineTopKIvfWith(emb, queries, "embedding",
-          "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 2)
+        val queries = emb.filter(col("vec_id") < 20)
         val exact = Ann.cosineTopK(emb, queries, "embedding",
           "vec_id", "vec_id", k = 3)
-        RetrievalEval.topKQuality(approx, exact, "vec_id", "neighbor_id", "rank", 3)
+        val cents = Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L)
+        x119Centroids = Some(cents)
+        val ivf = Ivf.cosineTopKIvfWith(emb, queries, "embedding",
+          "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 2)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val nswPath = s"${Scratch.dir}/graft_nsw_eval_$tag"
+        graft.similarity.Nsw.writeIndex(emb, "embedding", "vec_id",
+          nswPath, numShards = 8)
+        x119NswGraph = Some(s.read.parquet(s"$nswPath/nodes")
+          .select(col("id").cast("long"), col("__shard").cast("int"),
+            col("neighbors").cast("array<bigint>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+          .sortBy(t => (t._2, t._1)).toSeq)
+        val nsw = graft.similarity.Nsw.searchIndex(
+          s, nswPath, queries, "embedding", "vec_id", k = 3)
+        val hnswPath = s"${Scratch.dir}/graft_hnsw_eval_$tag"
+        graft.similarity.Hnsw.writeIndex(emb, "embedding", "vec_id",
+          hnswPath, numShards = 8)
+        x119HnswGraph = Some(s.read.parquet(s"$hnswPath/nodes")
+          .select(col("id").cast("long"), col("__shard").cast("int"),
+            col("level").cast("int"), col("layers").cast("array<array<bigint>>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
+          .sortBy(t => (t._2, t._1)).toSeq)
+        val hnsw = graft.similarity.Hnsw.searchIndex(
+          s, hnswPath, queries, "embedding", "vec_id", k = 3)
+        def tierSummary(tier: String, approx: org.apache.spark.sql.DataFrame) = {
+          val m = RetrievalEval.topKQuality(
+            approx, exact, "vec_id", "neighbor_id", "rank", 3)
+          // exact integer micro-units -> bit-identical unrounded means
+          def meanMicro(c: String) =
+            ((sum(round(col(c) * 1e6).cast("long")).cast("double")
+              / count(lit(1))) / lit(1e6)).as(c)
+          m.agg(count(lit(1)).as("n_queries"),
+              meanMicro("recall"), meanMicro("mrr"), meanMicro("ndcg"))
+            .select(lit(tier).as("tier"), col("n_queries"),
+              col("recall"), col("mrr"), col("ndcg"))
+        }
+        tierSummary("ivf", ivf)
+          .unionAll(tierSummary("nsw", nsw))
+          .unionAll(tierSummary("hnsw", hnsw))
       },
-      () => x119Centroids.map { cents =>
+      () => for {
+        cents <- x119Centroids
+        ng <- x119NswGraph
+        hg <- x119HnswGraph
+      } yield {
         val centVals = cents.zipWithIndex
           .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
           .mkString(",\n          ")
         val ln2 = RetrievalEval.ln2
         val idcg = RetrievalEval.idcgAt(3)
         s"""
-        WITH cents(cell, c) AS (VALUES
-          $centVals
-        ), e AS (
+        WITH e AS (
           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings
         ), q AS (
           SELECT vec_id AS qid, v AS qv,
             sqrt(list_reduce(list_transform(v, x -> x * x), (x, y) -> x + y)) AS qn
-          FROM e WHERE vec_id < 30
+          FROM e WHERE vec_id < 20
         ), dall AS (
           SELECT q.qid, e.vec_id AS cid,
             list_reduce(list_transform(list_zip(q.qv, e.v), p -> p[1] * p[2]), (x, y) -> x + y)
@@ -540,6 +592,8 @@ object DedupQueries {
             SELECT qid, cid,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
             FROM dall) WHERE rank <= 3
+        ), cents(cell, c) AS (VALUES
+          $centVals
         ), ad AS (
           SELECT e.vec_id, cents.cell,
             list_reduce(list_transform(list_zip(e.v, cents.c),
@@ -555,23 +609,41 @@ object DedupQueries {
             SELECT q.qid, ad.cell,
               row_number() OVER (PARTITION BY q.qid ORDER BY ad.d, ad.cell) AS rn
             FROM q JOIN ad ON ad.vec_id = q.qid) WHERE rn <= 2
-        ), a AS (
+        ), ivfres AS (
           SELECT qid, cid, rank FROM (
             SELECT dall.qid, dall.cid,
               row_number() OVER (PARTITION BY dall.qid ORDER BY dall.cos DESC, dall.cid ASC) AS rank
             FROM dall JOIN asgn ON asgn.vec_id = dall.cid
                       JOIN probe ON probe.qid = dall.qid AND probe.cell = asgn.cell)
           WHERE rank <= 3
+        ), nswres AS (
+          SELECT vec_id AS qid, neighbor_id AS cid, rank FROM (
+            ${Queries.nswWalkReplaySql(ng)}
+          ) t
+        ), hnswres AS (
+          SELECT vec_id AS qid, neighbor_id AS cid, rank FROM (
+            ${Queries.hnswWalkReplaySql(hg)}
+          ) t
+        ), ap AS (
+          SELECT 'ivf' AS tier, qid, cid, rank FROM ivfres
+          UNION ALL SELECT 'nsw', qid, cid, rank FROM nswres
+          UNION ALL SELECT 'hnsw', qid, cid, rank FROM hnswres
         ), j AS (
-          SELECT a.qid, a.rank,
+          SELECT ap.tier, ap.qid, ap.rank,
             CASE WHEN ex.cid IS NOT NULL THEN 1 ELSE 0 END AS rel
-          FROM a LEFT JOIN ex ON ex.qid = a.qid AND ex.cid = a.cid
+          FROM ap LEFT JOIN ex ON ex.qid = ap.qid AND ex.cid = ap.cid
+        ), pq AS (
+          SELECT tier, qid,
+            round(sum(rel) / 3.0, 6) AS recall,
+            round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0), 6) AS mrr,
+            round(coalesce(sum(CASE WHEN rel = 1 THEN 1.0 / (ln(rank + 1.0) / $ln2) END), 0) / $idcg, 6) AS ndcg
+          FROM j GROUP BY tier, qid
         )
-        SELECT qid AS vec_id,
-          round(sum(rel) / 3.0, 6) AS recall,
-          round(coalesce(1.0 / min(CASE WHEN rel = 1 THEN rank END), 0), 6) AS mrr,
-          round(coalesce(sum(CASE WHEN rel = 1 THEN 1.0 / (ln(rank + 1.0) / $ln2) END), 0) / $idcg, 6) AS ndcg
-        FROM j GROUP BY qid
+        SELECT tier, count(*) AS n_queries,
+          (sum(CAST(round(recall * 1000000) AS BIGINT))::DOUBLE / count(*)) / 1000000.0 AS recall,
+          (sum(CAST(round(mrr * 1000000) AS BIGINT))::DOUBLE / count(*)) / 1000000.0 AS mrr,
+          (sum(CAST(round(ndcg * 1000000) AS BIGINT))::DOUBLE / count(*)) / 1000000.0 AS ndcg
+        FROM pq GROUP BY tier
         """.stripMargin.trim
       }),
 

@@ -81,7 +81,7 @@ object Queries {
     * (cosine desc, id asc). Widths/filters are pinned to the x73
     * registration: queries vec_id < 20, k = 3, beam width 48.
     */
-  private def nswWalkReplaySql(graph: Seq[(Long, Int, Seq[Long])]): String = {
+  private[graft] def nswWalkReplaySql(graph: Seq[(Long, Int, Seq[Long])]): String = {
     val gvals = graph.map { case (id, sh, nbs) =>
       s"($id, $sh, [${nbs.mkString(",")}]::BIGINT[])"
     }.mkString(",\n          ")
@@ -204,7 +204,7 @@ object Queries {
     * adjacency. The per-shard entry is the min-id node of the max
     * level — the persisted-entry contract of `Hnsw.searchIndex`.
     */
-  private def hnswWalkReplaySql(
+  private[graft] def hnswWalkReplaySql(
       graph: Seq[(Long, Int, Int, Seq[Seq[Long]])]): String = {
     val gvals = graph.map { case (id, sh, lvl, layers) =>
       val lay = layers.map(l => s"[${l.mkString(",")}]::BIGINT[]")
