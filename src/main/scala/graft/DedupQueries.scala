@@ -862,10 +862,14 @@ object DedupQueries {
         val path = s"${Scratch.dir}/graft_dedup_index_$tag"
         IncrementalDedup.dropIndex(s, path)
         val docs = Tables.documents(s, dir)
+        // nBuckets sized to the bench corpus (the x75 capacity-sizing
+        // note); the returned-frame consumption reads the appended files
+        // back, so oversized bucket counts also multiply read-back files
         val s1 = IncrementalDedup.dedupIncremental(
-          docs.filter(col("doc_id") % 2 === 0), "text", Seq("doc_id"), path)
+          docs.filter(col("doc_id") % 2 === 0), "text", Seq("doc_id"), path,
+          nBuckets = 8)
         val s2 = IncrementalDedup.dedupIncremental(
-          docs, "text", Seq("doc_id"), path)
+          docs, "text", Seq("doc_id"), path, nBuckets = 8)
         def stats(df: org.apache.spark.sql.DataFrame, b: Long) =
           df.agg(count(lit(1)).as("n_survivors"),
             sum(col("doc_id")).as("id_sum"))
@@ -1281,8 +1285,11 @@ object DedupQueries {
         val mem = MemoryStream[(Long, String)]
         val q = mem.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            // nBuckets sized to the bench corpus (the x75 capacity-sizing
+            // note: 64 suits TB-scale state, 8 suits MB-scale — oversizing
+            // just multiplies per-batch commit files and snapshot reads)
             val surv = IncrementalDedup
-              .dedupIncremental(batch, "text", Seq("doc_id"), path)
+              .dedupIncremental(batch, "text", Seq("doc_id"), path, nBuckets = 8)
               .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
               .head()
             stats += ((stats.size.toLong, surv.getLong(0), surv.getLong(1)))

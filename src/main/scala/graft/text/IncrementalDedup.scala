@@ -101,21 +101,22 @@ object IncrementalDedup {
     // A pinned file list keeps every (re-)execution on the pre-append
     // snapshot, whatever order the caller evaluates in.
     val snapshot = indexFiles(spark, path)
+    // Snapshot reads carry an EXPLICIT schema (the IncrementalNearDup
+    // device): with a plain file list Spark otherwise infers the schema
+    // from parquet footers driver-side — O(files) at any scale.
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val hashSchema = StructType(Seq(StructField("__h", StringType)))
     val fresh =
       if (snapshot.nonEmpty)
         // ids/text never enter this join's index side — hash strings only
         withinBatch.join(
-          spark.read.parquet(snapshot: _*).select(col("__h")),
+          spark.read.schema(hashSchema).parquet(snapshot: _*).select(col("__h")),
           Seq("__h"), "left_anti")
       else withinBatch
     // Cache only for the duration of the index append, then RELEASE: the
     // intended caller is a long-running foreachBatch ingest loop, and a
     // cache left pinned here would accumulate one batch of storage per
-    // micro-batch for the life of the stream. The returned frame is
-    // uncached — a caller consuming it re-runs the dedup against the
-    // PINNED pre-append snapshot (correct by construction, one extra
-    // batch-scale pass); a caller that wants one-pass reuse can cache the
-    // result itself with a lifetime it controls.
+    // micro-batch for the life of the stream.
     val survivors = fresh.cache()
     try {
       survivors.select(col("__h"))
@@ -123,6 +124,19 @@ object IncrementalDedup {
         .repartition(nBuckets, col("__b"))
         .write.mode("append").partitionBy("__b").parquet(hashesPath(path))
     } finally survivors.unpersist(blocking = false)
-    fresh.drop("__h")
+    // The survivors ARE what the append just persisted — semi-join the
+    // within-batch winners against the hashes read back from the newly
+    // added files (pre-append snapshot diff; the IncrementalNearDup r10
+    // return-path device). A caller consuming the result re-runs only
+    // the batch-local election plus an O(batch) semi-join — never the
+    // anti-join against the full index snapshot — and re-execution
+    // stays deterministic on the pinned file list. `withinBatch` keeps
+    // one row per hash, so the semi-join restores exactly the elected
+    // survivor rows.
+    val newFiles = (indexFiles(spark, path).toSet -- snapshot.toSet).toSeq
+    if (newFiles.isEmpty) batch.filter(lit(false)) // everything deduped away
+    else withinBatch.join(
+      spark.read.schema(hashSchema).parquet(newFiles: _*).select(col("__h")),
+      Seq("__h"), "left_semi").drop("__h")
   }
 }
