@@ -1065,21 +1065,30 @@ object Queries {
         WHERE rank <= 3
       """.stripMargin.trim)),
 
-    // ── X112: persisted HNSW index — build + persist the layered graphs
-    //    (per-layer sorted adjacency, level column, __shard-partitioned
-    //    parquet), then search the reopened index. FULL oracle via the
-    //    x73 device extended with the express-lane descent
-    //    ([[hnswWalkReplaySql]]): the run stashes the persisted layered
-    //    adjacency (structure only) and DuckDB replays entry selection,
-    //    the greedy argmax descent AND the layer-0 beam step by step ──
+    // ── X112: persisted HNSW index — build on two thirds of the corpus,
+    //    GROW it with an append batch (round 11: `Hnsw.appendToIndex`,
+    //    the hnswlib/FAISS `add` contract — only touched shards
+    //    read/rewritten, levels recomputed from the pure id function,
+    //    resident adjacency preloaded and insertion resumed), then
+    //    search the reopened grown index — the full production loop
+    //    (build → append → search), mirroring x73's NSW shape. FULL
+    //    oracle via the x73 device extended with the express-lane
+    //    descent ([[hnswWalkReplaySql]]): the run stashes the persisted
+    //    POST-APPEND layered adjacency (structure only) and DuckDB
+    //    replays entry selection, the greedy argmax descent AND the
+    //    layer-0 beam step by step — so any append bug (lost backlinks,
+    //    wrong entry, level drift) breaks the hash ──
     QueryDef(
       "x112_ann_hnsw_indexed",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val path = s"${Scratch.dir}/graft_hnsw_index_$tag"
-        graft.similarity.Hnsw.writeIndex(emb, "embedding", "vec_id", path,
+        graft.similarity.Hnsw.writeIndex(
+          emb.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", path,
           numShards = 8)
+        graft.similarity.Hnsw.appendToIndex(
+          emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path)
         x112Graph = Some(s.read.parquet(s"$path/nodes")
           .select(col("id").cast("long"), col("__shard").cast("int"),
             col("level").cast("int"), col("layers").cast("array<array<bigint>>"))

@@ -135,13 +135,28 @@ object Hnsw {
     }
 
     /** Incremental construction in ascending index order. */
-    def build(): Unit = {
+    def build(): Unit = insertFrom(0)
+
+    /** Resume construction at index `from` (0 = fresh build): indices
+      * below `from` must already carry their adjacency (preloaded from
+      * a persisted shard); the entry is re-seeded as the prefix's first
+      * max-level node — exactly what the original insertion loop
+      * tracked, since insertion is id-ascending — then insertion
+      * continues unchanged. The [[Nsw]] `insertFrom` contract lifted to
+      * the layered graph.
+      */
+    def insertFrom(from: Int): Unit = {
       if (ids.isEmpty) return
       // the entry tracks the highest-level node seen so far (first
       // inserted wins ties, i.e. the min id — insertion is id-ascending)
       entry = 0
       var entryLevel = levels(0)
-      var i = 1
+      var j = 1
+      while (j < from) {
+        if (levels(j) > entryLevel) { entry = j; entryLevel = levels(j) }
+        j += 1
+      }
+      var i = math.max(from, 1)
       while (i < ids.length) {
         val l = levels(i)
         val v = vecs(i); val nv = norms(i)
@@ -346,5 +361,87 @@ object Hnsw {
       }
       .toDF("__qid", "__cid", "__cos")
     Ann.rankTopKScored(locals, queryIdCol, k, col("__cos"))
+  }
+
+  /** Append a batch to a persisted HNSW index — the hnswlib/FAISS `add`
+    * contract completing the graph family's production loop
+    * (build → append → search), the [[Nsw.appendToIndex]] shape lifted
+    * to the layered graph: only the shards the batch hashes into are
+    * read and rewritten (dynamic partition overwrite; untouched shards
+    * stay byte-identical), new nodes draw their geometric levels from
+    * the SAME pure id function recorded in `meta` — a node's level
+    * never depends on WHEN it arrives, the property that makes
+    * incremental HNSW sound — and are inserted in ascending id order
+    * into the resident layered graphs (resident adjacency preloaded,
+    * entry re-seeded as the prefix's max-level node, exactly what the
+    * original insertion tracked). Deterministic end to end, so the
+    * x112 walk-replay oracle applies unchanged to a grown index.
+    */
+  def appendToIndex(
+      newRows: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      path: String): Unit = {
+    val spark = newRows.sparkSession
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (numShards, mm, efc, seed) = (meta.getAs[Int]("num_shards"),
+      meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
+      meta.getAs[Long]("level_seed"))
+    val batch = newRows
+      .select(col(corpusIdCol).cast("long").as("id"),
+        col(featCol).cast("array<double>").as("vec"),
+        lit(null).cast("array<array<bigint>>").as("layers"))
+      .withColumn("__shard",
+        pmod(xxhash64(col("id")), lit(numShards.toLong)).cast("int"))
+    val touched = batch.select(col("__shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val resident = spark.read.parquet(s"$path/nodes")
+      .filter(col("__shard").isin(touched.map(Int.box): _*))
+      .select(col("id").cast("long"), col("vec").cast("array<double>"),
+        col("layers").cast("array<array<bigint>>"), col("__shard").cast("int"),
+        lit(false).as("__new"))
+    val updated = resident
+      .unionByName(batch.withColumn("__new", lit(true)))
+      .repartition(math.max(touched.length, 1), col("__shard"))
+      .as[(Long, Seq[Double], Seq[Seq[Long]], Int, Boolean)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._4).iterator.flatMap { case (shard, rows) =>
+          // resident nodes keep their id order (the original insertion
+          // order); new nodes append after them in ascending id
+          val old = rows.filter(!_._5).sortBy(_._1)
+          val fresh = rows.filter(_._5).sortBy(_._1)
+          val all = old ++ fresh
+          // levels are a pure function of (id, seed) — recomputed, never
+          // stored state that could drift
+          val g = new Graph(all.map(_._1), all.map(_._2.toArray),
+            all.map(r => levelOf(r._1, mm, seed)), mm, efc)
+          val idx = g.ids.zipWithIndex.toMap
+          old.zipWithIndex.foreach { case ((_, _, layers, _, _), i) =>
+            if (layers != null) layers.zipWithIndex.foreach { case (nbs, l) =>
+              if (l < g.adj.length) g.adj(l)(i) ++= nbs.flatMap(idx.get)
+            }
+          }
+          g.insertFrom(old.length)
+          g.ids.indices.iterator.map { i =>
+            val layers = (0 to g.levels(i)).map { l =>
+              g.adj(l)(i).map(g.ids(_)).sorted.toSeq
+            }
+            (g.ids(i), g.vecs(i).toSeq, g.levels(i), layers, shard)
+          }
+        }
+      }
+      .toDF("id", "vec", "level", "layers", "__shard")
+      // materialize BEFORE overwriting the partitions being read
+      .localCheckpoint(true)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try updated
+      .repartition(math.max(touched.length, 1), col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
   }
 }

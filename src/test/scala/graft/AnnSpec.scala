@@ -156,6 +156,49 @@ class AnnSpec extends SparkSpec {
     assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
   }
 
+  test("persisted HNSW index: append touches only its shards, appended rows findable, recall holds") {
+    import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${graft.Scratch.dir}/hnsw_append_${System.nanoTime()}"
+    def resultSet(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    // build from 80%, note an untouched shard's rows, append the rest
+    val base = df.filter(col("vec_id") % 5 =!= 4)
+    val batch = df.filter(col("vec_id") % 5 === 4)
+    graft.similarity.Hnsw.writeIndex(base, "embedding", "vec_id", path, numShards = 4)
+    val touched = batch
+      .select(pmod(xxhash64(col("vec_id").cast("long")), lit(4L)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val untouched = (0 until 4).filterNot(touched)
+    def shardRows(s: Int) = spark.read.parquet(s"$path/nodes")
+      .filter(col("__shard") === s)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("level"),
+        r.getAs[Seq[Seq[Long]]]("layers"))).toSet
+    val before = untouched.map(s => s -> shardRows(s)).toMap
+    graft.similarity.Hnsw.appendToIndex(batch, "embedding", "vec_id", path)
+    untouched.foreach(s => assert(shardRows(s) == before(s),
+      s"untouched shard $s rewritten"))
+    // every appended id is present with its pure-function level
+    val stored = spark.read.parquet(s"$path/nodes")
+      .select("id", "level").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val appended = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(appended.subsetOf(stored.keySet))
+    appended.foreach(id => assert(
+      stored(id) == graft.similarity.Hnsw.levelOf(id, 8, 11L),
+      s"level drift for appended id $id"))
+    // grown-index search: recall vs exact + run-to-run determinism
+    def run() = graft.similarity.Hnsw.searchIndex(
+      spark, path, queries, "embedding", "vec_id", k)
+    val after = resultSet(run())
+    val recall = (exact & after).size.toDouble / exact.size
+    assert(recall >= 0.9, s"post-append HNSW recall $recall")
+    assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
+  }
+
   test("persisted NSW index: search recall, append touches only its shards, appended rows findable") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
     val df = clustered.cache()
