@@ -518,8 +518,11 @@ object DedupQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 20)
+        // the exact baseline joins against all three tier branches of
+        // the union — localCheckpoint pins its k·|queries| rows once so
+        // the brute-force scan doesn't re-execute per branch
         val exact = Ann.cosineTopK(emb, queries, "embedding",
-          "vec_id", "vec_id", k = 3)
+          "vec_id", "vec_id", k = 3).localCheckpoint()
         val cents = Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L)
         x119Centroids = Some(cents)
         val ivf = Ivf.cosineTopKIvfWith(emb, queries, "embedding",
