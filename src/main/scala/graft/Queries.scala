@@ -194,6 +194,12 @@ object Queries {
     */
   @volatile private var x112Graph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
 
+  /** Post-stream adjacency stashed by the x123 run (same shape/oracle
+    * device as x112 — the walk replay is indifferent to HOW the
+    * persisted graph was grown).
+    */
+  @volatile private var x123Graph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
+
   /** x112 thunk oracle: the [[nswWalkReplaySql]] device extended with
     * HNSW's express-lane descent. Phase 'N' rows replay the greedy
     * argmax hop one neighbor-scan step at a time (carrying the running
@@ -1103,6 +1109,68 @@ object Queries {
             round(col("cosine"), 6).as("cosine"))
       },
       () => x112Graph.map(hnswWalkReplaySql)),
+
+    // ── X123: the streaming GRAPH-ANN ingest loop — the HNSW member of
+    //    the ingest-loop matrix (exact: x32/x45; near-dup: x75/x122;
+    //    IVF: x29/x46; NSW: x73; HNSW batch: x112): an index is
+    //    bootstrapped from a third of the embeddings, then a real
+    //    Structured Streaming foreachBatch drive grows it with
+    //    `Hnsw.appendToIndex` in two micro-batches (touched shards only;
+    //    levels from the pure id function, so arrival order never moves
+    //    a node's level), and the stream-grown index is searched. No
+    //    re-delivery batch: graph appends are not idempotent by design
+    //    (the FAISS/hnswlib add contract — production puts the x45
+    //    exact-dedup stage in front, exactly as x46's IVF loop). FULL
+    //    oracle: the x112 walk-replay device over the persisted
+    //    POST-STREAM adjacency — the streaming execution is invisible
+    //    to the oracle, which replays whatever graph the stream built ──
+    QueryDef(
+      "x123_stream_hnsw_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_hnsw_stream_$tag"
+        graft.similarity.Hnsw.writeIndex(
+          emb.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path,
+          numShards = 8)
+        val rest = emb.filter(col("vec_id") % 3 =!= 0)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect()
+        val mem = MemoryStream[(Long, Array[Float])]
+        val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            graft.similarity.Hnsw.appendToIndex(
+              batch, "embedding", "vec_id", path)
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x123_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          Seq(1L, 2L).map(m => rest.filter(_._1 % 3 == m)).foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x123 stream exceeded its 120s deadline")
+            mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        x123Graph = Some(s.read.parquet(s"$path/nodes")
+          .select(col("id").cast("long"), col("__shard").cast("int"),
+            col("level").cast("int"), col("layers").cast("array<array<bigint>>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
+          .sortBy(t => (t._2, t._1)).toSeq)
+        graft.similarity.Hnsw.searchIndex(
+          s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      () => x123Graph.map(hnswWalkReplaySql)),
 
     // ── X73: persisted NSW graph index — build, grow by an append batch
     //    (only the touched shards are read/rewritten), then search the
