@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.multimodal.{Multimodal, Png, Wav}
-import graft.similarity.{Ann, Ivf, Pq, RetrievalEval}
+import graft.similarity.{Ann, IncrementalSemDedup, Ivf, Pq, RetrievalEval}
 import graft.text.{IncrementalDedup, IncrementalNearDup, TextOps}
 
 /** The rest of the dedup family (SURVEY §2.8): SimHash, word n-gram
@@ -34,6 +34,11 @@ object DedupQueries {
   @volatile private var x119Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x119NswGraph: Option[Seq[(Long, Int, Seq[Long])]] = None
   @volatile private var x119HnswGraph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
+
+  /** Frozen quantizer stashed by the x124 run (trained on the bootstrap
+    * batch, persisted with the index — the fitted-state thunk device).
+    */
+  @volatile private var x124Cents: Option[Array[Array[Double]]] = None
 
   private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
@@ -1674,6 +1679,141 @@ object DedupQueries {
         SELECT CAST(2 AS BIGINT), count(*),
           CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
       """.stripMargin.trim)),
+
+    // ── X124: ingest-time incremental SEMANTIC dedup
+    //    (IncrementalSemDedup) — the embedding tier completing the
+    //    incremental-dedup triptych beside exact x32 and MinHash x75:
+    //    batch 1 (even vec_ids) bootstraps the index (trains + freezes
+    //    the quantizer, greedy keep-first chain within each cell),
+    //    batch 2 (the whole corpus) dedups against the residents —
+    //    every even self-collides at cosine 1.0 and drops, odd semantic
+    //    dups of residents drop via the cell-confined rounded-cosine
+    //    screen, surviving odds chain among themselves. Threshold 0.4 =
+    //    the corpus's established x116 semantic level. FULL oracle via
+    //    the fitted-quantizer thunk: DuckDB replays cell assignment
+    //    (argmin, cell-asc ties), the rounded cosine pair screen, the
+    //    resident drop and BOTH greedy chains as recursive-CTE state
+    //    machines carrying each cell's survivor list ──
+    QueryDef(
+      "x124_incremental_semdedup",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_semdedup_index_$tag"
+        IncrementalSemDedup.dropIndex(s, path)
+        val emb = Tables.embeddings(s, dir)
+        val b1 = IncrementalSemDedup.dedupIncremental(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", path,
+          threshold = 0.4)
+        x124Cents = Some(IncrementalSemDedup.centroids(s, path))
+        val b2 = IncrementalSemDedup.dedupIncremental(
+          emb, "vec_id", "embedding", path, threshold = 0.4)
+        def stats(df: org.apache.spark.sql.DataFrame, b: Long) =
+          df.agg(count(lit(1)).as("n_survivors"),
+            coalesce(sum(col("vec_id")), lit(0L)).as("id_sum"))
+            .select(lit(b).as("batch"), col("n_survivors"), col("id_sum"))
+        val idxRows = s.read.parquet(s"$path/state").count()
+        stats(b1, 1L).unionAll(stats(b2, 2L)).unionAll(
+          s.range(1).select(lit(99L).as("batch"),
+            lit(idxRows).as("n_survivors"), lit(0L).as("id_sum")))
+      },
+      () => x124Cents.map { cents =>
+        val centVals = cents.zipWithIndex
+          .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
+          .mkString(",\n          ")
+        s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), nrm AS (
+          SELECT vec_id, v,
+            sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+          FROM e
+        ), cents(cell, c) AS (VALUES
+          $centVals
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), pairs AS MATERIALIZED (
+          SELECT x.cell, x.vec_id AS ia, y.vec_id AS ib
+          FROM asgn x JOIN asgn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          JOIN nrm a ON a.vec_id = x.vec_id
+          JOIN nrm b ON b.vec_id = y.vec_id
+          WHERE round(
+            list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+              (s, t) -> s + t) / (a.n * b.n), 6) >= 0.4
+        ), c1 AS (
+          SELECT cell, vec_id,
+            row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+          FROM asgn WHERE vec_id % 2 = 0
+        ), nb1 AS (
+          SELECT c.cell, c.vec_id, c.rk, coalesce(l.ls, []::BIGINT[]) AS nb
+          FROM c1 c LEFT JOIN (
+            SELECT ib, list(ia) AS ls FROM pairs
+            WHERE ia % 2 = 0 AND ib % 2 = 0 GROUP BY ib
+          ) l ON l.ib = c.vec_id
+        ), w1(cell, rk, surv) AS (
+          SELECT cell, 0, []::BIGINT[] FROM (SELECT DISTINCT cell FROM c1)
+          UNION ALL
+          SELECT w.cell, w.rk + 1,
+            CASE WHEN len(list_intersect(n.nb, w.surv)) = 0
+                 THEN list_append(w.surv, n.vec_id) ELSE w.surv END
+          FROM w1 w JOIN nb1 n ON n.cell = w.cell AND n.rk = w.rk + 1
+        ), s1 AS MATERIALIZED (
+          SELECT unnest(surv) AS vec_id FROM (
+            SELECT cell, surv,
+              row_number() OVER (PARTITION BY cell ORDER BY rk DESC) AS rr
+            FROM w1) WHERE rr = 1
+        ), rd2 AS MATERIALIZED (
+          SELECT DISTINCT vec_id FROM (
+            SELECT p.ib AS vec_id FROM pairs p JOIN s1 ON s1.vec_id = p.ia
+            UNION ALL
+            SELECT p.ia FROM pairs p JOIN s1 ON s1.vec_id = p.ib
+            UNION ALL
+            SELECT vec_id FROM s1
+          ) u
+        ), c2 AS (
+          SELECT cell, vec_id,
+            row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+          FROM asgn WHERE vec_id NOT IN (SELECT vec_id FROM rd2)
+        ), nb2 AS (
+          SELECT c.cell, c.vec_id, c.rk, coalesce(l.ls, []::BIGINT[]) AS nb
+          FROM c2 c LEFT JOIN (
+            SELECT p.ib, list(p.ia) AS ls FROM pairs p
+            WHERE p.ia NOT IN (SELECT vec_id FROM rd2)
+              AND p.ib NOT IN (SELECT vec_id FROM rd2)
+            GROUP BY p.ib
+          ) l ON l.ib = c.vec_id
+        ), w2(cell, rk, surv) AS (
+          SELECT cell, 0, []::BIGINT[] FROM (SELECT DISTINCT cell FROM c2)
+          UNION ALL
+          SELECT w.cell, w.rk + 1,
+            CASE WHEN len(list_intersect(n.nb, w.surv)) = 0
+                 THEN list_append(w.surv, n.vec_id) ELSE w.surv END
+          FROM w2 w JOIN nb2 n ON n.cell = w.cell AND n.rk = w.rk + 1
+        ), s2 AS MATERIALIZED (
+          SELECT unnest(surv) AS vec_id FROM (
+            SELECT cell, surv,
+              row_number() OVER (PARTITION BY cell ORDER BY rk DESC) AS rr
+            FROM w2) WHERE rr = 1
+        )
+        SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_survivors,
+          CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS id_sum FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(coalesce(sum(vec_id), 0) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(99 AS BIGINT),
+          (SELECT count(*) FROM s1) + (SELECT count(*) FROM s2),
+          CAST(0 AS BIGINT)
+        """.stripMargin.trim
+      }),
 
     // ── X122: the streaming NEAR-dup ingest loop — the composed
     //    production crawl-ingest shape that x45 (stream × exact index)

@@ -156,6 +156,50 @@ class AnnSpec extends SparkSpec {
     assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
   }
 
+  test("incremental semantic dedup: residents win, chains dedup in-batch, re-ingest is a no-op") {
+    import graft.similarity.IncrementalSemDedup
+    import spark.implicits._
+    // clustered corpus: 20 tight clusters of 5 near-copies (cos ≈ 1
+    // within a cluster after the 0.05 perturbation) — at threshold 0.9
+    // each cluster should keep exactly its first member per batch wave
+    val df = clustered.cache()
+    val path = s"${graft.Scratch.dir}/semdedup_inc_${System.nanoTime()}"
+    IncrementalSemDedup.dropIndex(spark, path)
+    def ids(r: DataFrame) = r.select("vec_id").collect().map(_.getLong(0)).toSet
+    // batch 1: the first two reps of each cluster (vec_id % 5 < 2) —
+    // within-batch chain keeps the min id of each cluster pair
+    val b1 = ids(IncrementalSemDedup.dedupIncremental(
+      df.filter(col("vec_id") % 5 < 2), "vec_id", "embedding", path,
+      threshold = 0.9, nClusters = 4))
+    assert(b1.size <= 20, s"batch1 kept ${b1.size} — chain not deduping")
+    assert(b1.forall(_ % 5 == 0), s"chain kept a non-first rep: $b1")
+    // batch 2: everything — batch-1 survivors are residents (self-drop
+    // at cosine 1.0), remaining reps are semantic dups of their
+    // cluster's resident. A rep CAN survive by landing in a different
+    // quantizer cell than its resident (the documented SemDeDup
+    // cross-cell miss), so assert near-total elimination, never a
+    // first-rep re-admission
+    val b2 = ids(IncrementalSemDedup.dedupIncremental(
+      df, "vec_id", "embedding", path, threshold = 0.9, nClusters = 4))
+    assert(b2.size <= 3, s"residents did not win: ${b2.size} survived")
+    assert(b2.forall(id => !b1.contains(id)), "a resident was re-admitted")
+    // the sharp idempotence contract: re-feeding the same batch now
+    // drops EVERYTHING (every potential survivor is its own resident)
+    val b2again = ids(IncrementalSemDedup.dedupIncremental(
+      df, "vec_id", "embedding", path, threshold = 0.9, nClusters = 4))
+    assert(b2again.isEmpty, s"re-ingest not a no-op: $b2again")
+    // index state = exactly the survivors so far, once each
+    val stored = spark.read.parquet(s"$path/state")
+      .select("__id").collect().map(_.getLong(0)).toSeq
+    assert(stored.sorted == (b1 ++ b2).toSeq.sorted, "state rows != survivors")
+    // a genuinely novel direction still gets in
+    val novel = Seq((9999L, Array.tabulate(16)(j =>
+      (if (j == 15) 100f else 0f)))).toDF("vec_id", "embedding")
+    val b3 = ids(IncrementalSemDedup.dedupIncremental(
+      novel, "vec_id", "embedding", path, threshold = 0.9, nClusters = 4))
+    assert(b3 == Set(9999L))
+  }
+
   test("persisted HNSW index: append touches only its shards, appended rows findable, recall holds") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
     val df = clustered.cache()
