@@ -1264,6 +1264,132 @@ object DedupQueries {
         FROM scored GROUP BY component
       """.stripMargin.trim)),
 
+    // ── X125: leakage-safe train/val/test split — the contamination
+    //    control x68's per-doc coin can't give: near-duplicate documents
+    //    must never straddle train and test (a test doc with a train
+    //    near-dup inflates eval — the C4/Pile contamination finding), so
+    //    the md5 split coin is keyed by the near-dup COMPONENT label
+    //    (x64's pair cascade → x43's closure), and every member inherits
+    //    its component's split. The query emits the per-split manifest
+    //    plus the CONTRAST: how many components would have straddled
+    //    under the naive doc-keyed coin (the leakage this split
+    //    prevents), with the component-keyed straddle count
+    //    require()-pinned at zero in-query (the plan-proof style).
+    //    Scale shape: the pair cascade and closure are the x64/x43
+    //    kernels (banded candidates, ids-only closure); the split itself
+    //    is a pure narrow projection. FULL oracle: x64's LSH cascade +
+    //    recursive closure + both md5 coins with the scanLeft
+    //    thresholds interpolated exactly (the x68 device) ──
+    QueryDef(
+      "x125_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = TextOps.nearDupPairs(docs, "doc_id", "text",
+          shingleN = 5, numHashes = 128, bands = 16, threshold = 0.8)
+        val comp = graft.text.Components.connectedComponents(pairs, "id_a", "id_b")
+        val labeled = docs.select(col("doc_id"))
+          .join(comp.select(col("id").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val bySafe = graft.text.Pipeline.hashSplit(labeled, "component", splits, seed = 42L)
+        val byDoc = graft.text.Pipeline.hashSplit(labeled, "doc_id", splits, seed = 42L)
+        def straddles(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("component"))
+          .agg(countDistinct(col("split")).as("__k"))
+          .filter(col("__k") > 1).count()
+        val leaked = straddles(byDoc)
+        val safe = straddles(bySafe)
+        require(safe == 0,
+          s"component-keyed split straddles $safe components — leakage")
+        bySafe.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("component")).as("n_components"),
+            sum(col("doc_id")).as("id_sum"))
+          .unionAll(s.range(1).select(
+            lit("__doc_split_straddle").as("split"), lit(leaked).as("n_docs"),
+            lit(0L).as("n_components"), lit(0L).as("id_sum")))
+      },
+      Some {
+        val ws = Seq(0.8, 0.1, 0.1)
+        val cum = ws.scanLeft(0.0)((a, w) => a + w / ws.sum).tail.init
+        def coin(key: String) =
+          s"(('0x' || substring(md5('42:' || $key::VARCHAR), 1, 8))::BIGINT / 4294967296.0)"
+        def splitCase(key: String) =
+          s"""CASE WHEN ${coin(key)} < ${cum(0)} THEN 'train'
+             |               WHEN ${coin(key)} < ${cum(1)} THEN 'val'
+             |               ELSE 'test' END""".stripMargin
+        s"""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+            list_distinct(list_transform(
+              generate_series(0, greatest(length(norm)-5, 0)),
+              i -> substr(norm, i+1, 5))) AS s
+          FROM d
+        ), ab AS (
+          SELECT doc_id, s,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id, s,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band, sig[(b.b*8+1):(b.b*8+8)] AS key
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+            AND l.doc_id < r.doc_id
+        ), j AS (
+          SELECT id_a, id_b,
+            len(list_intersect(a.s, b.s))::DOUBLE /
+            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+          FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                    JOIN sh b ON cand.id_b = b.doc_id
+        ), edges AS (
+          SELECT id_a AS src, id_b AS dst FROM j WHERE jac >= 0.8
+          UNION
+          SELECT id_b, id_a FROM j WHERE jac >= 0.8
+        ), rc AS (
+          WITH RECURSIVE reach(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+          )
+          SELECT id, min(lbl) AS component FROM reach GROUP BY id
+        ), lab AS (
+          SELECT doc.doc_id, coalesce(rc.component, doc.doc_id) AS component
+          FROM documents doc LEFT JOIN rc ON rc.id = doc.doc_id
+        ), sp AS (
+          SELECT doc_id, component,
+            ${splitCase("component")} AS split
+          FROM lab
+        ), docsp AS (
+          SELECT doc_id, component,
+            ${splitCase("doc_id")} AS split
+          FROM lab
+        ), straddle AS (
+          SELECT count(*) AS k FROM (
+            SELECT component FROM docsp GROUP BY component
+            HAVING count(DISTINCT split) > 1)
+        )
+        SELECT split, count(*) AS n_docs,
+          count(DISTINCT component) AS n_components,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM sp GROUP BY split
+        UNION ALL
+        SELECT '__doc_split_straddle', (SELECT k FROM straddle),
+          CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        """.stripMargin.trim
+      }),
+
     // ── X45: the streaming INGEST loop as a first-class query — a real
     //    Structured Streaming `foreachBatch` drive of
     //    [[IncrementalDedup.dedupIncremental]] (the PipelineSpec shape
