@@ -40,6 +40,11 @@ object DedupQueries {
     */
   @volatile private var x124Cents: Option[Array[Array[Double]]] = None
 
+  /** Frozen quantizer stashed by the x126 streaming run (trained on the
+    * first micro-batch, read back from the persisted index).
+    */
+  @volatile private var x126Cents: Option[Array[Array[Double]]] = None
+
   private def sqlList(a: Array[Double]): String = a.mkString("[", ", ", "]")
 
   /** Full DuckDB replay of the PQ ADC top-3 search over `embeddings`
@@ -1937,6 +1942,160 @@ object DedupQueries {
         UNION ALL
         SELECT CAST(99 AS BIGINT),
           (SELECT count(*) FROM s1) + (SELECT count(*) FROM s2),
+          CAST(0 AS BIGINT)
+        """.stripMargin.trim
+      }),
+
+    // ── X126: the streaming SEMANTIC-dedup ingest loop — completes the
+    //    streaming row of the ingest matrix (exact x45, near-dup x122,
+    //    IVF x46, HNSW x123): foreachBatch +
+    //    [[IncrementalSemDedup.dedupIncremental]] over three embedding
+    //    micro-batches (vec_id % 3; the first trains and freezes the
+    //    quantizer), then batch 2 is RE-FED to prove streaming
+    //    re-delivery idempotence — every re-fed candidate self-collides
+    //    at cosine 1.0 or hits its still-resident dropper, zero survive.
+    //    FULL oracle via the fitted-quantizer thunk: the x124
+    //    recursive-CTE chain machinery generated per wave (resident
+    //    screen + per-cell greedy chain), the re-delivery wave computed
+    //    GENERICALLY, heavy CTEs MATERIALIZED ──
+    QueryDef(
+      "x126_stream_ingest_semdedup",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_semdedup_stream_$tag"
+        IncrementalSemDedup.dropIndex(s, path)
+        val vecs = Tables.embeddings(s, dir)
+          .select(col("vec_id").cast("long"), col("embedding"))
+          .as[(Long, Array[Float])].collect()
+        val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val mem = MemoryStream[(Long, Array[Float])]
+        val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val surv = IncrementalSemDedup
+              .dedupIncremental(batch, "vec_id", "embedding", path,
+                threshold = 0.4)
+              .agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L)))
+              .head()
+            stats += ((stats.size.toLong, surv.getLong(0), surv.getLong(1)))
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x126_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+          val feeds = Seq(0L, 1L, 2L).map(m => vecs.filter(_._1 % 3 == m)) :+
+            vecs.filter(_._1 % 3 == 2) // re-delivery of batch 2
+          feeds.foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x126 stream exceeded its 180s deadline")
+            mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        x126Cents = Some(IncrementalSemDedup.centroids(s, path))
+        val idxRows = s.read.parquet(s"$path/state").count()
+        (stats.toSeq :+ (99L, idxRows, 0L))
+          .toDF("step", "n_survivors", "id_sum")
+      },
+      () => x126Cents.map { cents =>
+        val centVals = cents.zipWithIndex
+          .map { case (c, i) => s"($i, ${sqlList(c)}::DOUBLE[])" }
+          .mkString(",\n          ")
+        // one resident-screen + chain wave per micro-batch (the x124
+        // machinery, generated): members m{k}, residents r{k}
+        def wave(k: Int): String = s"""
+        rd$k AS MATERIALIZED (
+          SELECT DISTINCT vec_id FROM (
+            SELECT p.ib AS vec_id FROM pairs p
+              JOIN r$k ON r$k.vec_id = p.ia JOIN m$k ON m$k.vec_id = p.ib
+            UNION ALL
+            SELECT p.ia FROM pairs p
+              JOIN r$k ON r$k.vec_id = p.ib JOIN m$k ON m$k.vec_id = p.ia
+            UNION ALL
+            SELECT m$k.vec_id FROM m$k JOIN r$k ON r$k.vec_id = m$k.vec_id
+          ) u
+        ), c$k AS MATERIALIZED (
+          SELECT asgn.cell, asgn.vec_id,
+            row_number() OVER (PARTITION BY asgn.cell ORDER BY asgn.vec_id) AS rk
+          FROM asgn JOIN m$k ON m$k.vec_id = asgn.vec_id
+          WHERE asgn.vec_id NOT IN (SELECT vec_id FROM rd$k)
+        ), nb$k AS MATERIALIZED (
+          SELECT c.cell, c.vec_id, c.rk, coalesce(l.ls, []::BIGINT[]) AS nb
+          FROM c$k c LEFT JOIN (
+            SELECT p.ib, list(p.ia) AS ls FROM pairs p
+            JOIN c$k x ON x.vec_id = p.ia
+            JOIN c$k y ON y.vec_id = p.ib
+            GROUP BY p.ib
+          ) l ON l.ib = c.vec_id
+        ), w$k(cell, rk, surv) AS (
+          SELECT cell, 0, []::BIGINT[] FROM (SELECT DISTINCT cell FROM c$k)
+          UNION ALL
+          SELECT w.cell, w.rk + 1,
+            CASE WHEN len(list_intersect(n.nb, w.surv)) = 0
+                 THEN list_append(w.surv, n.vec_id) ELSE w.surv END
+          FROM w$k w JOIN nb$k n ON n.cell = w.cell AND n.rk = w.rk + 1
+        ), s$k AS MATERIALIZED (
+          SELECT unnest(surv) AS vec_id FROM (
+            SELECT cell, surv,
+              row_number() OVER (PARTITION BY cell ORDER BY rk DESC) AS rr
+            FROM w$k) WHERE rr = 1
+        )""".stripMargin.trim
+        s"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), nrm AS (
+          SELECT vec_id, v,
+            sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS n
+          FROM e
+        ), cents(cell, c) AS (VALUES
+          $centVals
+        ), ad AS (
+          SELECT e.vec_id, cents.cell,
+            list_reduce(list_transform(list_zip(e.v, cents.c),
+              p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y) AS d
+          FROM e CROSS JOIN cents
+        ), asgn AS MATERIALIZED (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+              row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+            FROM ad) WHERE rn = 1
+        ), pairs AS MATERIALIZED (
+          SELECT x.cell, x.vec_id AS ia, y.vec_id AS ib
+          FROM asgn x JOIN asgn y ON x.cell = y.cell AND x.vec_id < y.vec_id
+          JOIN nrm a ON a.vec_id = x.vec_id
+          JOIN nrm b ON b.vec_id = y.vec_id
+          WHERE round(
+            list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+              (s, t) -> s + t) / (a.n * b.n), 6) >= 0.4
+        ), m0 AS (SELECT vec_id FROM asgn WHERE vec_id % 3 = 0
+        ), r0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false
+        ), ${wave(0)}, m1 AS (SELECT vec_id FROM asgn WHERE vec_id % 3 = 1
+        ), r1 AS (SELECT vec_id FROM s0
+        ), ${wave(1)}, m2 AS (SELECT vec_id FROM asgn WHERE vec_id % 3 = 2
+        ), r2 AS (SELECT vec_id FROM s0 UNION ALL SELECT vec_id FROM s1
+        ), ${wave(2)}, m3 AS (SELECT vec_id FROM asgn WHERE vec_id % 3 = 2
+        ), r3 AS (SELECT vec_id FROM s0 UNION ALL SELECT vec_id FROM s1
+                  UNION ALL SELECT vec_id FROM s2
+        ), ${wave(3)}
+        SELECT CAST(0 AS BIGINT) AS step, count(*) AS n_survivors,
+          CAST(coalesce(sum(vec_id), 0) AS BIGINT) AS id_sum FROM s0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*),
+          CAST(coalesce(sum(vec_id), 0) AS BIGINT) FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(coalesce(sum(vec_id), 0) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*),
+          CAST(coalesce(sum(vec_id), 0) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT CAST(99 AS BIGINT),
+          (SELECT count(*) FROM s0) + (SELECT count(*) FROM s1)
+            + (SELECT count(*) FROM s2) + (SELECT count(*) FROM s3),
           CAST(0 AS BIGINT)
         """.stripMargin.trim
       }),
