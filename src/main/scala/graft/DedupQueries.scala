@@ -32,6 +32,7 @@ object DedupQueries {
   @volatile private var x17Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x18Centroids: Option[Array[Array[Double]]] = None
   @volatile private var x119Centroids: Option[Array[Array[Double]]] = None
+  @volatile private var x119PqCb: Option[Pq.Codebooks] = None
   @volatile private var x119NswGraph: Option[Seq[(Long, Int, Seq[Long])]] = None
   @volatile private var x119HnswGraph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
 
@@ -537,6 +538,10 @@ object DedupQueries {
         x119Centroids = Some(cents)
         val ivf = Ivf.cosineTopKIvfWith(emb, queries, "embedding",
           "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 2)
+        val cb = Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, seed = 7L)
+        x119PqCb = Some(cb)
+        val pq = Pq.cosineTopKPq(emb, queries, "embedding",
+          "vec_id", "vec_id", k = 3, cb)
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val nswPath = s"${Scratch.dir}/graft_nsw_eval_$tag"
         graft.similarity.Nsw.writeIndex(emb, "embedding", "vec_id",
@@ -574,11 +579,13 @@ object DedupQueries {
               col("recall"), col("mrr"), col("ndcg"))
         }
         tierSummary("ivf", ivf)
+          .unionAll(tierSummary("pq", pq))
           .unionAll(tierSummary("nsw", nsw))
           .unionAll(tierSummary("hnsw", hnsw))
       },
       () => for {
         cents <- x119Centroids
+        pcb <- x119PqCb
         ng <- x119NswGraph
         hg <- x119HnswGraph
       } yield {
@@ -629,6 +636,10 @@ object DedupQueries {
             FROM dall JOIN asgn ON asgn.vec_id = dall.cid
                       JOIN probe ON probe.qid = dall.qid AND probe.cell = asgn.cell)
           WHERE rank <= 3
+        ), pqres AS (
+          SELECT vec_id AS qid, neighbor_id AS cid, rank FROM (
+            ${pqReplaySql(pcb, cents = None, nprobe = 0)}
+          ) t
         ), nswres AS (
           SELECT vec_id AS qid, neighbor_id AS cid, rank FROM (
             ${Queries.nswWalkReplaySql(ng)}
@@ -639,6 +650,7 @@ object DedupQueries {
           ) t
         ), ap AS (
           SELECT 'ivf' AS tier, qid, cid, rank FROM ivfres
+          UNION ALL SELECT 'pq', qid, cid, rank FROM pqres
           UNION ALL SELECT 'nsw', qid, cid, rank FROM nswres
           UNION ALL SELECT 'hnsw', qid, cid, rank FROM hnswres
         ), j AS (
