@@ -540,8 +540,11 @@ object DedupQueries {
           "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 2)
         val cb = Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, seed = 7L)
         x119PqCb = Some(cb)
+        // localCheckpoint: the encode expression inlines 8x16 codebook
+        // literals — pinned here so the union plan carries 60 rows, not
+        // the giant expression tree, through planning/codegen
         val pq = Pq.cosineTopKPq(emb, queries, "embedding",
-          "vec_id", "vec_id", k = 3, cb)
+          "vec_id", "vec_id", k = 3, cb).localCheckpoint()
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val nswPath = s"${Scratch.dir}/graft_nsw_eval_$tag"
         graft.similarity.Nsw.writeIndex(emb, "embedding", "vec_id",
