@@ -1498,6 +1498,94 @@ object DedupQueries {
           CAST(0 AS BIGINT)
       """.stripMargin.trim)),
 
+    // ── X127: index COMPACTION mid-ingest — the lifecycle stage every
+    //    incremental index needs at scale: after N daily batches each
+    //    bucket holds N small append files and every snapshot read pays
+    //    O(N·buckets) opens; `IncrementalDedup.compactIndex` rewrites
+    //    the state to O(1) files per bucket (here ALSO re-bucketing
+    //    8 → 4 — the capacity-resizing knob). The query ingests batch
+    //    0/1, compacts (file-count collapse require()-checked in-query,
+    //    the plan-proof style), ingests batch 2 against the compacted
+    //    index, then re-ingests batch 2 (idempotence must survive
+    //    compaction). Batch stats are materialized BEFORE compaction —
+    //    the read-back return frames pin pre-compaction file lists that
+    //    the rewrite replaces (the documented consume-then-compact
+    //    contract). FULL oracle: the x45 three-batch anti-join cascade
+    //    — compaction is semantics-free, which is exactly what the
+    //    shared shape proves ──
+    QueryDef(
+      "x127_compacted_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_dedup_compact_$tag"
+        IncrementalDedup.dropIndex(s, path)
+        val docs = Tables.documents(s, dir)
+        def batch(m: Long, nb: Int) = IncrementalDedup.dedupIncremental(
+          docs.filter(col("doc_id") % 3 === m), "text", Seq("doc_id"), path,
+          nBuckets = nb)
+        def stat(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        def nFiles: Int = {
+          val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) 0
+          else {
+            val it = fs.listFiles(p, true); var n = 0
+            while (it.hasNext) {
+              if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+            }
+            n
+          }
+        }
+        val s0 = stat(batch(0L, 8))
+        val s1 = stat(batch(1L, 8))
+        val before = nFiles
+        IncrementalDedup.compactIndex(s, path, nBuckets = 4)
+        val after = nFiles
+        require(after <= 4 && after < before,
+          s"compaction did not collapse the file count: $before -> $after")
+        val s2 = stat(batch(2L, 4))
+        val s3 = stat(batch(2L, 4)) // re-ingest: idempotence survives compaction
+        val idxRows = s.read.parquet(s"$path/hashes").count()
+        Seq((0L, s0._1, s0._2), (1L, s1._1, s1._2), (2L, s2._1, s2._2),
+          (3L, s3._1, s3._2), (99L, idxRows, 0L))
+          .toDF("step", "n_survivors", "id_sum")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ), b0 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d WHERE doc_id % 3 = 0 GROUP BY h
+        ), b1 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d
+          WHERE doc_id % 3 = 1 AND h NOT IN (SELECT h FROM b0) GROUP BY h
+        ), b2 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d
+          WHERE doc_id % 3 = 2
+            AND h NOT IN (SELECT h FROM b0 UNION ALL SELECT h FROM b1)
+          GROUP BY h
+        )
+        SELECT CAST(0 AS BIGINT) AS step, count(*) AS n_survivors,
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM b0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM b2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT CAST(99 AS BIGINT),
+          (SELECT count(*) FROM b0) + (SELECT count(*) FROM b1)
+            + (SELECT count(*) FROM b2),
+          CAST(0 AS BIGINT)
+      """.stripMargin.trim)),
+
     // ── X46: the streaming ANN ingest loop as a first-class query — the
     //    second 100 TB ingest shape beside x45: an IVF index is
     //    bootstrapped from a third of the embeddings, then a real

@@ -94,6 +94,31 @@ object IncrementalSemDedup {
     buf.toSeq
   }
 
+  /** Compact the state: rewrite the accumulated per-batch append files
+    * into O(1) files per cell ([[graft.text.IncrementalDedup.compactIndex]]
+    * contract; the cell layout is fixed by the frozen quantizer so there
+    * is no re-bucketing knob here). Row-set preserved exactly
+    * (require()-guarded); snapshot pinned and materialized before the
+    * overwrite.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val snap = listFiles(spark, statePath(path))
+    if (snap.isEmpty) return
+    val stSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__vec", ArrayType(DoubleType)),
+      StructField("__c", IntegerType)))
+    val all = spark.read.schema(stSchema).parquet(snap: _*)
+      .withColumn("__cell", col("__c"))
+    val before = all.count()
+    val pinned = all.repartition(col("__cell")).localCheckpoint(true)
+    pinned.write.mode("overwrite").partitionBy("__cell")
+      .parquet(statePath(path))
+    val after = spark.read.parquet(statePath(path)).count()
+    require(after == before,
+      s"compaction changed the state row set: $before -> $after rows")
+  }
+
   /** Spark-`round`-compatible 6 dp half-up rounding (BigDecimal over the
     * exact binary expansion — the same arithmetic `round(col, 6)`
     * performs, so the in-task decision replays as `round(cos, 6)` SQL).

@@ -75,6 +75,39 @@ object IncrementalDedup {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Compact the index: rewrite the accumulated per-batch append files
+    * into O(1) files per bucket (optionally re-bucketing to a new
+    * `nBuckets` — capacity re-sizing as the corpus grows). After N daily
+    * batches each bucket holds N small files and the snapshot read of
+    * every subsequent batch pays O(N · buckets) opens; compaction
+    * restores O(buckets). Semantics-free by construction: the hash SET
+    * is unchanged, so every future [[dedupIncremental]] decision is
+    * identical — the spec asserts it, and a require() guards the
+    * read-back count. The full snapshot is pinned (explicit file list)
+    * and materialized via localCheckpoint BEFORE the overwrite replaces
+    * the directory (the graph-append device), so a crash mid-write
+    * never reads its own partial output.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      path: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    val snap = indexFiles(spark, path)
+    if (snap.isEmpty) return
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val hashSchema = StructType(Seq(StructField("__h", StringType)))
+    val before = spark.read.schema(hashSchema).parquet(snap: _*).count()
+    val all = spark.read.schema(hashSchema).parquet(snap: _*)
+      .select(col("__h"))
+      .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
+      .repartition(nBuckets, col("__b"))
+      .localCheckpoint(true)
+    all.write.mode("overwrite").partitionBy("__b").parquet(hashesPath(path))
+    val after = spark.read.parquet(hashesPath(path)).count()
+    require(after == before,
+      s"compaction changed the hash set: $before -> $after rows")
+  }
+
   /** Dedup one ingest batch against the persisted index at `path`,
     * append the survivors' hashes to the index, and return the surviving
     * rows (batch columns unchanged). First call on an empty `path`

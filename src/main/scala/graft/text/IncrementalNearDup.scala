@@ -108,6 +108,50 @@ object IncrementalNearDup {
     buf.toSeq
   }
 
+  /** Compact the index: rewrite the accumulated per-batch append files
+    * into O(1) files per `(__side, __b)` partition (optionally
+    * re-bucketing — the [[IncrementalDedup.compactIndex]] contract for
+    * the two-sided band+signature layout). Row-set preserved exactly
+    * (require()-guarded), so every future probe decision is identical;
+    * the pinned snapshot is materialized via localCheckpoint before the
+    * overwrite replaces the directory.
+    */
+  def compactIndex(
+      spark: SparkSession,
+      path: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    import org.apache.spark.sql.types._
+    val snap = listFiles(spark, statePath(path))
+    if (snap.isEmpty) return
+    val bandSnap = snap.filter(isBandFile)
+    val sigSnap = snap.filter(isSigFile)
+    // the union-write schema: ids are BIGINT in every registered use;
+    // read sides separately (each side's files lack the partition cols)
+    val bandSchema = StructType(Seq(
+      StructField("__id", LongType), StructField("__band", IntegerType),
+      StructField("__khash", StringType),
+      StructField("__sig", ArrayType(LongType))))
+    val sigSchema = bandSchema
+    def side(files: Seq[String], schema: StructType, tag: String) =
+      if (files.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(files: _*)
+        .withColumn("__side", lit(tag)))
+    val bands = side(bandSnap, bandSchema, "b")
+      .map(_.withColumn("__b", pmod(crc32(col("__khash")), lit(nBuckets))))
+    val sigs = side(sigSnap, sigSchema, "s")
+      .map(_.withColumn("__b", pmod(crc32(col("__id").cast("string")), lit(nBuckets))))
+    val all = (bands.toSeq ++ sigs.toSeq).reduce(_ unionAll _)
+    val before = all.count()
+    val pinned = all
+      .repartition(col("__side"), col("__b"))
+      .localCheckpoint(true)
+    pinned.write.mode("overwrite").partitionBy("__side", "__b")
+      .parquet(statePath(path))
+    val after = spark.read.parquet(statePath(path)).count()
+    require(after == before,
+      s"compaction changed the index row set: $before -> $after rows")
+  }
+
   /** Estimated Jaccard between two equal-length MinHash signatures:
     * the fraction of agreeing components (`P(sig_a[k]=sig_b[k]) ≈ J`).
     */

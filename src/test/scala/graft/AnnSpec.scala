@@ -173,6 +173,9 @@ class AnnSpec extends SparkSpec {
       threshold = 0.9, nClusters = 4))
     assert(b1.size <= 20, s"batch1 kept ${b1.size} — chain not deduping")
     assert(b1.forall(_ % 5 == 0), s"chain kept a non-first rep: $b1")
+    // compact the state between batches — batch 2's decisions must be
+    // unaffected (the lifecycle contract x127 proves for the hash index)
+    IncrementalSemDedup.compactIndex(spark, path)
     // batch 2: everything — batch-1 survivors are residents (self-drop
     // at cosine 1.0), remaining reps are semantic dups of their
     // cluster's resident. A rep CAN survive by landing in a different

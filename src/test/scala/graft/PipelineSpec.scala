@@ -475,6 +475,57 @@ class PipelineSpec extends SparkSpec {
     assert(indexRows() == 4)
   }
 
+  test("compactIndex: file count collapses, decisions unchanged, re-bucketing safe") {
+    import spark.implicits._
+    import graft.text.{IncrementalDedup, IncrementalNearDup}
+    def filesUnder(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0
+      else {
+        val it = fs.listFiles(p, true); var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }
+    }
+    // exact index: two append waves, compact with a re-bucket, third
+    // wave must decide exactly as an uncompacted twin index does
+    val docs = (0L until 60L).map(i => (i, s"content ${i % 37}"))
+    val pathA = s"${Scratch.sub("compact-test")}/${java.util.UUID.randomUUID()}"
+    val pathB = s"${Scratch.sub("compact-test")}/${java.util.UUID.randomUUID()}"
+    def wave(path: String, m: Long, nb: Int) = IncrementalDedup
+      .dedupIncremental(docs.filter(_._1 % 3 == m).toDF("doc_id", "text"),
+        "text", Seq("doc_id"), path, nBuckets = nb)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(wave(pathA, 0, 8) == wave(pathB, 0, 8))
+    assert(wave(pathA, 1, 8) == wave(pathB, 1, 8))
+    val before = filesUnder(s"$pathA/hashes")
+    IncrementalDedup.compactIndex(spark, pathA, nBuckets = 4)
+    val after = filesUnder(s"$pathA/hashes")
+    assert(after <= 4 && after < before, s"files $before -> $after")
+    // identical third-wave decisions on compacted vs untouched index
+    assert(wave(pathA, 2, 4) == wave(pathB, 2, 8))
+    assert(spark.read.parquet(s"$pathA/hashes").count() ==
+      spark.read.parquet(s"$pathB/hashes").count())
+    // near-dup index: same contract over the two-sided layout
+    val nd = (0L until 24L).map(i =>
+      (i, s"the quick brown fox number ${i % 7} jumps over the lazy dog"))
+    val ndA = s"${Scratch.sub("compact-test")}/${java.util.UUID.randomUUID()}"
+    val ndB = s"${Scratch.sub("compact-test")}/${java.util.UUID.randomUUID()}"
+    def ndWave(path: String, m: Long) = IncrementalNearDup
+      .dedupIncremental(nd.filter(_._1 % 2 == m).toDF("doc_id", "text"),
+        "doc_id", "text", path, nBuckets = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ndWave(ndA, 0) == ndWave(ndB, 0))
+    val ndBefore = filesUnder(s"$ndA/state")
+    IncrementalNearDup.compactIndex(spark, ndA, nBuckets = 4)
+    val ndAfter = filesUnder(s"$ndA/state")
+    assert(ndAfter < ndBefore, s"near-dup files $ndBefore -> $ndAfter")
+    assert(ndWave(ndA, 1) == ndWave(ndB, 1))
+  }
+
   test("DSIR: weights rank target-like docs first; selection is deterministic") {
     import spark.implicits._
     import graft.text.Dsir
