@@ -1586,6 +1586,73 @@ object DedupQueries {
           CAST(0 AS BIGINT)
       """.stripMargin.trim)),
 
+    // ── X128: ANN index compaction mid-ingest — x127's lifecycle stage
+    //    for the VECTOR index: `Ivf.appendToIndex` adds O(1) files per
+    //    touched cell per batch (mode("append") never rewrites), so after
+    //    N ingest batches every probe opens O(N) files per probed cell.
+    //    `Ivf.compactIndex` collapses the corpus to one file per cell
+    //    (one cell-keyed shuffle over the stored codes), leaving
+    //    centroids untouched. The query builds on a third of the
+    //    embeddings, appends the other two thirds in two batches (file
+    //    accumulation), compacts (file-count collapse require()-checked
+    //    in-query, the x127 device), then searches the compacted index
+    //    full-probe — exhaustive probing makes the result exactly
+    //    brute-force top-k over the union, so the FULL x29 oracle proves
+    //    compaction is semantics-free for search. HNSW needs no analogue
+    //    (its appends rewrite touched shards wholesale); the spec pins
+    //    search parity against an uncompacted twin as well ──
+    QueryDef(
+      "x128_ann_compacted",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_ivf_compact_$tag"
+        def nFiles: Int = {
+          val p = new org.apache.hadoop.fs.Path(s"$path/corpus")
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(p)) 0
+          else {
+            val it = fs.listFiles(p, true); var n = 0
+            while (it.hasNext) {
+              if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+            }
+            n
+          }
+        }
+        Ivf.writeIndex(emb.filter(col("vec_id") % 3 === 0), "embedding",
+          "vec_id", path, nlist = 8, seed = 7L)
+        Ivf.appendToIndex(emb.filter(col("vec_id") % 3 === 1), "embedding",
+          "vec_id", path)
+        Ivf.appendToIndex(emb.filter(col("vec_id") % 3 === 2), "embedding",
+          "vec_id", path)
+        val before = nFiles
+        Ivf.compactIndex(s, path)
+        val after = nFiles
+        require(after <= 8 && after < before,
+          s"compaction did not collapse the file count: $before -> $after")
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 8)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings
+        ), d AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN c WHERE cid <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d) WHERE rank <= 3
+      """.stripMargin.trim)),
+
     // ── X46: the streaming ANN ingest loop as a first-class query — the
     //    second 100 TB ingest shape beside x45: an IVF index is
     //    bootstrapped from a third of the embeddings, then a real
@@ -2607,6 +2674,70 @@ object DedupQueries {
         WITH $dhashSqlCtes
         SELECT dhash_hi, dhash_lo, count(*) AS n_imgs, min(doc_id) AS keeper_id
         FROM dh GROUP BY 1, 2
+      """.stripMargin.trim)),
+
+    // ── X132: image RESIZE pipeline (Multimodal.resizeBox) — the
+    //    preprocessing step between x81's decode and any vision
+    //    featurizer (the CLIP-resize shape): each planted 8×6 PNG is
+    //    REALLY decoded (zlib inflate + de-filter) then box-filter
+    //    downsampled 2× to 4×3 with the deterministic floor-mean kernel,
+    //    all past-the-decode arithmetic pure HOF expressions inside
+    //    codegen. Output pins the resized raster completely: per source,
+    //    the pixel sum, a position-weighted checksum (order bugs break
+    //    it), and the first/last destination pixels. FULL oracle: the
+    //    planting formula + the 2×2 block floor-mean replay in DuckDB
+    //    (each source pixel routes to dst j = (r÷2)·4 + c÷2 — one GROUP
+    //    BY does the box filter), so a codec, indexing, or rounding bug
+    //    anywhere in decode→resize breaks the hash ──
+    QueryDef(
+      "x132_image_resize",
+      (s, dir) => {
+        val mkImg = udf { (docId: Long) =>
+          Png.encode(8, 6, 1,
+            Array.tabulate(48)(i => ((docId * 31 + docId * i + i * i) % 256).toInt))
+        }
+        val imgs = Tables.spread(Tables.documents(s, dir))
+          .filter(col("doc_id") % 3 === 0)
+          .withColumn("small", Multimodal.resizeBox(
+            Multimodal.decodeSamples(mkImg(col("doc_id"))), 8, 6, 2))
+        imgs.select(col("source"),
+            aggregate(col("small"), lit(0L), (a, x) => a + x).as("px_sum"),
+            aggregate(zip_with(col("small"), sequence(lit(1), lit(12)),
+              (v, i) => v * i), lit(0L), (a, x) => a + x).as("px_checksum"),
+            element_at(col("small"), 1).as("first_px"),
+            element_at(col("small"), 12).as("last_px"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_imgs"),
+            sum(col("px_sum")).as("sum_px"),
+            sum(col("px_checksum")).as("sum_checksum"),
+            sum(col("first_px")).as("sum_first"),
+            sum(col("last_px")).as("sum_last"))
+      },
+      Some("""
+        WITH img AS (
+          SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0
+        ), sp AS (
+          SELECT doc_id, source, i,
+            (doc_id*31 + doc_id*i + i*i) % 256 AS p
+          FROM img, (SELECT unnest(generate_series(0, 47)) AS i) ii
+        ), dst AS (
+          SELECT doc_id, source, ((i // 8) // 2) * 4 + (i % 8) // 2 AS j,
+            sum(p) // 4 AS v
+          FROM sp GROUP BY 1, 2, 3
+        ), perdoc AS (
+          SELECT doc_id, source,
+            sum(v) AS px_sum,
+            sum(v * (j + 1)) AS px_checksum,
+            max(CASE WHEN j = 0 THEN v END) AS first_px,
+            max(CASE WHEN j = 11 THEN v END) AS last_px
+          FROM dst GROUP BY 1, 2
+        )
+        SELECT source, count(*) AS n_imgs,
+          CAST(sum(px_sum) AS BIGINT) AS sum_px,
+          CAST(sum(px_checksum) AS BIGINT) AS sum_checksum,
+          CAST(sum(first_px) AS BIGINT) AS sum_first,
+          CAST(sum(last_px) AS BIGINT) AS sum_last
+        FROM perdoc GROUP BY source
       """.stripMargin.trim)),
 
     // ── X82: near-duplicate image merge — Hamming-banded self-join over

@@ -269,6 +269,146 @@ object JoinQueries {
         GROUP BY 1
       """.stripMargin.trim)),
 
+    // ── X129: Z-order layout + data-skipping proof — the Delta/Iceberg
+    //    ZORDER BY device (operators/ZOrder.scala): lineitem written
+    //    twice with the IDENTICAL write shape (16 range-partitioned,
+    //    internally sorted files), once keyed by l_partkey alone (the
+    //    single-column sort baseline) and once by the Morton interleave
+    //    of (l_partkey, l_suppkey). A 2-D box predicate (quarter range
+    //    in each dimension ≈ 1/16 of the data) is then planned against
+    //    each layout's per-file min/max stats — the footer ranges a real
+    //    scan planner prunes with: the linear layout prunes only on
+    //    l_partkey (every file spans all suppkeys), the z-order layout
+    //    prunes on both, and the strict improvement is require()-checked
+    //    in-query (the x86/x127 plan-proof style; file counts are
+    //    layout-dependent so they stay out of the hashed output). The
+    //    hashed result is the box aggregate read FROM the z-ordered
+    //    files — layout must be invisible in the data (exact-integer
+    //    sums, so row-order changes can't move a ulp). FULL oracle ──
+    QueryDef(
+      "x129_zorder_skip",
+      (s, dir) => {
+        import graft.operators.ZOrder
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val zPath = s"${Scratch.dir}/graft_zorder_$tag"
+        val linPath = s"${Scratch.dir}/graft_zlinear_$tag"
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_returnflag"))
+        val nFiles = 16
+        ZOrder.layoutZOrder(li, Seq("l_partkey", "l_suppkey"), nFiles)
+          .write.mode("overwrite").parquet(zPath)
+        ZOrder.layoutLinear(li, "l_partkey", nFiles)
+          .write.mode("overwrite").parquet(linPath)
+        val dims = Seq("l_partkey", "l_suppkey")
+        // box = the second quarter of EACH dimension, derived from the
+        // data's min/max with the same integer arithmetic as the oracle
+        // (key ranges scale with the SF dir, so literals can't be fixed);
+        // ceil(range/4) .. (range-1)/2 keeps the whole box strictly
+        // inside normalized quadrant 2 of both dims — one level-2 Morton
+        // cell, a contiguous z-range — at every scale factor
+        val mm = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+          min(col("l_suppkey")), max(col("l_suppkey"))).head()
+        val (pMin, pMax, sMin, sMax) =
+          (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+        val (pLo, pHi) = (pMin + (pMax - pMin + 3) / 4, pMin + (pMax - pMin - 1) / 2)
+        val (sLo, sHi) = (sMin + (sMax - sMin + 3) / 4, sMin + (sMax - sMin - 1) / 2)
+        val box = Map("l_partkey" -> (pLo.toDouble, pHi.toDouble),
+          "l_suppkey" -> (sLo.toDouble, sHi.toDouble))
+        val zTouch = ZOrder.filesTouched(ZOrder.fileRangeStats(s, zPath, dims), box)
+        val linTouch = ZOrder.filesTouched(ZOrder.fileRangeStats(s, linPath, dims), box)
+        require(zTouch < linTouch,
+          s"z-order must touch fewer files than the linear sort: z=$zTouch linear=$linTouch")
+        s.read.parquet(zPath)
+          .filter(col("l_partkey").between(pLo, pHi) &&
+            col("l_suppkey").between(sLo, sHi))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+            sum(col("l_orderkey")).as("sum_okey"),
+            min(col("l_partkey")).as("min_pk"),
+            max(col("l_suppkey")).as("max_sk"))
+      },
+      Some("""
+        WITH mm AS (
+          SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+                 min(l_suppkey) AS smin, max(l_suppkey) AS smax
+          FROM lineitem
+        ), box AS (
+          SELECT pmin + (pmax - pmin + 3) // 4 AS plo,
+                 pmin + (pmax - pmin - 1) // 2 AS phi,
+                 smin + (smax - smin + 3) // 4 AS slo,
+                 smin + (smax - smin - 1) // 2 AS shi
+          FROM mm
+        )
+        SELECT l_returnflag,
+          count(*) AS n_rows,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+          min(l_partkey) AS min_pk,
+          max(l_suppkey) AS max_sk
+        FROM lineitem, box
+        WHERE l_partkey BETWEEN plo AND phi AND l_suppkey BETWEEN slo AND shi
+        GROUP BY 1
+      """.stripMargin.trim)),
+
+    // ── X133: runtime Bloom-filter join pruning (InjectRuntimeFilter) —
+    //    the shuffle-join IO saver that matters most at 100 TB: when a
+    //    selective filter sits on one join side, the optimizer builds a
+    //    Bloom filter of that side's join keys (bloom_filter_agg) and
+    //    screens the BIG side with might_contain BEFORE its shuffle —
+    //    lineitem rows that cannot match never leave the scan stage.
+    //    The injection thresholds are sized for clusters, so the query
+    //    pins them to bench scale (application-side floor 0, broadcast
+    //    off to force the SMJ the rule targets), require()-checks the
+    //    injected screen in the optimized plan (the x98/x99 plan-proof
+    //    style), executes UNDER the pinned confs and emits the bounded
+    //    aggregate as a literal frame before restoring them. FULL
+    //    oracle: the join aggregate — the bloom screen must be
+    //    result-invisible (false positives only ever pass EXTRA rows to
+    //    the real join, never drop matches) ──
+    QueryDef(
+      "x133_bloom_join_prune",
+      (s, dir) => {
+        import s.implicits._
+        val pinned = Seq(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB")
+        val prev = pinned.map { case (k, _) => k -> s.conf.getOption(k) }
+        pinned.foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val sel = Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT" &&
+              date_format(col("o_orderdate"), "yyyy-MM") === "1997-03")
+          val j = Tables.lineitem(s, dir)
+            .join(sel, col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_lines"),
+              sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+              countDistinct(col("o_orderkey")).as("n_orders"))
+          require(j.queryExecution.optimizedPlan.toString.contains("might_contain"),
+            "runtime bloom filter was not injected into the probe side")
+          j.collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toDF("o_orderpriority", "n_lines", "sum_qty", "n_orders")
+        } finally prev.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      Some("""
+        SELECT o_orderpriority,
+          count(*) AS n_lines,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          count(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+          AND strftime(o_orderdate, '%Y-%m') = '1997-03'
+        GROUP BY 1
+      """.stripMargin.trim)),
+
     // ── X89: small-file compaction (Partitioned.compact) — the lake
     //    maintenance job every streaming/partitioned ingest needs: a
     //    deliberately fragmented layout (32 writer tasks × per-type

@@ -18,6 +18,7 @@ object PipelineQueries {
     */
   @volatile private var x55Merges: Option[Seq[(String, String)]] = None
   @volatile private var x56Merges: Option[Seq[(String, String)]] = None
+  @volatile private var x130Merges: Option[Seq[(String, String)]] = None
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
@@ -167,6 +168,82 @@ object PipelineQueries {
                CAST(sum(coalesce(perdoc.n_tokens, 0)) AS BIGINT) AS n_tokens
         FROM d LEFT JOIN perdoc USING (doc_id)
         GROUP BY d.source
+    """.stripMargin.trim
+  }
+
+  /** x130 thunk oracle: the [[bpeEncodeReplaySql]] greedy-apply replay
+    * (same recursive per-word CTE off the stashed merge ranks), rolled
+    * up by LANGUAGE with normalized byte counts — the fertility report's
+    * arithmetic (tokens/byte, tokens/word) recomputed from the replayed
+    * token lengths. Ratios divide exact BIGINT sums as doubles (one IEEE
+    * op on identical inputs) before the shared round-6.
+    */
+  private def bpeFertilityReplaySql(merges: Seq[(String, String)]): String = {
+    val rkKeys = merges.map { case (a, b) =>
+      s"'${sqlLit(a)}' || chr(1) || '${sqlLit(b)}'"
+    }.mkString(", ")
+    val rkVals = merges.indices.mkString(", ")
+    val rankLookup =
+      if (merges.isEmpty) "1000000"
+      else
+        s"""coalesce(map_extract(map([$rkKeys], [$rkVals]),
+          |                  syms[i] || chr(1) || syms[i+1])[1], 1000000)""".stripMargin
+    val rankList =
+      s"""list_transform(generate_series(1, CAST(len(syms) AS INT) - 1), i ->
+        |                $rankLookup)""".stripMargin
+    s"""
+        WITH RECURSIVE d AS (
+          SELECT doc_id, lang,
+            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        ),
+        wtok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM d),
+        words AS (SELECT DISTINCT w FROM wtok WHERE len(w) >= 2),
+        enc(w, syms) AS (
+          SELECT w, regexp_extract_all(w, '.') FROM words
+          UNION ALL
+          SELECT w, $bpeMergeStepSql
+          FROM (
+            SELECT w, syms,
+              $bpeKeptSql AS kept
+            FROM (
+              SELECT w, syms,
+                list_filter(generate_series(1, CAST(len(syms) AS INT) - 1),
+                  i -> syms[i] = bl AND syms[i+1] = br) AS occ
+              FROM (
+                SELECT w, syms, syms[bi] AS bl, syms[bi+1] AS br
+                FROM (
+                  SELECT w, syms, list_position(rl, list_min(rl)) AS bi
+                  FROM (
+                    SELECT w, syms, $rankList AS rl
+                    FROM enc)
+                  WHERE list_min(rl) < 1000000)))
+          )
+        ),
+        fin AS (
+          SELECT w, CAST(len(syms) AS BIGINT) AS tl FROM enc
+          WHERE coalesce(list_min($rankList), 1000000) = 1000000
+        ),
+        toklen AS (
+          SELECT w, tl FROM fin
+          UNION ALL
+          SELECT DISTINCT w, CAST(1 AS BIGINT) AS tl FROM wtok WHERE len(w) = 1
+        ),
+        perdoc AS (
+          SELECT wtok.doc_id, sum(toklen.tl) AS n_tokens,
+                 count(*) AS n_words
+          FROM wtok JOIN toklen USING (w) GROUP BY wtok.doc_id
+        )
+        SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(d.norm))) AS BIGINT) AS sum_bytes,
+               CAST(sum(coalesce(perdoc.n_words, 0)) AS BIGINT) AS sum_words,
+               CAST(sum(coalesce(perdoc.n_tokens, 0)) AS BIGINT) AS sum_tokens,
+               round(CAST(sum(coalesce(perdoc.n_tokens, 0)) AS DOUBLE)
+                 / sum(octet_length(encode(d.norm))), 6) AS tokens_per_byte,
+               round(CAST(sum(coalesce(perdoc.n_tokens, 0)) AS DOUBLE)
+                 / sum(coalesce(perdoc.n_words, 0)), 6) AS tokens_per_word
+        FROM d LEFT JOIN perdoc USING (doc_id)
+        GROUP BY d.lang
     """.stripMargin.trim
   }
 
@@ -1070,6 +1147,45 @@ object PipelineQueries {
       },
       () => x56Merges.map(bpeEncodeReplaySql)),
 
+    // ── X130: tokenizer FERTILITY report — the governance artifact a
+    //    tokenizer decision is actually made from (HF tokenizer-eval /
+    //    XLM-R style): per LANGUAGE, tokens-per-byte and tokens-per-word
+    //    under the fitted x55 BPE. A tokenizer trained on skewed language
+    //    mixes over-segments the minority languages (fertility climbs),
+    //    which silently taxes their effective context length and
+    //    training compute share — this report is where that shows up.
+    //    Scale shape: one wordCounts pass for the fit (bounded driver
+    //    merge loop), one distributed tokenCounts map (broadcast ranks,
+    //    per-partition word memo), one lang-keyed aggregate; the ratios
+    //    divide exact integer sums as one IEEE double op before the
+    //    shared round-6, so no cross-engine rounding boundary exists.
+    //    FULL oracle via the merge-table thunk: the x56 greedy-apply
+    //    recursive CTE rolled up by language with octet_length bytes ──
+    QueryDef(
+      "x130_tokenizer_fertility",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.text.Bpe.train(docs, "text", numMerges = 60)
+        x130Merges = Some(merges)
+        val toks = graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        val norm = graft.text.TextOps.normalize(col("text"))
+        docs.select(col("doc_id"), col("lang"),
+            length(encode(norm, "UTF-8")).cast("long").as("n_bytes"),
+            size(filter(split(norm, " "), w => length(w) > 0))
+              .cast("long").as("n_words"))
+          .join(toks, Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bytes")).as("sum_bytes"),
+            sum(col("n_words")).as("sum_words"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            round(sum(col("n_tokens")).cast("double") / sum(col("n_bytes")), 6)
+              .as("tokens_per_byte"),
+            round(sum(col("n_tokens")).cast("double") / sum(col("n_words")), 6)
+              .as("tokens_per_word"))
+      },
+      () => x130Merges.map(bpeFertilityReplaySql)),
+
     // ── X57: interpolated Kneser–Ney bigram cross-entropy
     //    (Quality.knBigramCrossEntropy) — the CCNet-style LM quality
     //    signal one order above x36's unigram MLE. Full DuckDB replay:
@@ -1659,6 +1775,82 @@ object PipelineQueries {
         )
         SELECT tc.w AS word, true_count, cm_estimate
         FROM tc JOIN est USING (w)
+      """.stripMargin.trim)),
+
+    // ── X131: persisted CMS rollup — x115's lifecycle proof for the
+    //    FREQUENCY sketch: per-day Count-Min counter files (day = doc_id
+    //    mod 3, the x115 batch device) merged by cell-wise ADDITION
+    //    (CountMin.merge — CMS is linear, so the merged counters are
+    //    bit-identical to a direct build over the whole corpus,
+    //    require()-checked with the exceptAll diff at runtime) and the
+    //    merged sketch probed for the top-30 true-count words. The
+    //    operational point mirrors x115: day files roll up into month
+    //    files WITHOUT rescanning any text — at 100 TB the rollup reads
+    //    depth×width counter rows per day, not the corpus. FULL oracle:
+    //    merge exactness reduces the replay to the x74 direct-sketch
+    //    SQL restricted to the top-30 probe set ──
+    QueryDef(
+      "x131_cms_rollup",
+      (s, dir) => {
+        import graft.functions.CountMin
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_cms_rollup_$tag"
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+          .filter(length(col("word")) > 0)
+        (0 until 3).foreach { b =>
+          CountMin.sketch(toks.filter(pmod(col("doc_id"), lit(3)) === b),
+            "word", depth = 4, width = 1024, seed = 7L)
+            .write.mode("overwrite").parquet(s"$path/day=$b")
+        }
+        val merged = CountMin.merge(
+          (0 until 3).map(b => s.read.parquet(s"$path/day=$b")))
+        val direct = CountMin.sketch(toks, "word", depth = 4, width = 1024,
+          seed = 7L)
+        val diff = merged.exceptAll(direct).count() +
+          direct.exceptAll(merged).count()
+        require(diff == 0,
+          s"CMS counter merge must be exact; $diff cells differ")
+        val truth = toks.groupBy(col("word"))
+          .agg(count(lit(1)).as("true_count"))
+        val probes = truth.orderBy(col("true_count").desc, col("word"))
+          .limit(30)
+        CountMin.estimate(probes, "word", merged, depth = 4, width = 1024,
+          seed = 7L)
+          .join(probes, "word")
+          .select(col("word"), col("true_count"), col("cm_estimate"),
+            lit(3L).as("n_batches"), lit(true).as("merge_lossless"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT w FROM (
+            SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0
+        ), tc AS (
+          SELECT w, count(*) AS true_count FROM t GROUP BY w
+        ), top AS (
+          SELECT w, true_count FROM tc ORDER BY true_count DESC, w LIMIT 30
+        ), rows_ AS (
+          SELECT unnest(generate_series(0, 3)) AS r
+        ), rb AS (
+          SELECT r, (('0x' || substring(md5('7:' || r || ':' || w), 1, 8))::BIGINT
+            % 1024) AS b
+          FROM t, rows_
+        ), cms AS (
+          SELECT r, b, count(*) AS c FROM rb GROUP BY r, b
+        ), pc AS (
+          SELECT w, r, (('0x' || substring(md5('7:' || r || ':' || w), 1, 8))::BIGINT
+            % 1024) AS b
+          FROM top, rows_
+        ), est AS (
+          SELECT w, min(COALESCE(c, 0)) AS cm_estimate
+          FROM pc LEFT JOIN cms USING (r, b) GROUP BY w
+        )
+        SELECT top.w AS word, true_count, cm_estimate,
+          CAST(3 AS BIGINT) AS n_batches, TRUE AS merge_lossless
+        FROM top JOIN est USING (w)
       """.stripMargin.trim)),
 
     // ── X76: HyperLogLog distinct-count sketch (functions.Hll) — the

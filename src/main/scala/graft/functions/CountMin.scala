@@ -44,6 +44,22 @@ object CountMin {
       .agg(count(lit(1)).as("__count"))
   }
 
+  /** Merge sketches built with identical `(depth, width, seed)`: CMS is
+    * a LINEAR sketch — cell-wise counter ADDITION yields exactly the
+    * sketch of the concatenated streams (Cormode & Muthukrishnan §4.1),
+    * so daily sketch files roll up into monthly/yearly ones without
+    * rescanning any text. Same persisted-rollup contract as
+    * [[Hll.merge]], but exact rather than register-max: the merged
+    * counters are bit-identical to a direct build over the union, which
+    * is what x131 require()-checks at runtime.
+    */
+  def merge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "nothing to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("__row"), col("__bucket"))
+      .agg(sum(col("__count")).as("__count"))
+  }
+
   /** Point estimates for a probe-key frame against a built sketch:
     * appends `cm_estimate` (the min counter over the `depth` rows; 0 if
     * every row's bucket is empty). The probe side is exploded to its

@@ -156,6 +156,37 @@ object Multimodal {
       }.orNull
     }
 
+  /** Box-filter (area-average) downsample of a decoded single-channel
+    * row-major pixel array by integer factor `f`: each destination pixel
+    * is the floor-mean of its f×f source block — the CLIP-preprocessing
+    * resize shape with a deterministic integer kernel, so every output
+    * value replays bit-for-bit in plain SQL (contrast [[resample]]'s
+    * stride subsampling, which drops rather than averages). Pure HOF
+    * expression past the decode — stays inside codegen, no UDF; the
+    * sample array is let-bound via the single-element `transform(array)`
+    * idiom so the (possibly UDF-decoded) input is evaluated once per
+    * row, not once per output pixel.
+    */
+  def resizeBox(decoded: Column, srcW: Int, srcH: Int, f: Int): Column = {
+    require(f > 0 && srcW % f == 0 && srcH % f == 0,
+      s"factor must divide both dims: $srcW x $srcH by $f")
+    val dw = srcW / f
+    val dh = srcH / f
+    element_at(
+      transform(array(decoded), s =>
+        transform(sequence(lit(0), lit(dh * dw - 1)), j => {
+          val dr = floor(j / lit(dw)).cast("int")
+          val dc = pmod(j, lit(dw)).cast("int")
+          val blockSum = (for (rr <- 0 until f; cc <- 0 until f) yield
+            element_at(s,
+              ((dr * f + rr) * srcW + dc * f + cc + 1).cast("int"))
+              .cast("long"))
+            .reduce(_ + _)
+          floor(blockSum / lit(f * f)).cast("long")
+        })),
+      1)
+  }
+
   /** Fixed-length audio frame features over decoded samples: for each
     * complete `frameLen`-sample frame, `(frame_idx, sum_sq, n_zc,
     * sum_abs)` — energy (Σx²), zero crossings (adjacent pairs with

@@ -290,6 +290,41 @@ object Ivf {
       .write.mode("append").partitionBy("__cell").parquet(s"$path/corpus")
   }
 
+  /** Compact a persisted index's cell files — the lifecycle stage
+    * [[appendToIndex]] makes necessary at scale: each append adds O(1)
+    * files per touched cell (`mode("append")` never rewrites), so after
+    * N daily batches a probe scan opens O(N) files per probed cell and
+    * the snapshot listing pays O(N·nlist). The rewrite collapses the
+    * corpus back to one file per cell (one cell-keyed shuffle over the
+    * stored codes — for SQ8/PQ indexes that is 4–16× less IO than the
+    * raw vectors), preserving the row set exactly (require()-guarded)
+    * and leaving centroids/codebooks untouched — compaction is
+    * semantics-free by construction, the same contract as the dedup
+    * indexes' `compactIndex` ([[graft.text.IncrementalDedup]]).
+    * Storage-format agnostic: the projection is whatever the corpus
+    * schema holds (float, SQ8 or PQ columns ride through unchanged).
+    *
+    * Consume-then-compact: like the dedup indexes, any frame still
+    * pinning pre-compaction file lists must be materialized first — the
+    * overwrite replaces the directory. HNSW needs no analogue:
+    * [[Hnsw.appendToIndex]] rewrites touched shards wholesale (dynamic
+    * partition overwrite), so its file count never grows per batch.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
+    val stored = spark.read.parquet(s"$path/corpus")
+    val before = stored.count()
+    // materialize BEFORE overwriting the directory being read
+    val pinned = stored
+      .repartition(nlist, col("__cell"))
+      .localCheckpoint(true)
+    pinned.write.mode("overwrite").partitionBy("__cell").parquet(s"$path/corpus")
+    val after = spark.read.parquet(s"$path/corpus").count()
+    require(after == before,
+      s"compaction changed the corpus row set: $before -> $after rows")
+  }
+
   /** Per-cell row counts of a persisted index — the drift telemetry for
     * the [[appendToIndex]] ingest loop. Cheap by construction: the scan
     * touches ONLY the `__cell` partition column (footer row counts, no

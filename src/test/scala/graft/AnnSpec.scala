@@ -356,6 +356,43 @@ class AnnSpec extends SparkSpec {
     assert(storedIds == (0L until 100L).toSet)
   }
 
+  test("compactIndex collapses append files, preserves search results and cell stats") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_compact_spec"
+    graft.similarity.Ivf.writeIndex(df.filter(col("vec_id") < 50L),
+      "embedding", "vec_id", path, nlist = 10, seed = 7L)
+    graft.similarity.Ivf.appendToIndex(
+      df.filter(col("vec_id") >= 50L && col("vec_id") < 75L),
+      "embedding", "vec_id", path)
+    graft.similarity.Ivf.appendToIndex(df.filter(col("vec_id") >= 75L),
+      "embedding", "vec_id", path)
+    def rows(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getDouble(3))).toSet
+    def nFiles: Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(s"$path/corpus"))
+    }
+    val before = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 3))
+    val cellsBefore = graft.similarity.Ivf.cellStats(spark, path)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val filesBefore = nFiles
+    graft.similarity.Ivf.compactIndex(spark, path)
+    // file count collapsed to ≤ one per cell; search + telemetry identical
+    assert(nFiles <= 10 && nFiles < filesBefore,
+      s"compaction did not collapse files: $filesBefore -> $nFiles")
+    val after = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 3))
+    assert(after == before, "compaction changed search results")
+    val cellsAfter = graft.similarity.Ivf.cellStats(spark, path)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(cellsAfter == cellsBefore, "compaction changed cell stats")
+  }
+
   test("int8 quantization: codes bounded, zero vector safe, high cosine fidelity") {
     import spark.implicits._
     val df = Seq(

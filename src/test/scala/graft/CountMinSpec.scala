@@ -51,4 +51,24 @@ class CountMinSpec extends SparkSpec {
       assert(est(k) >= c, s"$k underestimated: ${est(k)} < $c")
     }
   }
+
+  test("merge of split-stream sketches equals the direct sketch, cell for cell") {
+    import spark.implicits._
+    val keys = (0 until 300).map(i => s"k${i % 40}")
+    val (depth, width, seed) = (4, 32, 5L)
+    def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // three disjoint "days" by position, as a rollup would split them
+    val parts = keys.zipWithIndex.groupBy(_._2 % 3).values.toSeq
+      .map(p => CountMin.sketch(p.map(_._1).toDF("k"), "k", depth, width, seed))
+    val merged = cells(CountMin.merge(parts))
+    val direct = cells(CountMin.sketch(keys.toDF("k"), "k", depth, width, seed))
+    assert(merged == direct, "CMS merge must be exactly the direct sketch")
+    // estimates off the merged sketch keep the no-underestimate contract
+    val est = CountMin.estimate(keys.distinct.toDF("k"), "k",
+      CountMin.merge(parts), depth, width, seed)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    truth.foreach { case (k, c) => assert(est(k) >= c) }
+  }
 }

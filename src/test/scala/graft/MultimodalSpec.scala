@@ -281,4 +281,24 @@ class MultimodalSpec extends SparkSpec {
       Seq((0L, 5L, 1L, 3L), (1L, 25L, 1L, 7L)))
     assert(got(1).isEmpty && got(2).isEmpty)
   }
+
+  test("resizeBox floor-means each f x f block in row-major order") {
+    import spark.implicits._
+    // 4x2 gray, f=2 -> 2x1: [ (1+2+5+6)//4, (3+4+7+8)//4 ] = [3, 5]
+    val df = Seq(Seq(1, 2, 3, 4, 5, 6, 7, 8)).toDF("px")
+    val got = df.select(Multimodal.resizeBox(col("px"), 4, 2, 2).as("s"))
+      .head().getSeq[Long](0)
+    assert(got == Seq(3L, 5L), s"got $got")
+    // decode -> resize on a real PNG matches the brute-force kernel
+    val samples = Array.tabulate(48)(i => (7 * i + 3) % 256)
+    val png = Png.encode(8, 6, 1, samples)
+    val small = Seq(png).toDF("b")
+      .select(Multimodal.resizeBox(
+        Multimodal.decodeSamples(col("b")), 8, 6, 2).as("s"))
+      .head().getSeq[Long](0)
+    val want = for (r <- 0 until 3; c <- 0 until 4) yield
+      (samples(2 * r * 8 + 2 * c) + samples(2 * r * 8 + 2 * c + 1) +
+        samples((2 * r + 1) * 8 + 2 * c) + samples((2 * r + 1) * 8 + 2 * c + 1)) / 4
+    assert(small == want.map(_.toLong), s"got $small want $want")
+  }
 }
