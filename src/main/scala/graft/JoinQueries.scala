@@ -295,7 +295,11 @@ object JoinQueries {
         val li = Tables.lineitem(s, dir).select(
           col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
           col("l_quantity"), col("l_returnflag"))
-        val nFiles = 16
+        // 32 files: the box (one level-2 Morton cell = 1/16 of z-space)
+        // spans ~2 z-files while the linear arm's x-quarter spans ~8 —
+        // a margin that survives range-sampling noise at sf0.001, where
+        // 16 files left the two arms able to tie at 4-4
+        val nFiles = 32
         ZOrder.layoutZOrder(li, Seq("l_partkey", "l_suppkey"), nFiles)
           .write.mode("overwrite").parquet(zPath)
         ZOrder.layoutLinear(li, "l_partkey", nFiles)

@@ -19,6 +19,7 @@ object PipelineQueries {
   @volatile private var x55Merges: Option[Seq[(String, String)]] = None
   @volatile private var x56Merges: Option[Seq[(String, String)]] = None
   @volatile private var x130Merges: Option[Seq[(String, String)]] = None
+  @volatile private var x134Merges: Option[Seq[(String, String)]] = None
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
@@ -102,14 +103,14 @@ object PipelineQueries {
     """.stripMargin.trim
   }
 
-  /** x56 thunk oracle: replay the greedy encode (`Bpe.encodeWord`) per
-    * distinct corpus word — recursive CTE merging the lowest-rank
-    * adjacent pair present (MAP-literal rank lookup) until none remains;
-    * terminal rows are those with no mergeable pair. Token lengths then
-    * join back to the per-doc word stream and roll up by source, exactly
-    * the engine's tokenCounts → source aggregate.
+  /** Shared recursive core of every BPE-replay oracle: normalize docs,
+    * explode the word stream, evolve each distinct word's segmentation
+    * under the stashed merge ranks (greedy lowest-rank apply — the
+    * engine's `encodeWord`), and land per-word token lengths (`toklen`)
+    * plus per-doc totals (`perdoc`: n_tokens, n_words). Callers append
+    * their rollup tail (by source, by lang, or the packing window).
     */
-  private def bpeEncodeReplaySql(merges: Seq[(String, String)]): String = {
+  private def bpeTokLenCtes(merges: Seq[(String, String)]): String = {
     val rkKeys = merges.map { case (a, b) =>
       s"'${sqlLit(a)}' || chr(1) || '${sqlLit(b)}'"
     }.mkString(", ")
@@ -124,76 +125,7 @@ object PipelineQueries {
         |                $rankLookup)""".stripMargin
     s"""
         WITH RECURSIVE d AS (
-          SELECT doc_id, source,
-            regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-          FROM documents
-        ),
-        wtok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM d),
-        words AS (SELECT DISTINCT w FROM wtok WHERE len(w) >= 2),
-        enc(w, syms) AS (
-          SELECT w, regexp_extract_all(w, '.') FROM words
-          UNION ALL
-          SELECT w, $bpeMergeStepSql
-          FROM (
-            SELECT w, syms,
-              $bpeKeptSql AS kept
-            FROM (
-              SELECT w, syms,
-                list_filter(generate_series(1, CAST(len(syms) AS INT) - 1),
-                  i -> syms[i] = bl AND syms[i+1] = br) AS occ
-              FROM (
-                SELECT w, syms, syms[bi] AS bl, syms[bi+1] AS br
-                FROM (
-                  SELECT w, syms, list_position(rl, list_min(rl)) AS bi
-                  FROM (
-                    SELECT w, syms, $rankList AS rl
-                    FROM enc)
-                  WHERE list_min(rl) < 1000000)))
-          )
-        ),
-        fin AS (
-          SELECT w, CAST(len(syms) AS BIGINT) AS tl FROM enc
-          WHERE coalesce(list_min($rankList), 1000000) = 1000000
-        ),
-        toklen AS (
-          SELECT w, tl FROM fin
-          UNION ALL
-          SELECT DISTINCT w, CAST(1 AS BIGINT) AS tl FROM wtok WHERE len(w) = 1
-        ),
-        perdoc AS (
-          SELECT wtok.doc_id, sum(toklen.tl) AS n_tokens
-          FROM wtok JOIN toklen USING (w) GROUP BY wtok.doc_id
-        )
-        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(sum(coalesce(perdoc.n_tokens, 0)) AS BIGINT) AS n_tokens
-        FROM d LEFT JOIN perdoc USING (doc_id)
-        GROUP BY d.source
-    """.stripMargin.trim
-  }
-
-  /** x130 thunk oracle: the [[bpeEncodeReplaySql]] greedy-apply replay
-    * (same recursive per-word CTE off the stashed merge ranks), rolled
-    * up by LANGUAGE with normalized byte counts — the fertility report's
-    * arithmetic (tokens/byte, tokens/word) recomputed from the replayed
-    * token lengths. Ratios divide exact BIGINT sums as doubles (one IEEE
-    * op on identical inputs) before the shared round-6.
-    */
-  private def bpeFertilityReplaySql(merges: Seq[(String, String)]): String = {
-    val rkKeys = merges.map { case (a, b) =>
-      s"'${sqlLit(a)}' || chr(1) || '${sqlLit(b)}'"
-    }.mkString(", ")
-    val rkVals = merges.indices.mkString(", ")
-    val rankLookup =
-      if (merges.isEmpty) "1000000"
-      else
-        s"""coalesce(map_extract(map([$rkKeys], [$rkVals]),
-          |                  syms[i] || chr(1) || syms[i+1])[1], 1000000)""".stripMargin
-    val rankList =
-      s"""list_transform(generate_series(1, CAST(len(syms) AS INT) - 1), i ->
-        |                $rankLookup)""".stripMargin
-    s"""
-        WITH RECURSIVE d AS (
-          SELECT doc_id, lang,
+          SELECT doc_id, source, lang,
             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
           FROM documents
         ),
@@ -233,7 +165,25 @@ object PipelineQueries {
           SELECT wtok.doc_id, sum(toklen.tl) AS n_tokens,
                  count(*) AS n_words
           FROM wtok JOIN toklen USING (w) GROUP BY wtok.doc_id
-        )
+        )""".stripMargin
+  }
+
+  private def bpeEncodeReplaySql(merges: Seq[(String, String)]): String =
+    s"""${bpeTokLenCtes(merges)}
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(coalesce(perdoc.n_tokens, 0)) AS BIGINT) AS n_tokens
+        FROM d LEFT JOIN perdoc USING (doc_id)
+        GROUP BY d.source
+    """.trim
+
+  /** x130 thunk oracle: the shared token-length replay rolled up by
+    * LANGUAGE with normalized byte counts — the fertility report's
+    * arithmetic (tokens/byte, tokens/word) recomputed from the replayed
+    * token lengths. Ratios divide exact BIGINT sums as doubles (one IEEE
+    * op on identical inputs) before the shared round-6.
+    */
+  private def bpeFertilityReplaySql(merges: Seq[(String, String)]): String =
+    s"""${bpeTokLenCtes(merges)}
         SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(octet_length(encode(d.norm))) AS BIGINT) AS sum_bytes,
                CAST(sum(coalesce(perdoc.n_words, 0)) AS BIGINT) AS sum_words,
@@ -244,8 +194,30 @@ object PipelineQueries {
                  / sum(coalesce(perdoc.n_words, 0)), 6) AS tokens_per_word
         FROM d LEFT JOIN perdoc USING (doc_id)
         GROUP BY d.lang
-    """.stripMargin.trim
-  }
+    """.trim
+
+  /** x134 thunk oracle: the shared token-length replay feeding the x25
+    * concat-chunk window arithmetic — packing decisions recomputed from
+    * the REAL tokenizer's counts (greatest(n,1), the packer's floor).
+    */
+  private def bpePackReplaySql(merges: Seq[(String, String)]): String =
+    s"""${bpeTokLenCtes(merges)},
+        t AS (
+          SELECT d.doc_id, d.source,
+            greatest(coalesce(perdoc.n_tokens, 0), 1) AS tok
+          FROM d LEFT JOIN perdoc USING (doc_id)
+        ),
+        o AS (
+          SELECT doc_id, source, tok,
+            CAST(COALESCE(sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+          FROM t
+        )
+        SELECT doc_id, source, CAST(tok AS BIGINT) AS n_tokens,
+          CAST(off // 256 AS BIGINT) AS chunk_first,
+          CAST((off + tok - 1) // 256 - off // 256 + 1 AS BIGINT) AS n_chunks
+        FROM o
+    """.trim
 
   /** Shared x8-style DuckDB token count (ceil(len/4) per whitespace word). */
   private val tokSql =
@@ -1186,6 +1158,33 @@ object PipelineQueries {
       },
       () => x130Merges.map(bpeFertilityReplaySql)),
 
+    // ── X134: sequence packing by the REAL tokenizer — the production
+    //    composition of x55 and x25: chunk-packing offsets computed from
+    //    the fitted BPE's token counts (`Bpe.tokenCounts` → one window)
+    //    instead of the ceil(len/4) estimate. The distinction matters
+    //    operationally: the estimate mis-sizes exactly the docs whose
+    //    languages the tokenizer segments worst (the x130 fertility
+    //    signal), so budget-256 chunks built from estimates overflow or
+    //    underfill downstream — packing MUST consume the same tokenizer
+    //    the trainer will. Same one-window scale shape as x25. FULL
+    //    oracle via the merge-table thunk: the shared token-length
+    //    replay CTEs feed the x25 window arithmetic unchanged ──
+    QueryDef(
+      "x134_pack_bpe",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.text.Bpe.train(docs, "text", numMerges = 60)
+        x134Merges = Some(merges)
+        val toks = graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        Pipeline.packChunkedBy(
+          docs.select(col("doc_id"), col("source")).join(toks, Seq("doc_id")),
+          Seq("source"), Seq("doc_id"),
+          greatest(col("n_tokens"), lit(1L)), budget = 256L)
+          .select(col("doc_id"), col("source"), col("__tok").as("n_tokens"),
+            col("chunk_first"), col("n_chunks"))
+      },
+      () => x134Merges.map(bpePackReplaySql)),
+
     // ── X57: interpolated Kneser–Ney bigram cross-entropy
     //    (Quality.knBigramCrossEntropy) — the CCNet-style LM quality
     //    signal one order above x36's unigram MLE. Full DuckDB replay:
@@ -1804,10 +1803,13 @@ object PipelineQueries {
             "word", depth = 4, width = 1024, seed = 7L)
             .write.mode("overwrite").parquet(s"$path/day=$b")
         }
+        // both sides are depth×width-bounded; pin them so the two
+        // exceptAll arms don't re-run the corpus tokenization pass each
         val merged = CountMin.merge(
           (0 until 3).map(b => s.read.parquet(s"$path/day=$b")))
+          .localCheckpoint()
         val direct = CountMin.sketch(toks, "word", depth = 4, width = 1024,
-          seed = 7L)
+          seed = 7L).localCheckpoint()
         val diff = merged.exceptAll(direct).count() +
           direct.exceptAll(merged).count()
         require(diff == 0,

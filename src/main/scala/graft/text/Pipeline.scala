@@ -390,12 +390,26 @@ object Pipeline {
       groupCols: Seq[String],
       orderCols: Seq[String],
       textCol: String,
+      budget: Long): DataFrame =
+    packChunkedBy(df, groupCols, orderCols,
+      greatest(TextOps.bpeishTokenCount(col(textCol)), lit(1L)), budget)
+
+  /** [[packChunked]] with a caller-supplied token-count column — the
+    * production variant: packing decisions driven by the REAL fitted
+    * tokenizer's counts (`Bpe.tokenCounts`, x55/x56) instead of the x8
+    * estimate, same one-window shape (the x134 query; callers should
+    * keep the `greatest(·, 1)` floor so empty docs still occupy a slot).
+    */
+  def packChunkedBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      tok: org.apache.spark.sql.Column,
       budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val tok = greatest(TextOps.bpeishTokenCount(col(textCol)), lit(1L))
     df.withColumn("__tok", tok)
       .withColumn("__off", coalesce(sum(col("__tok")).over(w), lit(0L)))
       .withColumn("chunk_first", expr(s"__off div ${budget}L"))
