@@ -1586,6 +1586,83 @@ object DedupQueries {
           CAST(0 AS BIGINT)
       """.stripMargin.trim)),
 
+    // ── X136: index DELETION mid-ingest — the right-to-be-forgotten
+    //    lifecycle op (`IncrementalDedup.deleteFromIndex`): erasing
+    //    documents from the corpus must also erase their fingerprints,
+    //    or the content stays banned forever and a legitimate future
+    //    re-submission is silently dropped as a duplicate of a doc that
+    //    no longer exists. The query ingests batches 0/1, deletes the
+    //    doc_id % 15 == 0 docs' hashes (bucket-pruned drop-then-append
+    //    rewrite — untouched buckets byte-identical; drop-then-append
+    //    rather than dynamic overwrite so a bucket deleted to EMPTY
+    //    disappears instead of keeping stale files), then re-ingests
+    //    batch 0: exactly the deleted hash groups survive again, the
+    //    erase-then-readmit cycle. FULL oracle: the x45 cascade with the
+    //    deletion set-subtracted before the re-ingest wave ──
+    QueryDef(
+      "x136_index_delete",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_dedup_delete_$tag"
+        IncrementalDedup.dropIndex(s, path)
+        val docs = Tables.documents(s, dir)
+        def batch(m: Long) = IncrementalDedup.dedupIncremental(
+          docs.filter(col("doc_id") % 3 === m), "text", Seq("doc_id"), path,
+          nBuckets = 8)
+        def stat(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val s0 = stat(batch(0L))
+        val s1 = stat(batch(1L))
+        val removed = IncrementalDedup.deleteFromIndex(
+          s, path, docs.filter(col("doc_id") % 15 === 0), "text", nBuckets = 8)
+        val s3 = stat(batch(0L)) // re-ingest: deleted hash groups readmit
+        val idxRows = s.read.parquet(s"$path/hashes").count()
+        Seq((0L, s0._1, s0._2), (1L, s1._1, s1._2), (2L, removed, 0L),
+          (3L, s3._1, s3._2), (99L, idxRows, 0L))
+          .toDF("step", "n", "id_sum")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+          FROM documents
+        ), b0 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d WHERE doc_id % 3 = 0 GROUP BY h
+        ), b1 AS (
+          SELECT h, min(doc_id) AS doc_id FROM d
+          WHERE doc_id % 3 = 1 AND h NOT IN (SELECT h FROM b0) GROUP BY h
+        ), del AS (
+          SELECT DISTINCT h FROM d WHERE doc_id % 15 = 0
+        ), removed AS (
+          SELECT count(*) AS c FROM (
+            SELECT h FROM b0 UNION ALL SELECT h FROM b1) i
+          JOIN del USING (h)
+        ), idx1 AS (
+          SELECT h FROM b0 UNION ALL SELECT h FROM b1
+          EXCEPT
+          SELECT h FROM del
+        ), b0r AS (
+          SELECT h, min(doc_id) AS doc_id FROM d
+          WHERE doc_id % 3 = 0 AND h NOT IN (SELECT h FROM idx1) GROUP BY h
+        )
+        SELECT CAST(0 AS BIGINT) AS step, count(*) AS n,
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM b0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM b1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), (SELECT c FROM removed), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM b0r
+        UNION ALL
+        SELECT CAST(99 AS BIGINT),
+          (SELECT count(*) FROM idx1) + (SELECT count(*) FROM b0r),
+          CAST(0 AS BIGINT)
+      """.stripMargin.trim)),
+
     // ── X128: ANN index compaction mid-ingest — x127's lifecycle stage
     //    for the VECTOR index: `Ivf.appendToIndex` adds O(1) files per
     //    touched cell per batch (mode("append") never rewrites), so after
@@ -1640,6 +1717,48 @@ object DedupQueries {
           SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 20
         ), c AS (
           SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings
+        ), d AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN c WHERE cid <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d) WHERE rank <= 3
+      """.stripMargin.trim)),
+
+    // ── X135: FILTERED ANN search — the FAISS IDSelector / production
+    //    vector-store contract: a metadata predicate composes with the
+    //    index search (here `label <= 2`, the allowed-id set), applied
+    //    AFTER the partition-pruned scan and BEFORE ranking — pre-filter
+    //    semantics, so the top-k ranks qualifying rows only and there is
+    //    no k-deficit from discarding ranked hits afterwards. Probing
+    //    every cell makes the filtered search exhaustive, so the FULL
+    //    oracle is brute-force top-k over the label-filtered corpus —
+    //    any filter bug (wrong side of ranking, dropped ids, type
+    //    mismatch in the semi-join) breaks the hash ──
+    QueryDef(
+      "x135_ann_filtered",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_ivf_filter_$tag"
+        Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L)
+        val allowed = emb.filter(col("label") <= 2).select(col("vec_id"))
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 8,
+          allowed = Some((allowed, "vec_id")))
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings WHERE label <= 2
         ), d AS (
           SELECT qid, cid,
             list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)

@@ -368,6 +368,16 @@ object Ivf {
     * `PartitionFilters` provably excludes unprobed directories; no
     * reliance on runtime DPP. Output contract = [[cosineTopKIvf]].
     */
+  /** `allowed`: optional filtered-search restriction — the FAISS
+    * IDSelector / production vector-store contract (metadata predicates
+    * compose with ANN): candidates are semi-joined against the allowed
+    * id set AFTER the partition-pruned scan and BEFORE ranking, so the
+    * filter never widens the probe IO and the top-k ranks qualifying
+    * rows only (pre-filter semantics — no k-deficit from discarding
+    * ranked hits afterwards). The allowed frame carries ids only; at
+    * scale AQE broadcasts it when small and shuffles the semi-join on
+    * the id otherwise.
+    */
   def cosineTopKIndexed(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
@@ -376,7 +386,8 @@ object Ivf {
       queryIdCol: String,
       k: Int,
       nprobe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      allowed: Option[(DataFrame, String)] = None): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
       .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
     require(nprobe <= cents.length)
@@ -389,8 +400,14 @@ object Ivf {
         .cache())
     val probed = q.select(col("__cell")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val stored = spark.read.parquet(s"$path/corpus")
+    val storedAll = spark.read.parquet(s"$path/corpus")
       .filter(col("__cell").isin(probed.map(Int.box): _*))
+    val stored = allowed match {
+      case Some((ids, idCol)) => storedAll.join(
+        ids.select(col(idCol).cast("long").as("__cid")).distinct(),
+        Seq("__cid"), "left_semi")
+      case None => storedAll
+    }
     val fields = stored.schema.fieldNames.toSet
     if (fields.contains("__pqc")) {
       // IVF-PQ index: never reconstruct — score the probed cells by the

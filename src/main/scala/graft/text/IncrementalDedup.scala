@@ -108,6 +108,63 @@ object IncrementalDedup {
       s"compaction changed the hash set: $before -> $after rows")
   }
 
+  /** Delete a document set's content hashes from the persisted index —
+    * the right-to-be-forgotten lifecycle op (GDPR erasure): a corpus
+    * rewrite that removes documents must also remove their fingerprints,
+    * or the erased content stays banned forever — any future legitimate
+    * re-submission would be silently dropped as a duplicate of a doc
+    * that no longer exists. Only buckets containing a to-delete hash
+    * are touched: the deletion set (hashes only, distinct-ed — erasure
+    * requests are small by nature) picks its buckets, the pruned
+    * snapshot is anti-joined and materialized, the touched bucket
+    * directories are dropped, and the survivors re-appended — a bucket
+    * deleted to empty simply disappears from the layout (dynamic
+    * partition overwrite would have left its stale files in place,
+    * which is why the rewrite is drop-then-append). Untouched buckets
+    * stay byte-identical. Returns the number of index rows removed.
+    * `nBuckets` must match the index's bucketing, the same caller
+    * contract as [[dedupIncremental]].
+    */
+  def deleteFromIndex(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      textCol: String,
+      nBuckets: Int = DefaultBuckets): Long = {
+    val snap = indexFiles(spark, path)
+    if (snap.isEmpty) return 0L
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val hashSchema = StructType(Seq(StructField("__h", StringType)))
+    val del = docs.select(TextOps.contentHash(col(textCol)).as("__h")).distinct()
+      .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
+      .localCheckpoint()
+    val touched = del.select(col("__b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return 0L
+    val bucketOf = "__b=([0-9]+)".r
+    val touchedFiles = snap.filter(f =>
+      bucketOf.findFirstMatchIn(f).exists(m => touched.contains(m.group(1).toLong)))
+    if (touchedFiles.isEmpty) return 0L
+    val resident = spark.read.schema(hashSchema).parquet(touchedFiles: _*)
+      .select(col("__h"))
+      .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
+    val before = resident.count()
+    // materialize the survivors BEFORE dropping the directories they read
+    val kept = resident.join(del.select(col("__h")), Seq("__h"), "left_anti")
+      .repartition(math.max(touched.size, 1), col("__b"))
+      .localCheckpoint(true)
+    val after = kept.count()
+    val fs = new org.apache.hadoop.fs.Path(hashesPath(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"${hashesPath(path)}/__b=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    if (after > 0)
+      kept.write.mode("append").partitionBy("__b").parquet(hashesPath(path))
+    before - after
+  }
+
   /** Dedup one ingest batch against the persisted index at `path`,
     * append the survivors' hashes to the index, and return the surviving
     * rows (batch columns unchanged). First call on an empty `path`

@@ -356,6 +356,32 @@ class AnnSpec extends SparkSpec {
     assert(storedIds == (0L until 100L).toSet)
   }
 
+  test("filtered indexed search: pre-filter semantics, equals exact top-k over the allowed subset") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_filter_spec"
+    graft.similarity.Ivf.writeIndex(df, "embedding", "vec_id", path,
+      nlist = 10, seed = 7L)
+    val allowedIds = (0L until 100L).filter(_ % 2 == 0)
+    val allowed = df.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    def rows(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    // full probe + filter = exact top-k over the allowed subset
+    val got = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 10,
+      allowed = Some((allowed, "vec_id"))))
+    val exact = rows(Ann.cosineTopK(df.filter(col("vec_id") % 2 === 0),
+      queries, "embedding", "vec_id", "vec_id", k))
+    assert(got == exact, "filtered indexed search != exact over allowed subset")
+    // every returned neighbor is in the allowed set (pre-filter, no leakage)
+    assert(got.forall { case (_, _, nb) => allowedIds.contains(nb) })
+    // and the unfiltered search differs (the filter actually bites)
+    val unfiltered = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 10))
+    assert(got != unfiltered)
+  }
+
   test("compactIndex collapses append files, preserves search results and cell stats") {
     val df = clustered.cache()
     val queries = df.filter(col("vec_id") % 5 === 0)

@@ -475,6 +475,58 @@ class PipelineSpec extends SparkSpec {
     assert(indexRows() == 4)
   }
 
+  test("deleteFromIndex: erased hashes readmit, untouched buckets byte-identical, empty buckets vanish") {
+    import spark.implicits._
+    import graft.text.IncrementalDedup
+    val path = s"${Scratch.sub("dedup-test")}/${java.util.UUID.randomUUID()}"
+    val docs = (0L until 40L).map(i => (i, s"doc body $i")).toDF("doc_id", "text")
+    IncrementalDedup.dedupIncremental(docs, "text", Seq("doc_id"), path, nBuckets = 8)
+    def hashes(): Set[String] = spark.read.parquet(s"$path/hashes")
+      .select("__h").as[String].collect().toSet
+    val all = hashes()
+    assert(all.size == 40)
+    def fileSet(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/hashes"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = fileSet()
+    val toDelete = docs.filter(col("doc_id") % 10 === 0) // 4 docs
+    val removed = IncrementalDedup.deleteFromIndex(
+      spark, path, toDelete, "text", nBuckets = 8)
+    assert(removed == 4L, s"removed $removed")
+    // index hash set is exactly the complement
+    val delHashes = toDelete
+      .select(graft.text.TextOps.contentHash(col("text")).as("h"))
+      .as[String].collect().toSet
+    assert(hashes() == all -- delHashes)
+    // untouched buckets keep their exact files (path + mtime)
+    val after = fileSet()
+    val touchedDirs = delHashes.map(h =>
+      java.lang.Long.remainderUnsigned(
+        { val c = new java.util.zip.CRC32(); c.update(h.getBytes("UTF-8")); c.getValue },
+        8L))
+    before.foreach { case (p, m) =>
+      val b = "__b=([0-9]+)".r.findFirstMatchIn(p).get.group(1).toLong
+      if (!touchedDirs.contains(b))
+        assert(after.get(p).contains(m), s"untouched bucket file changed: $p")
+    }
+    // re-ingest of the erased docs: all readmit, index is whole again
+    val re = IncrementalDedup.dedupIncremental(
+      toDelete, "text", Seq("doc_id"), path, nBuckets = 8)
+    assert(re.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 10L, 20L, 30L))
+    assert(hashes() == all)
+    // deleting everything in one bucket leaves no stale directory behind
+    val removedAll = IncrementalDedup.deleteFromIndex(
+      spark, path, docs, "text", nBuckets = 8)
+    assert(removedAll == 40L)
+    assert(!new java.io.File(s"$path/hashes").exists() ||
+      fileSet().isEmpty, "stale bucket files survived a full deletion")
+  }
+
   test("compactIndex: file count collapses, decisions unchanged, re-bucketing safe") {
     import spark.implicits._
     import graft.text.{IncrementalDedup, IncrementalNearDup}
