@@ -2100,6 +2100,126 @@ object DedupQueries {
           CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
       """.stripMargin.trim)),
 
+    // ── X137: near-dup index DELETION — x136's right-to-be-forgotten op
+    //    on the LSH tier (`IncrementalNearDup.deleteFromIndex`): erasing
+    //    a doc must remove its band keys AND signature, or future
+    //    near-duplicates of the erased content keep getting dropped on
+    //    its account. The deletion input is the doc rows themselves —
+    //    recomputing their signatures lets BOTH index sides prune to
+    //    touched buckets (band buckets are a pure function of the
+    //    text). Batch 1 (evens) bootstraps, the doc_id % 10 == 0 docs
+    //    are erased (removed = those present in the index — docs
+    //    dropped at ingest have no state), then the whole corpus
+    //    re-ingests against the shrunken residents. FULL oracle: the
+    //    x75 replay with the resident set minus the deletion set ──
+    QueryDef(
+      "x137_neardup_delete",
+      (s, dir) => {
+        import s.implicits._
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_neardup_delete_$tag"
+        IncrementalNearDup.dropIndex(s, path)
+        val docs = Tables.documents(s, dir)
+        val s1 = IncrementalNearDup.dedupIncremental(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+          nBuckets = 8)
+        def stat(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        val st1 = stat(s1)
+        val removed = IncrementalNearDup.deleteFromIndex(
+          s, path, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+          nBuckets = 8)
+        val s2 = IncrementalNearDup.dedupIncremental(
+          docs, "doc_id", "text", path, nBuckets = 8)
+        val st2 = stat(s2)
+        Seq((1L, st1._1, st1._2), (2L, removed, 0L), (3L, st2._1, st2._2))
+          .toDF("step", "n", "id_sum")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          FROM documents
+        ), w AS (
+          SELECT doc_id, norm, string_split(norm, ' ') AS w FROM d
+        ), sh AS (
+          SELECT doc_id,
+            CASE WHEN len(w) >= 3 THEN
+              list_distinct(list_transform(generate_series(1, len(w)-2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+            ELSE [norm] END AS s
+          FROM w
+        ), ab AS (
+          SELECT doc_id,
+            list_transform(s, x -> (('0x' || substring(md5(x),1,8))::BIGINT)) AS av,
+            list_transform(s, x -> (('0x' || substring(md5(x),9,8))::BIGINT)) AS bv
+          FROM sh
+        ), sig AS (
+          SELECT doc_id,
+            list_transform(generate_series(0, 127), k ->
+              list_aggregate(list_transform(generate_series(1, len(av)),
+                i -> (av[i] + k*bv[i]) % 4294967311), 'min')) AS sig
+          FROM ab
+        ), banded AS (
+          SELECT doc_id, b.b AS band,
+            substring(md5(array_to_string(sig[(b.b*8+1):(b.b*8+8)], ',')), 1, 16) AS kh
+          FROM sig, (SELECT unnest(generate_series(0, 15)) AS b) b
+        ), rep1 AS (
+          SELECT band, kh, min(doc_id) AS rep FROM banded
+          WHERE doc_id % 2 = 0 GROUP BY 1, 2
+        ), wd1 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN rep1 r ON x.band = r.band AND x.kh = r.kh AND x.doc_id > r.rep
+          JOIN sig sa ON sa.doc_id = r.rep
+          JOIN sig sb ON sb.doc_id = x.doc_id
+          WHERE x.doc_id % 2 = 0
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s1 AS (
+          SELECT doc_id FROM sig
+          WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM wd1)
+        ), del AS (
+          SELECT doc_id FROM s1 WHERE doc_id % 10 = 0
+        ), resident AS (
+          SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM del)
+        ), rep2 AS (
+          SELECT band, kh, min(doc_id) AS rep FROM banded GROUP BY 1, 2
+        ), wd2 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN rep2 r ON x.band = r.band AND x.kh = r.kh AND x.doc_id > r.rep
+          JOIN sig sa ON sa.doc_id = r.rep
+          JOIN sig sb ON sb.doc_id = x.doc_id
+          WHERE len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), cand2 AS (
+          SELECT doc_id FROM sig
+          WHERE doc_id NOT IN (SELECT doc_id FROM wd2)
+        ), xd2 AS (
+          SELECT DISTINCT x.doc_id
+          FROM banded x
+          JOIN banded ix ON x.band = ix.band AND x.kh = ix.kh
+          JOIN resident ON ix.doc_id = resident.doc_id
+          JOIN sig sa ON sa.doc_id = x.doc_id
+          JOIN sig sb ON sb.doc_id = ix.doc_id
+          WHERE x.doc_id IN (SELECT doc_id FROM cand2)
+            AND len(list_filter(generate_series(1,128),
+                  i -> sa.sig[i] = sb.sig[i]))/128.0 >= 0.8
+        ), s2 AS (
+          SELECT doc_id FROM cand2
+          WHERE doc_id NOT IN (SELECT doc_id FROM xd2)
+        )
+        SELECT CAST(1 AS BIGINT) AS step, count(*) AS n,
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM s1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), (SELECT count(*) FROM del), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), count(*),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
+      """.stripMargin.trim)),
+
     // ── X124: ingest-time incremental SEMANTIC dedup
     //    (IncrementalSemDedup) — the embedding tier completing the
     //    incremental-dedup triptych beside exact x32 and MinHash x75:

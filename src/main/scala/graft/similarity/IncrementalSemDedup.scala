@@ -119,6 +119,59 @@ object IncrementalSemDedup {
       s"compaction changed the state row set: $before -> $after rows")
   }
 
+  /** Delete residents from the persisted state — the right-to-be-
+    * forgotten op for the semantic tier (the x136/x137 contract on the
+    * embedding index): erased docs' resident vectors are removed so
+    * future semantic duplicates of the erased content readmit. The
+    * deletion input carries the vectors — assignment against the FROZEN
+    * centroids prunes the read to touched cells, the same pure argmin
+    * the ingest used to place them. Drop-then-append per touched cell:
+    * cells deleted to empty vanish rather than keeping stale files;
+    * untouched cells stay byte-identical. Returns the number of
+    * residents actually removed (ids with no state count zero).
+    */
+  def deleteFromIndex(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      vecCol: String): Long = {
+    val snap = listFiles(spark, statePath(path))
+    if (snap.isEmpty) return 0L
+    val cents = centroids(spark, path)
+    val del = docs
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__vec"))
+      .withColumn("__c", Ivf.probeCells(col("__vec"), cents, 1).getItem(0))
+      .localCheckpoint()
+    val touched = del.select(col("__c")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val touchedSnap = snap.filter(f =>
+      touched.exists(c => f.contains(s"__cell=$c/")))
+    if (touchedSnap.isEmpty) return 0L
+    val stSchema = StructType(Seq(
+      StructField("__id", LongType),
+      StructField("__vec", ArrayType(DoubleType)),
+      StructField("__c", IntegerType)))
+    val resident = spark.read.schema(stSchema).parquet(touchedSnap: _*)
+    val before = resident.count()
+    // materialize survivors BEFORE dropping the directories they read
+    val kept = resident.join(del.select(col("__id")), Seq("__id"), "left_anti")
+      .withColumn("__cell", col("__c"))
+      .repartition(col("__cell"))
+      .localCheckpoint(true)
+    val after = kept.count()
+    val fs = new org.apache.hadoop.fs.Path(statePath(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(s"${statePath(path)}/__cell=$c")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    if (after > 0)
+      kept.write.mode("append").partitionBy("__cell").parquet(statePath(path))
+    before - after
+  }
+
   /** Spark-`round`-compatible 6 dp half-up rounding (BigDecimal over the
     * exact binary expansion — the same arithmetic `round(col, 6)`
     * performs, so the in-task decision replays as `round(cos, 6)` SQL).

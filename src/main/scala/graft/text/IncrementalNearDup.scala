@@ -152,6 +152,95 @@ object IncrementalNearDup {
       s"compaction changed the index row set: $before -> $after rows")
   }
 
+  /** Delete documents from the persisted index — the right-to-be-
+    * forgotten op for the near-dup tier ([[graft.text.IncrementalDedup
+    * .deleteFromIndex]]'s contract lifted to the two-sided layout):
+    * erased docs' band keys AND signatures are removed, so future
+    * near-duplicates of the erased content are no longer dropped on its
+    * account. The deletion input is the doc rows themselves (id + text
+    * — the same content that was ingested): recomputing their
+    * signatures lets BOTH sides prune to touched buckets (band rows
+    * live in crc32(khash) buckets that are a pure function of the
+    * text). Drop-then-append per touched `(side, bucket)` partition —
+    * deleted-to-empty partitions vanish; untouched ones stay
+    * byte-identical. Returns the number of docs whose state was
+    * actually removed (ids present in the index; docs that were
+    * DROPPED at ingest have no state and count zero).
+    */
+  def deleteFromIndex(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      nBuckets: Int = DefaultBuckets): Long = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val snap = listFiles(spark, statePath(path))
+    if (snap.isEmpty) return 0L
+    val ws = TextOps.wordShingles(col(textCol), shingleN)
+    val shingles = when(coalesce(size(ws), lit(0)) > 0, ws)
+      .otherwise(array(TextOps.normalize(col(textCol))))
+    // erasure batches are bounded by nature — pin the recomputed state
+    val delSigs = TextOps.minHashSignaturesBy(
+      docs.select(col(idCol), col(textCol)), idCol, shingles, numHashes)
+      .localCheckpoint()
+    val delBands = bandRows(delSigs, bands, numHashes / bands)
+      .localCheckpoint()
+    val bandBuckets = delBands
+      .select(pmod(crc32(col("__khash")), lit(nBuckets)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val sigBuckets = delSigs
+      .select(pmod(crc32(col("__id").cast("string")), lit(nBuckets)).as("__b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val bucketOf = "__b=([0-9]+)".r
+    def touchedOf(files: Seq[String], buckets: Set[Long]) = files.filter(f =>
+      bucketOf.findFirstMatchIn(f).exists(m => buckets.contains(m.group(1).toLong)))
+    val touchedBand = touchedOf(snap.filter(isBandFile), bandBuckets)
+    val touchedSig = touchedOf(snap.filter(isSigFile), sigBuckets)
+    if (touchedBand.isEmpty && touchedSig.isEmpty) return 0L
+    import org.apache.spark.sql.types._
+    val bandSchema = StructType(Seq(
+      StructField("__id", LongType), StructField("__band", IntegerType),
+      StructField("__khash", StringType),
+      StructField("__sig", ArrayType(LongType))))
+    val delIds = delSigs.select(col("__id"))
+    def keptSide(files: Seq[String], tag: String, bucket: Column) =
+      if (files.isEmpty) None
+      else Some(spark.read.schema(bandSchema).parquet(files: _*)
+        .join(delIds, Seq("__id"), "left_anti")
+        .withColumn("__side", lit(tag))
+        .withColumn("__b", bucket))
+    val removedDocs = if (touchedSig.isEmpty) 0L
+      else spark.read.schema(bandSchema).parquet(touchedSig: _*)
+        .join(delIds, Seq("__id"), "left_semi")
+        .select(col("__id")).distinct().count()
+    val keptB = keptSide(touchedBand, "b",
+      pmod(crc32(col("__khash")), lit(nBuckets)))
+    val keptS = keptSide(touchedSig, "s",
+      pmod(crc32(col("__id").cast("string")), lit(nBuckets)))
+    // materialize survivors BEFORE dropping the directories they read
+    val kept = (keptB.toSeq ++ keptS.toSeq)
+      .map(_.repartition(col("__side"), col("__b")).localCheckpoint(true))
+    val fs = new org.apache.hadoop.fs.Path(statePath(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dropDirs(tag: String, buckets: Set[Long]): Unit = buckets.foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(
+        s"${statePath(path)}/__side=$tag/__b=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    if (touchedBand.nonEmpty) dropDirs("b", bandBuckets)
+    if (touchedSig.nonEmpty) dropDirs("s", sigBuckets)
+    kept.foreach { k =>
+      if (!k.isEmpty)
+        k.write.mode("append").partitionBy("__side", "__b")
+          .parquet(statePath(path))
+    }
+    removedDocs
+  }
+
   /** Estimated Jaccard between two equal-length MinHash signatures:
     * the fraction of agreeing components (`P(sig_a[k]=sig_b[k]) ≈ J`).
     */

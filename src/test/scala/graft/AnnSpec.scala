@@ -203,6 +203,36 @@ class AnnSpec extends SparkSpec {
     assert(b3 == Set(9999L))
   }
 
+  test("semantic deleteFromIndex: erased resident's duplicates readmit, others still blocked") {
+    import graft.similarity.IncrementalSemDedup
+    import spark.implicits._
+    val df = clustered.cache()
+    val path = s"${graft.Scratch.dir}/semdedup_del_${System.nanoTime()}"
+    IncrementalSemDedup.dropIndex(spark, path)
+    def ids(r: DataFrame) = r.select("vec_id").collect().map(_.getLong(0)).toSet
+    // bootstrap: first rep of each cluster becomes the resident
+    val b1 = ids(IncrementalSemDedup.dedupIncremental(
+      df.filter(col("vec_id") % 5 === 0), "vec_id", "embedding", path,
+      threshold = 0.9, nClusters = 4))
+    assert(b1.size == 20)
+    // erase cluster 0's resident (vec_id 0); ghosts remove nothing
+    val delInput = df.filter(col("vec_id") === 0L)
+      .select(col("vec_id"), col("embedding"))
+    val removed = IncrementalSemDedup.deleteFromIndex(
+      spark, path, delInput, "vec_id", "embedding")
+    assert(removed == 1L, s"removed $removed")
+    val stored = spark.read.parquet(s"$path/state")
+      .select("__id").collect().map(_.getLong(0)).toSet
+    assert(stored == b1 - 0L)
+    // the erased content itself readmits (identical vector, same frozen
+    // cell, no resident left to drop it); a still-resident vector is
+    // dropped by self-collision at cosine 1.0 — both deterministic
+    val b2 = ids(IncrementalSemDedup.dedupIncremental(
+      df.filter(col("vec_id") === 0L || col("vec_id") === 5L),
+      "vec_id", "embedding", path, threshold = 0.9, nClusters = 4))
+    assert(b2 == Set(0L), s"erase-then-readmit cycle broken: $b2")
+  }
+
   test("persisted HNSW index: append touches only its shards, appended rows findable, recall holds") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
     val df = clustered.cache()

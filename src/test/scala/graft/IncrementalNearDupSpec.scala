@@ -92,4 +92,30 @@ class IncrementalNearDupSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("doc_id", "text", "source"))
     assert(out.count() == 2)
   }
+
+  test("deleteFromIndex: erased doc's near-dups readmit; other residents still block theirs") {
+    import spark.implicits._
+    val path = freshPath("delete")
+    val a = longDoc("alpha")
+    val g = longDoc("gamma")
+    val b1 = Seq((1L, a), (3L, g)).toDF("doc_id", "text")
+    assert(IncrementalNearDup.dedupIncremental(b1, "doc_id", "text", path)
+      .count() == 2)
+    // erase doc 1; a deletion of a never-indexed doc removes nothing
+    val removed = IncrementalNearDup.deleteFromIndex(
+      spark, path, Seq((1L, a), (99L, longDoc("ghost"))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(removed == 1L, s"removed $removed")
+    // the erased doc's state is gone: no __id=1 rows on either side
+    val ids = spark.read.parquet(s"$path/state")
+      .select("__id").as[Long].collect().toSet
+    assert(ids == Set(3L))
+    // a near-variant of the erased content now survives ingest, while a
+    // near-variant of the REMAINING resident is still dropped
+    val b2 = Seq((10L, nearVariant(a)), (11L, nearVariant(g)))
+      .toDF("doc_id", "text")
+    val s2 = IncrementalNearDup.dedupIncremental(b2, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s2 == Seq(10L), s"got $s2")
+  }
 }
