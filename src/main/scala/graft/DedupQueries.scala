@@ -1772,6 +1772,55 @@ object DedupQueries {
           FROM d) WHERE rank <= 3
       """.stripMargin.trim)),
 
+    // ── X138: vector-store erasure (Ivf.deleteFromIndex) — the x136/x137
+    //    right-to-be-forgotten contract on the ANN tier: the deletion
+    //    input carries the vectors, so the FROZEN quantizer's argmin —
+    //    the same pure rule that placed them — prunes the rewrite to
+    //    touched cells (drop-then-append; emptied cells vanish, untouched
+    //    cells byte-identical). The removed count is require()-pinned to
+    //    the deletion-set size (every input id is in this index), and a
+    //    full-probe search of the shrunken index equals brute force over
+    //    the surviving corpus — the FULL oracle. HNSW erases by
+    //    TOMBSTONE instead (Hnsw.deleteFromIndex — the hnswlib
+    //    markDelete contract: deleted nodes keep routing, never emit;
+    //    spec-proved since the walk-replay oracle pins the un-tombstoned
+    //    graph) ──
+    QueryDef(
+      "x138_ann_deleted",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val path = s"${Scratch.dir}/graft_ivf_delete_$tag"
+        Ivf.writeIndex(emb, "embedding", "vec_id", path, nlist = 8, seed = 7L)
+        val toErase = emb.filter(col("vec_id") % 7 === 0)
+        val removed = Ivf.deleteFromIndex(s, path, toErase, "vec_id", "embedding")
+        val expected = toErase.count()
+        require(removed == expected,
+          s"erasure removed $removed of $expected index rows")
+        Ivf.cosineTopKIndexed(s, path, emb.filter(col("vec_id") < 20),
+          "embedding", "vec_id", k = 3, nprobe = 8)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings WHERE vec_id < 20
+        ), c AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings
+          WHERE vec_id % 7 <> 0
+        ), d AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM q CROSS JOIN c WHERE cid <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(cos, 6) AS cosine FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+          FROM d) WHERE rank <= 3
+      """.stripMargin.trim)),
+
     // ── X46: the streaming ANN ingest loop as a first-class query — the
     //    second 100 TB ingest shape beside x45: an IVF index is
     //    bootstrapped from a third of the embeddings, then a real

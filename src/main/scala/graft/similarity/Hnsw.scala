@@ -261,9 +261,52 @@ object Hnsw {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Mark-delete — the hnswlib `markDelete` contract: deleted nodes STAY
+    * in the graph as routing waypoints (unlinking them would sever the
+    * express lanes and degrade every survivor's reachability — the
+    * published reason hnswlib/FAISS-HNSW tombstone instead of unlink)
+    * but are filtered from emitted results by [[searchIndex]]. Tombstone
+    * ids persist at `<path>/tombstones`; re-deleting is a no-op and ids
+    * absent from the graph are ignored. Returns the count of NEWLY
+    * tombstoned ids actually present in the graph. When the tombstone
+    * fraction grows large, rebuild via [[writeIndex]] over the survivors
+    * (the hnswlib guidance) — and raise `efSearch` in the interim, since
+    * tombstoned hits still occupy beam slots.
+    */
+  def deleteFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame,
+      idCol: String): Long = {
+    val del = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val present = spark.read.parquet(s"$path/nodes")
+      .select(col("id").cast("long"))
+      .join(del, Seq("id"), "left_semi")
+    val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (!fs.exists(tsPath)) present
+      else present.join(spark.read.parquet(s"$path/tombstones"),
+        Seq("id"), "left_anti")
+    val pinned = fresh.coalesce(1).localCheckpoint(true)
+    val n = pinned.count()
+    if (n > 0) pinned.write.mode("append").parquet(s"$path/tombstones")
+    n
+  }
+
+  private def readTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[Long] = {
+    val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tsPath)) Set.empty
+    else spark.read.parquet(s"$path/tombstones")
+      .collect().map(_.getLong(0)).toSet
+  }
+
   /** Search a persisted HNSW index: rebuild each shard's layered
     * adjacency from the stored neighbor lists (no re-linking) and run
     * the full descent + layer-0 beam for the broadcast queries.
+    * Tombstoned nodes ([[deleteFromIndex]]) route but never emit.
     */
   def searchIndex(
       spark: org.apache.spark.sql.SparkSession,
@@ -280,6 +323,7 @@ object Hnsw {
     val (mm, efc) = (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"))
     val qB = spark.sparkContext.broadcast(
       collectQueries(queries, featCol, queryIdCol))
+    val tsB = spark.sparkContext.broadcast(readTombstones(spark, path))
     val (ef, kk, excl) = (efSearch, k, excludeSelf)
     val locals = spark.read.parquet(s"$path/nodes")
       .select(col("id").cast("long"), col("vec").cast("array<double>"),
@@ -301,11 +345,13 @@ object Hnsw {
           // persisted entry contract: min id among max-level nodes
           val maxL = g.levels.max
           g.entry = g.levels.indexWhere(_ == maxL)
+          val ts = tsB.value
           qB.value.iterator.flatMap { case (qid, qv, qn) =>
             g.search(qv, qn, math.max(ef, kk + 1))
               .iterator
               .map(i => (qid, g.ids(i), g.cos(qv, qn, i)))
-              .filter { case (q, cid, _) => !excl || q != cid }
+              .filter { case (q, cid, _) =>
+                (!excl || q != cid) && !ts.contains(cid) }
               .take(kk)
           }
         }

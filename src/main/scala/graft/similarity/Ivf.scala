@@ -325,6 +325,56 @@ object Ivf {
       s"compaction changed the corpus row set: $before -> $after rows")
   }
 
+  /** Delete vectors from a persisted index — the erasure op for the
+    * vector store (the dedup indexes' `deleteFromIndex` contract): the
+    * deletion input carries the vectors, so the frozen quantizer's
+    * argmin — the same pure rule that placed them at build/append time —
+    * prunes the rewrite to touched cells only. Drop-then-append per
+    * touched cell (a cell deleted to empty vanishes; untouched cells
+    * stay byte-identical); storage-format agnostic — kept rows are
+    * rewritten with whatever columns the corpus holds (float, SQ8 or PQ
+    * codes ride through unchanged). Returns the number of index rows
+    * removed. HNSW uses tombstones instead ([[Hnsw.deleteFromIndex]]) —
+    * unlinking graph nodes would degrade routing connectivity.
+    */
+  def deleteFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      featCol: String): Long = {
+    val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    require(cents.nonEmpty, s"no centroids at $path/centroids")
+    val del = docs
+      .select(col(idCol).cast("long").as("__cid"),
+        col(featCol).cast("array<double>").as("__f"))
+      .withColumn("__cell", probeCells(col("__f"), cents, 1).getItem(0))
+      .select(col("__cid"), col("__cell"))
+      .localCheckpoint()
+    val touched = del.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return 0L
+    val stored = spark.read.parquet(s"$path/corpus")
+      .filter(col("__cell").isin(touched.toSeq.map(Int.box): _*))
+    val before = stored.count()
+    // materialize survivors BEFORE dropping the directories they read
+    val kept = stored
+      .join(del.select(col("__cid")), Seq("__cid"), "left_anti")
+      .repartition(math.max(touched.size, 1), col("__cell"))
+      .localCheckpoint(true)
+    val after = kept.count()
+    val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/corpus/__cell=$c")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    if (after > 0)
+      kept.write.mode("append").partitionBy("__cell").parquet(s"$path/corpus")
+    before - after
+  }
+
   /** Per-cell row counts of a persisted index — the drift telemetry for
     * the [[appendToIndex]] ingest loop. Cheap by construction: the scan
     * touches ONLY the `__cell` partition column (footer row counts, no

@@ -449,6 +449,69 @@ class AnnSpec extends SparkSpec {
     assert(cellsAfter == cellsBefore, "compaction changed cell stats")
   }
 
+  test("Ivf.deleteFromIndex: erased vectors gone, survivors exact, emptied cells vanish") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_delete_spec"
+    graft.similarity.Ivf.writeIndex(df, "embedding", "vec_id", path,
+      nlist = 10, seed = 7L)
+    // erase cluster 0 entirely (ids 0-4) plus a ghost id
+    val toErase = df.filter(col("vec_id") < 5L)
+    val removed = graft.similarity.Ivf.deleteFromIndex(
+      spark, path, toErase, "vec_id", "embedding")
+    assert(removed == 5L, s"removed $removed")
+    import spark.implicits._
+    val storedIds = spark.read.parquet(s"$path/corpus")
+      .select("__cid").as[Long].collect().toSet
+    assert(storedIds == (5L until 100L).toSet)
+    def rows(r: DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val got = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, path, queries, "embedding", "vec_id", k, nprobe = 10))
+    val exact = rows(Ann.cosineTopK(df.filter(col("vec_id") >= 5L),
+      queries, "embedding", "vec_id", "vec_id", k))
+    assert(got == exact, "post-erasure full-probe search != exact over survivors")
+    // double-deletion is a no-op
+    assert(graft.similarity.Ivf.deleteFromIndex(
+      spark, path, toErase, "vec_id", "embedding") == 0L)
+  }
+
+  test("Hnsw tombstones: deleted ids route but never emit; graph files untouched") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    val path = s"${graft.Scratch.dir}/hnsw_tombstone_${System.nanoTime()}"
+    graft.similarity.Hnsw.writeIndex(df, "embedding", "vec_id", path)
+    def nodeFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/nodes"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = nodeFiles()
+    import spark.implicits._
+    val removed = graft.similarity.Hnsw.deleteFromIndex(
+      spark, path, (Seq(0L, 1L, 2L, 3L, 4L, 9999L)).toDF("vec_id"), "vec_id")
+    assert(removed == 5L, s"removed $removed (ghost id must not count)")
+    // the graph itself is untouched — tombstones are a side list
+    assert(nodeFiles() == before, "mark-delete must not rewrite the graph")
+    val res = graft.similarity.Hnsw.searchIndex(
+      spark, path, queries, "embedding", "vec_id", k, efSearch = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(2)))
+    assert(res.forall(_._2 >= 5L), "a tombstoned id was emitted")
+    // recall vs exact-over-survivors holds (tombstones still route)
+    val exact = Ann.cosineTopK(df.filter(col("vec_id") >= 5L),
+      queries, "embedding", "vec_id", "vec_id", k)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val recall = (exact & res.toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"post-tombstone recall $recall")
+    // re-deleting is a no-op
+    assert(graft.similarity.Hnsw.deleteFromIndex(
+      spark, path, Seq(0L, 4L).toDF("vec_id"), "vec_id") == 0L)
+  }
+
   test("int8 quantization: codes bounded, zero vector safe, high cosine fidelity") {
     import spark.implicits._
     val df = Seq(
