@@ -1278,6 +1278,123 @@ object PipelineQueries {
         WHERE rank <= 5
       """.stripMargin.trim)),
 
+    // ── X139: HYBRID retrieval with reciprocal-rank fusion
+    //    (similarity/Hybrid.scala — Cormack, Clarke & Büttcher 2009),
+    //    the production RAG hybrid-search shape: the x58 lexical TF-IDF
+    //    arm and the dense cosine arm each rank top-10 per query, and
+    //    rrf = Σ 1/(60+rank) fuses them — robust to incomparable arm
+    //    scores because only RANKS enter. Each term is quantized to
+    //    integer nano-units BEFORE the grouped sum (exact BIGINT — a
+    //    distributed double sum's association order would be a
+    //    cross-engine hazard; the x119 micro-unit device), and the
+    //    per-arm ranks ride along in the output so the artifact shows
+    //    WHY each doc fused where it did. FULL oracle: the x58 TF-IDF
+    //    replay + the x4 brute-force cosine replay + the same integer
+    //    fusion arithmetic ──
+    QueryDef(
+      "x139_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val qIds = Seq(0L, 1L, 2L)
+        val lex = graft.text.Tfidf.cosineRetrieve(docs, "doc_id", "text",
+          qIds, k = 10)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+          .localCheckpoint() // read twice: fusion arm + rank join-back
+        val vec = graft.similarity.Ann.cosineTopK(emb,
+            emb.filter(col("vec_id").isInCollection(qIds)),
+            "embedding", "vec_id", "vec_id", k = 10)
+          .select(col("vec_id").as("query_id"),
+            col("neighbor_id").as("doc_id"), col("rank"))
+          .localCheckpoint()
+        graft.similarity.Hybrid.rrfFuse(Seq(lex, vec), topK = 5)
+          .join(lex.withColumnRenamed("rank", "lex_rank"),
+            Seq("query_id", "doc_id"), "left")
+          .join(vec.withColumnRenamed("rank", "vec_rank"),
+            Seq("query_id", "doc_id"), "left")
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("rrf_micro"), col("n_arms"),
+            coalesce(col("lex_rank"), lit(-1)).as("lex_rank"),
+            coalesce(col("vec_rank"), lit(-1)).as("vec_rank"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, w AS term FROM (
+            SELECT doc_id,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+            FROM documents)
+          WHERE length(w) > 0
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tf
+        ), wtd AS (
+          SELECT doc_id, term,
+            CAST(tf AS DOUBLE) * (ln((1 + n.n) / (1 + df)) + 1) AS weight
+          FROM tf JOIN dfreq USING (term), n
+        ), norms AS (
+          SELECT doc_id, sqrt(sum(weight * weight)) AS norm
+          FROM wtd GROUP BY doc_id
+        ), q AS (
+          SELECT w.doc_id AS query_id, term, weight AS qw, norm AS qnorm
+          FROM wtd w JOIN norms USING (doc_id) WHERE w.doc_id IN (0, 1, 2)
+        ), sims AS (
+          SELECT query_id, w.doc_id AS doc_id,
+            round(sum(qw * weight) / (qnorm * nm.norm), 6) AS sim
+          FROM q JOIN wtd w USING (term) JOIN norms nm ON nm.doc_id = w.doc_id
+          WHERE w.doc_id <> query_id
+          GROUP BY query_id, w.doc_id, qnorm, nm.norm
+        ), lex AS (
+          SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, doc_id) AS rank
+            FROM sims)
+          WHERE rank <= 10
+        ), vq AS (
+          SELECT vec_id AS qid, embedding::DOUBLE[] AS qf FROM embeddings
+          WHERE vec_id IN (0, 1, 2)
+        ), vc AS (
+          SELECT vec_id AS cid, embedding::DOUBLE[] AS cf FROM embeddings
+        ), vd AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(list_zip(qf, cf), p -> p[1] * p[2]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(list_zip(qf, qf), p -> p[1] * p[2]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(list_zip(cf, cf), p -> p[1] * p[2]), (x, y) -> x + y))) AS cos
+          FROM vq CROSS JOIN vc WHERE cid <> qid
+        ), vec AS (
+          SELECT qid AS query_id, cid AS doc_id, rank FROM (
+            SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+            FROM vd)
+          WHERE rank <= 10
+        ), terms AS (
+          SELECT query_id, doc_id,
+            CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS tt FROM lex
+          UNION ALL
+          SELECT query_id, doc_id,
+            CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) FROM vec
+        ), fused AS (
+          SELECT query_id, doc_id, CAST(sum(tt) AS BIGINT) AS rrf_micro,
+            count(*) AS n_arms
+          FROM terms GROUP BY 1, 2
+        ), ranked AS (
+          SELECT query_id, doc_id, rrf_micro, n_arms,
+            row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS rank
+          FROM fused
+        )
+        SELECT r.query_id, r.rank, r.doc_id, r.rrf_micro, r.n_arms,
+          COALESCE(l.rank, -1) AS lex_rank,
+          COALESCE(v.rank, -1) AS vec_rank
+        FROM ranked r
+        LEFT JOIN lex l ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+        LEFT JOIN vec v ON v.query_id = r.query_id AND v.doc_id = r.doc_id
+        WHERE r.rank <= 5
+      """.stripMargin.trim)),
+
     // ── X59: temperature-scaled mixture sampling
     //    (Pipeline.temperatureSample) — the mT5/XLM alpha-sampling rule
     //    with alpha=0.5 via sqrt (correctly-rounded IEEE, so the

@@ -512,6 +512,26 @@ class AnnSpec extends SparkSpec {
       spark, path, Seq(0L, 4L).toDF("vec_id"), "vec_id") == 0L)
   }
 
+  test("rrfFuse: hand-computed nano-unit fusion, arm overlap wins, ties to min doc") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("query_id", "doc_id", "rank")
+    val got = graft.similarity.Hybrid.rrfFuse(Seq(lex, vec), topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).sortBy(_._5)
+    // round(1e9/61) = 16393443, round(1e9/62) = 16129032
+    assert(got.toSeq == Seq(
+      (1L, 11L, 16393443L + 16129032L, 2L, 1), // both arms -> wins
+      (1L, 10L, 16393443L, 1L, 2),             // lex rank 1 beats vec rank 2
+      (1L, 12L, 16129032L, 1L, 3)))
+    // exact tie (same rank, different arms) breaks to the smaller doc id
+    val a = Seq((7L, 5L, 3)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((7L, 4L, 3)).toDF("query_id", "doc_id", "rank")
+    val tie = graft.similarity.Hybrid.rrfFuse(Seq(a, b), topK = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(4))).sortBy(_._2)
+    assert(tie.toSeq == Seq((4L, 1), (5L, 2)))
+  }
+
   test("int8 quantization: codes bounded, zero vector safe, high cosine fidelity") {
     import spark.implicits._
     val df = Seq(
