@@ -294,6 +294,37 @@ object Hnsw {
     n
   }
 
+  /** Rebuild the index over the survivors and clear the tombstone list —
+    * the documented high-tombstone policy ([[deleteFromIndex]]): once a
+    * meaningful fraction of nodes is tombstoned, every search pays beam
+    * slots for routing-only nodes; a rebuild restores full recall at the
+    * original efSearch. Reads the survivor vectors from the index
+    * itself (no external corpus needed), rebuilds with the SAME meta
+    * parameters (shard function, m, efConstruction, level seed — levels
+    * are a pure id function, so survivor levels are unchanged), and
+    * drops the tombstone list. Returns the number of survivors indexed.
+    */
+  def rebuildWithoutTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val ts = readTombstones(spark, path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val survivors = spark.read.parquet(s"$path/nodes")
+      .select(col("id").cast("long").as("vec_id"),
+        col("vec").cast("array<double>").as("embedding"))
+      .filter(!col("vec_id").isInCollection(
+        if (ts.isEmpty) Seq(-1L) else ts.toSeq))
+      .localCheckpoint(true) // pinned: the rewrite replaces its source
+    val n = survivors.count()
+    writeIndex(survivors, "embedding", "vec_id", path,
+      numShards = meta.getAs[Int]("num_shards"), m = meta.getAs[Int]("m"),
+      efConstruction = meta.getAs[Int]("ef_construction"),
+      levelSeed = meta.getAs[Long]("level_seed"))
+    val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tsPath)) fs.delete(tsPath, true)
+    n
+  }
+
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String): Set[Long] = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")

@@ -510,6 +510,21 @@ class AnnSpec extends SparkSpec {
     // re-deleting is a no-op
     assert(graft.similarity.Hnsw.deleteFromIndex(
       spark, path, Seq(0L, 4L).toDF("vec_id"), "vec_id") == 0L)
+    // the high-tombstone policy: rebuild over survivors, tombstones gone
+    val n = graft.similarity.Hnsw.rebuildWithoutTombstones(spark, path)
+    assert(n == 95L, s"rebuilt over $n survivors")
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val storedIds = spark.read.parquet(s"$path/nodes")
+      .select("id").as[Long].collect().toSet
+    assert(storedIds == (5L until 100L).toSet)
+    val res2 = graft.similarity.Hnsw.searchIndex(
+      spark, path, queries, "embedding", "vec_id", k, efSearch = 64)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val recall2 = (exact & res2).size.toDouble / exact.size
+    assert(recall2 >= 0.9, s"post-rebuild recall $recall2")
+    // rebuild routes differently (no waypoints), so exact equality with
+    // the tombstone-filtered results is NOT the contract — recall is
+    assert(res2.forall(_._2 >= 5L))
   }
 
   test("rrfFuse: hand-computed nano-unit fusion, arm overlap wins, ties to min doc") {
