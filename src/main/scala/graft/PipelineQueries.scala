@@ -1972,6 +1972,55 @@ object PipelineQueries {
         FROM top JOIN est USING (w)
       """.stripMargin.trim)),
 
+    // ── X140: cross-modality integrity report — the feature-store
+    //    consistency artifact beside x105's snapshot diff: every doc is
+    //    supposed to carry an embedding, and silent gaps (failed encode
+    //    jobs, partial backfills) skew every downstream ANN/dedup stage
+    //    that assumes coverage. One id-keyed LEFT join (ids only — text
+    //    and vectors never shuffle together; the norm is computed
+    //    corpus-side before the join), per-source coverage counts plus
+    //    the matched vectors' norm mass in integer micro-units (the
+    //    x119 device — exact BIGINT sums, no distributed-double-sum
+    //    hazard). The vec_id % 9 != 0 filter injects a deterministic
+    //    coverage gap so the report's missing-count path is exercised;
+    //    production passes the store unfiltered. FULL oracle ──
+    QueryDef(
+      "x140_modality_integrity",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val v = col("embedding").cast("array<double>")
+        val nm = Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 9 =!= 0) // injected backfill gap
+          .select(col("vec_id"),
+            round(sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)) * 1e6, 0)
+              .cast("long").as("nmic"))
+        docs.select(col("doc_id"), col("source"))
+          .join(nm, col("vec_id") === col("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("vec_id")).as("n_with_vec"),
+            (count(lit(1)) - count(col("vec_id"))).as("n_missing_vec"),
+            coalesce(sum(col("nmic")), lit(0L)).as("sum_norm_micro"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id % 9 <> 0
+        ), nm AS (
+          SELECT vec_id,
+            CAST(round(sqrt(list_reduce(list_transform(v, x -> x * x),
+              (a, b) -> a + b)) * 1000000) AS BIGINT) AS nmic
+          FROM e
+        )
+        SELECT d.source,
+          count(*) AS n_docs,
+          count(nm.vec_id) AS n_with_vec,
+          count(*) - count(nm.vec_id) AS n_missing_vec,
+          CAST(coalesce(sum(nmic), 0) AS BIGINT) AS sum_norm_micro
+        FROM documents d LEFT JOIN nm ON nm.vec_id = d.doc_id
+        GROUP BY d.source
+      """.stripMargin.trim)),
+
     // ── X76: HyperLogLog distinct-count sketch (functions.Hll) — the
     //    mergeable cardinality sketch beside x74's frequency sketch,
     //    per-source distinct-token estimates vs exact counts. The md5

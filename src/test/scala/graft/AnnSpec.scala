@@ -475,6 +475,20 @@ class AnnSpec extends SparkSpec {
     // double-deletion is a no-op
     assert(graft.similarity.Ivf.deleteFromIndex(
       spark, path, toErase, "vec_id", "embedding") == 0L)
+    // format-agnostic: the same erasure works on a PQ-coded index (kept
+    // rows carry nibble codes + recon norms through the rewrite intact)
+    val pqPath = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_delete_spec"
+    graft.similarity.Ivf.writeIndex(df, "embedding", "vec_id", pqPath,
+      nlist = 10, seed = 7L, pqM = 4, pqK = 8)
+    assert(graft.similarity.Ivf.deleteFromIndex(
+      spark, pqPath, toErase, "vec_id", "embedding") == 5L)
+    val pqIds = spark.read.parquet(s"$pqPath/corpus")
+      .select("__cid").as[Long].collect().toSet
+    assert(pqIds == (5L until 100L).toSet)
+    val pqRes = rows(graft.similarity.Ivf.cosineTopKIndexed(
+      spark, pqPath, queries, "embedding", "vec_id", k, nprobe = 10))
+    assert(pqRes.forall { case (_, _, nb) => nb >= 5L },
+      "a deleted id surfaced from the PQ index after erasure")
   }
 
   test("Hnsw tombstones: deleted ids route but never emit; graph files untouched") {
