@@ -413,6 +413,84 @@ object JoinQueries {
         GROUP BY 1
       """.stripMargin.trim)),
 
+    // ── X141: key-based MERGE INTO (sources/Upsert.scala) — the
+    //    re-crawl corpus update: updated docs replace their base rows,
+    //    new docs insert, and a MOVED doc (its partition value changed)
+    //    must not leave a stale copy behind — the merge locates every
+    //    update key's CURRENT partition with an ids-only column-pruned
+    //    base scan and rewrites the union of current+target partitions
+    //    (drop-then-append; untouched partition dirs byte-identical).
+    //    The update set exercises all three paths at once: % 11 texts
+    //    rewritten in place, % 13 = 5 docs moved to a new source,
+    //    doc_id+1000000 inserts under a fresh source (overlaps take both
+    //    effects in ONE update row — no double-key ambiguity). The merge
+    //    is applied TWICE: idempotence is require()-pinned (second pass
+    //    updates the same keys, inserts zero) and the hashed output is
+    //    the final table state per source. FULL oracle: the merged view
+    //    replays as set arithmetic over `documents` ──
+    QueryDef(
+      "x141_upsert_corpus",
+      (s, dir) => {
+        import graft.sources.Upsert
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_upsert_$tag"
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        docs.repartition(col("source"))
+          .write.mode("overwrite").partitionBy("source").parquet(path)
+        val upd = docs
+          .filter(col("doc_id") % 11 === 0 || col("doc_id") % 13 === 5)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .withColumn("source",
+            when(col("doc_id") % 13 === 5, lit("moved"))
+              .otherwise(col("source")))
+        val ins = docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("fresh").as("source"))
+        val batch = upd.unionByName(ins).localCheckpoint()
+        val nUpd = upd.count()
+        val nIns = ins.count()
+        val (u1, i1) = Upsert.mergeInto(s, path, batch, "doc_id", "source")
+        require(u1 == nUpd && i1 == nIns,
+          s"first merge: updated $u1/$nUpd, inserted $i1/$nIns")
+        // idempotence: the second pass replaces identical content and
+        // inserts nothing — every prior insert is now an update
+        val (u2, i2) = Upsert.mergeInto(s, path, batch, "doc_id", "source")
+        require(u2 == nUpd + nIns && i2 == 0L,
+          s"re-merge not idempotent: updated $u2, inserted $i2")
+        s.read.parquet(path)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("text_crc_sum"))
+      },
+      Some("""
+        WITH upd AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text,
+            CASE WHEN doc_id % 13 = 5 THEN 'moved' ELSE source END AS source
+          FROM documents WHERE doc_id % 11 = 0 OR doc_id % 13 = 5
+        ), ins AS (
+          SELECT doc_id + 1000000 AS doc_id, text, 'fresh' AS source
+          FROM documents WHERE doc_id % 7 = 1
+        ), allupd AS (
+          SELECT * FROM upd UNION ALL SELECT * FROM ins
+        ), merged AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM allupd)
+          UNION ALL
+          SELECT doc_id, text, source FROM allupd
+        )
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS BIGINT)
+            AS text_crc_sum
+        FROM merged GROUP BY source
+      """.stripMargin.trim)),
+
     // ── X89: small-file compaction (Partitioned.compact) — the lake
     //    maintenance job every streaming/partitioned ingest needs: a
     //    deliberately fragmented layout (32 writer tasks × per-type

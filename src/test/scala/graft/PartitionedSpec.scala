@@ -40,4 +40,44 @@ class PartitionedSpec extends SparkSpec {
     val b = Partitioned.scan(spark, dst).collect().map(_.toString).sorted
     assert(a.sameElements(b))
   }
+
+  test("Upsert.mergeInto: update, insert, cross-partition move; drained dirs vanish; idempotent") {
+    import spark.implicits._
+    import graft.sources.Upsert
+    val path = Scratch.sub(s"upsert_${java.util.UUID.randomUUID()}")
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "c", 40.0), (5L, "e", 50.0))
+      .toDF("k", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    def fileSet(p: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val untouchedBefore = fileSet(s"$path/part=e")
+    // 2 updates in place, 3 MOVES b -> c (b drains to empty), 9 inserts
+    val batch = Seq((2L, "a", 21.0), (3L, "c", 31.0), (9L, "d", 90.0))
+      .toDF("k", "part", "v")
+    val (u1, i1) = Upsert.mergeInto(spark, path, batch, "k", "part")
+    assert((u1, i1) == (2L, 1L), s"got ($u1, $i1)")
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[String]("part"))).toSet
+    assert(rows == Set((1L, 10.0, "a"), (2L, 21.0, "a"), (3L, 31.0, "c"),
+      (4L, 40.0, "c"), (5L, 50.0, "e"), (9L, 90.0, "d")),
+      s"merged table wrong: $rows")
+    // the drained partition is GONE, not a stale-file husk
+    assert(!new java.io.File(s"$path/part=b").exists(),
+      "moved-out partition left stale files")
+    // the untouched partition is byte-identical
+    assert(fileSet(s"$path/part=e") == untouchedBefore)
+    // idempotence: same batch again — all three now update, nothing inserts
+    val (u2, i2) = Upsert.mergeInto(spark, path, batch, "k", "part")
+    assert((u2, i2) == (3L, 0L), s"got ($u2, $i2)")
+    val rows2 = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getAs[String]("part"))).toSet
+    assert(rows2 == rows, "re-merge changed the table")
+  }
 }
