@@ -491,6 +491,91 @@ object JoinQueries {
         FROM merged GROUP BY source
       """.stripMargin.trim)),
 
+    // ── X142: streaming CDC apply loop — x141's MERGE driven by a real
+    //    Structured Streaming foreachBatch (the Kafka-CDC-consumer
+    //    shape; the ingest-matrix discipline of x45/x122/x126/x46/x123
+    //    applied to the newest lifecycle op): three update micro-batches
+    //    — in-place text rewrites, cross-partition moves, inserts —
+    //    apply sequentially against the partitioned base table, then
+    //    batch A is RE-DELIVERED: MERGE is idempotent by construction
+    //    (replacing a row with identical content), so the re-delivery
+    //    require()-pins updated = |A|, inserted = 0 and the hashed final
+    //    state is unchanged. Batches are key-disjoint (A excludes the
+    //    movers), so last-writer sequencing equals set arithmetic and
+    //    the FULL oracle is one merged view over `documents` ──
+    QueryDef(
+      "x142_stream_cdc_apply",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import graft.sources.Upsert
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_cdc_$tag"
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        docs.repartition(col("source"))
+          .write.mode("overwrite").partitionBy("source").parquet(path)
+        val rows = docs.as[(Long, String, String)].collect()
+        val a = rows.filter(r => r._1 % 11 == 0 && r._1 % 13 != 5)
+          .map(r => (r._1, r._2 + " v2", r._3))
+        val b = rows.filter(_._1 % 13 == 5).map(r => (r._1, r._2, "moved"))
+        val c = rows.filter(_._1 % 7 == 1)
+          .map(r => (r._1 + 1000000L, r._2, "fresh"))
+        val applied = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val mem = MemoryStream[(Long, String, String)]
+        val q = mem.toDF().toDF("doc_id", "text", "source").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            applied += Upsert.mergeInto(s, path, batch, "doc_id", "source")
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x142_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          Seq(a, b, c, a).foreach { batch => // 4th = re-delivery of A
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x142 stream exceeded its 120s deadline")
+            mem.addData(batch.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        require(applied.toSeq == Seq(
+          (a.length.toLong, 0L), (b.length.toLong, 0L),
+          (0L, c.length.toLong), (a.length.toLong, 0L)),
+          s"CDC apply counts wrong: $applied")
+        s.read.parquet(path)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("text_crc_sum"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT doc_id, text || ' v2' AS text, source FROM documents
+          WHERE doc_id % 11 = 0 AND doc_id % 13 <> 5
+        ), b AS (
+          SELECT doc_id, text, 'moved' AS source FROM documents
+          WHERE doc_id % 13 = 5
+        ), c AS (
+          SELECT doc_id + 1000000 AS doc_id, text, 'fresh' AS source
+          FROM documents WHERE doc_id % 7 = 1
+        ), allupd AS (
+          SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+        ), merged AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM allupd)
+          UNION ALL
+          SELECT doc_id, text, source FROM allupd
+        )
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS BIGINT)
+            AS text_crc_sum
+        FROM merged GROUP BY source
+      """.stripMargin.trim)),
+
     // ── X89: small-file compaction (Partitioned.compact) — the lake
     //    maintenance job every streaming/partitioned ingest needs: a
     //    deliberately fragmented layout (32 writer tasks × per-type
