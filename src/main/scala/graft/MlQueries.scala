@@ -13,10 +13,11 @@ import graft.ml._
   * ensemble is bounded driver state whose exact decision function
   * replays as nested CASE literals), and the SVM family (D3 ×3) via the
   * whole-pipeline margin replay (`SvmSql` — scaler, kernel map and
-  * per-class LinearSVC exported as literals). Only the hyper-searches
-  * (whole CV loops) stay rows-only per the contract; semantic parity for
-  * those is covered by `DetectorsSpec` on the FIXTURES `clf-blobs`
-  * scenario.
+  * per-class LinearSVC exported as literals). The hyper-searches (whole
+  * CV loops) carry trial-log thunk oracles: the per-trial metrics are
+  * pinned as literals and DuckDB independently replays the winner
+  * selection; semantic parity of the search itself is covered by
+  * `DetectorsSpec` on the FIXTURES `clf-blobs` scenario.
   *
   * Sizing note: each query trains a deliberately small model — the point
   * is end-to-end distributed fit/predict through the driver harness, not
@@ -71,6 +72,58 @@ object MlQueries {
       det.fittedClassifierStage
         .asInstanceOf[org.apache.spark.ml.classification.GBTClassificationModel],
       det.labelDomain, where)
+
+  /** Trial logs stashed by the d8 runs for their thunk oracles. */
+  @volatile private var d8Log: Map[String, Seq[(Int, Map[String, Any], Double)]] =
+    Map.empty
+
+  /** Canonical rendering of the d8 CV metric — ONE function produces both
+    * the Spark output string and the oracle literal, so cross-engine
+    * float formatting can never diverge.
+    */
+  private def fmt6(d: Double): String =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+
+  /** The d8 selection report: best params + CV accuracy of the winning
+    * trial, with the run's trial history stashed for the thunk oracle.
+    */
+  private def d8Report(s: SparkSession, name: String, det: FaultDetector): DataFrame = {
+    d8Log += name -> det.trialLog
+    import s.implicits._
+    (det.bestParams.toSeq.sortBy(_._1).map { case (k, v) => (k, v.toString) } :+
+      ("cv_accuracy" -> det.cvAccuracy.map(fmt6).getOrElse("")))
+      .toDF("param", "best_value")
+  }
+
+  /** d8 thunk oracle (the x118 device): the per-trial metrics are whole
+    * CV/validation loops — not ANSI-expressible — so they are pinned as
+    * literals, and DuckDB independently replays the SELECTION: winner =
+    * metric desc, trial index asc (each search path's documented
+    * tie-break), then the report unpivot. The metric string is
+    * pre-rendered with [[fmt6]] on both sides.
+    */
+  private def d8OracleSql(name: String): Option[String] =
+    d8Log.get(name).filter(_.nonEmpty).map { log =>
+      val paramNames = log.head._2.keys.toSeq.sorted
+      val cols = paramNames.indices.map(j => s"p$j")
+      val vals = log.map { case (i, pt, m) =>
+        val ps = paramNames.map(p => s"'${pt(p).toString}'").mkString(", ")
+        s"($i, $ps, CAST($m AS DOUBLE), '${fmt6(m)}')"
+      }.mkString(",\n          ")
+      val unpivot = (paramNames.zip(cols).map { case (p, c) =>
+        s"SELECT '$p' AS param, $c AS best_value FROM w"
+      } :+ "SELECT 'cv_accuracy' AS param, ms AS best_value FROM w")
+        .mkString("\n        UNION ALL\n        ")
+      s"""
+        WITH trials(i, ${cols.mkString(", ")}, metric, ms) AS (VALUES
+          $vals
+        ), w AS (
+          SELECT * FROM trials ORDER BY metric DESC, i ASC LIMIT 1
+        )
+        $unpivot
+      """.stripMargin.trim
+    }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -223,7 +276,9 @@ object MlQueries {
       },
       () => treeReplay.get("d7_catboost_detector")),
 
-    // ── D8: seeded random-search CV; output = best point + CV accuracy ──
+    // ── D8: seeded random-search CV; output = best point + CV accuracy.
+    //    FULL oracle via the trial-log thunk: metrics pinned as literals,
+    //    DuckDB replays the selection (metric desc, trial asc) ──
     QueryDef(
       "d8_hyper_search",
       (s, dir) => {
@@ -235,15 +290,14 @@ object MlQueries {
             "max_depth" -> Seq(2, 6)),
           nIter = 3, cvFolds = 3, randomState = 42L)
         det.fit(train, "embedding", "label", optimize = true)
-        import s.implicits._
-        det.bestParams.toSeq.sortBy(_._1)
-          .map { case (k, v) => (k, v.toString) }
-          .toDF("param", "best_value")
+        d8Report(s, "d8_hyper_search", det)
       },
-      None),
+      () => d8OracleSql("d8_hyper_search")),
 
     // ── D8b: adaptive hyper-search — seeded successive halving (the
-    //    Optuna-TPE capability stand-in; same output schema as d8) ──
+    //    Optuna-TPE capability stand-in; same output schema as d8). FULL
+    //    oracle: the final rung's scores pinned, DuckDB replays the
+    //    survivor argmax ──
     QueryDef(
       "d8_hyper_adaptive",
       (s, dir) => {
@@ -255,15 +309,14 @@ object MlQueries {
             "max_depth" -> Seq(2, 6)),
           nIter = 4, randomState = 42L)
         det.fitSuccessiveHalving(train, "embedding", "label")
-        import s.implicits._
-        det.bestParams.toSeq.sortBy(_._1)
-          .map { case (k, v) => (k, v.toString) }
-          .toDF("param", "best_value")
+        d8Report(s, "d8_hyper_adaptive", det)
       },
-      None),
+      () => d8OracleSql("d8_hyper_adaptive")),
 
     // ── D8c: TPE hyper-search (seeded Parzen-estimator proposals — the
-    //    reference's search_method='optuna' path; same output schema) ──
+    //    reference's search_method='optuna' path; same output schema).
+    //    FULL oracle: all observed trials pinned, DuckDB replays the
+    //    best-trial argmax ──
     QueryDef(
       "d8_hyper_tpe",
       (s, dir) => {
@@ -275,11 +328,8 @@ object MlQueries {
             "max_depth" -> Seq(2, 6)),
           nIter = 6, randomState = 42L)
         det.fitTpe(train, "embedding", "label", nStartup = 3)
-        import s.implicits._
-        det.bestParams.toSeq.sortBy(_._1)
-          .map { case (k, v) => (k, v.toString) }
-          .toDF("param", "best_value")
+        d8Report(s, "d8_hyper_tpe", det)
       },
-      None)
+      () => d8OracleSql("d8_hyper_tpe"))
   )
 }

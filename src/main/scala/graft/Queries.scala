@@ -63,6 +63,18 @@ object Queries {
     */
   @volatile private var x117Centroids: Option[Array[Array[Double]]] = None
 
+  /** Realized quality order stashed by the x118 run for its thunk oracle:
+    * doc_ids in selection order (rounded-score desc, doc_id asc). The
+    * order KEY is the one quantity a DuckDB replay cannot reproduce
+    * bit-exactly — it is a sigmoid of logs (JVM `StrictMath.exp` vs
+    * libm), and when two docs' raw scores straddle a 6-decimal rounding
+    * boundary even the ROUNDED keys disagree (r10+r11's one red row).
+    * So the order is pinned as literals and DuckDB independently replays
+    * everything downstream of it: the per-doc token model, the ROWS-frame
+    * cumulative sum, the budget aggregate and the cutoff.
+    */
+  @volatile private var x118Order: Option[Seq[Long]] = None
+
   /** x73 thunk oracle: replay the NSW greedy beam search in a DuckDB
     * recursive CTE. The interpolated state is the graph STRUCTURE only
     * (id, shard, neighbor list — what the index persisted); vectors,
@@ -983,14 +995,17 @@ object Queries {
     //    tie-break), exact distributed prefix sum of the x25 token
     //    model, cutoff at floor(total/2). The running total comes from
     //    the range-sort + two-pass offset device, NOT a single-task
-    //    global window. FULL oracle: DuckDB replays the score, the
-    //    ROWS-frame cumulative sum and the budget cut. The ORDER KEY is
-    //    the score rounded to 6 decimals (the x58 device, r10's one red
-    //    row): the raw sigmoid is libm exp under DuckDB vs JVM exp here,
-    //    and a last-ulp disagreement between engines swaps adjacent docs
-    //    in the full-precision total order, shifting their running sums
-    //    while counts stay equal. Rounding both engines' keys makes the
-    //    order engine-portable; doc_id still breaks exact-key ties. ──
+    //    global window. FULL oracle via the fitted-state thunk (the
+    //    x39/x40 device): the ORDER KEY is a sigmoid of logs, and
+    //    JVM-vs-libm last-ulp disagreement can move the raw scores
+    //    across a 6-decimal ROUNDING boundary — so even rounded keys
+    //    diverge between engines (r10+r11's one red row; rounding
+    //    narrows the hazard, it cannot remove it). The run stashes the
+    //    realized order (doc_id ranks) as literals; DuckDB then
+    //    independently replays the token model, the ROWS-frame
+    //    cumulative sum, the budget aggregate and the cutoff — the
+    //    prefix-sum machinery stays honestly oracled while the libm
+    //    dependence disappears. ──
     QueryDef(
       "x118_token_budget_select",
       (s, dir) => {
@@ -998,6 +1013,12 @@ object Queries {
         val scored = TextOps.qualityScore(docs, "text", "__q")
           .withColumn("__tok", TextOps.bpeishTokenCount(col("text")))
           .select(col("doc_id"), col("__q"), col("__tok"))
+        // stash the realized total order for the thunk oracle (driver
+        // state is one long per doc — oracle support, not query state)
+        x118Order = Some(scored
+          .select(col("doc_id"))
+          .orderBy(round(col("__q"), 6).desc, col("doc_id").asc)
+          .collect().map(_.getLong(0)).toSeq)
         val run = graft.operators.PrefixSum.runningTotal(scored,
           Seq(round(col("__q"), 6).desc, col("doc_id").asc), "__tok", "running")
         val budget = broadcast(scored.agg(
@@ -1006,31 +1027,28 @@ object Queries {
           .filter(col("running") <= col("__budget"))
           .select(col("doc_id"), col("__tok").as("tokens"), col("running"))
       },
-      Some(s"""
-        WITH t AS (
+      () => x118Order.map { ord =>
+        val vals = ord.zipWithIndex
+          .map { case (id, i) => s"($id, ${i + 1})" }
+          .mkString(",\n          ")
+        s"""
+        WITH ord(doc_id, rk) AS (VALUES
+          $vals
+        ), t AS (
           SELECT doc_id,
-            CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS ntok,
-            CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-              x -> x IN (${TextOps.langStopwords.flatMap(_._2).distinct.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop,
-            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS npunct,
-            CAST(length(text) AS DOUBLE) AS nchar,
             list_aggregate(list_transform(string_split_regex(trim(text), '\\s+'),
               w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum') AS tok
           FROM documents
-        ), q AS (
-          SELECT doc_id, tok,
-            1 / (1 + exp(-(0.2 * ln(1 + ntok) + 2 * (nstop / greatest(ntok, 1))
-              - 8 * (npunct / greatest(nchar, 1)) - 1))) AS score
-          FROM t
         ), r AS (
-          SELECT doc_id, tok, sum(tok) OVER (ORDER BY round(score, 6) DESC, doc_id
+          SELECT t.doc_id, t.tok, sum(t.tok) OVER (ORDER BY o.rk
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-          FROM q
+          FROM t JOIN ord o ON o.doc_id = t.doc_id
         ), g AS (
-          SELECT CAST(floor(sum(tok) / 2.0) AS BIGINT) AS budget FROM q
+          SELECT CAST(floor(sum(tok) / 2.0) AS BIGINT) AS budget FROM t
         )
         SELECT doc_id, tok AS tokens, running FROM r, g WHERE running <= budget
-      """.stripMargin.trim)),
+        """.stripMargin.trim
+      }),
 
     // ── X113: hard-negative mining (Ann.hardNegatives) — the
     //    contrastive-training data-prep step: per anchor, the top-k

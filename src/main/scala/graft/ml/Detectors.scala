@@ -43,6 +43,15 @@ abstract class FaultDetector(
   var bestParams: Map[String, Any] = Map.empty
   /** CV accuracy of the best point (reference `avgMetrics` analogue). */
   var cvAccuracy: Option[Double] = None
+  /** Trial history of the LAST selection round — `(trial index, point,
+    * metric)` for every candidate the final argmax chose among: all CV
+    * points for `fit(optimize)`, the final rung for successive halving,
+    * every observed trial for TPE. Exists so the d8 oracles can pin the
+    * (non-ANSI) metrics as literals while DuckDB independently replays
+    * the selection rule — metric desc, trial index asc (each search
+    * path's documented tie-break).
+    */
+  var trialLog: Seq[(Int, Map[String, Any], Double)] = Nil
 
   /** The final classifier stage for `k` classes (possibly OneVsRest). */
   protected def buildClassifier(k: Int): PipelineStage
@@ -167,7 +176,10 @@ abstract class FaultDetector(
         .setSeed(randomState)
         .setParallelism(8)
       val cvm = cv.fit(prep)
+      // maxBy keeps the FIRST max → tie-break = metric desc, index asc
       val best = cvm.avgMetrics.zipWithIndex.maxBy(_._1)._2
+      trialLog = points.zipWithIndex.map { case (pt, i) =>
+        (i, pt, cvm.avgMetrics(i)) }
       bestParams = points(best)
       cvAccuracy = Some(cvm.avgMetrics(best))
       pipelineModel = Some(cvm.bestModel.asInstanceOf[PipelineModel])
@@ -236,6 +248,7 @@ abstract class FaultDetector(
       }
       sampleC.unpersist(blocking = false)
       lastScores = scored.map { case (_, idx, acc) => idx -> acc }.toMap
+      trialLog = scored.map { case (pt, idx, acc) => (idx, pt, acc) }
       val keep = math.max(1, math.ceil(alive.length.toDouble / eta).toInt)
       // accuracy desc, sampled index asc as the deterministic tie-break
       alive = scored.sortBy { case (_, idx, acc) => (-acc, idx) }
@@ -301,6 +314,7 @@ abstract class FaultDetector(
       observed += (pt -> runTrial(pt))
     }
     val bestIdx = observed.zipWithIndex.minBy { case ((_, a), i) => (-a, i) }._2
+    trialLog = observed.toSeq.zipWithIndex.map { case ((pt, a), i) => (i, pt, a) }
     bestParams = observed(bestIdx)._1
     cvAccuracy = Some(observed(bestIdx)._2)
     pipelineModel = Some(fitAt(prep, k, bestParams))
