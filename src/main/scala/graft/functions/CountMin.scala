@@ -29,8 +29,12 @@ object CountMin {
       lit(seed.toString), lit(row.toString), key)), 1, 8), 16, 10)
       .cast("long"), lit(width.toLong))
 
-  /** Build the sketch over a key column: `(__row, __bucket, __count)`,
-    * at most `depth × width` rows.
+  /** Build the sketch over a key column: `(__row, __bucket, __count,
+    * __depth, __width, __seed)`, at most `depth × width` rows. The
+    * parameter triple travels WITH the counters (the reference-style
+    * sketch-format posture: persisted sketch files are self-describing),
+    * so a later [[merge]] or [[estimate]] can verify it instead of
+    * trusting caller-passed values.
     */
   def sketch(
       df: DataFrame, keyCol: String,
@@ -42,6 +46,9 @@ object CountMin {
       .select(col("__rb.__row").as("__row"), col("__rb.__bucket").as("__bucket"))
       .groupBy(col("__row"), col("__bucket"))
       .agg(count(lit(1)).as("__count"))
+      .withColumn("__depth", lit(depth))
+      .withColumn("__width", lit(width))
+      .withColumn("__seed", lit(seed))
   }
 
   /** Merge sketches built with identical `(depth, width, seed)`: CMS is
@@ -51,13 +58,25 @@ object CountMin {
     * rescanning any text. Same persisted-rollup contract as
     * [[Hll.merge]], but exact rather than register-max: the merged
     * counters are bit-identical to a direct build over the union, which
-    * is what x131 require()-checks at runtime.
+    * is what x131 require()-checks at runtime. Inputs carrying DIFFERENT
+    * parameter triples (mixed-generation sketch files) would add
+    * unrelated counters into silently wrong cells — rejected loudly via
+    * the persisted `__depth/__width/__seed` columns (one bounded
+    * aggregate over ≤ n·depth·width counter rows).
     */
   def merge(sketches: Seq[DataFrame]): DataFrame = {
     require(sketches.nonEmpty, "nothing to merge")
-    sketches.reduce(_ unionByName _)
-      .groupBy(col("__row"), col("__bucket"))
-      .agg(sum(col("__count")).as("__count"))
+    val all = sketches.reduce(_ unionByName _)
+    val metas = all.select(col("__depth"), col("__width"), col("__seed"))
+      .distinct().limit(3).collect()
+    require(metas.length == 1,
+      s"merge over sketches with different (depth, width, seed): " +
+        metas.map(r => (r.get(0), r.get(1), r.get(2))).mkString(", "))
+    all.groupBy(col("__row"), col("__bucket"))
+      .agg(sum(col("__count")).as("__count"),
+        first(col("__depth")).as("__depth"),
+        first(col("__width")).as("__width"),
+        first(col("__seed")).as("__seed"))
   }
 
   /** Point estimates for a probe-key frame against a built sketch:
@@ -70,6 +89,17 @@ object CountMin {
       probes: DataFrame, keyCol: String, cms: DataFrame,
       depth: Int, width: Int, seed: Long): DataFrame = {
     require(depth > 0 && width > 0, s"need depth>0, width>0: $depth $width")
+    // probe coordinates must be computed with the SKETCH's parameters —
+    // verify the caller's triple against the persisted one
+    if (cms.columns.contains("__depth")) {
+      val metas = cms.select(col("__depth"), col("__width"), col("__seed"))
+        .distinct().limit(3).collect()
+      require(metas.length == 1 && metas.head.getInt(0) == depth &&
+        metas.head.getInt(1) == width && metas.head.getLong(2) == seed,
+        s"estimate params ($depth, $width, $seed) do not match the " +
+          s"sketch's persisted (depth, width, seed): " +
+          metas.map(r => (r.get(0), r.get(1), r.get(2))).mkString(", "))
+    }
     val coords = probes
       .select(col(keyCol), explode(array((0 until depth).map(r =>
         struct(lit(r).as("__row"),

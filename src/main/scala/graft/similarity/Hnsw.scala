@@ -33,6 +33,24 @@ object Hnsw {
 
   private val MaxQueries = 100000L
 
+  /** Hard per-shard row bound. Every shard's layered graph — vectors,
+    * norms, per-layer adjacency — is built and searched IN EXECUTOR
+    * MEMORY (the per-shard-graph contract of production vector stores),
+    * so shard size is a memory budget, not a soft knob: at 128-dim
+    * double vectors, 1M rows ≈ 1 GB of vectors plus O(m) adjacency per
+    * layer. Exceeding the bound fails loudly instead of OOM-ing an
+    * executor mid-build. Sizing guideline: `numShards ≈ corpusRows /
+    * 500_000` keeps shards at half the bound with room for beam state;
+    * searches fan out to ALL shards, so prefer more, smaller shards
+    * until the per-query `shards × ef` distance budget dominates.
+    */
+  val MaxShardRows: Int = 1000000
+
+  /** Effective bound — a test seam so the guard is exercisable without
+    * a million-row build; production code never reassigns it.
+    */
+  private[graft] var shardRowBound: Int = MaxShardRows
+
   /** Geometric level for a node id: `floor(−ln(u) · 1/ln(M))` with
     * `u = U(0,1)` drawn from the id — P(level ≥ l) = M^(−l), the
     * published distribution, reproducible on any cluster.
@@ -51,6 +69,9 @@ object Hnsw {
       val levels: Array[Int],
       val m: Int,
       val efConstruction: Int) {
+    require(ids.length <= shardRowBound,
+      s"HNSW shard holds ${ids.length} rows > MaxShardRows=$shardRowBound " +
+        "— raise numShards (see the MaxShardRows scaladoc)")
     val norms: Array[Double] = vecs.map(v => math.sqrt(v.map(x => x * x).sum))
     val maxLevel: Int = if (levels.isEmpty) 0 else levels.max
     // adj(layer)(node) — nodes with level < layer keep empty lists
@@ -453,6 +474,15 @@ object Hnsw {
     * entry re-seeded as the prefix's max-level node, exactly what the
     * original insertion tracked). Deterministic end to end, so the
     * x112 walk-replay oracle applies unchanged to a grown index.
+    *
+    * Id hygiene: batch ids already present in the index are REJECTED
+    * loudly (a second graph node under the same id would silently
+    * shadow search results) — this includes tombstoned ids, which stay
+    * in the graph as routing waypoints; to re-admit an erased id, run
+    * [[rebuildWithoutTombstones]] first, then append. Batch ids found
+    * ONLY in the tombstone list (stale entries with no graph node) are
+    * cleared from `<path>/tombstones`, so the re-added vector is
+    * searchable rather than permanently filtered.
     */
   def appendToIndex(
       newRows: DataFrame,
@@ -478,6 +508,30 @@ object Hnsw {
       .select(col("id").cast("long"), col("vec").cast("array<double>"),
         col("layers").cast("array<array<bigint>>"), col("__shard").cast("int"),
         lit(false).as("__new"))
+    // a batch id already in the graph would become a duplicate node —
+    // fail loudly (shard = pure id hash, so any duplicate lands in a
+    // touched shard and this check sees it)
+    val dupes = batch.select(col("id"))
+      .join(resident.select(col("id")), Seq("id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(dupes.isEmpty,
+      s"appendToIndex: ids already present in the index (tombstoned ids " +
+        s"included — rebuildWithoutTombstones first): ${dupes.mkString(", ")}")
+    // stale tombstones (id erased AND gone from the graph, now re-added)
+    // must not keep filtering the fresh vector — clear them
+    val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val tsFs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (tsFs.exists(tsPath)) {
+      val ts = spark.read.parquet(s"$path/tombstones")
+      val stale = ts.join(batch.select(col("id")), Seq("id"), "left_semi").count()
+      if (stale > 0) {
+        val keep = ts.join(batch.select(col("id")), Seq("id"), "left_anti")
+          .coalesce(1).localCheckpoint(true)
+        tsFs.delete(tsPath, true)
+        if (keep.count() > 0)
+          keep.write.mode("overwrite").parquet(s"$path/tombstones")
+      }
+    }
     val updated = resident
       .unionByName(batch.withColumn("__new", lit(true)))
       .repartition(math.max(touched.length, 1), col("__shard"))

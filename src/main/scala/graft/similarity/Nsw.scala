@@ -36,6 +36,16 @@ object Nsw {
 
   private val MaxQueries = 100000L
 
+  /** Hard per-shard row bound — the [[Hnsw.MaxShardRows]] contract:
+    * each shard's graph lives in executor memory, so exceeding the
+    * bound fails loudly instead of OOM-ing mid-build. Guideline:
+    * `numShards ≈ corpusRows / 500_000`.
+    */
+  val MaxShardRows: Int = Hnsw.MaxShardRows
+
+  /** Effective bound — test seam, mirrors [[Hnsw.shardRowBound]]. */
+  private[graft] var shardRowBound: Int = MaxShardRows
+
   /** One shard's graph: id-sorted nodes + adjacency over node indices.
     * `insertFrom(i0)` runs the incremental NSW construction for indices
     * ≥ i0 (assumes the prefix is already linked); `search` is best-first
@@ -46,6 +56,9 @@ object Nsw {
       val vecs: Array[Array[Double]],
       val m: Int,
       val efConstruction: Int) {
+    require(ids.length <= shardRowBound,
+      s"NSW shard holds ${ids.length} rows > MaxShardRows=$shardRowBound " +
+        "— raise numShards (see Hnsw.MaxShardRows)")
     val norms: Array[Double] =
       vecs.map(v => math.sqrt(v.map(x => x * x).sum))
     val adj: Array[mutable.ArrayBuffer[Int]] =

@@ -72,8 +72,39 @@ object IncrementalNearDup {
   val DefaultBuckets = 64
 
   private def statePath(path: String) = s"$path/state"
+  private def metaPath(path: String) = s"$path/meta"
   private def isBandFile(f: String) = f.contains("__side=b")
   private def isSigFile(f: String) = f.contains("__side=s")
+
+  /** The index's structural LSH parameters, persisted at `<path>/meta`
+    * (the [[graft.similarity.Hnsw]] meta-file device) by the bootstrap
+    * ingest. Signatures, band keys and bucket directories are all pure
+    * functions of this quadruple — state written under one quadruple is
+    * unreadable garbage under another, so maintenance ops read THESE
+    * values instead of trusting caller-passed defaults, and ingest
+    * rejects a mismatched caller loudly.
+    */
+  private[graft] final case class LshMeta(
+      shingleN: Int, numHashes: Int, bands: Int, nBuckets: Int)
+
+  private[graft] def readMeta(
+      spark: SparkSession, path: String): Option[LshMeta] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(metaPath(path)).head()
+      Some(LshMeta(r.getAs[Int]("shingle_n"), r.getAs[Int]("num_hashes"),
+        r.getAs[Int]("bands"), r.getAs[Int]("n_buckets")))
+    }
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, m: LshMeta): Unit = {
+    import spark.implicits._
+    Seq((m.shingleN, m.numHashes, m.bands, m.nBuckets))
+      .toDF("shingle_n", "num_hashes", "bands", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+  }
 
   /** True iff an index has been written at `path`. */
   def indexExists(spark: SparkSession, path: String): Boolean = {
@@ -119,8 +150,12 @@ object IncrementalNearDup {
   def compactIndex(
       spark: SparkSession,
       path: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Option[Int] = None): Unit = {
     import org.apache.spark.sql.types._
+    val meta = readMeta(spark, path)
+    // target bucket count: explicit override > persisted > default —
+    // never a caller default silently diverging from the index's layout
+    val nb = nBuckets.orElse(meta.map(_.nBuckets)).getOrElse(DefaultBuckets)
     val snap = listFiles(spark, statePath(path))
     if (snap.isEmpty) return
     val bandSnap = snap.filter(isBandFile)
@@ -137,9 +172,9 @@ object IncrementalNearDup {
       else Some(spark.read.schema(schema).parquet(files: _*)
         .withColumn("__side", lit(tag)))
     val bands = side(bandSnap, bandSchema, "b")
-      .map(_.withColumn("__b", pmod(crc32(col("__khash")), lit(nBuckets))))
+      .map(_.withColumn("__b", pmod(crc32(col("__khash")), lit(nb))))
     val sigs = side(sigSnap, sigSchema, "s")
-      .map(_.withColumn("__b", pmod(crc32(col("__id").cast("string")), lit(nBuckets))))
+      .map(_.withColumn("__b", pmod(crc32(col("__id").cast("string")), lit(nb))))
     val all = (bands.toSeq ++ sigs.toSeq).reduce(_ unionAll _)
     val before = all.count()
     val pinned = all
@@ -150,6 +185,10 @@ object IncrementalNearDup {
     val after = spark.read.parquet(statePath(path)).count()
     require(after == before,
       s"compaction changed the index row set: $before -> $after rows")
+    // a re-bucketing compact changes the layout future bucket-pruned
+    // deletes navigate by — record it
+    meta.foreach(m => if (m.nBuckets != nb)
+      writeMeta(spark, path, m.copy(nBuckets = nb)))
   }
 
   /** Delete documents from the persisted index — the right-to-be-
@@ -166,6 +205,13 @@ object IncrementalNearDup {
     * byte-identical. Returns the number of docs whose state was
     * actually removed (ids present in the index; docs that were
     * DROPPED at ingest have no state and count zero).
+    *
+    * The LSH parameters come from the index's persisted meta when
+    * present — NOT from the arguments, which then serve only pre-meta
+    * indexes: recomputing signatures under different parameters would
+    * land band rows in different buckets, leaving stale band keys alive
+    * in unpruned buckets that silently keep dropping future
+    * near-duplicates of the erased content.
     */
   def deleteFromIndex(
       spark: SparkSession,
@@ -177,15 +223,26 @@ object IncrementalNearDup {
       numHashes: Int = 128,
       bands: Int = 16,
       nBuckets: Int = DefaultBuckets): Long = {
+    val m = readMeta(spark, path)
+      .getOrElse(LshMeta(shingleN, numHashes, bands, nBuckets))
+    deleteWith(spark, path, docs, idCol, textCol, m)
+  }
+
+  private def deleteWith(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      m: LshMeta): Long = {
+    val LshMeta(shingleN, numHashes, bands, nBuckets) = m
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val snap = listFiles(spark, statePath(path))
     if (snap.isEmpty) return 0L
-    val ws = TextOps.wordShingles(col(textCol), shingleN)
-    val shingles = when(coalesce(size(ws), lit(0)) > 0, ws)
-      .otherwise(array(TextOps.normalize(col(textCol))))
     // erasure batches are bounded by nature — pin the recomputed state
-    val delSigs = TextOps.minHashSignaturesBy(
-      docs.select(col(idCol), col(textCol)), idCol, shingles, numHashes)
+    val delSigs = signatures(
+      docs.select(col(idCol), col(textCol)), idCol, textCol,
+      shingleN, numHashes)
       .localCheckpoint()
     val delBands = bandRows(delSigs, bands, numHashes / bands)
       .localCheckpoint()
@@ -241,6 +298,28 @@ object IncrementalNearDup {
     removedDocs
   }
 
+  /** `(__id, __sig)` MinHash signatures for a document frame, under this
+    * index family's shingle semantics — the exact sketch
+    * [[dedupIncremental]] computes internally, exposed so an ingest loop
+    * can sketch ONCE (e.g. at crawl time) and pass the column through
+    * `sigCol` on every delivery and re-delivery.
+    *
+    * Short-doc fallback: a doc below `shingleN` words contributes its
+    * normalized text as its single shingle, so every doc has a signature
+    * and exact short-dup pairs still land est = 1.0.
+    */
+  def signatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 128): DataFrame = {
+    val ws = TextOps.wordShingles(col(textCol), shingleN)
+    val shingles = when(coalesce(size(ws), lit(0)) > 0, ws)
+      .otherwise(array(TextOps.normalize(col(textCol))))
+    TextOps.minHashSignaturesBy(docs, idCol, shingles, numHashes)
+  }
+
   /** Estimated Jaccard between two equal-length MinHash signatures:
     * the fraction of agreeing components (`P(sig_a[k]=sig_b[k]) ≈ J`).
     */
@@ -290,27 +369,59 @@ object IncrementalNearDup {
       numHashes: Int = 128,
       bands: Int = 16,
       threshold: Double = 0.8,
-      nBuckets: Int = DefaultBuckets): DataFrame = {
+      nBuckets: Int = DefaultBuckets,
+      sigCol: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val spark = batch.sparkSession
+    // Structural-parameter contract: the bootstrap batch pins the
+    // parameters in <path>/meta; later batches must match the SKETCH
+    // triple (shingleN, numHashes, bands) — signatures computed under
+    // different parameters are not comparable to the resident state, so
+    // a drift would silently stop near-dups from colliding. nBuckets is
+    // FILE LAYOUT, not sketch structure (probes read the full snapshot);
+    // the persisted value is ADOPTED so appends always land in the
+    // index's current layout, even after a re-bucketing compactIndex.
+    // (threshold is per-batch policy, not structure.)
+    val effBuckets = readMeta(spark, path) match {
+      case Some(persisted) =>
+        require((persisted.shingleN, persisted.numHashes, persisted.bands) ==
+          ((shingleN, numHashes, bands)),
+          s"dedupIncremental params ($shingleN, $numHashes, $bands) do not " +
+            s"match the index's persisted $persisted (shingleN, numHashes, " +
+            "bands)")
+        persisted.nBuckets
+      case None =>
+        writeMeta(spark, path, LshMeta(shingleN, numHashes, bands, nBuckets))
+        nBuckets
+    }
 
-    // Short-doc fallback: a doc below shingleN words contributes its
-    // normalized text as its single shingle, so every doc has a
-    // signature and exact short-dup pairs still land est = 1.0.
-    val ws = TextOps.wordShingles(col(textCol), shingleN)
-    val shingles = when(coalesce(size(ws), lit(0)) > 0, ws)
-      .otherwise(array(TextOps.normalize(col(textCol))))
     // Cache the signatures for the duration of the call: the frame feeds
     // the within-batch screen, the rep and member verify sides, the
     // cross-index verify and both appends — uncached, Catalyst plans the
     // md5-shingle × numHashes sketch once PER CONSUMER (measured 18 s for
     // x75 at sf0.1; ~6 s cached). 128 longs + id per row, released below.
-    val sigs = TextOps.minHashSignaturesBy(batch, idCol, shingles, numHashes).cache()
-    // materialize the cache BEFORE fan-out: the survivor job references
-    // sigs from several branches, and branches racing an unpopulated
-    // cache each compute the sketch themselves
-    sigs.count()
+    //
+    // `sigCol`: a caller that already carries per-doc MinHash signatures
+    // (computed once at crawl time with [[TextOps.minHashSignaturesBy]]
+    // under THIS index's meta parameters — the compute-once ingest-loop
+    // device: re-deliveries and replays then skip the sketch entirely)
+    // passes their column instead of re-sketching the text.
+    val sigs = (sigCol match {
+      case Some(c) =>
+        batch.select(col(idCol).as("__id"),
+          col(c).cast("array<long>").as("__sig"))
+      case None => signatures(batch, idCol, textCol, shingleN, numHashes)
+    }).cache()
+    // materialize the cache BEFORE fan-out (branches racing an
+    // unpopulated cache each compute the sketch themselves) and validate
+    // precomputed signature widths in the same single action
+    val chk = sigs.agg(count(lit(1)),
+      min(size(col("__sig"))), max(size(col("__sig")))).head()
+    require(chk.getLong(0) == 0L ||
+      (chk.getInt(1) == numHashes && chk.getInt(2) == numHashes),
+      s"signature width ${chk.getInt(1)}..${chk.getInt(2)} does not match " +
+        s"numHashes=$numHashes")
 
     val batchBands = bandRows(sigs, bands, rowsPerBand)
 
@@ -381,12 +492,12 @@ object IncrementalNearDup {
         .select(col("__id"), col("__band"), col("__khash"),
           lit(null).cast("array<long>").as("__sig"),
           lit("b").as("__side"),
-          pmod(crc32(col("__khash")), lit(nBuckets)).as("__b"))
+          pmod(crc32(col("__khash")), lit(effBuckets)).as("__b"))
       val sigOut = survivors
         .select(col("__id"), lit(null).cast("int").as("__band"),
           lit(null).cast("string").as("__khash"), col("__sig"),
           lit("s").as("__side"),
-          pmod(crc32(col("__id").cast("string")), lit(nBuckets)).as("__b"))
+          pmod(crc32(col("__id").cast("string")), lit(effBuckets)).as("__b"))
       bandOut.unionAll(sigOut)
         .repartition(col("__side"), col("__b"))
         .write.mode("append").partitionBy("__side", "__b")

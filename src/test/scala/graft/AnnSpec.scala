@@ -156,6 +156,37 @@ class AnnSpec extends SparkSpec {
     assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
   }
 
+  test("HNSW/NSW shard row bound fails loudly instead of OOMing the build") {
+    val df = clustered.cache()
+    val hPath = s"${Scratch.sub("hnsw-bound")}/idx"
+    val nPath = s"${Scratch.sub("nsw-bound")}/idx"
+    graft.similarity.Hnsw.shardRowBound = 8
+    graft.similarity.Nsw.shardRowBound = 8
+    try {
+      val eh = intercept[Exception] {
+        graft.similarity.Hnsw.writeIndex(df, "embedding", "vec_id", hPath,
+          numShards = 1)
+      }
+      assert(causeChain(eh).exists(_.contains("MaxShardRows")), eh.getMessage)
+      val en = intercept[Exception] {
+        graft.similarity.Nsw.writeIndex(df, "embedding", "vec_id", nPath,
+          numShards = 1)
+      }
+      assert(causeChain(en).exists(_.contains("MaxShardRows")), en.getMessage)
+    } finally {
+      graft.similarity.Hnsw.shardRowBound = graft.similarity.Hnsw.MaxShardRows
+      graft.similarity.Nsw.shardRowBound = graft.similarity.Nsw.MaxShardRows
+    }
+    // restored bound: the same build succeeds
+    graft.similarity.Hnsw.writeIndex(df, "embedding", "vec_id", hPath,
+      numShards = 1)
+    assert(spark.read.parquet(s"$hPath/nodes").count() == df.count())
+  }
+
+  private def causeChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+
   test("incremental semantic dedup: residents win, chains dedup in-batch, re-ingest is a no-op") {
     import graft.similarity.IncrementalSemDedup
     import spark.implicits._
@@ -274,6 +305,35 @@ class AnnSpec extends SparkSpec {
     val recall = (exact & after).size.toDouble / exact.size
     assert(recall >= 0.9, s"post-append HNSW recall $recall")
     assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
+    // re-appending ids already in the graph is rejected loudly (no
+    // silent duplicate nodes)
+    val dup = intercept[IllegalArgumentException] {
+      graft.similarity.Hnsw.appendToIndex(batch, "embedding", "vec_id", path)
+    }
+    assert(dup.getMessage.contains("already present"), dup.getMessage)
+    // a STALE tombstone (id absent from the graph) is cleared by a
+    // re-append, so the re-added vector is searchable again
+    val ghostId = df.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head().getLong(0) + 1000L
+    // a unique direction (negated vector), so the re-added node is its
+    // own unambiguous nearest neighbor
+    val ghost = batch.limit(1)
+      .withColumn("vec_id", lit(ghostId))
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.expr("transform(embedding, x -> -x)"))
+    import spark.implicits._
+    Seq(ghostId).toDF("id").write.mode("append").parquet(s"$path/tombstones")
+    graft.similarity.Hnsw.appendToIndex(ghost, "embedding", "vec_id", path)
+    // a fully-drained tombstone list is deleted outright
+    val tsLeft =
+      if (!new java.io.File(s"$path/tombstones").exists()) Set.empty[Long]
+      else spark.read.parquet(s"$path/tombstones")
+        .collect().map(_.getLong(0)).toSet
+    assert(!tsLeft.contains(ghostId), s"stale tombstone survived: $tsLeft")
+    val found = graft.similarity.Hnsw.searchIndex(
+      spark, path, ghost, "embedding", "vec_id", 1, excludeSelf = false)
+    assert(found.collect().exists(_.getLong(2) == ghostId),
+      "re-admitted vector not searchable")
   }
 
   test("persisted NSW index: search recall, append touches only its shards, appended rows findable") {

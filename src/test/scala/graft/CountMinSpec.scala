@@ -71,4 +71,30 @@ class CountMinSpec extends SparkSpec {
     val truth = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
     truth.foreach { case (k, c) => assert(est(k) >= c) }
   }
+
+  test("parameter triple is persisted and guards merge/estimate against mismatches") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => s"k${i % 7}").toDF("k")
+    val a = CountMin.sketch(df, "k", depth = 4, width = 32, seed = 5L)
+    val b = CountMin.sketch(df, "k", depth = 4, width = 64, seed = 5L)
+    val c = CountMin.sketch(df, "k", depth = 4, width = 32, seed = 9L)
+    // differing width or seed → loud rejection, not silently wrong counters
+    val e1 = intercept[IllegalArgumentException] { CountMin.merge(Seq(a, b)) }
+    assert(e1.getMessage.contains("different"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { CountMin.merge(Seq(a, c)) }
+    assert(e2.getMessage.contains("different"), e2.getMessage)
+    // estimate with params that contradict the sketch's persisted triple
+    val e3 = intercept[IllegalArgumentException] {
+      CountMin.estimate(Seq("k1").toDF("k"), "k", a,
+        depth = 4, width = 64, seed = 5L).collect()
+    }
+    assert(e3.getMessage.contains("persisted"), e3.getMessage)
+    // the triple survives a parquet round-trip (self-describing files)
+    val path = Scratch.sub(s"cms_meta_${java.util.UUID.randomUUID()}")
+    a.write.mode("overwrite").parquet(path)
+    val merged = CountMin.merge(Seq(spark.read.parquet(path), a))
+    assert(merged.select("__depth", "__width", "__seed").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq ==
+      Seq((4, 32, 5L)))
+  }
 }

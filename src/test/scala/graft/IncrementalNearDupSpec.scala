@@ -118,4 +118,45 @@ class IncrementalNearDupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(s2 == Seq(10L), s"got $s2")
   }
+
+  test("LSH parameters persist in meta: mismatched ingest rejected, delete/compact read them") {
+    import spark.implicits._
+    val path = freshPath("meta")
+    val a = longDoc("alpha")
+    val b1 = Seq((1L, a), (2L, longDoc("beta"))).toDF("doc_id", "text")
+    // bootstrap with a non-default quadruple
+    assert(IncrementalNearDup.dedupIncremental(
+      b1, "doc_id", "text", path, numHashes = 64, bands = 8, nBuckets = 8)
+      .count() == 2)
+    // a later batch with drifted structural params is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalNearDup.dedupIncremental(
+        Seq((3L, longDoc("gamma"))).toDF("doc_id", "text"),
+        "doc_id", "text", path) // defaults: 128 hashes, 16 bands, 64 buckets
+    }
+    assert(e.getMessage.contains("persisted"), e.getMessage)
+    // deleteFromIndex with WRONG caller params still erases correctly —
+    // it reads the persisted meta, not the arguments
+    val removed = IncrementalNearDup.deleteFromIndex(
+      spark, path, Seq((1L, a)).toDF("doc_id", "text"), "doc_id", "text",
+      shingleN = 5, numHashes = 32, bands = 4, nBuckets = 16)
+    assert(removed == 1L, s"removed $removed")
+    assert(spark.read.parquet(s"$path/state")
+      .select("__id").as[Long].collect().toSet == Set(2L))
+    // a re-bucketing compact records the new bucket count, and a
+    // subsequent ingest ADOPTS it (buckets are layout, not sketch
+    // structure) — even with a stale caller value the append lands in
+    // the compacted layout
+    IncrementalNearDup.compactIndex(spark, path, nBuckets = Some(4))
+    assert(IncrementalNearDup.readMeta(spark, path).map(_.nBuckets)
+      .contains(4))
+    assert(IncrementalNearDup.dedupIncremental(
+      Seq((4L, longDoc("delta"))).toDF("doc_id", "text"),
+      "doc_id", "text", path, numHashes = 64, bands = 8, nBuckets = 8)
+      .count() == 1)
+    val buckets = spark.read.parquet(s"$path/state")
+      .selectExpr("cast(__b as long)").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(buckets.forall(_ < 4), s"append escaped the compacted layout: $buckets")
+  }
 }

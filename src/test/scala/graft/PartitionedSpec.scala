@@ -80,4 +80,37 @@ class PartitionedSpec extends SparkSpec {
         r.getAs[String]("part"))).toSet
     assert(rows2 == rows, "re-merge changed the table")
   }
+
+  test("Upsert.mergeInto: escaped partition values, null base partition, null target rejected") {
+    import spark.implicits._
+    import graft.sources.Upsert
+    val path = Scratch.sub(s"upsert_esc_${java.util.UUID.randomUUID()}")
+    // 'a:b' needs URL-escaping in the directory name; key 3 lives in the
+    // NULL partition (__HIVE_DEFAULT_PARTITION__)
+    Seq((1L, Some("a:b"), 10.0), (2L, Some("a:b"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("c"), 40.0))
+      .toDF("k", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(path)
+    // update 1 in-place inside the escaped partition, MOVE 3 out of the
+    // null partition (which drains), insert 9
+    val batch = Seq((1L, "a:b", 11.0), (3L, "c", 31.0), (9L, "c", 90.0))
+      .toDF("k", "part", "v")
+    val (u, i) = Upsert.mergeInto(spark, path, batch, "k", "part")
+    assert((u, i) == (2L, 1L), s"got ($u, $i)")
+    val rows = spark.read.parquet(path)
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getAs[String]("part")))).toSet
+    assert(rows == Set((1L, 11.0, Some("a:b")), (2L, 20.0, Some("a:b")),
+      (3L, 31.0, Some("c")), (4L, 40.0, Some("c")), (9L, 90.0, Some("c"))),
+      s"merged table wrong: $rows")
+    // the escaped dir was replaced in place (no duplicate row 1) and the
+    // drained null-partition dir is gone
+    assert(!new java.io.File(s"$path/part=__HIVE_DEFAULT_PARTITION__").exists(),
+      "drained null partition left stale files")
+    // null target partition values are rejected loudly
+    val bad = Seq((7L, None: Option[String], 70.0)).toDF("k", "part", "v")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeInto(spark, path, bad, "k", "part")
+    }
+  }
 }
