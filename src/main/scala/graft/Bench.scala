@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions.{col, expr, struct, xxhash64}
   * recorded as a fast success.
   */
 object Bench {
+  /** The 56 queries constituting the round-2 253.5 s standing baseline
+    * (BENCH_r02.json's registry) — the registry has since grown 3.5×, so
+    * the full-run total is not comparable across rounds; the sum over
+    * THIS set is, and is emitted as `baseline56_sec` in every bench line
+    * so the artifact carries its own like-for-like number.
+    */
+  private val Baseline56: Set[String] = Set(
+    "d1_knn", "d2_rf_detector", "d3_svm_detector", "d4_gbt_detector",
+    "d5_xgb_detector", "d6_lgbm_detector", "d7_catboost_detector",
+    "d8_hyper_search", "f1_ewma_last", "f2_holt_last", "f3_moving_average",
+    "f3_moving_average_valid", "f4_median_filter", "f5_bandpass_dc",
+    "f6_kalman_last", "g1_segment_stats", "g2_resample_cubic",
+    "g2_resample_linear", "g2_resample_nearest", "g3_spline_upsample",
+    "g4_failure_encoder", "m1_linear_sim", "m2_discrete_sim",
+    "m3_nonlinear_sim", "m4_discrete_nonlinear", "m5_generator",
+    "o1_matrix_kalman", "o2_luenberger", "o3_sliding_mode",
+    "q1_pricing_summary", "q3_unshipped_orders", "q5_revenue_by_nation",
+    "q6_forecast_revenue", "s1_standard_scaler", "s2_minmax_scaler",
+    "s3_robust_scaler", "t1_lag_features", "t2_downsample_minmax",
+    "t3_forecast_eval", "x10_hourly_agg", "x11_props_json",
+    "x12_simhash_dup", "x13_worddup", "x14_embed_dup",
+    "x15_payload_entropy", "x16_winnow_dup", "x17_ann_ivf",
+    "x1_exact_dedup", "x2_neardup", "x3_ann_lsh", "x4_cosine_topk",
+    "x5_token_stats", "x6_quality_score", "x7_language_id",
+    "x8_bpeish_tokens", "x9_sessionize")
   /** 1/5/15-min load averages from /proc/loadavg, or NaNs off-Linux.
     * Recorded before and after the run so a co-tenant burst that inflates
     * timings is visible in the artifact itself (BASELINE.md documents
@@ -116,10 +141,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // like-for-like vs the 253.5 s round-2 baseline (see Baseline56)
+    val base56 = results.collect {
+      case (k, v) if Baseline56.contains(k) => v }.sum
     def loadJson(l: Seq[Double]) = l.map(d => if (d.isNaN) "null" else d.toString)
       .mkString("[", ",", "]")
     def num(d: Double) = if (d.isNaN) "null" else d.toString
-    val probes = s""""load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir""""
+    val probes = s""""baseline56_sec":${f3(base56)},"load_before":${loadJson(loadBefore)},"load_after":${loadJson(loadAfter)},"io_mbps_before":${num(ioBefore)},"io_mbps_after":${num(ioAfter)},"wake_us_before":${num(wakeBefore)},"wake_us_after":${num(wakeAfter)},"cpus":$cpus,"sf":"$sfDir""""
     // Targeted SPARK_GRAFT_ONLY runs land in BENCH_SUBSET.json so a
     // spike-adjudication rerun can never clobber the driver's canonical
     // full-registry artifact (it happened in round 10 — a judge's subset

@@ -2574,7 +2574,11 @@ object DedupQueries {
     //    sig-side index size. The driver-side collect feeds the
     //    MemoryStream (the Kafka stand-in, as x30–x34/x45/x46); the
     //    operator under test touches only the batch and the bucketed
-    //    index. FULL oracle: the x75 CTE cascade extended to three
+    //    index. Signatures are sketched ONCE for the whole corpus and
+    //    carried WITH the stream rows (`signatures` + `sigCol` — the
+    //    crawl-time compute-once device): the four waves, including the
+    //    re-delivery, pay zero re-sketching, only probe + verify +
+    //    append. FULL oracle: the x75 CTE cascade extended to three
     //    batches plus a GENERICALLY-computed re-delivery pass (not a
     //    hardcoded zero) — DuckDB re-runs the within screen and the
     //    cross probe of the re-fed batch against s0∪s1∪s2 ──
@@ -2587,15 +2591,21 @@ object DedupQueries {
         val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
         val path = s"${Scratch.dir}/graft_neardup_stream_$tag"
         IncrementalNearDup.dropIndex(s, path)
-        val docs = Tables.documents(s, dir)
+        val docsDf = Tables.documents(s, dir)
           .select(col("doc_id").cast("long"), col("text"))
-          .as[(Long, String)].collect()
+        // one corpus-equivalent of MinHash, total: the crawl-side sketch
+        // rides along with each delivery (and re-delivery) as a column
+        val docs = docsDf
+          .join(IncrementalNearDup.signatures(docsDf, "doc_id", "text")
+            .select(col("__id").as("doc_id"), col("__sig")), Seq("doc_id"))
+          .as[(Long, String, Seq[Long])].collect()
         val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        val mem = MemoryStream[(Long, String)]
-        val q = mem.toDF().toDF("doc_id", "text").writeStream
+        val mem = MemoryStream[(Long, String, Seq[Long])]
+        val q = mem.toDF().toDF("doc_id", "text", "sig").writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val surv = IncrementalNearDup
-              .dedupIncremental(batch, "doc_id", "text", path, nBuckets = 8)
+              .dedupIncremental(batch, "doc_id", "text", path, nBuckets = 8,
+                sigCol = Some("sig"))
               .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
               .head()
             stats += ((stats.size.toLong, surv.getLong(0), surv.getLong(1)))

@@ -20,6 +20,7 @@ object PipelineQueries {
   @volatile private var x56Merges: Option[Seq[(String, String)]] = None
   @volatile private var x130Merges: Option[Seq[(String, String)]] = None
   @volatile private var x134Merges: Option[Seq[(String, String)]] = None
+  @volatile private var x143Merges: Option[Seq[(String, String)]] = None
 
   private def sqlLit(s: String): String = s.replace("'", "''")
 
@@ -217,6 +218,41 @@ object PipelineQueries {
           CAST(off // 256 AS BIGINT) AS chunk_first,
           CAST((off + tok - 1) // 256 - off // 256 + 1 AS BIGINT) AS n_chunks
         FROM o
+    """.trim
+
+  /** x143 thunk oracle: the shared token-length replay feeding the x59
+    * tempered-rate arithmetic with TOKEN masses — per-lang sums as
+    * doubles, `least(1.0, 0.5·W·(sqrt(W_g)/Z)/W_g)` in the exact x59
+    * operation order (sqrt correctly rounded, so the rates are
+    * bit-identical), then the md5 hash coin per doc.
+    */
+  private def fertilityMixReplaySql(merges: Seq[(String, String)]): String =
+    s"""${bpeTokLenCtes(merges)},
+        lt AS (
+          SELECT d.lang, d.doc_id,
+            CAST(coalesce(perdoc.n_tokens, 0) AS BIGINT) AS ntok
+          FROM d LEFT JOIN perdoc USING (doc_id)
+        ),
+        c AS (
+          SELECT lang, CAST(sum(ntok) AS DOUBLE) AS ns FROM lt GROUP BY lang
+        ),
+        t AS (SELECT sum(ns) AS n, sum(sqrt(ns)) AS z FROM c),
+        r AS (
+          SELECT lang, least(1.0, 0.5 * t.n * (sqrt(ns) / t.z) / ns) AS rate
+          FROM c, t
+        ),
+        sm AS (
+          SELECT lt.lang, lt.ntok, r.rate,
+            CASE WHEN (('0x' || substring(md5('42:' || lt.doc_id::VARCHAR),
+                 1, 8))::BIGINT / 4294967296.0) < r.rate THEN 1 END AS keep
+          FROM lt JOIN r USING (lang)
+        )
+        SELECT lang, count(*) AS n_total,
+          CAST(sum(ntok) AS BIGINT) AS sum_tokens,
+          CAST(COALESCE(sum(keep), 0) AS BIGINT) AS n_sampled,
+          CAST(COALESCE(sum(keep * ntok), 0) AS BIGINT) AS sampled_tokens,
+          round(min(rate), 6) AS rate
+        FROM sm GROUP BY lang
     """.trim
 
   /** Shared x8-style DuckDB token count (ceil(len/4) per whitespace word). */
@@ -1184,6 +1220,46 @@ object PipelineQueries {
             col("chunk_first"), col("n_chunks"))
       },
       () => x134Merges.map(bpePackReplaySql)),
+
+    // ── X143: fertility-corrected mixture sampling — the consumer of
+    //    x130's governance signal: x59's alpha-sampling allocates by DOC
+    //    COUNT, but training compute is paid in TOKENS, and a
+    //    high-fertility language (more tokens per byte under the shared
+    //    tokenizer — exactly what x130 measures) silently overdraws its
+    //    compute share under a doc-count mix. Here the stratum mass fed
+    //    to the tempered-share rule is each language's TOKEN SUM under
+    //    the fitted x55 BPE (`Pipeline.temperatureSampleWeighted`), so
+    //    expected sampled token mass per language ∝ W_g^0.5 — the
+    //    compute-share-corrected mixture. Scale shape: one tokenCounts
+    //    map + one tiny lang aggregate + broadcast rates + narrow
+    //    filter; corpus text never shuffles. FULL oracle composing the
+    //    x130 token-length replay with the x59 rate/coin arithmetic ──
+    QueryDef(
+      "x143_fertility_mix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.text.Bpe.train(docs, "text", numMerges = 60)
+        x143Merges = Some(merges)
+        val toks = graft.text.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+        val frame = docs.select(col("doc_id"), col("lang"))
+          .join(toks, Seq("doc_id"))
+        val sampled = Pipeline.temperatureSampleWeighted(
+          frame, "doc_id", "lang", "n_tokens",
+          alpha = 0.5, targetFrac = 0.5, seed = 42L)
+        frame.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("n_tokens")).as("sum_tokens"))
+          .join(sampled.groupBy(col("lang"))
+              .agg(count(lit(1)).as("n_sampled"),
+                sum(col("n_tokens")).as("sampled_tokens"),
+                round(min(col("__rate")), 6).as("rate")),
+            Seq("lang"), "left")
+          .select(col("lang"), col("n_total"), col("sum_tokens"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"),
+            col("rate"))
+      },
+      () => x143Merges.map(fertilityMixReplaySql)),
 
     // ── X57: interpolated Kneser–Ney bigram cross-entropy
     //    (Quality.knBigramCrossEntropy) — the CCNet-style LM quality

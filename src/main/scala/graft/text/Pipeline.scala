@@ -262,13 +262,45 @@ object Pipeline {
       strataCol: String,
       alpha: Double,
       targetFrac: Double,
+      seed: Long): DataFrame =
+    temperatureSampleBy(df, idCol, strataCol, lit(1d), alpha, targetFrac, seed)
+
+  /** [[temperatureSample]] with per-row WEIGHTS — compute-share-corrected
+    * alpha-sampling: stratum mass `W_s = Σ weight` (e.g. the fitted
+    * tokenizer's token counts — the x130 fertility signal) replaces the
+    * row count, so the tempered shares allocate TRAINING COMPUTE rather
+    * than document counts. Training cost is paid in tokens, and a
+    * high-fertility language (more tokens per byte under the shared
+    * tokenizer) consumes more compute per document — a doc-count mix
+    * silently over-trains it; weighting by token mass corrects exactly
+    * that. Expected sampled mass per stratum ∝ `W_s^alpha`, total
+    * `targetFrac · W`; rates and coin identical to the unweighted form.
+    */
+  def temperatureSampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weightCol: String,
+      alpha: Double,
+      targetFrac: Double,
+      seed: Long): DataFrame =
+    temperatureSampleBy(df, idCol, strataCol, col(weightCol).cast("double"),
+      alpha, targetFrac, seed)
+
+  private def temperatureSampleBy(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weight: Column,
+      alpha: Double,
+      targetFrac: Double,
       seed: Long): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1]: $alpha")
     require(targetFrac > 0 && targetFrac <= 1, s"targetFrac in (0,1]: $targetFrac")
     def tempered(c: Column): Column =
       if (alpha == 0.5) sqrt(c) else pow(c, lit(alpha))
     val counts = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).cast("double").as("__ns"))
+      .agg(sum(weight).cast("double").as("__ns"))
     val tot = counts.agg(sum(col("__ns")).as("__n"),
       sum(tempered(col("__ns"))).as("__z"))
     val rates = counts.crossJoin(broadcast(tot))

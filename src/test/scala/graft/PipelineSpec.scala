@@ -270,6 +270,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSampleWeighted: token-mass strata, rates verified by hand") {
+    import spark.implicits._
+    // strata by TOKEN mass: a = 4 docs × 100 tokens = 400, b = 4 docs ×
+    // 25 tokens = 100; doc counts are EQUAL, so an unweighted mix would
+    // give both strata the same rate — the weighted one must not
+    val df = ((0 until 4).map(i => (i.toLong, "a", 100L)) ++
+      (4 until 8).map(i => (i.toLong, "b", 25L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val (wa, wb) = (400.0, 100.0)
+    val z = math.sqrt(wa) + math.sqrt(wb)
+    val w = wa + wb
+    val ra = math.min(1.0, 0.5 * w * (math.sqrt(wa) / z) / wa)
+    val rb = math.min(1.0, 0.5 * w * (math.sqrt(wb) / z) / wb)
+    assert(rb > ra, "low-mass stratum must be boosted")
+    val out = Pipeline.temperatureSampleWeighted(df, "doc_id", "source",
+      "n_tokens", alpha = 0.5, targetFrac = 0.5, seed = 42L)
+    val rates = out.groupBy("source").agg(min(col("__rate")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rates.get("a").foreach(r => assert(math.abs(r - ra) < 1e-15))
+    rates.get("b").foreach(r => assert(math.abs(r - rb) < 1e-15))
+    // unit weights reduce exactly to the unweighted sampler
+    val uw = Pipeline.temperatureSampleWeighted(
+      df.withColumn("one", lit(1L)), "doc_id", "source", "one",
+      alpha = 0.5, targetFrac = 0.5, seed = 42L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plain = Pipeline.temperatureSample(df, "doc_id", "source",
+      alpha = 0.5, targetFrac = 0.5, seed = 42L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(uw == plain)
+  }
+
   test("quotaSample: exact per-stratum counts, order-independent, reproducible") {
     import spark.implicits._
     val df = ((0 until 40).map(i => (i.toLong, "a")) ++
@@ -572,7 +603,7 @@ class PipelineSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(ndWave(ndA, 0) == ndWave(ndB, 0))
     val ndBefore = filesUnder(s"$ndA/state")
-    IncrementalNearDup.compactIndex(spark, ndA, nBuckets = 4)
+    IncrementalNearDup.compactIndex(spark, ndA, nBuckets = Some(4))
     val ndAfter = filesUnder(s"$ndA/state")
     assert(ndAfter < ndBefore, s"near-dup files $ndBefore -> $ndAfter")
     assert(ndWave(ndA, 1) == ndWave(ndB, 1))
