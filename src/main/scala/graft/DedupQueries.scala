@@ -2594,17 +2594,22 @@ object DedupQueries {
         val docsDf = Tables.documents(s, dir)
           .select(col("doc_id").cast("long"), col("text"))
         // one corpus-equivalent of MinHash, total: the crawl-side sketch
-        // rides along with each delivery (and re-delivery) as a column
-        val docs = docsDf
-          .join(IncrementalNearDup.signatures(docsDf, "doc_id", "text")
-            .select(col("__id").as("doc_id"), col("__sig")), Seq("doc_id"))
-          .as[(Long, String, Seq[Long])].collect()
+        // is computed once and pinned; each delivery (and the
+        // re-delivery) JOINS its batch against it executor-side — no
+        // signature arrays round-trip through the driver feed
+        val sigStore = IncrementalNearDup
+          .signatures(docsDf, "doc_id", "text")
+          .select(col("__id").as("doc_id"), col("__sig").as("sig"))
+          .localCheckpoint()
+        val docs = docsDf.as[(Long, String)].collect()
         val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        val mem = MemoryStream[(Long, String, Seq[Long])]
-        val q = mem.toDF().toDF("doc_id", "text", "sig").writeStream
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
             val surv = IncrementalNearDup
-              .dedupIncremental(batch, "doc_id", "text", path, nBuckets = 8,
+              .dedupIncremental(
+                batch.join(sigStore, Seq("doc_id")),
+                "doc_id", "text", path, nBuckets = 8,
                 sigCol = Some("sig"))
               .agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)))
               .head()
