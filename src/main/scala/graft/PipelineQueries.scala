@@ -22,6 +22,84 @@ object PipelineQueries {
   @volatile private var x134Merges: Option[Seq[(String, String)]] = None
   @volatile private var x143Merges: Option[Seq[(String, String)]] = None
 
+  /** Fitted scoring state stashed by the x61 run for its thunk oracle:
+    * per-token murmur3 buckets, per-bucket IDF, LR coefficients (class,
+    * bucket, value), intercepts, and the StringIndexer label order.
+    */
+  private final case class X61State(
+      vocab: Seq[(String, Int)],
+      idf: Seq[(Int, Double)],
+      coef: Seq[(Int, Int, Double)],
+      icpt: Seq[Double],
+      labels: Seq[String])
+  @volatile private var x61State: Option[X61State] = None
+
+  /** x61 thunk oracle: rebuild hashed-TF features from pinned buckets,
+    * apply pinned IDF, compute every class margin from pinned
+    * coefficients, argmax (margin desc, class asc) and aggregate the
+    * confusion matrix — the scoring half of the pipeline replayed
+    * end-to-end; only the murmur3 hash values and the L-BFGS-fitted
+    * numbers are literals.
+    */
+  private def x61ReplaySql(st: X61State): String = {
+    val vb = st.vocab.map { case (w, b) => s"('${sqlLit(w)}', $b)" }
+      .mkString(",\n          ")
+    val idf = st.idf.map { case (b, v) => s"($b, CAST($v AS DOUBLE))" }
+      .mkString(",\n          ")
+    val cf = st.coef.map { case (k, b, c) => s"($k, $b, CAST($c AS DOUBLE))" }
+      .mkString(",\n          ")
+    val ic = st.icpt.zipWithIndex
+      .map { case (v, k) => s"($k, CAST($v AS DOUBLE))" }
+      .mkString(",\n          ")
+    val lb = st.labels.zipWithIndex
+      .map { case (l, k) => s"($k, '${sqlLit(l)}')" }
+      .mkString(",\n          ")
+    s"""
+        WITH vb(w, b) AS (VALUES
+          $vb
+        ), idfv(b, v) AS (VALUES
+          $idf
+        ), cf(k, b, c) AS (VALUES
+          $cf
+        ), ic(k, icpt) AS (VALUES
+          $ic
+        ), lb(k, lab) AS (VALUES
+          $lb
+        ), tok AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'),
+            x -> length(x) >= 1)) AS w
+          FROM documents
+        ), tf AS (
+          SELECT t.doc_id, vb.b, count(*) AS cnt
+          FROM tok t JOIN vb ON vb.w = t.w
+          GROUP BY t.doc_id, vb.b
+        ), feat AS (
+          SELECT tf.doc_id, tf.b, tf.cnt * idfv.v AS f
+          FROM tf JOIN idfv ON idfv.b = tf.b
+        ), contrib AS (
+          SELECT feat.doc_id, cf.k, sum(feat.f * cf.c) AS s
+          FROM feat JOIN cf ON cf.b = feat.b
+          GROUP BY feat.doc_id, cf.k
+        ), marg AS (
+          SELECT d.doc_id, ic.k, ic.icpt + COALESCE(co.s, 0) AS m
+          FROM (SELECT doc_id FROM documents) d
+          CROSS JOIN ic
+          LEFT JOIN contrib co ON co.doc_id = d.doc_id AND co.k = ic.k
+        ), pred AS (
+          SELECT doc_id, k FROM (
+            SELECT doc_id, k, row_number() OVER (PARTITION BY doc_id
+              ORDER BY m DESC, k ASC) AS rn
+            FROM marg) WHERE rn = 1
+        )
+        SELECT d.lang, lb.lab AS predicted_label, count(*) AS n
+        FROM documents d
+        JOIN pred ON pred.doc_id = d.doc_id
+        JOIN lb ON lb.k = pred.k
+        GROUP BY d.lang, lb.lab
+    """.stripMargin.trim
+  }
+
   private def sqlLit(s: String): String = s.replace("'", "''")
 
   /** Scalar replay of `Bpe.mergePair` (merge every occurrence of the best
@@ -1535,19 +1613,45 @@ object PipelineQueries {
     //    (QualityClassifier) — hashed-TF + IDF + multinomial logistic
     //    regression, the model-based filter stage (CCNet lang-ID /
     //    LLaMA-line quality classifier). Emits the train-set confusion
-    //    matrix. rows-only (L-BFGS fit is not ANSI-expressible; the
-    //    synthetic corpus's lang labels are independent of its text, so
-    //    this exercises the distributed plumbing, not the accuracy —
-    //    ClassifierSpec pins perfect accuracy on a separable corpus) ──
+    //    matrix. FULL oracle via the fitted-state thunk (the SvmSql
+    //    posture brought to the text pipeline): the L-BFGS FIT is not
+    //    ANSI-expressible, but the fitted model is bounded driver state
+    //    — per-token murmur3 buckets (a pure function, pinned because
+    //    DuckDB has no murmur3), IDF weights, the coefficient matrix
+    //    and intercepts — and the whole SCORING path is: DuckDB
+    //    independently re-tokenizes, rebuilds hashed-TF counts, applies
+    //    IDF, computes every class margin and the argmax (margin desc,
+    //    class-index asc — MLlib's Vector.argmax first-max rule), and
+    //    aggregates the confusion matrix. ClassifierSpec pins accuracy
+    //    semantics on a separable corpus ──
     QueryDef(
       "x61_quality_classifier",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val m = graft.text.QualityClassifier.train(
           docs, "text", "lang", dim = 1 << 10, maxIter = 20)
+        // stash the fitted scoring state for the thunk oracle
+        val vocab = docs
+          .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) >= 1)
+          .distinct().collect().map(_.getString(0)).sorted.toSeq
+        val htf = new org.apache.spark.ml.feature.HashingTF()
+          .setNumFeatures(1 << 10)
+        val wb = vocab.map(w => (w, htf.indexOf(w)))
+        val used = wb.map(_._2).distinct.sorted
+        val idfArr = m.pipeline.stages.collectFirst {
+          case im: org.apache.spark.ml.feature.IDFModel => im.idf.toArray
+        }.get
+        val lr = m.pipeline.stages.collectFirst {
+          case lm: org.apache.spark.ml.classification.LogisticRegressionModel => lm
+        }.get
+        val coef = for { k <- 0 until lr.numClasses; b <- used }
+          yield (k, b, lr.coefficientMatrix(k, b))
+        x61State = Some(X61State(wb, used.map(b => (b, idfArr(b))),
+          coef, lr.interceptVector.toArray.toSeq, m.labels.toSeq))
         graft.text.QualityClassifier.confusion(m, docs, "text", "lang")
       },
-      None),
+      () => x61State.map(x61ReplaySql)),
 
     // ── X62: compression-ratio redundancy signal
     //    (Quality.compressionRatio) — per-source deflate-ratio profile.
