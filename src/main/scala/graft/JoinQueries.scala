@@ -586,6 +586,83 @@ object JoinQueries {
         FROM merged GROUP BY source
       """.stripMargin.trim)),
 
+    // ── X144: versioned snapshot reads / time travel
+    //    (sources/Snapshots.scala) — the commit-log core of
+    //    Delta/Iceberg on plain parquet, answering the reproducibility
+    //    question a training pipeline keeps asking: which rows EXACTLY
+    //    did run N train on? Two appends, a GDPR-shaped erasure, and a
+    //    roll-forward restore; then every version is read AS OF its
+    //    manifest AFTER all mutations — time travel must be unaffected
+    //    by later commits. Structural sharing is require()-pinned
+    //    in-query: the erasure's manifest must carry untouched files BY
+    //    REFERENCE (at 100 TB a delete rewrites the few files holding
+    //    the erased ids, nothing else), and the restore's manifest must
+    //    equal v1's file-for-file. The appends bucket files by
+    //    doc_id % 5 so the %5==0 erasure provably leaves files
+    //    untouched. FULL oracle: each version is pure set arithmetic
+    //    over `documents` ──
+    QueryDef(
+      "x144_snapshot_reads",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"))
+        def bucketed(c: org.apache.spark.sql.Column) = docs.filter(c)
+          .repartition(4, pmod(col("doc_id"), lit(5)))
+        val v1 = Snapshots.append(bucketed(col("doc_id") % 3 === 0), path)
+        val v2 = Snapshots.append(bucketed(col("doc_id") % 3 === 1), path)
+        val v3 = Snapshots.deleteWhere(s, path, col("doc_id") % 5 === 0)
+        val v4 = Snapshots.rollback(s, path, v1)
+        require((v1, v2, v3, v4) == ((1, 2, 3, 4)), s"versions $v1 $v2 $v3 $v4")
+        val f2 = Snapshots.activeFiles(s, path, 2).toSet
+        val f3 = Snapshots.activeFiles(s, path, 3).toSet
+        require((f2 & f3).nonEmpty,
+          "erasure must carry untouched files by reference, not rewrite the table")
+        require(Snapshots.activeFiles(s, path, 4) ==
+          Snapshots.activeFiles(s, path, 1),
+          "restore must republish v1's manifest file-for-file")
+        import s.implicits._
+        (1 to 4).map { v =>
+          val r = Snapshots.read(s, path, Some(v)).agg(
+            count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+            coalesce(sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+              .cast("long")), lit(0L))).head()
+          (v.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
+        }.toDF("version", "n_docs", "id_sum", "text_crc_sum")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        ), v2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)
+        ), v3 AS (
+          SELECT doc_id, text FROM v2 WHERE doc_id % 5 <> 0
+        ), stats AS (
+          SELECT 1 AS version, count(*) AS n_docs,
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) AS text_crc_sum FROM v1
+          UNION ALL
+          SELECT 2, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) FROM v2
+          UNION ALL
+          SELECT 3, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) FROM v3
+          UNION ALL
+          SELECT 4, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) FROM v1
+        )
+        SELECT CAST(version AS BIGINT) AS version, n_docs, id_sum,
+          text_crc_sum
+        FROM stats
+      """.stripMargin.trim)),
+
     // ── X89: small-file compaction (Partitioned.compact) — the lake
     //    maintenance job every streaming/partitioned ingest needs: a
     //    deliberately fragmented layout (32 writer tasks × per-type

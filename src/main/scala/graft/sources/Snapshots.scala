@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned snapshot reads over plain parquet — the commit-log device
+  * of Delta/Iceberg reduced to its load-bearing core, for the one
+  * question a training pipeline keeps asking: "EXACTLY which rows did
+  * run N train on?" (reproducibility pins a corpus VERSION, not a
+  * directory whose content drifts under later appends and erasures).
+  *
+  * Layout at `path`:
+  *   - `data/c<N>_<nonce>/part-*.parquet` — immutable files written by
+  *     commit N (a commit never rewrites another commit's files; the
+  *     nonce keeps a crashed attempt's directory from colliding with
+  *     the retry, so orphans never block the table);
+  *   - `_log/v=<N>/` — parquet manifest: one row per ACTIVE data file
+  *     (relative path) of version N. The manifest write IS the commit
+  *     point — readers only see versions whose manifest exists, so a
+  *     failed half-written commit is invisible (its orphaned data files
+  *     are dead weight, never wrong results).
+  *
+  * Structural sharing is the scale property: version N+1's manifest
+  * re-lists the files it keeps, so an append rewrites nothing and an
+  * erasure rewrites ONLY the files that contain matching rows — at
+  * 100 TB a GDPR delete touches the few files holding those ids (found
+  * via `_metadata.file_path`, a metadata column, not a scan-side UDF),
+  * while every other byte is shared with the previous version. Reads
+  * are manifest-pruned: `read(path, Some(v))` opens exactly v's file
+  * list, never a directory listing.
+  *
+  * [[rollback]] is roll-FORWARD: restoring version v writes a NEW
+  * version whose manifest equals v's — history is append-only, so the
+  * rolled-back-from state stays readable (the Delta RESTORE contract).
+  *
+  * Single-writer: concurrent committers are out of scope (no
+  * conditional-put primitive on plain filesystems); the driver-side
+  * commit protocol is manifest-last, so crash-safety for ONE writer
+  * holds. Versions are dense integers from 1.
+  */
+object Snapshots {
+
+  private def logDir(path: String) = s"$path/_log"
+  private def dataDir(path: String) = s"$path/data"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Delete the whole table (fresh-build convenience). */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = fs(spark, path)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  /** All committed versions at `path`, ascending (empty if none). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(logDir(path))
+    val f = fs(spark, path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
+      .sorted
+  }
+
+  /** The newest committed version, or 0 when the table is empty. */
+  def latestVersion(spark: SparkSession, path: String): Int =
+    versions(spark, path).lastOption.getOrElse(0)
+
+  /** Relative active-file list of version `v` (the manifest contents). */
+  def activeFiles(spark: SparkSession, path: String, v: Int): Seq[String] = {
+    require(versions(spark, path).contains(v), s"no committed version $v at $path")
+    spark.read.parquet(s"${logDir(path)}/v=$v")
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Read the table as of `version` (default: latest). The plan opens
+    * exactly the manifest's files — no directory listing, no leakage
+    * from later commits.
+    */
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val files = activeFiles(spark, path, v).map(rel => s"$path/$rel")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Commit `df` as an APPEND; returns the new version. Rewrites
+    * nothing: the new manifest = previous active list + this commit's
+    * freshly written files.
+    */
+  def append(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    commit(spark, path, keepFiles = currentFiles(spark, path), add = Some(df))
+  }
+
+  /** Commit an ERASURE of rows matching `cond`; returns the new
+    * version. Only files that actually contain matching rows are
+    * rewritten (their survivors land in the new commit's directory);
+    * every other file is carried over by reference. A no-match delete
+    * commits a version identical to the previous one.
+    */
+  def deleteWhere(spark: SparkSession, path: String, cond: Column): Int = {
+    val prev = currentFiles(spark, path)
+    if (prev.isEmpty) return commit(spark, path, Seq.empty, None)
+    val abs = prev.map(rel => s"$path/$rel")
+    val touchedAbs = spark.read.parquet(abs: _*)
+      .filter(cond)
+      .select(col("_metadata.file_path"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // _metadata.file_path is an absolute URI; match on the relative tail
+    val touched = prev.filter(rel => touchedAbs.exists(_.endsWith(rel)))
+    if (touched.isEmpty) return commit(spark, path, prev, None)
+    val survivors = spark.read
+      .parquet(touched.map(rel => s"$path/$rel"): _*)
+      .filter(!cond)
+    commit(spark, path, prev.filterNot(touched.contains), Some(survivors))
+  }
+
+  /** Restore the table to the state of version `v` by committing a NEW
+    * version with v's manifest (roll-forward restore — history stays
+    * readable). Returns the new version.
+    */
+  def rollback(spark: SparkSession, path: String, v: Int): Int =
+    commit(spark, path, activeFiles(spark, path, v), None)
+
+  private def currentFiles(spark: SparkSession, path: String): Seq[String] = {
+    val latest = latestVersion(spark, path)
+    if (latest == 0) Seq.empty else activeFiles(spark, path, latest)
+  }
+
+  /** The single commit funnel: optionally write `add` into the new
+    * version's data directory, then publish the manifest (keep +
+    * newly written files). Manifest-last = the commit point.
+    */
+  private def commit(
+      spark: SparkSession,
+      path: String,
+      keepFiles: Seq[String],
+      add: Option[DataFrame]): Int = {
+    val v = latestVersion(spark, path) + 1
+    val newRel = add match {
+      case Some(df) =>
+        val sub = s"c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+        val dir = s"${dataDir(path)}/$sub"
+        df.write.mode("error").parquet(dir)
+        val f = fs(spark, path)
+        f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+          .map(_.getPath.getName)
+          .filter(_.endsWith(".parquet"))
+          .map(name => s"data/$sub/$name")
+      case None => Seq.empty
+    }
+    import spark.implicits._
+    (keepFiles ++ newRel).sorted.toDF("file")
+      .coalesce(1).write.mode("error").parquet(s"${logDir(path)}/v=$v")
+    v
+  }
+}

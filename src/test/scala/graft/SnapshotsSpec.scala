@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Snapshots
+
+/** Commit-log snapshot table: version isolation, structural sharing,
+  * erasure confinement, roll-forward restore, manifest-last atomicity.
+  */
+class SnapshotsSpec extends SparkSpec {
+
+  private def freshPath(tag: String): String = {
+    val p = s"${Scratch.sub("snap-test")}/$tag-${java.util.UUID.randomUUID()}"
+    Snapshots.drop(spark, p)
+    p
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("append/read: versions are isolated and stable under later commits") {
+    import spark.implicits._
+    val path = freshPath("iso")
+    val v1 = Snapshots.append((0L until 10L).toDF("id"), path)
+    val v2 = Snapshots.append((10L until 15L).toDF("id"), path)
+    assert((v1, v2) == ((1, 2)))
+    assert(ids(Snapshots.read(spark, path, Some(1))) == (0L until 10L).toSet)
+    assert(ids(Snapshots.read(spark, path)) == (0L until 15L).toSet)
+    // an append rewrites NOTHING: v2's manifest is v1's plus new files
+    val f1 = Snapshots.activeFiles(spark, path, 1).toSet
+    val f2 = Snapshots.activeFiles(spark, path, 2).toSet
+    assert(f1.subsetOf(f2), "append must carry all prior files by reference")
+    // v1 read again AFTER v2: byte-stable
+    assert(ids(Snapshots.read(spark, path, Some(1))) == (0L until 10L).toSet)
+  }
+
+  test("deleteWhere rewrites only touched files; untouched files byte-identical") {
+    import spark.implicits._
+    val path = freshPath("del")
+    // bucket by id % 4 so the id%4==0 erasure touches a strict subset
+    Snapshots.append(
+      (0L until 40L).toDF("id").repartition(4, pmod(col("id"), lit(4))), path)
+    val before = Snapshots.activeFiles(spark, path, 1)
+    def mtimes(rels: Seq[String]): Map[String, Long] =
+      rels.map(r => r -> new java.io.File(s"$path/$r").lastModified()).toMap
+    val mt = mtimes(before)
+    val v2 = Snapshots.deleteWhere(spark, path, col("id") % 4 === 0)
+    val after = Snapshots.activeFiles(spark, path, v2)
+    val carried = after.toSet & before.toSet
+    assert(carried.nonEmpty, "erasure rewrote everything")
+    assert(carried.forall(r => mt(r) ==
+      new java.io.File(s"$path/$r").lastModified()),
+      "carried file was modified in place")
+    assert(ids(Snapshots.read(spark, path)) ==
+      (0L until 40L).filter(_ % 4 != 0).toSet)
+    // old version still reads the erased rows (history is immutable)
+    assert(ids(Snapshots.read(spark, path, Some(1))) == (0L until 40L).toSet)
+    // a no-match delete commits an identical version
+    val v3 = Snapshots.deleteWhere(spark, path, col("id") === -1L)
+    assert(Snapshots.activeFiles(spark, path, v3) == after)
+  }
+
+  test("rollback is roll-forward restore: new version, old history intact") {
+    import spark.implicits._
+    val path = freshPath("rb")
+    Snapshots.append((0L until 5L).toDF("id"), path)
+    Snapshots.append((5L until 9L).toDF("id"), path)
+    val v3 = Snapshots.rollback(spark, path, 1)
+    assert(v3 == 3)
+    assert(ids(Snapshots.read(spark, path)) == (0L until 5L).toSet)
+    assert(Snapshots.activeFiles(spark, path, 3) ==
+      Snapshots.activeFiles(spark, path, 1))
+    // the rolled-back-from state is still readable
+    assert(ids(Snapshots.read(spark, path, Some(2))) == (0L until 9L).toSet)
+    assert(Snapshots.versions(spark, path) == Seq(1, 2, 3))
+  }
+
+  test("manifest-last atomicity: orphaned data files are invisible and never block") {
+    import spark.implicits._
+    val path = freshPath("atomic")
+    Snapshots.append((0L until 6L).toDF("id"), path)
+    // simulate a crashed commit: data files written, manifest never
+    // published (the failure window of the commit protocol)
+    (100L until 110L).toDF("id").write.parquet(s"$path/data/c2_deadbeef")
+    assert(Snapshots.latestVersion(spark, path) == 1)
+    assert(ids(Snapshots.read(spark, path)) == (0L until 6L).toSet)
+    // the retry commits cleanly (nonce'd data dir — no collision with
+    // the orphan) and the orphan rows never appear in any version
+    val v2 = Snapshots.append((6L until 8L).toDF("id"), path)
+    assert(v2 == 2)
+    assert(ids(Snapshots.read(spark, path)) == (0L until 8L).toSet)
+  }
+}
