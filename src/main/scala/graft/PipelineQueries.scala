@@ -1339,6 +1339,65 @@ object PipelineQueries {
       },
       () => x143Merges.map(fertilityMixReplaySql)),
 
+    // ── X145: incremental rollup maintenance over a changelog
+    //    (operators/DeltaRollup.scala) — the materialized-view upkeep
+    //    pattern: a persisted per-source (n_rows, token_sum) summary
+    //    advanced by each batch's DELTA (+1 inserts, −1 retractions),
+    //    never by rescanning the corpus. Three batches: two insert
+    //    waves, then a retraction wave erasing the %5==0 slice of what
+    //    was inserted. The maintained summary is require()-checked
+    //    equal (exceptAll both ways) to a direct recompute over the
+    //    surviving rows — the exactness claim, enforced at runtime.
+    //    COUNT/SUM are abelian-group aggregates, hence retractable;
+    //    the operator's scaladoc states the MIN/MAX boundary. Scale
+    //    shape: per batch one batch-sized aggregate + one
+    //    summary-sized merge; the corpus is read once per batch,
+    //    never re-read by maintenance. FULL oracle: set arithmetic
+    //    over `documents` with the x8 token model ──
+    QueryDef(
+      "x145_incremental_rollup",
+      (s, dir) => {
+        import graft.operators.DeltaRollup
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_rollup_$tag"
+        DeltaRollup.drop(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val tok = graft.text.TextOps.bpeishTokenCount(col("text"))
+        def batch(c: org.apache.spark.sql.Column, op: Int) =
+          docs.filter(c).withColumn("__op", lit(op))
+        DeltaRollup.applyBatch(batch(col("doc_id") % 3 === 0, 1),
+          path, Seq("source"), "__op", tok)
+        DeltaRollup.applyBatch(batch(col("doc_id") % 3 === 1, 1),
+          path, Seq("source"), "__op", tok)
+        val summary = DeltaRollup.applyBatch(
+          batch(col("doc_id") % 3 < 2 && col("doc_id") % 5 === 0, -1),
+          path, Seq("source"), "__op", tok)
+        val direct = docs
+          .filter(col("doc_id") % 3 < 2 && col("doc_id") % 5 =!= 0)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"), sum(tok).as("weight_sum"))
+        val diff = summary.exceptAll(direct).count() +
+          direct.exceptAll(summary).count()
+        require(diff == 0,
+          s"incremental summary diverged from recompute: $diff rows differ")
+        summary.select(col("source"), col("n_rows"),
+          col("weight_sum").as("token_sum"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source,
+            COALESCE(list_aggregate(list_transform(
+              string_split_regex(trim(text), '\s+'),
+              w -> CAST(ceil(length(w)/4.0) AS BIGINT)), 'sum'), 0) AS tok
+          FROM documents
+          WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+        )
+        SELECT source, count(*) AS n_rows,
+          CAST(sum(tok) AS BIGINT) AS token_sum
+        FROM t GROUP BY source
+      """.stripMargin.trim)),
+
     // ── X57: interpolated Kneser–Ney bigram cross-entropy
     //    (Quality.knBigramCrossEntropy) — the CCNet-style LM quality
     //    signal one order above x36's unigram MLE. Full DuckDB replay:
