@@ -3138,6 +3138,61 @@ object DedupQueries {
           CAST(sum(n_zc) AS BIGINT) AS n_zc,
           CAST(sum(sum_abs) AS BIGINT) AS sum_abs
         FROM f GROUP BY 1, 2
+      """.stripMargin.trim)),
+
+    // ── X146: binary-quantized ANN (Ann.cosineTopKBinary) — the sign-bit
+    //    compression tier completing the quantization ladder (float →
+    //    SQ8 x38 → PQ x39 → 1-bit): a Hamming prefilter over packed sign
+    //    words scans 1/32 of the bytes, keeps 12 candidates per query
+    //    (Hamming asc, id asc), and the exact cosine reranks only the
+    //    shortlist to top-3. FULL oracle: DuckDB replays the sign rule
+    //    (v >= 0), the Hamming shortlist and the exact rerank — no
+    //    fitted state, pure arithmetic ──
+    QueryDef(
+      "x146_ann_binary",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Ann.cosineTopKBinary(
+          emb, emb.filter(col("vec_id") < 20), "embedding",
+          "vec_id", "vec_id", k = 3, dim = 64, candidates = 12)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("cosine"), 6).as("cosine"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20
+        ), h AS (
+          SELECT q.qid, e.vec_id AS cid,
+            len(list_filter(list_zip(q.qv, e.v),
+              z -> (z[1] >= 0) <> (z[2] >= 0))) AS ham
+          FROM q CROSS JOIN e WHERE e.vec_id <> q.qid
+        ), short AS (
+          SELECT qid, cid FROM (
+            SELECT qid, cid,
+              row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS rn
+            FROM h)
+          WHERE rn <= 12
+        ), d AS (
+          SELECT s.qid, s.cid,
+            list_reduce(list_transform(list_zip(q.qv, e.v), z -> z[1]*z[2]),
+              (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(q.qv, x -> x*x), (x,y) -> x+y))
+               * sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y)))
+              AS cos
+          FROM short s
+          JOIN e ON e.vec_id = s.cid
+          JOIN q ON q.qid = s.qid
+        )
+        SELECT qid AS vec_id, CAST(rank AS INT) AS rank,
+          cid AS neighbor_id, round(cos, 6) AS cosine
+        FROM (
+          SELECT qid, cid, cos,
+            row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+          FROM d)
+        WHERE rank <= 3
       """.stripMargin.trim))
   )
 

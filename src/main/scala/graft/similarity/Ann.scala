@@ -63,6 +63,79 @@ object Ann {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Sign-bit binary quantization: `dim` sign bits packed into
+    * `⌈dim/64⌉` longs (bit `j` of word `w` = 1 iff `v[64w+j] >= 0`) —
+    * the 32×-compression tier of the embedding-store stack (FAISS
+    * `IndexBinaryFlat` / pgvector binary quantization): the Hamming
+    * distance between sign patterns is a monotone proxy for angular
+    * distance, so a bit-XOR/popcount scan over 1/32 of the bytes
+    * shortlists candidates and the exact cosine pays only for the
+    * shortlist. Pure codegen'd expressions, no UDF, no shuffle.
+    */
+  def packSignBits(v: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive: $dim")
+    val nWords = (dim + 63) / 64
+    array((0 until nWords).map { w =>
+      val lo = w * 64
+      (0 until math.min(64, dim - lo)).map { j =>
+        when(element_at(v, lo + j + 1).cast("double") >= 0d,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign-bit arrays. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, h) => acc + h)
+
+  /** Binary-quantized cosine top-k: Hamming prefilter over packed sign
+    * bits keeps `candidates` per query (Hamming asc, id asc), then the
+    * exact cosine reranks ONLY the shortlist. Same output shape as
+    * [[cosineTopK]]; recall rides the `candidates/k` headroom
+    * (spec-asserted). Scale shape: the full corpus is scanned once as
+    * `⌈dim/64⌉`-long bit words (1/32 the bytes of the float scan), the
+    * exact rerank fetches vectors for |queries|·candidates rows only,
+    * and the shuffle carries bounded top-k partials twice — never the
+    * corpus.
+    */
+  def cosineTopKBinary(
+      corpus: DataFrame,
+      queries: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      queryIdCol: String,
+      k: Int,
+      dim: Int,
+      candidates: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && candidates >= k,
+      s"need k>0 and candidates>=k: $k $candidates")
+    val qb = broadcast(queries
+      .select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
+      .withColumn("__qb", packSignBits(col("__qf"), dim))
+      .withColumn("__qn", norm(col("__qf"))))
+    val shortlist = corpus
+      .select(col(corpusIdCol).cast("long").as("__cid"),
+        packSignBits(col(featCol), dim).as("__cb"))
+      .crossJoin(qb.select(col("__qid"), col("__qb")))
+      .filter(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .withColumn("__ham",
+        hammingPacked(col("__qb"), col("__cb")).cast("double"))
+      .groupBy(col("__qid"))
+      .agg(topK(candidates)(col("__ham"), col("__cid"), lit(0L)).as("__tk"))
+      .select(col("__qid"), explode(col("__tk.hits")).as("__h"))
+      .select(col("__qid"), col("__h.id").as("__cid"))
+    val cands = shortlist
+      .join(corpus.select(col(corpusIdCol).cast("long").as("__cid"),
+        col(featCol).as("__cf")), Seq("__cid"))
+      .withColumn("__cn", norm(col("__cf")))
+      .join(broadcast(qb.select(col("__qid"), col("__qf"), col("__qn"))),
+        Seq("__qid"))
+    rankTopK(cands, queryIdCol, k)
+  }
+
   /** Seeded Johnson–Lindenstrauss projection matrix: `outDim × dim` iid
     * N(0,1) entries from the [[graft.functions.HashRandom]] counter-mode
     * generator — any cell reproducible on any executor (or any OTHER

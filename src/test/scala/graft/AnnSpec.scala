@@ -156,6 +156,35 @@ class AnnSpec extends SparkSpec {
     assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
   }
 
+  test("binary quantization: packed bits match the sign rule; shortlist recall holds") {
+    import spark.implicits._
+    // hand-checkable packing: dim 3 -> one word, bit j = (v[j] >= 0)
+    val tiny = Seq((1L, Seq(1.0, -2.0, 0.0)), (2L, Seq(-1.0, -1.0, -1.0)))
+      .toDF("id", "v")
+      .select(col("id"), graft.similarity.Ann.packSignBits(col("v"), 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(tiny(1L) == Seq(1L | 4L), s"got ${tiny(1L)}") // bits 0 and 2 (0.0 >= 0)
+    assert(tiny(2L) == Seq(0L))
+    // recall vs exact on the clustered fixture: generous candidate
+    // headroom makes the sign-bit proxy reliable
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    def resultSet(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(2))).toSet
+    val exact = resultSet(Ann.cosineTopK(df, queries, "embedding", "vec_id", "vec_id", k))
+    def run() = graft.similarity.Ann.cosineTopKBinary(
+      df, queries, "embedding", "vec_id", "vec_id", k,
+      dim = df.select(org.apache.spark.sql.functions.size(col("embedding")))
+        .head().getInt(0),
+      candidates = 4 * k)
+    val got = resultSet(run())
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.75, s"binary-quantized recall $recall")
+    // deterministic run to run
+    assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
+  }
+
   test("HNSW/NSW shard row bound fails loudly instead of OOMing the build") {
     val df = clustered.cache()
     val hPath = s"${Scratch.sub("hnsw-bound")}/idx"
