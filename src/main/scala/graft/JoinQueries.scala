@@ -625,13 +625,22 @@ object JoinQueries {
           Snapshots.activeFiles(s, path, 1),
           "restore must republish v1's manifest file-for-file")
         import s.implicits._
-        (1 to 4).map { v =>
+        def stats(v: Int) = {
           val r = Snapshots.read(s, path, Some(v)).agg(
             count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
             coalesce(sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
               .cast("long")), lit(0L))).head()
           (v.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
-        }.toDF("version", "n_docs", "id_sum", "text_crc_sum")
+        }
+        val out = (1 to 4).map(stats)
+        // retention GC: keep v3+v4, drop the older manifests and every
+        // unreferenced data file — the restored version must keep its
+        // ancestor's files alive through its own manifest
+        val (dropped, _) = Snapshots.vacuum(s, path, keepLast = 2)
+        require(dropped == 2, s"vacuum dropped $dropped manifests")
+        require(stats(3) == out(2) && stats(4) == out(3),
+          "kept versions changed under vacuum")
+        out.toDF("version", "n_docs", "id_sum", "text_crc_sum")
       },
       Some("""
         WITH v1 AS (

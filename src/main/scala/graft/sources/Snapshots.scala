@@ -125,6 +125,45 @@ object Snapshots {
   def rollback(spark: SparkSession, path: String, v: Int): Int =
     commit(spark, path, activeFiles(spark, path, v), None)
 
+  /** Retention GC — the VACUUM contract: keep the newest `keepLast`
+    * versions, drop older manifests, and delete every data file no kept
+    * manifest references. Structural sharing means a file stays alive as
+    * long as ANY kept version lists it (a restored version keeps its
+    * ancestor's files alive). Orphans from crashed commits are
+    * unreferenced by construction, so vacuum sweeps them too. Returns
+    * `(versions dropped, data files deleted)`. Single-writer, like
+    * every mutation here: run it when no reader holds a dropped
+    * version's manifest.
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"must keep at least one version: $keepLast")
+    val all = versions(spark, path)
+    if (all.isEmpty) return (0, 0)
+    val (dropV, keepV) = all.splitAt(math.max(0, all.length - keepLast))
+    val referenced = keepV.flatMap(activeFiles(spark, path, _)).toSet
+    val f = fs(spark, path)
+    dropV.foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v"), true)
+    }
+    // sweep data files (incl. crashed-commit orphans) not referenced by
+    // any kept manifest; drained commit directories vanish with them
+    var removed = 0
+    val dataRoot = new org.apache.hadoop.fs.Path(dataDir(path))
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).foreach { cdir =>
+        val files = f.listStatus(cdir.getPath)
+        val (dead, alive) = files.partition { st =>
+          st.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(s"data/${cdir.getPath.getName}/${st.getPath.getName}")
+        }
+        dead.foreach { st => f.delete(st.getPath, false); removed += 1 }
+        if (alive.forall(!_.getPath.getName.endsWith(".parquet")))
+          f.delete(cdir.getPath, true)
+      }
+    }
+    (dropV.length, removed)
+  }
+
   private def currentFiles(spark: SparkSession, path: String): Seq[String] = {
     val latest = latestVersion(spark, path)
     if (latest == 0) Seq.empty else activeFiles(spark, path, latest)

@@ -75,6 +75,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.versions(spark, path) == Seq(1, 2, 3))
   }
 
+  test("vacuum keeps referenced files alive across restores, sweeps the rest") {
+    import spark.implicits._
+    val path = freshPath("vac")
+    Snapshots.append(
+      (0L until 20L).toDF("id").repartition(4, pmod(col("id"), lit(4))), path)
+    Snapshots.append((20L until 25L).toDF("id"), path)
+    Snapshots.deleteWhere(spark, path, col("id") % 4 === 0) // v3
+    Snapshots.rollback(spark, path, 1)                      // v4 = v1's files
+    // an orphan from a crashed commit, swept as unreferenced
+    (900L until 905L).toDF("id").write.parquet(s"$path/data/c9_orphan")
+    val (dropped, removed) = Snapshots.vacuum(spark, path, keepLast = 2)
+    assert(dropped == 2, s"dropped $dropped manifests")
+    assert(removed >= 1, "nothing swept")
+    assert(Snapshots.versions(spark, path) == Seq(3, 4))
+    // v4 restored v1, so v1's files survive vacuum through v4's manifest
+    assert(ids(Snapshots.read(spark, path, Some(4))) == (0L until 20L).toSet)
+    assert(ids(Snapshots.read(spark, path, Some(3))) ==
+      (0L until 25L).filter(_ % 4 != 0).toSet)
+    // dropped manifests are gone
+    intercept[IllegalArgumentException] {
+      Snapshots.activeFiles(spark, path, 1)
+    }
+    // the orphan directory was swept
+    assert(!new java.io.File(s"$path/data/c9_orphan").exists())
+  }
+
   test("manifest-last atomicity: orphaned data files are invisible and never block") {
     import spark.implicits._
     val path = freshPath("atomic")
