@@ -1398,6 +1398,70 @@ object PipelineQueries {
         FROM t GROUP BY source
       """.stripMargin.trim)),
 
+    // ── X147: link-graph centrality (operators/LinkRank.pageRankInt) —
+    //    the web-curation quality signal (Common Crawl-style PageRank
+    //    ranking) as DETERMINISTIC integer-arithmetic power iteration:
+    //    ranks in BIGINT micro-units, floor divisions, order-independent
+    //    integer sums — bit-identical on any partitioning and in the
+    //    oracle (a float PageRank would hash differently per run). The
+    //    link graph is the deterministic modular graph over doc_ids
+    //    (src → (7·src + 13j) mod N, j = 1..3, self-links dropped), ten
+    //    iterations, top-20 by rank. Scale shape per iteration: one
+    //    src join + one dst-keyed integer aggregate; lineage truncated
+    //    per iteration. FULL oracle: the ten iterations unrolled as
+    //    chained CTEs with the identical integer formula ──
+    QueryDef(
+      "x147_link_rank",
+      (s, dir) => {
+        import graft.operators.LinkRank
+        val docs = Tables.documents(s, dir).select(col("doc_id"))
+        val n = docs.count()
+        val edges = docs
+          .select(col("doc_id").as("src"),
+            explode(array((1 to 3).map(j =>
+              (col("doc_id") * 7 + lit(j * 13)) % lit(n)): _*)).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        LinkRank.pageRankInt(edges, "src", "dst", iterations = 10)
+          .orderBy(col("rank_micro").desc, col("node").asc)
+          .limit(20)
+      },
+      Some {
+        val iters = (1 to 10).map { k =>
+          s"""pr$k AS (
+          SELECT nodes.v, 150000 + (85 * COALESCE(s.s, 0)) // 100 AS r
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS v, sum(p.r // od.outd) AS s
+            FROM e JOIN pr${k - 1} p ON p.v = e.src
+            JOIN od ON od.src = e.src
+            GROUP BY e.dst) s USING (v)
+        )"""
+        }.mkString(", ")
+        s"""
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        e AS (
+          SELECT src, dst FROM (
+            SELECT d.doc_id AS src, (d.doc_id * 7 + j.j * 13) % nn.n AS dst
+            FROM documents d, (SELECT unnest(generate_series(1, 3)) AS j) j, nn)
+          WHERE src <> dst
+        ),
+        od AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+        idg AS (SELECT dst, count(*) AS ind FROM e GROUP BY dst),
+        nodes AS (
+          SELECT DISTINCT v FROM (
+            SELECT src AS v FROM e UNION ALL SELECT dst FROM e)
+        ),
+        pr0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        $iters
+        SELECT v AS node, CAST(r AS BIGINT) AS rank_micro,
+          COALESCE(od.outd, 0) AS out_deg, COALESCE(idg.ind, 0) AS in_deg
+        FROM pr10
+        LEFT JOIN od ON od.src = v
+        LEFT JOIN idg ON idg.dst = v
+        ORDER BY r DESC, v ASC
+        LIMIT 20
+        """.stripMargin.trim
+      }),
+
     // ── X57: interpolated Kneser–Ney bigram cross-entropy
     //    (Quality.knBigramCrossEntropy) — the CCNet-style LM quality
     //    signal one order above x36's unigram MLE. Full DuckDB replay:
