@@ -95,10 +95,12 @@ object Ann {
     * exact cosine reranks ONLY the shortlist. Same output shape as
     * [[cosineTopK]]; recall rides the `candidates/k` headroom
     * (spec-asserted). Scale shape: the full corpus is scanned once as
-    * `⌈dim/64⌉`-long bit words (1/32 the bytes of the float scan), the
-    * exact rerank fetches vectors for |queries|·candidates rows only,
-    * and the shuffle carries bounded top-k partials twice — never the
-    * corpus.
+    * `⌈dim/64⌉`-long bit words (1/32 the bytes of the float scan); the
+    * exact rerank is a declarative join of the |queries|·candidates
+    * shortlist against a second column-pruned corpus scan (AQE picks
+    * the build side — the shortlist broadcasts on a big cluster), so
+    * exact cosines are computed for shortlist rows only; shuffles carry
+    * bounded top-k partials, never the corpus.
     */
   def cosineTopKBinary(
       corpus: DataFrame,
