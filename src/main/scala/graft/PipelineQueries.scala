@@ -1064,6 +1064,69 @@ object PipelineQueries {
         FROM dl LEFT JOIN sc ON dl.doc_id = sc.doc_id
       """.stripMargin.trim)),
 
+    // ── X148: persisted inverted index + term-bucket-pruned BM25
+    //    (text/InvertedIndex.scala) — the LEXICAL member of the
+    //    persisted-index family: x42 recomputes corpus stats from text
+    //    per call; a search service instead reads the few posting
+    //    buckets its terms crc32-hash into (partition pruning
+    //    require()-proved in-query via the x86 device) with df/N/avgdl
+    //    staying EXACT under pruning (a term's full posting list lives
+    //    in one bucket; N and total_dl ride the meta counters). Build
+    //    from half the corpus, APPEND the other half (the ingest-loop
+    //    shape — only the batch's buckets gain files, meta counters
+    //    advance), then score from the grown index. FULL oracle: the
+    //    x42 corpus-direct BM25 replay restricted to matching docs —
+    //    index-path scores must equal text-path scores exactly ──
+    QueryDef(
+      "x148_inverted_index_bm25",
+      (s, dir) => {
+        import graft.text.InvertedIndex
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_invidx_$tag"
+        val docs = Tables.documents(s, dir)
+        val terms = Seq("hash", "join", "scan")
+        InvertedIndex.writeIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+          nBuckets = 16)
+        InvertedIndex.appendToIndex(
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+        val pruned = InvertedIndex.prunedPostings(s, path, terms)
+        val np = graft.sources.Partitioned.prunedPartitionCount(pruned)
+        require(np >= 1 && np <= terms.length,
+          s"expected <= ${terms.length} pruned posting buckets, scan " +
+            s"selected $np")
+        InvertedIndex.scoreBm25(s, path, terms)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("bm25"), 6).as("bm25"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ), tf0 AS (
+          SELECT doc_id, w FROM t WHERE length(w) > 0
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id
+        ), st AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM tf0
+          WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w
+        ), dfs AS (
+          SELECT w, count(*) AS df FROM tf GROUP BY w
+        ), sc AS (
+          SELECT tf.doc_id,
+            sum(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+          FROM tf JOIN dfs USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st
+          GROUP BY tf.doc_id
+        )
+        SELECT sc.doc_id, dl.dl AS n_tokens, round(sc.bm25, 6) AS bm25
+        FROM sc JOIN dl ON dl.doc_id = sc.doc_id
+      """.stripMargin.trim)),
+
     // ── X44: Bloom-filter decontamination screen — the 100 TB shape for
     //    x23 when the bench gram set outgrows a string broadcast: a
     //    distributed Bloom sketch of the eval grams, probed map-side by

@@ -1,0 +1,177 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index with term-bucket-pruned BM25 search — the
+  * LEXICAL member of the persisted-index family (exact-hash, MinHash-LSH,
+  * semantic, IVF, NSW, HNSW being the others): [[graft.text.Quality.bm25]]
+  * recomputes corpus statistics from text on every call, which is the
+  * right shape for one-off scoring but not for a search service — at
+  * 100 TB a query must touch the few posting buckets its terms hash
+  * into, never the corpus.
+  *
+  * Layout at `path`:
+  *   - `postings/__b=<bucket>/` — `(term, doc_id, tf, dl)` rows,
+  *     partitioned by `crc32(term) % nBuckets`. Document length `dl`
+  *     rides denormalized in every posting (the classic posting-list
+  *     design), so scoring needs NO doc-table join and candidate work
+  *     is bounded by posting-list length.
+  *   - `meta/` — `(n_docs, total_dl, n_buckets)` as exact BIGINTs;
+  *     `avgdl = total_dl / n_docs` is derived at search time, so an
+  *     append only rewrites this one tiny file.
+  *
+  * Search statistics stay EXACT under pruning: a term's full posting
+  * list lives in one bucket, so `df(term)` counted over the pruned scan
+  * equals the global document frequency, and `N`/`avgdl` come from meta.
+  *
+  * Appends are the ingest-loop shape of the family: new docs' postings
+  * append into their term buckets (untouched buckets keep their files),
+  * meta's two counters advance. Deletion would follow the x136/x137
+  * bucket-pruned drop-then-append pattern; not implemented here.
+  *
+  * Tokenization matches [[Quality.bm25]] exactly: lowercased whitespace
+  * words, empties dropped.
+  */
+object InvertedIndex {
+
+  val DefaultBuckets = 64
+
+  private def postingsPath(path: String) = s"$path/postings"
+  private def metaPath(path: String) = s"$path/meta"
+
+  private def toks(docs: DataFrame, idCol: String, textCol: String) =
+    graft.Tables.spread(docs)
+      .select(col(idCol).as("__id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+
+  private def postingsOf(
+      docs: DataFrame, idCol: String, textCol: String, nBuckets: Int) = {
+    val t = toks(docs, idCol, textCol)
+    val dl = t.groupBy(col("__id")).agg(count(lit(1)).as("__dl"))
+    val tf = t.groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__tf"))
+    (tf.join(dl, "__id")
+      .select(col("__w"), col("__id"), col("__tf"), col("__dl"),
+        pmod(crc32(col("__w")), lit(nBuckets.toLong)).as("__b")), dl)
+  }
+
+  /** Build (overwrite) the index over `docs`. */
+  def writeIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
+    val spark = docs.sparkSession
+    val (post, dl) = postingsOf(docs, idCol, textCol, nBuckets)
+    post.repartition(col("__b"))
+      .write.mode("overwrite").partitionBy("__b")
+      .parquet(postingsPath(path))
+    val s = dl.agg(count(lit(1)).cast("long"), sum(col("__dl")).cast("long")).head()
+    writeMeta(spark, path, s.getLong(0), s.getLong(1), nBuckets)
+  }
+
+  /** Append a batch of NEW docs (ids must be absent from the index —
+    * re-appending a doc would double its postings; enforce upstream with
+    * the x32 exact-dedup ingest loop). Only the batch's term buckets
+    * gain files; meta's counters advance.
+    */
+  def appendToIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val (n, totalDl, nBuckets) = readMeta(spark, path)
+    val (post, dl) = postingsOf(docs, idCol, textCol, nBuckets)
+    post.repartition(col("__b"))
+      .write.mode("append").partitionBy("__b")
+      .parquet(postingsPath(path))
+    val s = dl.agg(count(lit(1)).cast("long"), sum(col("__dl")).cast("long")).head()
+    writeMeta(spark, path, n + s.getLong(0),
+      totalDl + (if (s.isNullAt(1)) 0L else s.getLong(1)), nBuckets)
+  }
+
+  private def writeMeta(
+      spark: SparkSession, path: String,
+      nDocs: Long, totalDl: Long, nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq((nDocs, totalDl, nBuckets))
+      .toDF("n_docs", "total_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val r = spark.read.parquet(metaPath(path)).head()
+    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"),
+      r.getAs[Int]("n_buckets"))
+  }
+
+  /** Bucket of `term` under the index's crc32 rule — driver-side twin of
+    * the Spark `crc32` column function (CRC-32 over UTF-8 bytes).
+    */
+  private def bucketOf(term: String, nBuckets: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(term.getBytes("UTF-8"))
+    java.lang.Long.remainderUnsigned(c.getValue, nBuckets.toLong)
+  }
+
+  /** The pruned postings scan for a term set: a partition filter on the
+    * terms' buckets (provable with
+    * [[graft.sources.Partitioned.prunedPartitionCount]]) followed by the
+    * exact term filter. Exposed so callers can audit the pruning.
+    */
+  def prunedPostings(
+      spark: SparkSession, path: String, terms: Seq[String]): DataFrame = {
+    val (_, _, nBuckets) = readMeta(spark, path)
+    val tl = terms.map(_.toLowerCase).distinct
+    val buckets = tl.map(bucketOf(_, nBuckets)).distinct
+    spark.read.parquet(postingsPath(path))
+      .filter(col("__b").isInCollection(buckets))
+      .filter(col("__w").isInCollection(tl))
+  }
+
+  /** BM25 scores for every doc matching at least one term, computed
+    * ENTIRELY from the index (pruned postings + meta — the corpus text
+    * is never read): same formula and float-op order as
+    * [[Quality.bm25]]. Output: `(doc_id, n_tokens, bm25)`.
+    */
+  def scoreBm25(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (n, totalDl, _) = readMeta(spark, path)
+    val avgdl = totalDl.toDouble / n.toDouble
+    val post = prunedPostings(spark, path, terms)
+    val dfs = post.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    post.join(broadcast(dfs), "__w")
+      .withColumn("__idf",
+        log((lit(n.toDouble) - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s",
+        col("__idf") * col("__tf") * (k1 + 1) /
+          (col("__tf") + (col("__dl") / avgdl * b + (1 - b)) * k1))
+      .groupBy(col("__id"))
+      .agg(first(col("__dl")).as("n_tokens"), sum(col("__s")).as("bm25"))
+      .select(col("__id").as("doc_id"), col("n_tokens"), col("bm25"))
+  }
+
+  /** Top-`k` search: [[scoreBm25]] ranked score-desc, id-asc — planned
+    * as a distributed TakeOrdered, never a single-task global window.
+    */
+  def searchBm25(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    scoreBm25(spark, path, terms, k1, b)
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}
