@@ -94,6 +94,53 @@ object InvertedIndex {
       totalDl + (if (s.isNullAt(1)) 0L else s.getLong(1)), nBuckets)
   }
 
+  /** Erase docs from the index — right-to-be-forgotten on the lexical
+    * tier (the x136/x137/x138 contract): the deletion input is the doc
+    * rows themselves (id + the SAME text that was ingested), so the
+    * touched term buckets are recomputed and only they rewrite
+    * (drop-then-append; drained bucket directories vanish, untouched
+    * buckets stay byte-identical); meta's counters decrement by the
+    * erased docs actually present. Returns that count. A doc whose text
+    * changed since ingest would leave stale postings in unrecomputed
+    * buckets — same caveat as [[IncrementalNearDup.deleteFromIndex]],
+    * same remedy (delete with the ingested content).
+    */
+  def deleteFromIndex(
+      spark: SparkSession,
+      path: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): Long = {
+    val (n, totalDl, nBuckets) = readMeta(spark, path)
+    val (post, _) = postingsOf(docs, idCol, textCol, nBuckets)
+    val buckets = post.select(col("__b")).distinct()
+      .collect().map(_.getLong(0))
+    if (buckets.isEmpty) return 0L
+    val delIds = docs.select(col(idCol).cast("long").as("__id")).distinct()
+    val touched = spark.read.parquet(postingsPath(path))
+      .filter(col("__b").isInCollection(buckets))
+    // counters of the docs actually present, taken BEFORE the rewrite
+    val gone = touched
+      .join(delIds, Seq("__id"), "left_semi")
+      .select(col("__id"), col("__dl")).distinct()
+      .agg(count(lit(1)).cast("long"), sum(col("__dl")).cast("long")).head()
+    val removed = gone.getLong(0)
+    if (removed == 0L) return 0L
+    val kept = touched.join(delIds, Seq("__id"), "left_anti")
+      .repartition(col("__b"))
+      .localCheckpoint(true) // pinned before its source dirs are dropped
+    val fs = new org.apache.hadoop.fs.Path(postingsPath(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buckets.foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"${postingsPath(path)}/__b=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    if (!kept.isEmpty)
+      kept.write.mode("append").partitionBy("__b").parquet(postingsPath(path))
+    writeMeta(spark, path, n - removed, totalDl - gone.getLong(1), nBuckets)
+    removed
+  }
+
   private def writeMeta(
       spark: SparkSession, path: String,
       nDocs: Long, totalDl: Long, nBuckets: Int): Unit = {

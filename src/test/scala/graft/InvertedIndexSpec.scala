@@ -55,6 +55,42 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a == b, s"$a vs $b")
   }
 
+  test("deleteFromIndex: erased docs vanish, scores equal a rebuild, untouched buckets byte-identical") {
+    import spark.implicits._
+    val d = docs.toDF("doc_id", "text")
+    val path = freshPath()
+    InvertedIndex.writeIndex(d, "doc_id", "text", path, nBuckets = 16)
+    def bucketFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/postings"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = bucketFiles()
+    // erase doc 2 (present) and a ghost doc (never indexed)
+    val removed = InvertedIndex.deleteFromIndex(spark, path,
+      d.filter(col("doc_id") === 2L)
+        .unionByName(Seq((99L, "ghost words only")).toDF("doc_id", "text")),
+      "doc_id", "text")
+    assert(removed == 1L, s"removed $removed")
+    // no postings of doc 2 anywhere
+    assert(!spark.read.parquet(s"$path/postings")
+      .select("__id").collect().map(_.getLong(0)).contains(2L))
+    // index-path scores equal an index rebuilt WITHOUT doc 2, bit for bit
+    val rebuilt = freshPath()
+    InvertedIndex.writeIndex(d.filter(col("doc_id") =!= 2L), "doc_id", "text",
+      rebuilt, nBuckets = 16)
+    val terms = Seq("hash", "join", "scan")
+    assert(scores(InvertedIndex.scoreBm25(spark, path, terms)) ==
+      scores(InvertedIndex.scoreBm25(spark, rebuilt, terms)))
+    // buckets doc 2's terms never touched are byte-identical
+    val after = bucketFiles()
+    val untouchedSame = before.keySet.intersect(after.keySet)
+      .count(k => before(k) == after(k))
+    assert(untouchedSame > 0, "delete rewrote every bucket")
+  }
+
   test("search reads only the query terms' buckets; top-k ranks score desc, id asc") {
     import spark.implicits._
     val d = docs.toDF("doc_id", "text")
