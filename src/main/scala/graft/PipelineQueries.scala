@@ -1072,11 +1072,15 @@ object PipelineQueries {
     //    require()-proved in-query via the x86 device) with df/N/avgdl
     //    staying EXACT under pruning (a term's full posting list lives
     //    in one bucket; N and total_dl ride the meta counters). Build
-    //    from half the corpus, APPEND the other half (the ingest-loop
-    //    shape — only the batch's buckets gain files, meta counters
-    //    advance), then score from the grown index. FULL oracle: the
-    //    x42 corpus-direct BM25 replay restricted to matching docs —
-    //    index-path scores must equal text-path scores exactly ──
+    //    from a third of the corpus, APPEND the other two thirds in two
+    //    batches (the ingest-loop shape — only each batch's buckets gain
+    //    files, meta counters advance), COMPACT (the x127/x128
+    //    maintenance op: N append files per bucket collapse to one,
+    //    row-set-identical by require), then score from the compacted
+    //    index. FULL oracle: the x42 corpus-direct BM25 replay
+    //    restricted to matching docs — index-path scores must equal
+    //    text-path scores exactly, proving the whole
+    //    build→append×2→compact lifecycle search-invisible ──
     QueryDef(
       "x148_inverted_index_bm25",
       (s, dir) => {
@@ -1086,10 +1090,17 @@ object PipelineQueries {
         val docs = Tables.documents(s, dir)
         val terms = Seq("hash", "join", "scan")
         InvertedIndex.writeIndex(
-          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path,
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path,
           nBuckets = 16)
         InvertedIndex.appendToIndex(
-          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", path)
+          docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
+        InvertedIndex.appendToIndex(
+          docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path)
+        val filesBefore = graft.sources.Partitioned.fileCount(s"$path/postings")
+        InvertedIndex.compactIndex(s, path)
+        val filesAfter = graft.sources.Partitioned.fileCount(s"$path/postings")
+        require(filesAfter < filesBefore,
+          s"compaction did not shrink the layout: $filesBefore -> $filesAfter")
         val pruned = InvertedIndex.prunedPostings(s, path, terms)
         val np = graft.sources.Partitioned.prunedPartitionCount(pruned)
         require(np >= 1 && np <= terms.length,

@@ -1005,7 +1005,12 @@ object Queries {
     //    independently replays the token model, the ROWS-frame
     //    cumulative sum, the budget aggregate and the cutoff — the
     //    prefix-sum machinery stays honestly oracled while the libm
-    //    dependence disappears. ──
+    //    dependence disappears. r13: the r10-r12 red turned out to be a
+    //    TYPE divergence, not ordering — DuckDB returns HUGEINT for a
+    //    bare list_aggregate(...,'sum') and DOUBLE for the windowed
+    //    sum, while Spark emits BIGINT; the driver's hash is
+    //    type-sensitive. The final SELECT casts both derived columns to
+    //    BIGINT (values were already identical). ──
     QueryDef(
       "x118_token_budget_select",
       (s, dir) => {
@@ -1046,7 +1051,9 @@ object Queries {
         ), g AS (
           SELECT CAST(floor(sum(tok) / 2.0) AS BIGINT) AS budget FROM t
         )
-        SELECT doc_id, tok AS tokens, running FROM r, g WHERE running <= budget
+        SELECT doc_id, CAST(tok AS BIGINT) AS tokens,
+          CAST(running AS BIGINT) AS running
+        FROM r, g WHERE running <= budget
         """.stripMargin.trim
       }),
 

@@ -339,6 +339,46 @@ object SimQueries {
         SELECT method, sim_id,
           round(u/5.0 + exp(-25.0)*(x0 - u/5.0), 5) AS x_last
         FROM m CROSS JOIN s
+      """.stripMargin.trim)),
+
+    // ── M9: NONLINEAR stiff integration (bdf / radau / lsoda) on
+    //    dx = −200(x³ − u), x0 = 2 — the cubic's fixed point x* = ∛u is
+    //    attracting at rate −600x*² (λ·dt down to −300 on the dt=0.5
+    //    grid: explicit methods explode), and unlike M7's LINEAR system
+    //    each implicit stage solve here exercises the finite-difference
+    //    Jacobian + Newton path on a genuinely nonlinear residual. By
+    //    t=5 the transient is dead to machine precision, so the analytic
+    //    golden is exactly ∛u: the engine never computes a cube root —
+    //    its integrators must CONVERGE to one (per-value distance to the
+    //    5-decimal rounding boundary ≥1e-6, solver residual ~1e-10) ──
+    QueryDef(
+      "m9_stiff_nonlinear",
+      (s, _) => {
+        import s.implicits._
+        val n = 10
+        val sims = s.range(10).as[Long].mapPartitions(_.flatMap { i =>
+          val u = IndexedSeq.fill(n)(Array(0.5 + 0.05 * i))
+          Seq("bdf", "radau", "lsoda").iterator.map { m =>
+            val model = NonlinearContinuous(
+              f = (x, uu, _) => Array(-200.0 * (x(0) * x(0) * x(0) - uu(0))),
+              g = (x, _, _) => Array(x(0)),
+              inputDim = 1, method = m)
+            val last = model.simulate(i, u, Array(2.0), tFinal = 5.0, dt = 0.5)
+              .reduceLeft((_, b) => b)
+            (m, i, last.state(0))
+          }
+        }).toDF("method", "sim_id", "x")
+        sims.select(col("method"), col("sim_id"),
+          round(col("x"), 5).as("x_last"))
+      },
+      Some("""
+        WITH m AS (SELECT * FROM (VALUES ('bdf'), ('radau'), ('lsoda')) v(method)),
+        s AS (
+          SELECT i AS sim_id, (0.5 + 0.05*i)::DOUBLE AS u
+          FROM generate_series(0, 9) t(i)
+        )
+        SELECT method, sim_id, round(cbrt(u), 5) AS x_last
+        FROM m CROSS JOIN s
       """.stripMargin.trim))
   )
 }

@@ -527,9 +527,19 @@ object Hnsw {
       if (stale > 0) {
         val keep = ts.join(batch.select(col("id")), Seq("id"), "left_anti")
           .coalesce(1).localCheckpoint(true)
-        tsFs.delete(tsPath, true)
-        if (keep.count() > 0)
-          keep.write.mode("overwrite").parquet(s"$path/tombstones")
+        if (keep.count() > 0) {
+          // write-new-then-swap (the manifest-last discipline): the kept
+          // tombstones exist on disk BEFORE the old list goes, so a crash
+          // mid-clear can't resurrect previously erased vectors; a
+          // leftover __swap dir from a crashed attempt is overwritten on
+          // the next append and never read by searches.
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/tombstones__swap")
+          if (tsFs.exists(tmp)) tsFs.delete(tmp, true)
+          keep.write.mode("overwrite").parquet(tmp.toString)
+          tsFs.delete(tsPath, true)
+          require(tsFs.rename(tmp, tsPath),
+            s"tombstone swap rename failed: $tmp -> $tsPath")
+        } else tsFs.delete(tsPath, true)
       }
     }
     val updated = resident

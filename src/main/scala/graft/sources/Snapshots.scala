@@ -83,7 +83,37 @@ object Snapshots {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, path))
     val files = activeFiles(spark, path, v).map(rel => s"$path/$rel")
-    spark.read.parquet(files: _*)
+    if (files.isEmpty) {
+      // A legitimately empty version (deleteWhere erased every row, or a
+      // rollback to one) — parquet can't be read from zero paths, so the
+      // schema persisted at commit time supplies the empty frame's shape.
+      val schema = readSchema(spark, path, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v at $path is empty and carries no schema " +
+            "(table was never committed with rows)"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else spark.read.parquet(files: _*)
+  }
+
+  /** Schema of version `v`, from the `_schema.json` persisted beside its
+    * manifest (absent only for pre-schema tables or never-populated ones).
+    */
+  private def readSchema(
+      spark: SparkSession, path: String, v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_schema.json")
+    val f = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(bytes, "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } finally in.close()
+    }
   }
 
   /** Commit `df` as an APPEND; returns the new version. Rewrites
@@ -105,8 +135,15 @@ object Snapshots {
     val prev = currentFiles(spark, path)
     if (prev.isEmpty) return commit(spark, path, Seq.empty, None)
     val abs = prev.map(rel => s"$path/$rel")
+    // Three-valued logic: a row where `cond` evaluates to NULL (e.g. a
+    // predicate over a nullable column) never MATCHED the delete, so it
+    // must survive. Both passes use the same coalesce so "which files
+    // are touched" and "which rows survive" agree (Delta's DELETE
+    // contract: remove rows where the predicate is true; keep false OR
+    // null).
+    val matched = coalesce(cond, lit(false))
     val touchedAbs = spark.read.parquet(abs: _*)
-      .filter(cond)
+      .filter(matched)
       .select(col("_metadata.file_path"))
       .distinct().collect().map(_.getString(0)).toSet
     // _metadata.file_path is an absolute URI; match on the relative tail
@@ -114,7 +151,7 @@ object Snapshots {
     if (touched.isEmpty) return commit(spark, path, prev, None)
     val survivors = spark.read
       .parquet(touched.map(rel => s"$path/$rel"): _*)
-      .filter(!cond)
+      .filter(!matched)
     commit(spark, path, prev.filterNot(touched.contains), Some(survivors))
   }
 
@@ -177,8 +214,29 @@ object Snapshots {
       spark: SparkSession,
       path: String,
       keepFiles: Seq[String],
+      add: Option[DataFrame]): Int =
+    commitAt(spark, path, latestVersion(spark, path) + 1, keepFiles, add)
+
+  /** Publish at an EXPLICIT version — the seam that makes the collision
+    * guard testable: a racing writer is exactly one that chose `v`
+    * before a rival published it.
+    */
+  private[graft] def commitAt(
+      spark: SparkSession,
+      path: String,
+      v: Int,
+      keepFiles: Seq[String],
       add: Option[DataFrame]): Int = {
-    val v = latestVersion(spark, path) + 1
+    val f0 = fs(spark, path)
+    val manifestDir = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v")
+    // Single-writer contract, enforced loudly: if another committer
+    // raced us to version v its manifest already exists — fail rather
+    // than silently fork history (no conditional-put on plain
+    // filesystems, so detection is best-effort; mode("error") on the
+    // manifest write below is the backstop).
+    require(!f0.exists(manifestDir),
+      s"manifest collision at $path version $v: concurrent writer detected " +
+        "(Snapshots is single-writer; serialize committers externally)")
     val newRel = add match {
       case Some(df) =>
         val sub = s"c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -194,6 +252,19 @@ object Snapshots {
     import spark.implicits._
     (keepFiles ++ newRel).sorted.toDF("file")
       .coalesce(1).write.mode("error").parquet(s"${logDir(path)}/v=$v")
+    // Persist the table schema beside the manifest (underscore-prefixed
+    // → invisible to the manifest's parquet reader) so an all-rows
+    // erasure stays readable as an empty frame of the right shape.
+    val schema: Option[org.apache.spark.sql.types.StructType] =
+      add.map(_.schema)
+        .orElse(if (v > 1) readSchema(spark, path, v - 1) else None)
+        .orElse(keepFiles.headOption.map(rel =>
+          spark.read.parquet(s"$path/$rel").schema))
+    schema.foreach { s =>
+      val out = f0.create(
+        new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_schema.json"), false)
+      try out.write(s.json.getBytes("UTF-8")) finally out.close()
+    }
     v
   }
 }

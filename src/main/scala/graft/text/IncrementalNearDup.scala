@@ -417,7 +417,15 @@ object IncrementalNearDup {
     // unpopulated cache each compute the sketch themselves) and validate
     // precomputed signature widths in the same single action
     val chk = sigs.agg(count(lit(1)),
-      min(size(col("__sig"))), max(size(col("__sig")))).head()
+      min(size(col("__sig"))), max(size(col("__sig"))),
+      count(when(col("__sig").isNull, lit(1)))).head()
+    // min/max(size) skip NULLs, so check them separately: an all-null
+    // batch would NPE on getInt below, and a mixed one would slip docs
+    // with null band keys past dedup matching entirely.
+    require(chk.getLong(3) == 0L,
+      s"${chk.getLong(3)} of ${chk.getLong(0)} rows carry a NULL " +
+        s"signature in $sigCol — precompute signatures for every doc " +
+        "(null-signature docs would silently skip dedup matching)")
     require(chk.getLong(0) == 0L ||
       (chk.getInt(1) == numHashes && chk.getInt(2) == numHashes),
       s"signature width ${chk.getInt(1)}..${chk.getInt(2)} does not match " +

@@ -27,8 +27,12 @@ import org.apache.spark.sql.functions._
   *
   * Appends are the ingest-loop shape of the family: new docs' postings
   * append into their term buckets (untouched buckets keep their files),
-  * meta's two counters advance. Deletion would follow the x136/x137
-  * bucket-pruned drop-then-append pattern; not implemented here.
+  * meta's two counters advance. [[deleteFromIndex]] is the x136/x137
+  * bucket-pruned drop-then-append erasure (GDPR: erased docs' postings
+  * leave only their term buckets rewritten); [[compactIndex]] is the
+  * x127/x128 maintenance op (appends accumulate one file per touched
+  * bucket per batch — compaction collapses each bucket back to one
+  * file, row-set-identical by `require`).
   *
   * Tokenization matches [[Quality.bm25]] exactly: lowercased whitespace
   * words, empties dropped.
@@ -70,7 +74,33 @@ object InvertedIndex {
       .write.mode("overwrite").partitionBy("__b")
       .parquet(postingsPath(path))
     val s = dl.agg(count(lit(1)).cast("long"), sum(col("__dl")).cast("long")).head()
-    writeMeta(spark, path, s.getLong(0), s.getLong(1), nBuckets)
+    // empty corpus: sum() is NULL — same guard as appendToIndex
+    writeMeta(spark, path, s.getLong(0),
+      if (s.isNullAt(1)) 0L else s.getLong(1), nBuckets)
+  }
+
+  /** Collapse each term bucket's accumulated append files into one file
+    * per bucket — the x127/x128 maintenance discipline applied to the
+    * lexical tier. Ingest batches append one file per touched bucket, so
+    * an N-batch index reads N small files per bucket; compaction
+    * rewrites the postings ONCE, bucket-partitioned, and proves the
+    * row set unchanged (search results are invariant by construction —
+    * same rows, same layout rule). Meta is untouched: counters don't
+    * change when rows don't.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val (_, _, nBuckets) = readMeta(spark, path)
+    val stored = spark.read.parquet(postingsPath(path))
+    val before = stored.count()
+    if (before == 0L) return
+    // materialize BEFORE overwriting the directory being read
+    val pinned = stored
+      .repartition(nBuckets, col("__b"))
+      .localCheckpoint(true)
+    pinned.write.mode("overwrite").partitionBy("__b").parquet(postingsPath(path))
+    val after = spark.read.parquet(postingsPath(path)).count()
+    require(after == before,
+      s"compaction changed the posting set: $before -> $after rows")
   }
 
   /** Append a batch of NEW docs (ids must be absent from the index —

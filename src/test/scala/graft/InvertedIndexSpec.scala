@@ -91,6 +91,40 @@ class InvertedIndexSpec extends SparkSpec {
     assert(untouchedSame > 0, "delete rewrote every bucket")
   }
 
+  test("compactIndex collapses append files per bucket; search is invariant") {
+    import spark.implicits._
+    val d = docs.toDF("doc_id", "text")
+    val path = freshPath()
+    InvertedIndex.writeIndex(d.filter(col("doc_id") <= 2), "doc_id", "text",
+      path, nBuckets = 8)
+    InvertedIndex.appendToIndex(d.filter(col("doc_id") === 3L), "doc_id",
+      "text", path)
+    InvertedIndex.appendToIndex(d.filter(col("doc_id") > 3L), "doc_id",
+      "text", path)
+    val terms = Seq("hash", "join", "scan", "shuffles")
+    val before = scores(InvertedIndex.scoreBm25(spark, path, terms))
+    val filesBefore = graft.sources.Partitioned.fileCount(s"$path/postings")
+    InvertedIndex.compactIndex(spark, path)
+    val filesAfter = graft.sources.Partitioned.fileCount(s"$path/postings")
+    assert(filesAfter < filesBefore,
+      s"compaction did not shrink the layout: $filesBefore -> $filesAfter")
+    // bit-identical scores: same rows, same meta, same float-op order
+    assert(scores(InvertedIndex.scoreBm25(spark, path, terms)) == before)
+    // and pruning still proves out on the compacted layout
+    val pruned = InvertedIndex.prunedPostings(spark, path, Seq("hash"))
+    assert(graft.sources.Partitioned.prunedPartitionCount(pruned) == 1)
+  }
+
+  test("writeIndex on an empty corpus commits zero counters, no NPE") {
+    import spark.implicits._
+    val d = docs.toDF("doc_id", "text").filter(col("doc_id") < 0)
+    val path = freshPath()
+    InvertedIndex.writeIndex(d, "doc_id", "text", path, nBuckets = 8)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    assert(meta.getAs[Long]("n_docs") == 0L)
+    assert(meta.getAs[Long]("total_dl") == 0L)
+  }
+
   test("search reads only the query terms' buckets; top-k ranks score desc, id asc") {
     import spark.implicits._
     val d = docs.toDF("doc_id", "text")

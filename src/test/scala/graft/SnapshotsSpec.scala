@@ -101,6 +101,51 @@ class SnapshotsSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/data/c9_orphan").exists())
   }
 
+  test("deleteWhere under three-valued logic: NULL-evaluating rows survive") {
+    import spark.implicits._
+    val path = freshPath("tvl")
+    // tag is nullable; the predicate `tag = 'drop'` evaluates NULL for
+    // null tags — those rows never MATCHED the delete, so they survive
+    Snapshots.append(Seq(
+      (1L, "drop"), (2L, "keep"), (3L, null), (4L, "drop"), (5L, null)
+    ).toDF("id", "tag"), path)
+    Snapshots.deleteWhere(spark, path, col("tag") === "drop")
+    assert(ids(Snapshots.read(spark, path)) == Set(2L, 3L, 5L),
+      "rows where the predicate is NULL must be kept (Delta DELETE contract)")
+  }
+
+  test("read of a legitimately empty version returns an empty frame of the table schema") {
+    import spark.implicits._
+    val path = freshPath("empty")
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), path)
+    val v2 = Snapshots.deleteWhere(spark, path, lit(true)) // erase everything
+    val empty = Snapshots.read(spark, path, Some(v2))
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "tag"))
+    // rollback to the empty version is also readable
+    val v3 = Snapshots.rollback(spark, path, v2)
+    assert(Snapshots.read(spark, path, Some(v3)).count() == 0)
+    // and the table recovers: a later append reads normally again
+    Snapshots.append(Seq((9L, "z")).toDF("id", "tag"), path)
+    assert(ids(Snapshots.read(spark, path)) == Set(9L))
+  }
+
+  test("manifest collision fails loudly (single-writer contract)") {
+    import spark.implicits._
+    val path = freshPath("collide")
+    Snapshots.append((0L until 3L).toDF("id"), path)
+    // a racing writer is one that chose its version BEFORE a rival
+    // published it: committing at the already-taken version 1 must fail
+    // loudly, never fork history
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commitAt(spark, path, 1, Seq.empty,
+        Some((3L until 5L).toDF("id")))
+    }
+    assert(e.getMessage.contains("manifest collision"))
+    // and the table is undamaged
+    assert(ids(Snapshots.read(spark, path)) == Set(0L, 1L, 2L))
+  }
+
   test("manifest-last atomicity: orphaned data files are invisible and never block") {
     import spark.implicits._
     val path = freshPath("atomic")

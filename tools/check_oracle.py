@@ -48,6 +48,15 @@ for name in sorted(oracle):
     ok = True
     for c in got.columns:
         g, e = got[c], exp[c]
+        # The driver's hash is TYPE-sensitive (r10-r12: DuckDB HUGEINT/
+        # DOUBLE vs Spark BIGINT hashed red while this script's astype
+        # coercion said green). Mirror it: dtype divergence is a FAIL.
+        if g.dtype != e.dtype:
+            print(f"FAIL {name}: col {c} TYPE-MISMATCH "
+                  f"{g.dtype} vs {e.dtype} (driver hash is type-sensitive; "
+                  f"CAST the oracle column)")
+            ok = False
+            continue
         if g.dtype.kind == "f" or e.dtype.kind == "f":
             same = np.isclose(g.astype(float), e.astype(float),
                               rtol=0, atol=0, equal_nan=True)
