@@ -58,6 +58,14 @@ object Queries {
     */
   @volatile private var x73Graph: Option[Seq[(Long, Int, Seq[Long])]] = None
 
+  /** In-run NSW adjacency stashed by the x71 run for its thunk oracle —
+    * the x73 device applied to the JUST-BUILT graph (the frame is
+    * eagerly checkpointed, so the pinned structure and the searched
+    * structure are one artifact; the m5 fitted-draw precedent for
+    * pinnable in-run state).
+    */
+  @volatile private var x71Graph: Option[Seq[(Long, Int, Seq[Long])]] = None
+
   /** Quantizer centroids stashed by the x117 run for its thunk oracle
     * (the x17 persisted-centroid device).
     */
@@ -205,6 +213,12 @@ object Queries {
     * oracle: `(id, shard, level, per-layer sorted neighbor ids)`.
     */
   @volatile private var x112Graph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
+
+  /** In-run HNSW adjacency stashed by the x111 run (the x71 device on
+    * the layered graph — structure collected from the checkpointed
+    * build frame the search then walks).
+    */
+  @volatile private var x111Graph: Option[Seq[(Long, Int, Int, Seq[Seq[Long]])]] = None
 
   /** Post-stream adjacency stashed by the x123 run (same shape/oracle
     * device as x112 — the walk replay is indifferent to HOW the
@@ -862,42 +876,68 @@ object Queries {
       """.stripMargin.trim)),
 
     // ── X71: graph-based ANN — per-shard navigable-small-world graphs
-    //    (Nsw.cosineTopKNsw), the graph-family scale path beside the
-    //    IVF/PQ cluster-and-code paths. Deterministic (id-ordered
-    //    insertion, id tie-breaks) but the greedy walk is not
-    //    ANSI-expressible → rows-only; AnnSpec asserts recall ≥ 0.9 vs
-    //    exact + run-to-run determinism ──
+    //    built IN-RUN (Nsw.buildGraphRows → searchGraphRows, the
+    //    on-the-fly lifecycle; x73 is the persisted variant), the
+    //    graph-family scale path beside the IVF/PQ cluster-and-code
+    //    paths. FULL oracle (r13 — formerly rows-only): the build frame
+    //    is eagerly checkpointed, its realized adjacency collected as
+    //    literals, and DuckDB replays the greedy beam walk over that
+    //    exact structure ([[nswWalkReplaySql]]) — the searched graph and
+    //    the replayed graph are one artifact. AnnSpec keeps recall ≥ 0.9
+    //    vs exact + run-to-run determinism ──
     QueryDef(
       "x71_ann_nsw",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        graft.similarity.Nsw.cosineTopKNsw(
-          emb, emb.filter(col("vec_id") < 20), "embedding",
-          "vec_id", "vec_id", k = 3)
+        val g = graft.similarity.Nsw.buildGraphRows(
+          emb, "embedding", "vec_id", numShards = 8)
+          .localCheckpoint(true)
+        x71Graph = Some(g
+          .select(col("id").cast("long"), col("__shard").cast("int"),
+            col("neighbors").cast("array<bigint>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+          .sortBy(t => (t._2, t._1)).toSeq)
+        graft.similarity.Nsw.searchGraphRows(
+          g, emb.filter(col("vec_id") < 20), "embedding", "vec_id",
+          k = 3, m = 8, efConstruction = 32)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      () => x71Graph.map(nswWalkReplaySql)),
 
     // ── X111: HIERARCHICAL NSW (Malkov & Yashunin 2016) — the
     //    production-default multi-layer graph ANN (hnswlib/FAISS-HNSW):
     //    geometric levels from the id (P(level ≥ l) = m^−l,
     //    deterministic), upper layers as sparse express lanes descended
-    //    greedily before the ef-beam on layer 0. Same shard-parallel
-    //    architecture as x71; rows-only (the layered walk is the x71
-    //    no-oracle case squared), AnnSpec pins recall ≥ 0.9 vs exact,
-    //    bit-determinism and the geometric layer decay ──
+    //    greedily before the ef-beam on layer 0, built IN-RUN
+    //    (Hnsw.buildGraphRows → searchGraphRows; x112 is the persisted
+    //    variant). FULL oracle (r13 — formerly rows-only): the x71
+    //    device on the layered graph — the checkpointed build frame's
+    //    adjacency is pinned as literals and DuckDB replays descent +
+    //    beam over it ([[hnswWalkReplaySql]]). AnnSpec keeps recall
+    //    ≥ 0.9 vs exact, bit-determinism and the geometric layer decay ──
     QueryDef(
       "x111_ann_hnsw",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        graft.similarity.Hnsw.cosineTopKHnsw(
-          emb, emb.filter(col("vec_id") < 20), "embedding",
-          "vec_id", "vec_id", k = 3)
+        val g = graft.similarity.Hnsw.buildGraphRows(
+          emb, "embedding", "vec_id", numShards = 8)
+          .localCheckpoint(true)
+        x111Graph = Some(g
+          .select(col("id").cast("long"), col("__shard").cast("int"),
+            col("level").cast("int"), col("layers").cast("array<array<bigint>>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
+          .sortBy(t => (t._2, t._1)).toSeq)
+        graft.similarity.Hnsw.searchGraphRows(
+          g, emb.filter(col("vec_id") < 20), "embedding", "vec_id",
+          k = 3, m = 8, efConstruction = 32)
           .select(col("vec_id"), col("rank"), col("neighbor_id"),
             round(col("cosine"), 6).as("cosine"))
       },
-      None),
+      () => x111Graph.map(hnswWalkReplaySql)),
 
     // ── X116: SEMANTIC decontamination (Ann.semanticContamination) —
     //    the embedding-space tier completing the decon family (exact

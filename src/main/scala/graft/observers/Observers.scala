@@ -26,10 +26,12 @@ import graft.operators.Recurrence
   * Ackermann's formula for single-output systems — exact pole placement,
   * and for p=1 the observer gain is unique, so it matches scipy
   * `place_poles` to rounding. Multi-output systems (p > 1) use the
-  * dyadic unity-rank reduction ([[Gains.dyadicObserver]]) — the placed
-  * spectrum is identical to `place_poles`' (exact), though the gain
-  * matrix itself is the rank-1 solution rather than scipy's
-  * robustness-optimized one (the gain is non-unique for p > 1).
+  * Sylvester-equation full-rank design ([[Gains.sylvesterObserver]]) —
+  * exact spectrum, conditioning-optimized over deterministic parameter
+  * candidates (the `place_poles` KNV/YT objective), with the dyadic
+  * unity-rank reduction ([[Gains.dyadicObserver]]) as the fallback on
+  * the Sylvester solvability boundary (desired pole ∈ eig(A),
+  * multiplicity > p).
   */
 object Observers {
 
@@ -158,6 +160,144 @@ object Observers {
       Array.tabulate(n, p)((i, j) => l(i) * f(j))
     }
 
+    /** Multi-output observer pole placement via the SYLVESTER-EQUATION
+      * method (Bhattacharyya & de Souza 1982, "Pole assignment via
+      * Sylvester's equation"; the full-rank classical alternative to the
+      * unity-rank dyadic design): on the controller dual `(Aᵀ, Cᵀ)`,
+      * pick a parameter matrix `G` (p×n), solve `Aᵀ X − X Λ = −Cᵀ G`
+      * column-block-wise — Λ is the REAL block form of the desired
+      * spectrum (1×1 blocks for real poles, 2×2 `[[α,β],[−β,α]]` blocks
+      * for conjugate pairs, so every solve stays in real arithmetic) —
+      * and return `L = (G X⁻¹)ᵀ`: then `(A − LC) X̃ = X̃ Λ̃` by
+      * construction, the spectrum is exact. The gain is full-rank in
+      * the outputs (every sensor participates), which is what the
+      * dyadic reduction gives up.
+      *
+      * `G` candidates are deterministic (cycled unit columns + harmonic
+      * mixes); the returned gain is the candidate whose solution X is
+      * best conditioned (max σ_min/σ_max) — eigenvector-basis
+      * conditioning is exactly the robustness objective scipy's
+      * `place_poles` (KNV/YT) optimizes, here reduced to a seed-free
+      * candidate search. Every candidate is validated by re-computing
+      * `eig(A − LC)` against the request.
+      *
+      * Returns None when no candidate yields an invertible,
+      * placement-validated X — a desired pole coinciding with an
+      * eigenvalue of A (the Sylvester solvability boundary), or pole
+      * multiplicity exceeding p; callers fall back to
+      * [[dyadicObserver]], which handles those via the characteristic
+      * polynomial.
+      */
+    def sylvesterObserver(
+        a: Array[Array[Double]], cm: Array[Array[Double]],
+        poles: Seq[Complex]): Option[Array[Array[Double]]] = {
+      val n = a.length
+      val p = cm.length
+      require(poles.length == n, s"need $n poles, got ${poles.length}")
+      val at = Mat.transpose(a)   // controller dual: state matrix Aᵀ
+      val bt = Mat.transpose(cm)  // controller dual: input matrix Cᵀ (n×p)
+      val tol = 1e-9
+      // real block structure: reals as-is, complex as matched (α, β>0) pairs
+      val reals = poles.filter(c => math.abs(c.imag) <= tol).map(_.real)
+      val pos = poles.filter(_.imag > tol).sortBy(c => (c.real, c.imag))
+      val neg = poles.filter(_.imag < -tol).sortBy(c => (c.real, -c.imag))
+      if (pos.length != neg.length ||
+        pos.zip(neg).exists { case (u, v) =>
+          math.abs(u.real - v.real) > 1e-9 || math.abs(u.imag + v.imag) > 1e-9 })
+        return None // spectrum not closed under conjugation
+      def unit(i: Int) = Array.tabulate(p)(j => if (j == i % p) 1.0 else 0.0)
+      // per-column parameter vectors, cycled so repeated poles get
+      // DIFFERENT columns (the multiplicity-≤p device)
+      val nCols = reals.length + 2 * pos.length
+      val candidates: Seq[Seq[Array[Double]]] =
+        (0 until p).map(s => Seq.tabulate(nCols)(j => unit(j + s))) ++
+          Seq(Seq.tabulate(nCols)(j =>
+            Array.tabulate(p)(i => 1.0 / (1 + (i + j) % p))))
+      // Sylvester RHS: Ac X − X Λ = Bc G ⇒ (Ac − Bc·GX⁻¹) X = X Λ
+      def bg(g: Array[Double]): Array[Double] = Mat.matVec(bt, g)
+      def solveReal(lam: Double, g: Array[Double]): Option[Array[Double]] = {
+        val m = Array.tabulate(n, n)((i, j) =>
+          at(i)(j) - (if (i == j) lam else 0.0))
+        try Some(Mat.matVec(Mat.inv(m), bg(g)))
+        catch { case _: IllegalArgumentException => None }
+      }
+      def solvePair(al: Double, be: Double, g1: Array[Double], g2: Array[Double])
+          : Option[(Array[Double], Array[Double])] = {
+        // [[Aᵀ−αI, βI], [−βI, Aᵀ−αI]] [x1; x2] = [Bg1; Bg2]
+        val m = Array.tabulate(2 * n, 2 * n) { (i, j) =>
+          val (bi, bj) = (i / n, j / n)
+          val (ri, rj) = (i % n, j % n)
+          if (bi == bj) at(ri)(rj) - (if (ri == rj) al else 0.0)
+          else if (ri == rj) (if (bi == 0) be else -be)
+          else 0.0
+        }
+        val rhs = bg(g1) ++ bg(g2)
+        try {
+          val x = Mat.matVec(Mat.inv(m), rhs)
+          Some((x.take(n), x.drop(n)))
+        } catch { case _: IllegalArgumentException => None }
+      }
+      def condRatio(x: Array[Array[Double]]): Double = {
+        val s = svd(DenseMatrix(x: _*)).S
+        val mx = breeze.linalg.max(s)
+        if (mx <= 0) 0.0 else breeze.linalg.min(s) / mx
+      }
+      val scale = poles.map(_.abs).max + 1.0
+      val best = candidates.flatMap { gs =>
+        // assemble X column by column (columns live in G-column order)
+        val cols = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val gcols = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        var gi = 0
+        var ok = true
+        reals.foreach { lam =>
+          if (ok) solveReal(lam, gs(gi)) match {
+            case Some(x) => cols += x; gcols += gs(gi); gi += 1
+            case None => ok = false
+          }
+        }
+        pos.foreach { c =>
+          if (ok) solvePair(c.real, c.imag, gs(gi), gs(gi + 1)) match {
+            case Some((x1, x2)) =>
+              cols += x1; cols += x2; gcols += gs(gi); gcols += gs(gi + 1)
+              gi += 2
+            case None => ok = false
+          }
+        }
+        if (!ok) None
+        else {
+          // X: n×n with our solution vectors as COLUMNS; K = G X⁻¹
+          val x = Array.tabulate(n, n)((i, j) => cols(j)(i))
+          val g = Array.tabulate(p, n)((i, j) => gcols(j)(i))
+          try {
+            val k = Mat.matMul(g, Mat.inv(x)) // p×n
+            val l = Mat.transpose(k)          // n×p
+            // validate: the realized spectrum must BE the request
+            val lc = Mat.matMul(l, cm)
+            val alc = Array.tabulate(n, n)((i, j) => a(i)(j) - lc(i)(j))
+            val got = eigenvalues(alc).sortBy(c => (c.real, c.imag))
+            val want = poles.sortBy(c => (c.real, c.imag))
+            val err = got.zip(want)
+              .map { case (u, v) => (u - v).abs }.max
+            if (err <= 1e-6 * scale) Some((condRatio(x), l)) else None
+          } catch { case _: IllegalArgumentException => None }
+        }
+      }
+      if (best.isEmpty) None else Some(best.maxBy(_._1)._2)
+    }
+
+    /** Observer pole placement, full surface: exact unique Ackermann for
+      * single-output; for multi-output the Sylvester full-rank design
+      * ([[sylvesterObserver]] — scipy `place_poles`' objective), falling
+      * back to the unity-rank dyadic reduction on the Sylvester
+      * solvability boundary (desired pole ∈ eig(A), multiplicity > p).
+      */
+    def placeObserver(
+        a: Array[Array[Double]], cm: Array[Array[Double]],
+        poles: Seq[Complex]): Array[Array[Double]] =
+      if (cm.length == 1) ackermannObserver(a, cm(0), poles).map(Array(_))
+      else sylvesterObserver(a, cm, poles)
+        .getOrElse(dyadicObserver(a, cm, poles))
+
     def spectralNorm(m: Array[Array[Double]]): Double =
       breeze.linalg.max(svd(DenseMatrix(m: _*)).S)
 
@@ -208,7 +348,9 @@ object Observers {
   // ── O2: Luenberger observer (`luenberger.py:4-102`) ──
 
   /** x̂ ← x̂ + (Ax̂ + Bu − L(Cx̂ − y))·dt. Gain precedence: user `L`,
-    * else Ackermann at `desiredPoles`, else default poles eig(A)−1.
+    * else placement at `desiredPoles`, else default poles eig(A)−1 —
+    * Ackermann for p=1, Sylvester full-rank (dyadic fallback) for p>1
+    * ([[Gains.placeObserver]]).
     */
   final case class LuenbergerObserver(
       a: Array[Array[Double]], b: Array[Array[Double]], c: Array[Array[Double]],
@@ -219,7 +361,7 @@ object Observers {
     val gain: Array[Array[Double]] = l.getOrElse {
       val poles = desiredPoles.map(_.map(Complex(_, 0)))
         .getOrElse(Gains.defaultPoles(a))
-      Gains.dyadicObserver(a, c, poles)
+      Gains.placeObserver(a, c, poles)
     }
 
     def update(xHat: Array[Double], u: Array[Double], y: Array[Double]): Array[Double] = {

@@ -247,6 +247,31 @@ object Hnsw {
       m: Int = 8,
       efConstruction: Int = 32,
       levelSeed: Long = 11L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildGraphRows(corpus, featCol, corpusIdCol, numShards, m,
+      efConstruction, levelSeed)
+      .repartition(numShards, col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
+    Seq((numShards, m, efConstruction, levelSeed))
+      .toDF("num_shards", "m", "ef_construction", "level_seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Per-shard HNSW graphs as ROWS `(id, vec, level, layers, __shard)` —
+    * [[writeIndex]] minus the persistence, the [[Nsw.buildGraphRows]]
+    * contract lifted to the layered graph: checkpoint the frame, collect
+    * the structure for a walk-replay oracle, and search the very same
+    * graph with [[searchGraphRows]].
+    */
+  def buildGraphRows(
+      corpus: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      numShards: Int = 8,
+      m: Int = 8,
+      efConstruction: Int = 32,
+      levelSeed: Long = 11L): DataFrame = {
     require(numShards > 0 && m > 1 && efConstruction >= m,
       s"need numShards>0, m>1, efConstruction>=m: $numShards $m $efConstruction")
     val spark = corpus.sparkSession
@@ -275,11 +300,6 @@ object Hnsw {
         }
       }
       .toDF("id", "vec", "level", "layers", "__shard")
-      .repartition(numShards, col("__shard"))
-      .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
-    Seq((numShards, m, efConstruction, levelSeed))
-      .toDF("num_shards", "m", "ef_construction", "level_seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Mark-delete — the hnswlib `markDelete` contract: deleted nodes STAY
@@ -369,15 +389,42 @@ object Hnsw {
       k: Int,
       efSearch: Int = 48,
       excludeSelf: Boolean = true): DataFrame = {
-    require(k > 0 && efSearch >= k, s"need k>0, efSearch>=k: $k $efSearch")
-    import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (mm, efc) = (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"))
+    searchGraphRows(spark.read.parquet(s"$path/nodes"), queries,
+      featCol, queryIdCol, k,
+      m = meta.getAs[Int]("m"),
+      efConstruction = meta.getAs[Int]("ef_construction"),
+      efSearch = efSearch, excludeSelf = excludeSelf,
+      tombstones = readTombstones(spark, path))
+  }
+
+  /** Walk layered graphs given as ROWS (the [[buildGraphRows]] /
+    * `<path>/nodes` shape): rebuild each shard's layered adjacency from
+    * the stored neighbor lists (no re-linking), seed the entry at the
+    * persisted contract (min id among max-level nodes), and run the full
+    * descent + layer-0 beam for the broadcast queries — [[searchIndex]]
+    * is exactly this over a parquet read plus the tombstone list.
+    */
+  def searchGraphRows(
+      graphRows: DataFrame,
+      queries: DataFrame,
+      featCol: String,
+      queryIdCol: String,
+      k: Int,
+      m: Int,
+      efConstruction: Int,
+      efSearch: Int = 48,
+      excludeSelf: Boolean = true,
+      tombstones: Set[Long] = Set.empty): DataFrame = {
+    require(k > 0 && efSearch >= k, s"need k>0, efSearch>=k: $k $efSearch")
+    val spark = graphRows.sparkSession
+    import spark.implicits._
+    val (mm, efc) = (m, efConstruction)
     val qB = spark.sparkContext.broadcast(
       collectQueries(queries, featCol, queryIdCol))
-    val tsB = spark.sparkContext.broadcast(readTombstones(spark, path))
+    val tsB = spark.sparkContext.broadcast(tombstones)
     val (ef, kk, excl) = (efSearch, k, excludeSelf)
-    val locals = spark.read.parquet(s"$path/nodes")
+    val locals = graphRows
       .select(col("id").cast("long"), col("vec").cast("array<double>"),
         col("level").cast("int"),
         col("layers").cast("array<array<bigint>>"), col("__shard").cast("int"))

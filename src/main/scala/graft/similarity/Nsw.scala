@@ -212,6 +212,30 @@ object Nsw {
       numShards: Int = 8,
       m: Int = 8,
       efConstruction: Int = 32): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    buildGraphRows(corpus, featCol, corpusIdCol, numShards, m, efConstruction)
+      .repartition(numShards, col("__shard"))
+      .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
+    Seq((numShards, m, efConstruction))
+      .toDF("num_shards", "m", "ef_construction")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Per-shard NSW graphs as ROWS `(id, vec, neighbors, __shard)` —
+    * [[writeIndex]] minus the persistence, so the realized adjacency is
+    * PINNABLE in-run: a caller can checkpoint the frame, collect the
+    * structure for a walk-replay oracle, and search the very same graph
+    * with [[searchGraphRows]] — the on-the-fly lifecycle with the
+    * persisted index's auditability.
+    */
+  def buildGraphRows(
+      corpus: DataFrame,
+      featCol: String,
+      corpusIdCol: String,
+      numShards: Int = 8,
+      m: Int = 8,
+      efConstruction: Int = 32): DataFrame = {
     require(numShards > 0 && m > 0 && efConstruction >= m,
       s"need numShards>0, m>0, efConstruction>=m: $numShards $m $efConstruction")
     val spark = corpus.sparkSession
@@ -239,11 +263,6 @@ object Nsw {
         }
       }
       .toDF("id", "vec", "neighbors", "__shard")
-      .repartition(numShards, col("__shard"))
-      .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
-    Seq((numShards, m, efConstruction))
-      .toDF("num_shards", "m", "ef_construction")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Search a persisted NSW index: read the shard partitions, rebuild
@@ -260,14 +279,39 @@ object Nsw {
       k: Int,
       efSearch: Int = 48,
       excludeSelf: Boolean = true): DataFrame = {
-    require(k > 0 && efSearch >= k, s"need k>0, efSearch>=k: $k $efSearch")
-    import spark.implicits._
     val meta = spark.read.parquet(s"$path/meta").head()
-    val (mm, efc) = (meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"))
+    searchGraphRows(spark.read.parquet(s"$path/nodes"), queries,
+      featCol, queryIdCol, k,
+      m = meta.getAs[Int]("m"),
+      efConstruction = meta.getAs[Int]("ef_construction"),
+      efSearch = efSearch, excludeSelf = excludeSelf)
+  }
+
+  /** Walk graphs given as ROWS (the [[buildGraphRows]] /
+    * `<path>/nodes` shape: `id, vec, neighbors, __shard`): rebuild each
+    * shard's adjacency from the stored neighbor lists (no re-linking)
+    * and run the beam for the broadcast queries — [[searchIndex]] is
+    * exactly this over a parquet read, so a frame search and a
+    * persisted-index search share one walk.
+    */
+  def searchGraphRows(
+      graphRows: DataFrame,
+      queries: DataFrame,
+      featCol: String,
+      queryIdCol: String,
+      k: Int,
+      m: Int,
+      efConstruction: Int,
+      efSearch: Int = 48,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0 && efSearch >= k, s"need k>0, efSearch>=k: $k $efSearch")
+    val spark = graphRows.sparkSession
+    import spark.implicits._
+    val (mm, efc) = (m, efConstruction)
     val qB = spark.sparkContext.broadcast(
       collectQueries(queries, featCol, queryIdCol))
     val ef = efSearch
-    val locals = spark.read.parquet(s"$path/nodes")
+    val locals = graphRows
       .select(col("id").cast("long"), col("vec").cast("array<double>"),
         col("neighbors").cast("array<bigint>"), col("__shard").cast("int"))
       .repartition(col("__shard"))

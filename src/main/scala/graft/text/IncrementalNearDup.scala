@@ -222,10 +222,11 @@ object IncrementalNearDup {
       shingleN: Int = 3,
       numHashes: Int = 128,
       bands: Int = 16,
-      nBuckets: Int = DefaultBuckets): Long = {
+      nBuckets: Int = DefaultBuckets,
+      sigCol: Option[String] = None): Long = {
     val m = readMeta(spark, path)
       .getOrElse(LshMeta(shingleN, numHashes, bands, nBuckets))
-    deleteWith(spark, path, docs, idCol, textCol, m)
+    deleteWith(spark, path, docs, idCol, textCol, m, sigCol)
   }
 
   private def deleteWith(
@@ -234,16 +235,33 @@ object IncrementalNearDup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      m: LshMeta): Long = {
+      m: LshMeta,
+      sigCol: Option[String] = None): Long = {
     val LshMeta(shingleN, numHashes, bands, nBuckets) = m
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val snap = listFiles(spark, statePath(path))
     if (snap.isEmpty) return 0L
-    // erasure batches are bounded by nature — pin the recomputed state
-    val delSigs = signatures(
-      docs.select(col(idCol), col(textCol)), idCol, textCol,
-      shingleN, numHashes)
-      .localCheckpoint()
+    // erasure batches are bounded by nature — pin the recomputed state.
+    // `sigCol` is the dedupIncremental compute-once contract: a caller
+    // holding crawl-time signatures (under THIS index's parameters)
+    // skips the re-sketch; band buckets derive from the signature, so
+    // pruning is unchanged.
+    val delSigs = (sigCol match {
+      case Some(c) =>
+        val d = docs.select(col(idCol).as("__id"),
+          col(c).cast("array<long>").as("__sig"))
+        val chk = d.agg(count(when(col("__sig").isNull, lit(1))),
+          min(size(col("__sig"))), max(size(col("__sig")))).head()
+        require(chk.getLong(0) == 0L,
+          s"${chk.getLong(0)} deletion rows carry a NULL signature in $c")
+        require(chk.isNullAt(1) ||
+          (chk.getInt(1) == numHashes && chk.getInt(2) == numHashes),
+          s"signature width does not match the index's numHashes=$numHashes")
+        d
+      case None => signatures(
+        docs.select(col(idCol), col(textCol)), idCol, textCol,
+        shingleN, numHashes)
+    }).localCheckpoint()
     val delBands = bandRows(delSigs, bands, numHashes / bands)
       .localCheckpoint()
     val bandBuckets = delBands

@@ -156,6 +156,43 @@ class AnnSpec extends SparkSpec {
     assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
   }
 
+  test("frame-level graph build/search equals the persisted path (NSW and HNSW)") {
+    val df = clustered.cache()
+    val queries = df.filter(col("vec_id") % 5 === 0)
+    val k = 4
+    def rows(r: DataFrame) = r.collect().map(_.toSeq).toSet
+    // NSW: searchGraphRows over the built frame == searchIndex over the
+    // same graph persisted (writeIndex IS buildGraphRows + write, so the
+    // only degree of freedom is the parquet round-trip)
+    val ng = graft.similarity.Nsw.buildGraphRows(
+      df, "embedding", "vec_id", numShards = 4).localCheckpoint(true)
+    val nPath = s"${Scratch.sub("nsw-frame-test")}/idx"
+    graft.similarity.Nsw.writeIndex(df, "embedding", "vec_id", nPath,
+      numShards = 4)
+    assert(rows(graft.similarity.Nsw.searchGraphRows(
+        ng, queries, "embedding", "vec_id", k, m = 8, efConstruction = 32)) ==
+      rows(graft.similarity.Nsw.searchIndex(
+        spark, nPath, queries, "embedding", "vec_id", k)))
+    // HNSW: same contract on the layered graph
+    val hg = graft.similarity.Hnsw.buildGraphRows(
+      df, "embedding", "vec_id", numShards = 4).localCheckpoint(true)
+    val hPath = s"${Scratch.sub("hnsw-frame-test")}/idx"
+    graft.similarity.Hnsw.writeIndex(df, "embedding", "vec_id", hPath,
+      numShards = 4)
+    val hFrame = rows(graft.similarity.Hnsw.searchGraphRows(
+      hg, queries, "embedding", "vec_id", k, m = 8, efConstruction = 32))
+    assert(hFrame == rows(graft.similarity.Hnsw.searchIndex(
+      spark, hPath, queries, "embedding", "vec_id", k)))
+    // and the frame path carries the family's recall bar
+    def resultSet(rs: Set[Seq[Any]]) =
+      rs.map(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    val exact = graft.similarity.Ann.cosineTopK(
+      df, queries, "embedding", "vec_id", "vec_id", k)
+      .collect().map(x => (x.getLong(0), x.getLong(2))).toSet
+    val recall = (exact & resultSet(hFrame)).size.toDouble / exact.size
+    assert(recall >= 0.9, s"frame-path HNSW recall $recall")
+  }
+
   test("binary quantization: packed bits match the sign rule; shortlist recall holds") {
     import spark.implicits._
     // hand-checkable packing: dim 3 -> one word, bit j = (v[j] >= 0)

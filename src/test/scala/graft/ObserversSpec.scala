@@ -42,6 +42,66 @@ class ObserversSpec extends SparkSpec {
     assert(math.abs(got.last._2 - 2.0) < 1e-9)
   }
 
+  test("sylvester gain: exact placement, full rank, real poles") {
+    val a = mat(
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0),
+      Array(-6.0, -11.0, -6.0))
+    val c = mat(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val poles = Seq(Complex(-4, 0), Complex(-5, 0), Complex(-7, 0))
+    val l = Gains.sylvesterObserver(a, c, poles).get
+    val lc = Mat.matMul(l, c)
+    val aLc = Array.tabulate(3, 3)((i, j) => a(i)(j) - lc(i)(j))
+    assertSeqAlmost(Gains.eigenvalues(aLc).map(_.real).sorted,
+      Seq(-7.0, -5.0, -4.0), 1e-7)
+    // full column rank — the property the unity-rank dyadic gain lacks
+    val g = Mat.matMul(Mat.transpose(l), l)
+    assert(g(0)(0) * g(1)(1) - g(0)(1) * g(1)(0) > 1e-9, "rank-1 gain")
+  }
+
+  test("sylvester gain: conjugate-pair placement through the real 2x2 block") {
+    val a = mat(Array(0.0, 1.0), Array(-2.0, -0.5))
+    val c = mat(Array(1.0, 0.0), Array(0.0, 1.0))
+    val l = Gains.sylvesterObserver(a, c,
+      Seq(Complex(-3, 2), Complex(-3, -2))).get
+    val lc = Mat.matMul(l, c)
+    val aLc = Array.tabulate(2, 2)((i, j) => a(i)(j) - lc(i)(j))
+    val eigs = Gains.eigenvalues(aLc).sortBy(_.imag)
+    assert(math.abs(eigs(0).real - -3.0) < 1e-8 &&
+      math.abs(eigs(0).imag - -2.0) < 1e-8, eigs.toString)
+    assert(math.abs(eigs(1).real - -3.0) < 1e-8 &&
+      math.abs(eigs(1).imag - 2.0) < 1e-8, eigs.toString)
+  }
+
+  test("sylvester gain: repeated pole with multiplicity <= p places exactly") {
+    val a = mat(Array(0.0, 1.0), Array(-2.0, -0.5))
+    val c = mat(Array(1.0, 0.0), Array(0.0, 1.0))
+    val l = Gains.sylvesterObserver(a, c,
+      Seq(Complex(-4, 0), Complex(-4, 0))).get
+    val lc = Mat.matMul(l, c)
+    val aLc = Array.tabulate(2, 2)((i, j) => a(i)(j) - lc(i)(j))
+    assertSeqAlmost(Gains.eigenvalues(aLc).map(_.real).sorted,
+      Seq(-4.0, -4.0), 1e-6)
+  }
+
+  test("placeObserver falls back to dyadic on the Sylvester solvability boundary") {
+    // desired pole −1 IS an eigenvalue of A: (A − λI) is singular, the
+    // Sylvester solve cannot place it, the dyadic path still can
+    val a = mat(
+      Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0),
+      Array(-6.0, -11.0, -6.0)) // eig = −1, −2, −3
+    val c = mat(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val poles = Seq(Complex(-1, 0), Complex(-5, 0), Complex(-7, 0))
+    assert(Gains.sylvesterObserver(a, c, poles).isEmpty,
+      "sylvester must refuse a desired pole inside eig(A)")
+    val l = Gains.placeObserver(a, c, poles)
+    val lc = Mat.matMul(l, c)
+    val aLc = Array.tabulate(3, 3)((i, j) => a(i)(j) - lc(i)(j))
+    assertSeqAlmost(Gains.eigenvalues(aLc).map(_.real).sorted,
+      Seq(-7.0, -5.0, -1.0), 1e-7)
+  }
+
   test("dyadic gain places the poles exactly for a 2-output 3-state plant") {
     val a = mat(
       Array(0.0, 1.0, 0.0),

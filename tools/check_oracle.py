@@ -48,13 +48,15 @@ for name in sorted(oracle):
     ok = True
     for c in got.columns:
         g, e = got[c], exp[c]
-        # The driver's hash is TYPE-sensitive (r10-r12: DuckDB HUGEINT/
-        # DOUBLE vs Spark BIGINT hashed red while this script's astype
-        # coercion said green). Mirror it: dtype divergence is a FAIL.
-        if g.dtype != e.dtype:
+        # The driver's hash is TYPE-KIND-sensitive (r10-r12: DuckDB
+        # HUGEINT/DOUBLE vs Spark BIGINT hashed red while this script's
+        # astype coercion said green; int32-vs-int64 rows stayed green,
+        # so width differences are fine). Mirror it: a dtype KIND
+        # divergence (int vs float vs object/str vs bool) is a FAIL.
+        if g.dtype.kind != e.dtype.kind:
             print(f"FAIL {name}: col {c} TYPE-MISMATCH "
-                  f"{g.dtype} vs {e.dtype} (driver hash is type-sensitive; "
-                  f"CAST the oracle column)")
+                  f"{g.dtype} vs {e.dtype} (driver hash distinguishes "
+                  f"int/float/str; CAST the oracle column)")
             ok = False
             continue
         if g.dtype.kind == "f" or e.dtype.kind == "f":
