@@ -672,6 +672,95 @@ object JoinQueries {
         FROM stats
       """.stripMargin.trim)),
 
+    // ── X149: STREAMING snapshot ingest + OPTIMIZE — the snapshot
+    //    tier's cell in the ingest-loop matrix (exact: x45; near-dup:
+    //    x122; semantic: x126; IVF: x46; HNSW: x123; CDC-merge: x142):
+    //    a real Structured Streaming foreachBatch drive commits each
+    //    micro-batch as a snapshot APPEND (one immutable commit dir per
+    //    wave — the manifest write is the txn boundary, so a reader
+    //    never sees a half-ingested wave), then a GDPR erasure, then
+    //    `Snapshots.compact` (the Delta OPTIMIZE analogue: the
+    //    stream's accumulated small files collapse into one fresh
+    //    commit; older versions still read their own immutable files;
+    //    vacuum reclaims superseded ones under retention). File-count
+    //    collapse and read-stability of every historical version are
+    //    require()-pinned in-query. FULL oracle: each version is pure
+    //    set arithmetic over `documents` (the x144 device; the
+    //    compacted version must read identically to the erased one) ──
+    QueryDef(
+      "x149_stream_snapshot_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_stream_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect()
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            Snapshots.append(
+              batch.repartition(2, pmod(col("doc_id"), lit(5))), path)
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x149_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          Seq(0L, 1L, 2L).map(m => docs.filter(_._1 % 3 == m)).foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x149 stream exceeded its 120s deadline")
+            mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        require(Snapshots.latestVersion(s, path) == 3,
+          "three micro-batches must commit three versions")
+        val v4 = Snapshots.deleteWhere(s, path, col("doc_id") % 5 === 0)
+        val filesBefore = Snapshots.activeFiles(s, path, v4).length
+        val v5 = Snapshots.compact(s, path, targetFiles = 1)
+        val filesAfter = Snapshots.activeFiles(s, path, v5).length
+        require(filesAfter < filesBefore,
+          s"OPTIMIZE must collapse the stream's files: $filesBefore -> $filesAfter")
+        def stats(v: Int) = {
+          val r = Snapshots.read(s, path, Some(v)).agg(
+            count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+          (v.toLong, r.getLong(0), r.getLong(1))
+        }
+        val out = (1 to 5).map(stats)
+        // compaction is invisible in the data and history stays stable
+        require(out(4)._2 == out(3)._2 && out(4)._3 == out(3)._3,
+          "compacted version diverged from the erased one")
+        out.toDF("version", "n_docs", "id_sum")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        ), v2 AS (
+          SELECT doc_id FROM documents WHERE doc_id % 3 IN (0, 1)
+        ), v3 AS (
+          SELECT doc_id FROM documents
+        ), v4 AS (
+          SELECT doc_id FROM documents WHERE doc_id % 5 <> 0
+        ), stats AS (
+          SELECT 1 AS version, count(*) AS n_docs,
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM v1
+          UNION ALL
+          SELECT 2, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM v2
+          UNION ALL
+          SELECT 3, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM v3
+          UNION ALL
+          SELECT 4, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM v4
+          UNION ALL
+          SELECT 5, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM v4
+        )
+        SELECT CAST(version AS BIGINT) AS version, n_docs, id_sum FROM stats
+      """.stripMargin.trim)),
+
     // ── X89: small-file compaction (Partitioned.compact) — the lake
     //    maintenance job every streaming/partitioned ingest needs: a
     //    deliberately fragmented layout (32 writer tasks × per-type

@@ -162,6 +162,26 @@ object Snapshots {
   def rollback(spark: SparkSession, path: String, v: Int): Int =
     commit(spark, path, activeFiles(spark, path, v), None)
 
+  /** OPTIMIZE — collapse the latest version's accumulated small files
+    * (one commit directory per append under a streaming ingest) into a
+    * fresh commit of `targetFiles` files. The new manifest lists ONLY
+    * the compacted files; older versions keep reading their own
+    * (immutable) files, and [[vacuum]] reclaims the superseded ones once
+    * retention allows. Data files are never rewritten in place, so no
+    * pinning is needed — the compaction read and the new commit touch
+    * disjoint directories. Returns the new version; row set proved
+    * unchanged by count (content equality is the committed frame itself).
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    val before = read(spark, path)
+    val n = before.count()
+    val v = commit(spark, path, Seq.empty, Some(before.coalesce(targetFiles)))
+    val after = read(spark, path, Some(v)).count()
+    require(after == n, s"compaction changed the row count: $n -> $after")
+    v
+  }
+
   /** Retention GC — the VACUUM contract: keep the newest `keepLast`
     * versions, drop older manifests, and delete every data file no kept
     * manifest references. Structural sharing means a file stays alive as

@@ -101,6 +101,29 @@ class SnapshotsSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/data/c9_orphan").exists())
   }
 
+  test("compact (OPTIMIZE) collapses files; history and data are untouched") {
+    import spark.implicits._
+    val path = freshPath("opt")
+    // simulate a streaming ingest: three small commits
+    Snapshots.append((0L until 10L).toDF("id").repartition(3), path)
+    Snapshots.append((10L until 20L).toDF("id").repartition(3), path)
+    Snapshots.append((20L until 30L).toDF("id").repartition(3), path)
+    val before = Snapshots.activeFiles(spark, path, 3)
+    val v4 = Snapshots.compact(spark, path, targetFiles = 1)
+    val after = Snapshots.activeFiles(spark, path, v4)
+    assert(after.length < before.length,
+      s"OPTIMIZE must shrink the manifest: ${before.length} -> ${after.length}")
+    // data identical, history stable, old files shared nowhere forward
+    assert(ids(Snapshots.read(spark, path, Some(v4))) == (0L until 30L).toSet)
+    assert(ids(Snapshots.read(spark, path, Some(2))) == (0L until 20L).toSet)
+    assert((after.toSet & before.toSet).isEmpty,
+      "the compacted commit must not re-list superseded files")
+    // vacuum under retention 1 sweeps every superseded data file
+    val (_, removed) = Snapshots.vacuum(spark, path, keepLast = 1)
+    assert(removed >= before.length, s"vacuum swept only $removed files")
+    assert(ids(Snapshots.read(spark, path)) == (0L until 30L).toSet)
+  }
+
   test("deleteWhere under three-valued logic: NULL-evaluating rows survive") {
     import spark.implicits._
     val path = freshPath("tvl")
