@@ -761,6 +761,85 @@ object JoinQueries {
         SELECT CAST(version AS BIGINT) AS version, n_docs, id_sum FROM stats
       """.stripMargin.trim)),
 
+    // ── X150: snapshot CHANGE FEED → incremental MV — the Delta CDF
+    //    analogue (`Snapshots.changes`) driving exact materialized-view
+    //    upkeep (`DeltaRollup.applyBatch`), the composition that turns
+    //    the commit log into a CDC source: the net row changes between
+    //    two versions come out as a +1/−1 changelog read ONLY from the
+    //    files the interval added or dropped (structural sharing prunes
+    //    every carried file — at 100 TB, CDC between adjacent versions
+    //    costs the commit's own write volume, never a table scan), and
+    //    survivor rows a deleteWhere rewrite merely MOVED between files
+    //    cancel in the multiset difference. In-query proofs: the
+    //    append interval's feed is pure +1; the erasure interval's −1
+    //    set is exactly the erased keys (cancellation worked); the
+    //    maintained summary equals a direct recompute over the final
+    //    version. FULL oracle: the final version's rollup as set
+    //    arithmetic over `documents` ──
+    QueryDef(
+      "x150_snapshot_change_feed",
+      (s, dir) => {
+        import graft.operators.DeltaRollup
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val spath = s"${Scratch.dir}/graft_snapcdc_$tag"
+        val rpath = s"${Scratch.dir}/graft_snapcdc_mv_$tag"
+        Snapshots.drop(s, spath)
+        DeltaRollup.drop(s, rpath)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        def bucketed(c: org.apache.spark.sql.Column) = docs.filter(c)
+          .repartition(4, pmod(col("doc_id"), lit(5)))
+        Snapshots.append(bucketed(col("doc_id") % 3 === 0), spath) // v1
+        Snapshots.append(bucketed(col("doc_id") % 3 === 1), spath) // v2
+        Snapshots.deleteWhere(s, spath, col("doc_id") % 5 === 0)   // v3
+        // sharing exists ⇒ the CDC reads strictly fewer files than two
+        // table scans would (the pruning the operator is built on)
+        val f2 = Snapshots.activeFiles(s, spath, 2).toSet
+        val f3 = Snapshots.activeFiles(s, spath, 3).toSet
+        require((f2 & f3).nonEmpty,
+          "erasure rewrote the whole table — nothing for CDC to prune")
+        val c12 = Snapshots.changes(s, spath, 1, 2)
+        val c23 = Snapshots.changes(s, spath, 2, 3)
+        // append interval: pure insert feed
+        require(c12.filter(col("__op") === -1).isEmpty,
+          "append interval produced retractions")
+        // erasure interval: retractions are EXACTLY the erased keys —
+        // survivor rows the rewrite moved between files canceled out
+        val badMinus = c23.filter(col("__op") === -1)
+          .filter(col("doc_id") % 5 =!= 0).count()
+        val plus23 = c23.filter(col("__op") === 1).count()
+        require(badMinus == 0 && plus23 == 0,
+          s"survivor cancellation failed: $badMinus stray retractions, " +
+            s"$plus23 stray inserts")
+        // changelog-driven MV: bootstrap from v1, advance by the feeds
+        val w = length(col("text"))
+        DeltaRollup.applyBatch(
+          Snapshots.read(s, spath, Some(1)).withColumn("__op", lit(1)),
+          rpath, Seq("source"), "__op", w)
+        DeltaRollup.applyBatch(c12, rpath, Seq("source"), "__op", w)
+        val summary = DeltaRollup.applyBatch(c23, rpath, Seq("source"), "__op", w)
+        val direct = Snapshots.read(s, spath, Some(3))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(w.cast("long")).as("weight_sum"))
+        val diff = summary.exceptAll(direct).count() +
+          direct.exceptAll(summary).count()
+        require(diff == 0,
+          s"CDC-maintained summary diverged from recompute: $diff rows")
+        summary.select(col("source"), col("n_rows"),
+          col("weight_sum").as("char_sum"))
+      },
+      Some("""
+        WITH v3 AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE doc_id % 3 IN (0, 1) AND doc_id % 5 <> 0
+        )
+        SELECT source, count(*) AS n_rows,
+          CAST(sum(length(text)) AS BIGINT) AS char_sum
+        FROM v3 GROUP BY source
+      """.stripMargin.trim)),
+
     // ── X89: small-file compaction (Partitioned.compact) — the lake
     //    maintenance job every streaming/partitioned ingest needs: a
     //    deliberately fragmented layout (32 writer tasks × per-type

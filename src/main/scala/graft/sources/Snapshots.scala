@@ -182,6 +182,44 @@ object Snapshots {
     v
   }
 
+  /** File-pruned CHANGE FEED between two committed versions — the Delta
+    * CDF / `table_changes` analogue on the commit log: the net row
+    * changes from `fromV` to `toV` as a changelog frame with an `opCol`
+    * column (+1 inserted, −1 deleted), the
+    * [[graft.operators.DeltaRollup.applyBatch]] input contract.
+    *
+    * Structural sharing makes this O(changed files), never a table
+    * scan: a file listed by BOTH manifests contributed identical rows
+    * to both versions and is skipped entirely; only files the interval
+    * added or dropped are read, and survivor rows a `deleteWhere`
+    * rewrite merely MOVED between files cancel in the multiset
+    * difference (`exceptAll`). At 100 TB, CDC between adjacent
+    * versions costs the commit's own write volume. Works in either
+    * direction (`fromV` > `toV` yields the inverse feed — a rollback's
+    * changelog). Duplicate rows are handled multiset-exactly: a row
+    * whose multiplicity rose by k appears k times at +1.
+    */
+  def changes(
+      spark: SparkSession, path: String, fromV: Int, toV: Int,
+      opCol: String = "__op"): DataFrame = {
+    val fa = activeFiles(spark, path, fromV).toSet
+    val ta = activeFiles(spark, path, toV).toSet
+    val schema = readSchema(spark, path, toV)
+      .orElse(readSchema(spark, path, fromV))
+      .getOrElse(throw new IllegalStateException(
+        s"no schema recorded for versions $fromV/$toV at $path"))
+    def rd(rels: Set[String]): DataFrame =
+      if (rels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(rels.toSeq.sorted.map(rel => s"$path/$rel"): _*)
+    val added = rd(ta -- fa)
+    val removed = rd(fa -- ta)
+    added.exceptAll(removed).withColumn(opCol, lit(1))
+      .unionByName(removed.exceptAll(added).withColumn(opCol, lit(-1)))
+  }
+
   /** Retention GC — the VACUUM contract: keep the newest `keepLast`
     * versions, drop older manifests, and delete every data file no kept
     * manifest references. Structural sharing means a file stays alive as

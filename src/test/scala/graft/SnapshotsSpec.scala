@@ -124,6 +124,37 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(Snapshots.read(spark, path)) == (0L until 30L).toSet)
   }
 
+  test("changes: file-pruned CDC with survivor cancellation, both directions") {
+    import spark.implicits._
+    val path = freshPath("cdc")
+    Snapshots.append(
+      (0L until 20L).toDF("id").repartition(4, pmod(col("id"), lit(4))), path)
+    Snapshots.append((20L until 25L).toDF("id"), path)          // v2
+    Snapshots.deleteWhere(spark, path, col("id") % 4 === 0)      // v3
+    def feed(from: Int, to: Int): Map[Long, Int] =
+      Snapshots.changes(spark, path, from, to)
+        .groupBy(col("id")).agg(sum(col("__op")).cast("int").as("net"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // append interval: pure inserts, exactly the appended rows
+    assert(feed(1, 2) == (20L until 25L).map(_ -> 1).toMap)
+    // erasure interval: pure retractions, exactly the erased rows —
+    // survivors the rewrite moved between files MUST cancel
+    assert(feed(2, 3) ==
+      (0L until 25L).filter(_ % 4 == 0).map(_ -> -1).toMap)
+    // reverse direction = the inverse feed (a rollback's changelog)
+    assert(feed(3, 2) ==
+      (0L until 25L).filter(_ % 4 == 0).map(_ -> 1).toMap)
+    // identical versions: empty feed
+    assert(Snapshots.changes(spark, path, 2, 2).isEmpty)
+    // v1 -> v3 composes: net = appends minus erasures
+    val net13 = feed(1, 3)
+    val expect = ((20L until 25L).filter(_ % 4 != 0).map(_ -> 1) ++
+      (0L until 20L).filter(_ % 4 == 0).map(_ -> -1)).toMap ++
+      (20L until 25L).filter(_ % 4 == 0).map(_ -> 0).toMap
+    assert(net13 == expect.filter(_._2 != 0),
+      s"$net13 vs ${expect.filter(_._2 != 0)}")
+  }
+
   test("deleteWhere under three-valued logic: NULL-evaluating rows survive") {
     import spark.implicits._
     val path = freshPath("tvl")
