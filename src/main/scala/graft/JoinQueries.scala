@@ -840,6 +840,82 @@ object JoinQueries {
         FROM v3 GROUP BY source
       """.stripMargin.trim)),
 
+    // ── X151: snapshot SCHEMA EVOLUTION — the mergeSchema contract on
+    //    the commit log (x88 proves it on plain layouts; here the
+    //    schema is VERSION-PINNED state): a widening append adds a
+    //    column (older files read it back as null), time travel to v1
+    //    returns v1's columns — never the grown set — a NAME/TYPE
+    //    conflict fails loudly BEFORE anything is written (in-query
+    //    require: the failed append committed nothing), and a restore
+    //    republishes the restored version's schema (the Delta RESTORE
+    //    contract). FULL oracle: per-version row/lang/id stats as set
+    //    arithmetic over `documents` ──
+    QueryDef(
+      "x151_snapshot_schema_evolution",
+      (s, dir) => {
+        import s.implicits._
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_evolve_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir)
+        Snapshots.append(
+          docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text")),
+          path)
+        Snapshots.append(
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("text"), col("lang")), path)
+        require(Snapshots.read(s, path, Some(1)).schema.fieldNames.toSeq ==
+          Seq("doc_id", "text"), "time travel must pin v1's schema")
+        require(Snapshots.read(s, path, Some(2)).schema.fieldNames.toSeq ==
+          Seq("doc_id", "text", "lang"), "widening append must add the column")
+        // a type conflict must fail loudly and commit NOTHING
+        val conflicted =
+          try {
+            Snapshots.append(docs.select(col("doc_id"), col("text"),
+              col("doc_id").as("lang")), path)
+            false
+          } catch { case _: IllegalArgumentException => true }
+        require(conflicted, "conflicting append did not fail")
+        require(Snapshots.latestVersion(s, path) == 2,
+          "failed append left a committed version")
+        val v3 = Snapshots.rollback(s, path, 1)
+        require(Snapshots.read(s, path, Some(v3)).schema.fieldNames.toSeq ==
+          Seq("doc_id", "text"), "restore must republish v1's schema")
+        def stats(v: Int) = {
+          val df = Snapshots.read(s, path, Some(v))
+          val langCnt =
+            if (df.columns.contains("lang"))
+              count(when(col("lang").isNotNull, lit(1)))
+            else lit(0L)
+          val r = df.agg(count(lit(1)), langCnt.cast("long"),
+            coalesce(sum(col("doc_id")), lit(0L))).head()
+          (v.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        Seq(stats(1), stats(2), stats(3))
+          .toDF("version", "n_docs", "n_lang", "id_sum")
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+        ), v2all AS (
+          SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+          FROM documents
+        ), stats AS (
+          SELECT 1 AS version, count(*) AS n_docs, 0 AS n_lang,
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM v1
+          UNION ALL
+          SELECT 2, count(*), count(lang),
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM v2all
+          UNION ALL
+          SELECT 3, count(*), 0,
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM v1
+        )
+        SELECT CAST(version AS BIGINT) AS version, n_docs,
+          CAST(n_lang AS BIGINT) AS n_lang, id_sum
+        FROM stats
+      """.stripMargin.trim)),
+
     // ── X89: small-file compaction (Partitioned.compact) — the lake
     //    maintenance job every streaming/partitioned ingest needs: a
     //    deliberately fragmented layout (32 writer tasks × per-type

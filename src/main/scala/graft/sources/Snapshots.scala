@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   * version whose manifest equals v's — history is append-only, so the
   * rolled-back-from state stays readable (the Delta RESTORE contract).
   *
+  * Schema is VERSION-PINNED: every commit records its schema beside the
+  * manifest, reads apply it explicitly (time travel returns the columns
+  * the table had AS OF that version), an evolving append WIDENS it
+  * (mergeSchema union — new columns read as null from older files, a
+  * name/type conflict fails loudly before anything is written), and a
+  * restore republishes the restored version's schema.
+  *
   * Single-writer: concurrent committers are out of scope (no
   * conditional-put primitive on plain filesystems); the driver-side
   * commit protocol is manifest-last, so crash-safety for ONE writer
@@ -93,7 +100,13 @@ object Snapshots {
             "(table was never committed with rows)"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else spark.read.parquet(files: _*)
+    } else readSchema(spark, path, v) match {
+      // VERSION-PINNED schema (the Delta contract): time travel returns
+      // the columns the table had AS OF that version; files predating a
+      // widening append lack the new columns and read back as nulls.
+      case Some(schema) => spark.read.schema(schema).parquet(files: _*)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Schema of version `v`, from the `_schema.json` persisted beside its
@@ -160,7 +173,12 @@ object Snapshots {
     * readable). Returns the new version.
     */
   def rollback(spark: SparkSession, path: String, v: Int): Int =
-    commit(spark, path, activeFiles(spark, path, v), None)
+    commitAt(spark, path, latestVersion(spark, path) + 1,
+      activeFiles(spark, path, v), None,
+      // RESTORE republishes v's schema with its manifest (the Delta
+      // contract): rolling back a widening append rolls the columns
+      // back too
+      schemaHint = readSchema(spark, path, v))
 
   /** OPTIMIZE — collapse the latest version's accumulated small files
     * (one commit directory per append under a streaming ingest) into a
@@ -275,6 +293,31 @@ object Snapshots {
       add: Option[DataFrame]): Int =
     commitAt(spark, path, latestVersion(spark, path) + 1, keepFiles, add)
 
+  /** Widening schema union for an evolving append (the mergeSchema
+    * contract on the commit log): the previous version's columns keep
+    * their order, genuinely new columns append (nullable — old files
+    * read them back as nulls), and a NAME collision with a different
+    * type fails loudly (silent coercion would corrupt every historical
+    * read).
+    */
+  private def unionSchema(
+      prev: org.apache.spark.sql.types.StructType,
+      add: org.apache.spark.sql.types.StructType,
+      where: String): org.apache.spark.sql.types.StructType = {
+    val byName = prev.fields.map(f => f.name -> f).toMap
+    add.fields.foreach { f =>
+      byName.get(f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"schema evolution type conflict at $where: column '${f.name}' " +
+            s"is ${p.dataType.simpleString} in the table but " +
+            s"${f.dataType.simpleString} in the append")
+      }
+    }
+    val fresh = add.fields.filterNot(f => byName.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(prev.fields ++ fresh)
+  }
+
   /** Publish at an EXPLICIT version — the seam that makes the collision
     * guard testable: a racing writer is exactly one that chose `v`
     * before a rival published it.
@@ -284,7 +327,8 @@ object Snapshots {
       path: String,
       v: Int,
       keepFiles: Seq[String],
-      add: Option[DataFrame]): Int = {
+      add: Option[DataFrame],
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Int = {
     val f0 = fs(spark, path)
     val manifestDir = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v")
     // Single-writer contract, enforced loudly: if another committer
@@ -295,6 +339,22 @@ object Snapshots {
     require(!f0.exists(manifestDir),
       s"manifest collision at $path version $v: concurrent writer detected " +
         "(Snapshots is single-writer; serialize committers externally)")
+    // Resolve the version's schema BEFORE any write: an evolving append
+    // WIDENS the table schema (union; a type conflict fails loudly here,
+    // leaving no orphan data and no manifest), empty versions stay
+    // readable, and reads are version-pinned. Persisted beside the
+    // manifest as `_schema.json` (underscore-prefixed → invisible to the
+    // manifest's parquet reader).
+    val prevSchema =
+      if (v > 1) readSchema(spark, path, v - 1) else None
+    val schema: Option[org.apache.spark.sql.types.StructType] =
+      schemaHint.orElse {
+        (prevSchema, add.map(_.schema)) match {
+          case (Some(p), Some(a)) => Some(unionSchema(p, a, s"$path v$v"))
+          case (p, a) => a.orElse(p).orElse(keepFiles.headOption.map(rel =>
+            spark.read.parquet(s"$path/$rel").schema))
+        }
+      }
     val newRel = add match {
       case Some(df) =>
         val sub = s"c${v}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -310,14 +370,6 @@ object Snapshots {
     import spark.implicits._
     (keepFiles ++ newRel).sorted.toDF("file")
       .coalesce(1).write.mode("error").parquet(s"${logDir(path)}/v=$v")
-    // Persist the table schema beside the manifest (underscore-prefixed
-    // → invisible to the manifest's parquet reader) so an all-rows
-    // erasure stays readable as an empty frame of the right shape.
-    val schema: Option[org.apache.spark.sql.types.StructType] =
-      add.map(_.schema)
-        .orElse(if (v > 1) readSchema(spark, path, v - 1) else None)
-        .orElse(keepFiles.headOption.map(rel =>
-          spark.read.parquet(s"$path/$rel").schema))
     schema.foreach { s =>
       val out = f0.create(
         new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_schema.json"), false)

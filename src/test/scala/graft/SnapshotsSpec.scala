@@ -124,6 +124,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(Snapshots.read(spark, path)) == (0L until 30L).toSet)
   }
 
+  test("schema evolution: widening append, version-pinned reads, restore rolls back") {
+    import spark.implicits._
+    val path = freshPath("evolve")
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), path)
+    // widening append: a new nullable column joins the table schema
+    Snapshots.append(Seq((3L, "c", "en")).toDF("id", "tag", "lang"), path)
+    // time travel is schema-pinned: v1 never grew the column
+    assert(Snapshots.read(spark, path, Some(1)).schema.fieldNames.toSeq ==
+      Seq("id", "tag"))
+    val v2 = Snapshots.read(spark, path, Some(2))
+    assert(v2.schema.fieldNames.toSeq == Seq("id", "tag", "lang"))
+    // pre-evolution rows read the new column as null
+    assert(v2.filter(col("lang").isNull).count() == 2)
+    assert(v2.filter(col("lang") === "en").count() == 1)
+    // a type conflict fails loudly BEFORE anything is written
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.append(Seq((4L, 9)).toDF("id", "tag"), path)
+    }
+    assert(e.getMessage.contains("type conflict"))
+    assert(Snapshots.latestVersion(spark, path) == 2, "failed append committed")
+    // restore republishes the restored version's schema (Delta RESTORE)
+    val v3 = Snapshots.rollback(spark, path, 1)
+    assert(Snapshots.read(spark, path, Some(v3)).schema.fieldNames.toSeq ==
+      Seq("id", "tag"))
+  }
+
   test("changes: file-pruned CDC with survivor cancellation, both directions") {
     import spark.implicits._
     val path = freshPath("cdc")
