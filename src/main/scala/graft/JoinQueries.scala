@@ -676,9 +676,13 @@ object JoinQueries {
     //    tier's cell in the ingest-loop matrix (exact: x45; near-dup:
     //    x122; semantic: x126; IVF: x46; HNSW: x123; CDC-merge: x142):
     //    a real Structured Streaming foreachBatch drive commits each
-    //    micro-batch as a snapshot APPEND (one immutable commit dir per
-    //    wave — the manifest write is the txn boundary, so a reader
-    //    never sees a half-ingested wave), then a GDPR erasure, then
+    //    micro-batch as an EXACTLY-ONCE snapshot append
+    //    (`appendIdempotent` — the Delta txnAppId/txnVersion contract:
+    //    the commit records (appId, batchId), a checkpoint-recovery
+    //    replay of the same batchId is a no-op, require()-proved
+    //    in-query; one immutable commit dir per wave, the manifest
+    //    write is the txn boundary so a reader never sees a
+    //    half-ingested wave), then a GDPR erasure, then
     //    `Snapshots.compact` (the Delta OPTIMIZE analogue: the
     //    stream's accumulated small files collapse into one fresh
     //    commit; older versions still read their own immutable files;
@@ -702,17 +706,21 @@ object JoinQueries {
           .as[(Long, String)].collect()
         val mem = MemoryStream[(Long, String)]
         val q = mem.toDF().toDF("doc_id", "text").writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            Snapshots.append(
-              batch.repartition(2, pmod(col("doc_id"), lit(5))), path)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            // exactly-once sink: the commit carries (appId, batchId), so
+            // a checkpoint-recovery replay of the same batch is a no-op
+            Snapshots.appendIdempotent(
+              batch.repartition(2, pmod(col("doc_id"), lit(5))), path,
+              appId = "x149", batchId = batchId)
             (): Unit
           }
           .option("checkpointLocation",
             s"${Scratch.dir}/x149_ckpt_${System.nanoTime()}")
           .start()
+        val waves = Seq(0L, 1L, 2L).map(m => docs.filter(_._1 % 3 == m))
         try {
           val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-          Seq(0L, 1L, 2L).map(m => docs.filter(_._1 % 3 == m)).foreach { b =>
+          waves.foreach { b =>
             if (System.nanoTime() > deadline)
               throw new RuntimeException("x149 stream exceeded its 120s deadline")
             mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
@@ -720,6 +728,13 @@ object JoinQueries {
         } finally q.stop()
         require(Snapshots.latestVersion(s, path) == 3,
           "three micro-batches must commit three versions")
+        // checkpoint-recovery replay: the last wave re-delivered under
+        // its ORIGINAL batchId must commit NOTHING (Delta txn contract)
+        val replay = Snapshots.appendIdempotent(
+          waves(2).toSeq.toDF("doc_id", "text"), path,
+          appId = "x149", batchId = 2L)
+        require(replay.isEmpty && Snapshots.latestVersion(s, path) == 3,
+          "replayed batch double-committed — exactly-once broken")
         val v4 = Snapshots.deleteWhere(s, path, col("doc_id") % 5 === 0)
         val filesBefore = Snapshots.activeFiles(s, path, v4).length
         val v5 = Snapshots.compact(s, path, targetFiles = 1)
@@ -838,6 +853,48 @@ object JoinQueries {
         SELECT source, count(*) AS n_rows,
           CAST(sum(length(text)) AS BIGINT) AS char_sum
         FROM v3 GROUP BY source
+      """.stripMargin.trim)),
+
+    // ── X152: snapshot DATA SKIPPING — zone maps on the commit log
+    //    (the Delta data-skipping contract): every commit records its
+    //    new files' per-column min/max, read from the parquet footers it
+    //    just wrote (O(new files) driver metadata, never a data scan),
+    //    and a range read opens ONLY the files whose zone overlaps the
+    //    predicate. On a range-clustered ingest (repartitionByRange on
+    //    the hot column — the sorted-layout discipline x129 proves for
+    //    Z-order) a selective range touches O(matching files) of a
+    //    100 TB table. In-query proof: the pruned file count is strictly
+    //    below the manifest's total across BOTH commits. The exact
+    //    predicate still applies on top — skipping is superset pruning,
+    //    never a correctness device. FULL oracle: the same range
+    //    aggregate over `documents` ──
+    QueryDef(
+      "x152_snapshot_data_skipping",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_skip_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Snapshots.append(
+          docs.filter(col("doc_id") % 2 === 0)
+            .repartitionByRange(8, col("doc_id")), path)
+        Snapshots.append(
+          docs.filter(col("doc_id") % 2 === 1)
+            .repartitionByRange(8, col("doc_id")), path)
+        val (kept, total) = Snapshots.skippingFileCounts(
+          s, path, "doc_id", BigDecimal(10), BigDecimal(60))
+        require(kept < total,
+          s"zone maps pruned nothing: $kept/$total files for a selective range")
+        Snapshots.readRange(s, path, "doc_id", BigDecimal(10), BigDecimal(60))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text")).cast("long")).as("char_sum"))
+      },
+      Some("""
+        SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(length(text)) AS BIGINT) AS char_sum
+        FROM documents WHERE doc_id BETWEEN 10 AND 60
       """.stripMargin.trim)),
 
     // ── X151: snapshot SCHEMA EVOLUTION — the mergeSchema contract on

@@ -40,6 +40,12 @@ import org.apache.spark.sql.functions._
   * name/type conflict fails loudly before anything is written), and a
   * restore republishes the restored version's schema.
   *
+  * Each commit also records its new files' numeric column ranges (zone
+  * maps from the parquet footers it just wrote, stored beside the files
+  * as `_stats.json`) so [[readRange]] opens only the files a range
+  * predicate can match, and [[appendIdempotent]] carries the Delta
+  * txnAppId/txnVersion contract for exactly-once streaming sinks.
+  *
   * Single-writer: concurrent committers are out of scope (no
   * conditional-put primitive on plain filesystems); the driver-side
   * commit protocol is manifest-last, so crash-safety for ONE writer
@@ -136,6 +142,203 @@ object Snapshots {
   def append(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
     commit(spark, path, keepFiles = currentFiles(spark, path), add = Some(df))
+  }
+
+  /** Per-file numeric column ranges from the parquet FOOTERS of the
+    * files just written — zone-map stats at metadata cost (Delta collects
+    * the same at write time; reading footers of a commit's own files is
+    * O(new files) driver-side metadata, never a data scan). Only
+    * top-level INT32/INT64/FLOAT/DOUBLE columns participate — the id /
+    * timestamp / measure columns range predicates actually hit.
+    */
+  private def footerRanges(
+      conf: org.apache.hadoop.conf.Configuration,
+      abs: org.apache.hadoop.fs.Path): Map[String, (BigDecimal, BigDecimal)] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(abs, conf))
+    try {
+      val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      reader.getFooter.getBlocks.forEach { b =>
+        b.getColumns.forEach { c =>
+          if (c.getPath.size == 1) {
+            val st = c.getStatistics
+            val numeric = c.getPrimitiveType.getPrimitiveTypeName.name match {
+              case "INT32" | "INT64" | "FLOAT" | "DOUBLE" => true
+              case _ => false
+            }
+            if (numeric && st != null && !st.isEmpty && st.hasNonNullValue) {
+              val name = c.getPath.toDotString
+              val mn = BigDecimal(st.genericGetMin.toString)
+              val mx = BigDecimal(st.genericGetMax.toString)
+              val merged = acc.get(name) match {
+                case Some((a, z)) => (a.min(mn), z.max(mx))
+                case None => (mn, mx)
+              }
+              acc.update(name, merged)
+            }
+          }
+        }
+      }
+      acc.toMap
+    } finally reader.close()
+  }
+
+  /** Write `<dir>/_stats.json` — per-part-file numeric column ranges
+    * (zone maps) for a freshly written commit directory.
+    */
+  private def writeStats(
+      spark: SparkSession, dirAbs: String, parts: Seq[String]): Unit = {
+    import org.json4s._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val perFile: List[(String, JValue)] = parts.sorted.toList.map { name =>
+      val ranges = footerRanges(conf,
+        new org.apache.hadoop.fs.Path(s"$dirAbs/$name"))
+      name -> (JObject(ranges.toList.sortBy(_._1).map { case (c, (mn, mx)) =>
+        c -> (JArray(List(JString(mn.toString), JString(mx.toString))): JValue)
+      }): JValue)
+    }
+    val txt = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(perFile)))
+    val p = new org.apache.hadoop.fs.Path(s"$dirAbs/_stats.json")
+    val out = p.getFileSystem(conf).create(p, false)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load the `_stats.json` zone maps for a set of ACTIVE relative files
+    * (grouped by commit directory — stats live and die with their
+    * commit's files). Files without stats yield no entry and are never
+    * pruned.
+    */
+  private def statsFor(
+      spark: SparkSession, path: String, rels: Seq[String])
+      : Map[String, Map[String, (BigDecimal, BigDecimal)]] = {
+    import org.json4s._
+    val f = fs(spark, path)
+    rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).flatMap {
+      case (dir, files) =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/$dir/_stats.json")
+        if (!f.exists(p)) Map.empty[String, Map[String, (BigDecimal, BigDecimal)]]
+        else {
+          val in = f.open(p)
+          val txt =
+            try {
+              val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+              in.readFully(bytes)
+              new String(bytes, "UTF-8")
+            } finally in.close()
+          val names = files.map(r => r.drop(dir.length + 1) -> r).toMap
+          org.json4s.jackson.JsonMethods.parse(txt) match {
+            case JObject(perFile) => perFile.collect {
+              case (fname, JObject(cols)) if names.contains(fname) =>
+                names(fname) -> cols.collect {
+                  case (cn, JArray(List(JString(mn), JString(mx)))) =>
+                    cn -> ((BigDecimal(mn), BigDecimal(mx)))
+                }.toMap
+            }.toMap
+            case _ => Map.empty[String, Map[String, (BigDecimal, BigDecimal)]]
+          }
+        }
+    }
+  }
+
+  /** `(files read, files total)` for a range read of `[lo, hi]` on
+    * `colName` at `version` — the data-skipping proof surface: a file is
+    * SKIPPED when its zone map proves no row can satisfy the range.
+    */
+  def skippingFileCounts(
+      spark: SparkSession, path: String, colName: String,
+      lo: BigDecimal, hi: BigDecimal,
+      version: Option[Int] = None): (Int, Int) = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val rels = activeFiles(spark, path, v)
+    (prunedRels(spark, path, rels, colName, lo, hi).length, rels.length)
+  }
+
+  private def prunedRels(
+      spark: SparkSession, path: String, rels: Seq[String],
+      colName: String, lo: BigDecimal, hi: BigDecimal): Seq[String] = {
+    val stats = statsFor(spark, path, rels)
+    rels.filter { r =>
+      stats.get(r).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi // ranges overlap
+        case None => true // no zone map — never prune blind
+      }
+    }
+  }
+
+  /** Range read with ZONE-MAP file skipping — the Delta data-skipping
+    * contract on the commit log: every commit records its new files'
+    * per-column min/max (from the parquet footers it just wrote), and a
+    * range predicate on `colName` opens ONLY the files whose range
+    * overlaps `[lo, hi]` — on a range-clustered layout (sort or Z-order
+    * the ingest by the hot column) that is O(matching files), never a
+    * table scan. The exact predicate is still applied on top: skipping
+    * is a superset-pruning optimization, never a correctness device.
+    */
+  def readRange(
+      spark: SparkSession, path: String, colName: String,
+      lo: BigDecimal, hi: BigDecimal,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val rels = prunedRels(spark, path, activeFiles(spark, path, v),
+      colName, lo, hi)
+    val c = col(colName)
+    // double bounds are exact for footer-derived integer ranges < 2^53
+    val pred = c >= lit(lo.toDouble) && c <= lit(hi.toDouble)
+    val schema = readSchema(spark, path, v)
+    val base =
+      if (rels.isEmpty) {
+        val s = schema.getOrElse(throw new IllegalStateException(
+          s"no schema recorded at $path v$v"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else schema match {
+        case Some(s) => spark.read.schema(s)
+          .parquet(rels.map(rel => s"$path/$rel"): _*)
+        case None => spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
+      }
+    base.filter(pred)
+  }
+
+  /** EXACTLY-ONCE append for streaming sinks — the Delta
+    * txnAppId/txnVersion idempotence contract: a `foreachBatch` retry
+    * after checkpoint recovery re-delivers a batch under the SAME
+    * `batchId`, and a plain append would commit it twice. Each
+    * idempotent commit records `(appId, batchId)` beside its manifest;
+    * an append whose batchId is ≤ the app's high-water mark is SKIPPED
+    * (returns None), so replays are no-ops and the table equals the
+    * exactly-once stream. Returns Some(version) when the commit
+    * happened. Different appIds keep independent watermarks (two
+    * streams may feed one table).
+    */
+  def appendIdempotent(
+      df: DataFrame, path: String, appId: String, batchId: Long): Option[Int] = {
+    val spark = df.sparkSession
+    if (lastBatchId(spark, path, appId).exists(_ >= batchId)) None
+    else Some(commitAt(spark, path, latestVersion(spark, path) + 1,
+      currentFiles(spark, path), Some(df), txn = Some((appId, batchId))))
+  }
+
+  /** The high-water `batchId` committed by `appId`, if any. */
+  def lastBatchId(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val f = fs(spark, path)
+    val ids = versions(spark, path).flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_txn.json")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try {
+          val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes)
+          val s = new String(bytes, "UTF-8")
+          // {"app":"...","batch":N} — fixed writer format, parsed directly
+          val app = s.split("\"app\":\"")(1).split("\"")(0)
+          if (app == appId) Some(s.split("\"batch\":")(1).split("}")(0).trim.toLong)
+          else None
+        } finally in.close()
+      }
+    }
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** Commit an ERASURE of rows matching `cond`; returns the new
@@ -328,7 +531,12 @@ object Snapshots {
       v: Int,
       keepFiles: Seq[String],
       add: Option[DataFrame],
-      schemaHint: Option[org.apache.spark.sql.types.StructType] = None): Int = {
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+      txn: Option[(String, Long)] = None): Int = {
+    txn.foreach { case (app, _) =>
+      require(app.matches("[A-Za-z0-9._-]+"),
+        s"txn appId must be [A-Za-z0-9._-]+: '$app'")
+    }
     val f0 = fs(spark, path)
     val manifestDir = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v")
     // Single-writer contract, enforced loudly: if another committer
@@ -361,10 +569,15 @@ object Snapshots {
         val dir = s"${dataDir(path)}/$sub"
         df.write.mode("error").parquet(dir)
         val f = fs(spark, path)
-        f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        val parts = f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
           .map(_.getPath.getName)
           .filter(_.endsWith(".parquet"))
-          .map(name => s"data/$sub/$name")
+        // zone maps for data skipping: the new files' numeric column
+        // ranges, read from the footers just written, stored beside them
+        // (stats live and die with their commit's files — vacuum sweeps
+        // the drained directory, _stats.json included)
+        writeStats(spark, dir, parts)
+        parts.map(name => s"data/$sub/$name")
       case None => Seq.empty
     }
     import spark.implicits._
@@ -374,6 +587,12 @@ object Snapshots {
       val out = f0.create(
         new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_schema.json"), false)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
+    }
+    txn.foreach { case (app, batch) =>
+      val out = f0.create(
+        new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_txn.json"), false)
+      try out.write(s"""{"app":"$app","batch":$batch}""".getBytes("UTF-8"))
+      finally out.close()
     }
     v
   }

@@ -124,6 +124,53 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(Snapshots.read(spark, path)) == (0L until 30L).toSet)
   }
 
+  test("zone-map data skipping: range reads open only overlapping files") {
+    import spark.implicits._
+    val path = freshPath("skip")
+    // range-clustered layout: 8 files with disjoint id ranges
+    Snapshots.append(
+      spark.range(0, 800).toDF("id").repartitionByRange(8, col("id")), path)
+    val (kept, total) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(100), BigDecimal(150))
+    assert(total == 8 && kept < total, s"no pruning: $kept/$total")
+    val got = Snapshots.readRange(
+      spark, path, "id", BigDecimal(100), BigDecimal(150))
+    assert(ids(got) == (100L to 150L).toSet)
+    // a second commit's files (all out of range) are all skipped
+    Snapshots.append(
+      spark.range(800, 1600).toDF("id").repartitionByRange(8, col("id")), path)
+    val (k2, t2) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(100), BigDecimal(150))
+    assert(t2 == 16 && k2 == kept, s"append broke skipping: $k2/$t2 vs $kept")
+    assert(ids(Snapshots.readRange(
+      spark, path, "id", BigDecimal(100), BigDecimal(150))) ==
+      (100L to 150L).toSet)
+    // a range beyond every zone map reads zero files, returns empty
+    val (k3, _) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(5000), BigDecimal(6000))
+    assert(k3 == 0)
+    assert(Snapshots.readRange(
+      spark, path, "id", BigDecimal(5000), BigDecimal(6000)).isEmpty)
+  }
+
+  test("appendIdempotent: replayed batchIds are no-ops; apps keep separate watermarks") {
+    import spark.implicits._
+    val path = freshPath("txn")
+    def batch(r: Range) = r.map(_.toLong).toDF("id")
+    assert(Snapshots.appendIdempotent(batch(0 until 5), path, "a", 0L) == Some(1))
+    assert(Snapshots.appendIdempotent(batch(5 until 8), path, "a", 1L) == Some(2))
+    // checkpoint-recovery replay: same app, same batchId → no-op
+    assert(Snapshots.appendIdempotent(batch(5 until 8), path, "a", 1L).isEmpty)
+    // stale batchId (below the watermark) → no-op too
+    assert(Snapshots.appendIdempotent(batch(90 until 95), path, "a", 0L).isEmpty)
+    assert(ids(Snapshots.read(spark, path)) == (0L until 8L).toSet)
+    // a different app has its own watermark
+    assert(Snapshots.appendIdempotent(batch(8 until 10), path, "b", 0L) == Some(3))
+    assert(ids(Snapshots.read(spark, path)) == (0L until 10L).toSet)
+    assert(Snapshots.lastBatchId(spark, path, "a") == Some(1L))
+    assert(Snapshots.lastBatchId(spark, path, "b") == Some(0L))
+  }
+
   test("schema evolution: widening append, version-pinned reads, restore rolls back") {
     import spark.implicits._
     val path = freshPath("evolve")
