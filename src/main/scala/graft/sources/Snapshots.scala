@@ -351,6 +351,15 @@ object Snapshots {
     val prev = currentFiles(spark, path)
     if (prev.isEmpty) return commit(spark, path, Seq.empty, None)
     val abs = prev.map(rel => s"$path/$rel")
+    // read under the VERSION-PINNED schema: after a widening append the
+    // older files lack the new columns, and a raw union read would both
+    // break predicates on those columns and rewrite survivors with a
+    // stale schema
+    val pinned = readSchema(spark, path, latestVersion(spark, path))
+    def scan(paths: Seq[String]) = pinned match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
     // Three-valued logic: a row where `cond` evaluates to NULL (e.g. a
     // predicate over a nullable column) never MATCHED the delete, so it
     // must survive. Both passes use the same coalesce so "which files
@@ -358,15 +367,14 @@ object Snapshots {
     // contract: remove rows where the predicate is true; keep false OR
     // null).
     val matched = coalesce(cond, lit(false))
-    val touchedAbs = spark.read.parquet(abs: _*)
+    val touchedAbs = scan(abs)
       .filter(matched)
       .select(col("_metadata.file_path"))
       .distinct().collect().map(_.getString(0)).toSet
     // _metadata.file_path is an absolute URI; match on the relative tail
     val touched = prev.filter(rel => touchedAbs.exists(_.endsWith(rel)))
     if (touched.isEmpty) return commit(spark, path, prev, None)
-    val survivors = spark.read
-      .parquet(touched.map(rel => s"$path/$rel"): _*)
+    val survivors = scan(touched.map(rel => s"$path/$rel"))
       .filter(!matched)
     commit(spark, path, prev.filterNot(touched.contains), Some(survivors))
   }

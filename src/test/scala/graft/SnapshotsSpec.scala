@@ -197,6 +197,20 @@ class SnapshotsSpec extends SparkSpec {
       Seq("id", "tag"))
   }
 
+  test("deleteWhere on a post-evolution column reads old files under the pinned schema") {
+    import spark.implicits._
+    val path = freshPath("evdel")
+    Snapshots.append(Seq((1L, "a"), (2L, "b")).toDF("id", "tag"), path)
+    Snapshots.append(Seq((3L, "c", "en"), (4L, "d", "de"))
+      .toDF("id", "tag", "lang"), path)
+    // predicate on the NEW column: pre-evolution rows read lang as null
+    // (never matched — they survive), post-evolution 'en' rows go
+    Snapshots.deleteWhere(spark, path, col("lang") === "en")
+    val left = Snapshots.read(spark, path)
+    assert(ids(left) == Set(1L, 2L, 4L))
+    assert(left.schema.fieldNames.toSeq == Seq("id", "tag", "lang"))
+  }
+
   test("changes: file-pruned CDC with survivor cancellation, both directions") {
     import spark.implicits._
     val path = freshPath("cdc")
