@@ -287,6 +287,62 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(Snapshots.read(spark, path)) == Set(0L, 1L, 2L))
   }
 
+  test("model check: a seeded random op sequence matches the in-memory commit log") {
+    import spark.implicits._
+    val path = freshPath("model")
+    val rnd = new scala.util.Random(20260815L)
+    // model(v-1) = the exact id multiset of version v
+    val model = scala.collection.mutable.ArrayBuffer.empty[Vector[Long]]
+    var nextId = 0L
+    def cur: Vector[Long] = if (model.isEmpty) Vector.empty else model.last
+    def doAppend(k: Int): Unit = {
+      val fresh = (nextId until nextId + k).toVector
+      nextId += k
+      Snapshots.append(fresh.toDF("id"), path)
+      model += cur ++ fresh
+    }
+    doAppend(5) // seed the table so every version carries a schema
+    (1 to 14).foreach { _ =>
+      rnd.nextInt(5) match {
+        case 0 | 1 => doAppend(1 + rnd.nextInt(20))
+        case 2 => // erase a residue class (possibly matching nothing)
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          Snapshots.deleteWhere(spark, path, col("id") % m === r)
+          model += cur.filterNot(x => x % m == r)
+        case 3 => // restore a random historical version
+          val v = 1 + rnd.nextInt(model.length)
+          Snapshots.rollback(spark, path, v)
+          model += model(v - 1)
+        case 4 =>
+          Snapshots.compact(spark, path)
+          model += cur
+      }
+    }
+    // every version reads back exactly its model state
+    model.zipWithIndex.foreach { case (want, i) =>
+      val got = Snapshots.read(spark, path, Some(i + 1))
+        .collect().map(_.getLong(0)).toVector.sorted
+      assert(got == want.sorted,
+        s"version ${i + 1}: got ${got.length} rows, want ${want.length}")
+    }
+    // the change feed between two random versions equals the model diff
+    val i = 1 + rnd.nextInt(model.length - 1)
+    val j = i + 1 + rnd.nextInt(model.length - i)
+    val net = Snapshots.changes(spark, path, i, j)
+      .groupBy(col("id")).agg(sum(col("__op")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 != 0L).toMap
+    def counts(v: Vector[Long]) =
+      v.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ci = counts(model(i - 1))
+    val cj = counts(model(j - 1))
+    val want = (ci.keySet ++ cj.keySet).iterator
+      .map(k => k -> (cj.getOrElse(k, 0L) - ci.getOrElse(k, 0L)))
+      .filter(_._2 != 0L).toMap
+    assert(net == want, s"changes($i,$j): ${net.size} vs ${want.size} keys")
+  }
+
   test("manifest-last atomicity: orphaned data files are invisible and never block") {
     import spark.implicits._
     val path = freshPath("atomic")
