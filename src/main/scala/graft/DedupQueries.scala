@@ -24,27 +24,29 @@ object DedupQueries {
     * downstream lifecycle op reads the store instead of re-sketching the
     * corpus — the x122 `sigCol` design promoted from per-query to
     * per-family (r12 measured the 128-wide sketch as the family's
-    * dominant cost; three queries were paying it independently). Written
-    * to per-run scratch parquet on first use under the registry's
-    * standard (shingleN=3, numHashes=128) parameters; any of the three
-    * queries can run first (subset runs included) and the others read
-    * the store back. Columns: `(doc_id BIGINT, sig ARRAY<BIGINT>)`.
+    * dominant cost; three queries were paying it independently).
+    * Session-cached as an eagerly-materialized checkpoint (the
+    * registry's in-run analogue of the persisted crawl-time store a
+    * 100 TB deployment would keep in parquet); any of the three queries
+    * can run first — subset runs included — and the others reuse the
+    * pinned frame. Columns: `(doc_id BIGINT, sig ARRAY<BIGINT>)` under
+    * the registry's standard (shingleN=3, numHashes=128) parameters.
     */
+  private val sigStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
   private def neardupSigStore(
-      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val path = s"${Scratch.dir}/graft_neardup_sigstore_$tag"
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      IncrementalNearDup.signatures(
-        Tables.documents(s, dir)
-          .select(col("doc_id").cast("long").as("doc_id"), col("text")),
-        "doc_id", "text")
-        .select(col("__id").as("doc_id"), col("__sig").as("sig"))
-        .write.mode("overwrite").parquet(path)
-    s.read.parquet(path)
-  }
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    // keyed by applicationId (unique per context lifetime — an identity
+    // hash could collide across a stopped context's address reuse and
+    // hand out a frame whose checkpoint blocks died with it)
+    sigStoreCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ =>
+        IncrementalNearDup.signatures(
+          Tables.documents(s, dir)
+            .select(col("doc_id").cast("long").as("doc_id"), col("text")),
+          "doc_id", "text")
+          .select(col("__id").as("doc_id"), col("__sig").as("sig"))
+          .localCheckpoint(true))
 
   /** Run-stashed artifacts for the thunk oracles of x39/x40 (see the
     * QueryDef companion doc): the trained PQ codebooks, and for x40 also

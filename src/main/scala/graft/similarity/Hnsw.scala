@@ -319,6 +319,7 @@ object Hnsw {
       path: String,
       ids: DataFrame,
       idCol: String): Long = {
+    healTombstones(spark, path)
     val del = ids.select(col(idCol).cast("long").as("id")).distinct()
     val present = spark.read.parquet(s"$path/nodes")
       .select(col("id").cast("long"))
@@ -366,8 +367,26 @@ object Hnsw {
     n
   }
 
+  /** Complete a crashed tombstone clear: the write-new-then-swap in
+    * [[appendToIndex]] can die between deleting the old list and
+    * renaming the new one into place — the kept list then exists ONLY in
+    * `tombstones__swap`. Finishing the rename here (before any read or
+    * mutation consults the list) closes the window: erased vectors never
+    * resurface, no matter where the clear crashed.
+    */
+  private def healTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val swap = new org.apache.hadoop.fs.Path(s"$path/tombstones__swap")
+    val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tsPath) && fs.exists(swap))
+      require(fs.rename(swap, tsPath),
+        s"tombstone crash recovery failed: $swap -> $tsPath")
+  }
+
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String): Set[Long] = {
+    healTombstones(spark, path)
     val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tsPath)) Set.empty
@@ -566,6 +585,7 @@ object Hnsw {
         s"included — rebuildWithoutTombstones first): ${dupes.mkString(", ")}")
     // stale tombstones (id erased AND gone from the graph, now re-added)
     // must not keep filtering the fresh vector — clear them
+    healTombstones(spark, path)
     val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     val tsFs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (tsFs.exists(tsPath)) {
@@ -576,10 +596,11 @@ object Hnsw {
           .coalesce(1).localCheckpoint(true)
         if (keep.count() > 0) {
           // write-new-then-swap (the manifest-last discipline): the kept
-          // tombstones exist on disk BEFORE the old list goes, so a crash
-          // mid-clear can't resurrect previously erased vectors; a
-          // leftover __swap dir from a crashed attempt is overwritten on
-          // the next append and never read by searches.
+          // tombstones exist on disk BEFORE the old list goes, and
+          // [[healTombstones]] completes a clear that crashed between
+          // the delete and the rename — no crash point loses the list;
+          // a __swap leftover from a crash BEFORE the delete is stale
+          // (the full old list still stands) and is overwritten here.
           val tmp = new org.apache.hadoop.fs.Path(s"$path/tombstones__swap")
           if (tsFs.exists(tmp)) tsFs.delete(tmp, true)
           keep.write.mode("overwrite").parquet(tmp.toString)

@@ -95,24 +95,13 @@ object Snapshots {
     */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(spark, path))
-    val files = activeFiles(spark, path, v).map(rel => s"$path/$rel")
-    if (files.isEmpty) {
-      // A legitimately empty version (deleteWhere erased every row, or a
-      // rollback to one) — parquet can't be read from zero paths, so the
-      // schema persisted at commit time supplies the empty frame's shape.
-      val schema = readSchema(spark, path, v).getOrElse(
-        throw new IllegalStateException(
-          s"version $v at $path is empty and carries no schema " +
-            "(table was never committed with rows)"))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else readSchema(spark, path, v) match {
-      // VERSION-PINNED schema (the Delta contract): time travel returns
-      // the columns the table had AS OF that version; files predating a
-      // widening append lack the new columns and read back as nulls.
-      case Some(schema) => spark.read.schema(schema).parquet(files: _*)
-      case None => spark.read.parquet(files: _*)
-    }
+    // VERSION-PINNED schema (the Delta contract): time travel returns
+    // the columns the table had AS OF that version; files predating a
+    // widening append lack the new columns and read back as nulls, and
+    // a legitimately empty version (deleteWhere erased every row, or a
+    // rollback to one) reads as an empty frame of its pinned schema.
+    readFiles(spark, path, activeFiles(spark, path, v),
+      readSchema(spark, path, v), s"version $v")
   }
 
   /** Schema of version `v`, from the `_schema.json` persisted beside its
@@ -123,17 +112,32 @@ object Snapshots {
     val p = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_schema.json")
     val f = fs(spark, path)
     if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-        in.readFully(bytes)
-        Some(org.apache.spark.sql.types.DataType
-          .fromJson(new String(bytes, "UTF-8"))
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-      } finally in.close()
-    }
+    else Some(org.apache.spark.sql.types.DataType
+      .fromJson(readSmallFile(f, p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
+
+  /** One shared file-set reader: the manifest's relative files under the
+    * version's pinned schema (raw parquet for legacy schema-less
+    * tables), or an empty frame of the pinned schema when the set is
+    * empty — the branching [[read]], [[readRange]] and [[changes]] all
+    * need, in one place.
+    */
+  private def readFiles(
+      spark: SparkSession, path: String, rels: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      what: String): DataFrame =
+    if (rels.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalStateException(
+        s"$what at $path is empty and carries no schema " +
+          "(table was never committed with rows)"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else schema match {
+      case Some(s) =>
+        spark.read.schema(s).parquet(rels.map(rel => s"$path/$rel"): _*)
+      case None => spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
+    }
 
   /** Commit `df` as an APPEND; returns the new version. Rewrites
     * nothing: the new manifest = previous active list + this commit's
@@ -219,13 +223,7 @@ object Snapshots {
         val p = new org.apache.hadoop.fs.Path(s"$path/$dir/_stats.json")
         if (!f.exists(p)) Map.empty[String, Map[String, (BigDecimal, BigDecimal)]]
         else {
-          val in = f.open(p)
-          val txt =
-            try {
-              val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-              in.readFully(bytes)
-              new String(bytes, "UTF-8")
-            } finally in.close()
+          val txt = readSmallFile(f, p)
           val names = files.map(r => r.drop(dir.length + 1) -> r).toMap
           org.json4s.jackson.JsonMethods.parse(txt) match {
             case JObject(perFile) => perFile.collect {
@@ -283,21 +281,12 @@ object Snapshots {
     val rels = prunedRels(spark, path, activeFiles(spark, path, v),
       colName, lo, hi)
     val c = col(colName)
-    // double bounds are exact for footer-derived integer ranges < 2^53
-    val pred = c >= lit(lo.toDouble) && c <= lit(hi.toDouble)
-    val schema = readSchema(spark, path, v)
-    val base =
-      if (rels.isEmpty) {
-        val s = schema.getOrElse(throw new IllegalStateException(
-          s"no schema recorded at $path v$v"))
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else schema match {
-        case Some(s) => spark.read.schema(s)
-          .parquet(rels.map(rel => s"$path/$rel"): _*)
-        case None => spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
-      }
-    base.filter(pred)
+    // DECIMAL bounds, not double: a BIGINT id beyond 2^53 would round
+    // under toDouble and the exactness contract ("the predicate is still
+    // applied on top") would silently break at the boundary
+    val pred = c >= lit(lo.underlying()) && c <= lit(hi.underlying())
+    readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v")
+      .filter(pred)
   }
 
   /** EXACTLY-ONCE append for streaming sinks — the Delta
@@ -319,26 +308,40 @@ object Snapshots {
       currentFiles(spark, path), Some(df), txn = Some((appId, batchId))))
   }
 
-  /** The high-water `batchId` committed by `appId`, if any. */
+  /** The high-water `batchId` committed by `appId`, if any. Versions are
+    * scanned NEWEST-FIRST and the first match wins — batchIds are
+    * monotone per app (enforced by [[appendIdempotent]] itself), so a
+    * steady-state commit reads O(1) txn markers, not O(versions).
+    */
   def lastBatchId(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    import org.json4s._
     val f = fs(spark, path)
-    val ids = versions(spark, path).flatMap { v =>
+    versions(spark, path).reverseIterator.flatMap { v =>
       val p = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_txn.json")
       if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        try {
-          val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-          in.readFully(bytes)
-          val s = new String(bytes, "UTF-8")
-          // {"app":"...","batch":N} — fixed writer format, parsed directly
-          val app = s.split("\"app\":\"")(1).split("\"")(0)
-          if (app == appId) Some(s.split("\"batch\":")(1).split("}")(0).trim.toLong)
-          else None
-        } finally in.close()
+      else org.json4s.jackson.JsonMethods.parse(readSmallFile(f, p)) match {
+        case JObject(fields) =>
+          val m = fields.toMap
+          (m.get("app"), m.get("batch")) match {
+            case (Some(JString(app)), Some(JInt(b))) if app == appId =>
+              Some(b.toLong)
+            case _ => None
+          }
+        case _ => None
       }
-    }
-    if (ids.isEmpty) None else Some(ids.max)
+    }.nextOption()
+  }
+
+  /** Slurp a small bookkeeping file (schema/txn/stats sidecars). */
+  private def readSmallFile(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
   }
 
   /** Commit an ERASURE of rows matching `cond`; returns the new
@@ -433,16 +436,13 @@ object Snapshots {
       opCol: String = "__op"): DataFrame = {
     val fa = activeFiles(spark, path, fromV).toSet
     val ta = activeFiles(spark, path, toV).toSet
-    val schema = readSchema(spark, path, toV)
+    val schema = Some(readSchema(spark, path, toV)
       .orElse(readSchema(spark, path, fromV))
       .getOrElse(throw new IllegalStateException(
-        s"no schema recorded for versions $fromV/$toV at $path"))
+        s"no schema recorded for versions $fromV/$toV at $path")))
     def rd(rels: Set[String]): DataFrame =
-      if (rels.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(rels.toSeq.sorted.map(rel => s"$path/$rel"): _*)
+      readFiles(spark, path, rels.toSeq.sorted, schema,
+        s"changes $fromV->$toV")
     val added = rd(ta -- fa)
     val removed = rd(fa -- ta)
     added.exceptAll(removed).withColumn(opCol, lit(1))
@@ -468,6 +468,12 @@ object Snapshots {
     val f = fs(spark, path)
     dropV.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v"), true)
+    }
+    // crashed commits may leave half-written staging dirs — garbage by
+    // construction (the publish rename never happened), swept here
+    f.listStatus(new org.apache.hadoop.fs.Path(logDir(path))).foreach { st =>
+      if (st.getPath.getName.startsWith("_staged_"))
+        f.delete(st.getPath, true)
     }
     // sweep data files (incl. crashed-commit orphans) not referenced by
     // any kept manifest; drained commit directories vanish with them
@@ -588,20 +594,32 @@ object Snapshots {
         parts.map(name => s"data/$sub/$name")
       case None => Seq.empty
     }
+    // STAGED publish: manifest parquet + sidecars (_schema.json,
+    // _txn.json) are assembled in a staging directory whose name
+    // `versions()` ignores, then RENAMED to `v=N` in one filesystem
+    // move — the commit point stays a single atomic operation, so no
+    // crash can publish a version whose schema or txn watermark is
+    // missing (a half-written staging dir is invisible garbage; vacuum
+    // sweeps it).
     import spark.implicits._
+    val staged = s"${logDir(path)}/_staged_v${v}_" +
+      java.util.UUID.randomUUID().toString.take(8)
     (keepFiles ++ newRel).sorted.toDF("file")
-      .coalesce(1).write.mode("error").parquet(s"${logDir(path)}/v=$v")
+      .coalesce(1).write.mode("error").parquet(staged)
     schema.foreach { s =>
       val out = f0.create(
-        new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_schema.json"), false)
+        new org.apache.hadoop.fs.Path(s"$staged/_schema.json"), false)
       try out.write(s.json.getBytes("UTF-8")) finally out.close()
     }
     txn.foreach { case (app, batch) =>
       val out = f0.create(
-        new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_txn.json"), false)
+        new org.apache.hadoop.fs.Path(s"$staged/_txn.json"), false)
       try out.write(s"""{"app":"$app","batch":$batch}""".getBytes("UTF-8"))
       finally out.close()
     }
+    require(f0.rename(new org.apache.hadoop.fs.Path(staged), manifestDir),
+      s"manifest publish failed at $path version $v: rename refused " +
+        "(concurrent writer detected — Snapshots is single-writer)")
     v
   }
 }

@@ -402,6 +402,30 @@ class AnnSpec extends SparkSpec {
       "re-admitted vector not searchable")
   }
 
+  test("tombstone crash recovery: a clear that died mid-swap never resurrects erased vectors") {
+    val df = clustered.cache()
+    val k = 4
+    val path = s"${graft.Scratch.dir}/hnsw_heal_${System.nanoTime()}"
+    graft.similarity.Hnsw.writeIndex(df, "embedding", "vec_id", path,
+      numShards = 4)
+    import spark.implicits._
+    val victim = df.select("vec_id").head().getLong(0)
+    graft.similarity.Hnsw.deleteFromIndex(
+      spark, path, Seq(victim).toDF("vec_id"), "vec_id")
+    // simulate the crash window: the kept list exists ONLY under __swap
+    // (the clear deleted the old dir and died before the rename)
+    val src = new java.io.File(s"$path/tombstones")
+    val dst = new java.io.File(s"$path/tombstones__swap")
+    assert(src.renameTo(dst), "test setup: rename failed")
+    // any read path heals first, so the erased vector stays invisible
+    val got = graft.similarity.Hnsw.searchIndex(
+      spark, path, df.filter(col("vec_id") === victim),
+      "embedding", "vec_id", k, excludeSelf = false)
+      .collect().map(_.getLong(2))
+    assert(!got.contains(victim), s"erased vector resurfaced: $victim")
+    assert(src.exists && !dst.exists, "heal did not complete the rename")
+  }
+
   test("persisted NSW index: search recall, append touches only its shards, appended rows findable") {
     import org.apache.spark.sql.functions.{pmod, xxhash64, lit}
     val df = clustered.cache()
