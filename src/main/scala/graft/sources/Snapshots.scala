@@ -264,6 +264,44 @@ object Snapshots {
     }
   }
 
+  /** Range-clustered append — the writer-side half of data skipping:
+    * rows are range-partitioned AND sorted by `byCol` before the commit,
+    * so the new files' zone maps are DISJOINT and a later [[readRange]]
+    * on that column opens O(matching files). This is the OPTIMIZE-by-
+    * sort discipline (Delta's `OPTIMIZE ... ZORDER BY` for the
+    * single-column case); `nFiles` sizes the commit's file count.
+    */
+  def appendClustered(
+      df: DataFrame, path: String, byCol: String, nFiles: Int = 8): Int = {
+    require(nFiles >= 1, s"nFiles must be >= 1: $nFiles")
+    append(df.repartitionByRange(nFiles, col(byCol))
+      .sortWithinPartitions(col(byCol)), path)
+  }
+
+  /** Point-lookup read with zone-map skipping: open only the files whose
+    * zone contains AT LEAST ONE of `values` (an IN-list is a union of
+    * point ranges), then apply the exact IN filter. On a range-clustered
+    * layout a k-key lookup touches ≤ k files of a 100 TB table.
+    */
+  def readPoints(
+      spark: SparkSession, path: String, colName: String,
+      values: Seq[BigDecimal],
+      version: Option[Int] = None): DataFrame = {
+    require(values.nonEmpty, "readPoints needs at least one value")
+    val v = version.getOrElse(latestVersion(spark, path))
+    val all = activeFiles(spark, path, v)
+    val stats = statsFor(spark, path, all)
+    val rels = all.filter { r =>
+      stats.get(r).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => values.exists(x => x >= mn && x <= mx)
+        case None => true // no zone map — never prune blind
+      }
+    }
+    val c = col(colName)
+    readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v")
+      .filter(c.isInCollection(values.map(_.underlying())))
+  }
+
   /** Range read with ZONE-MAP file skipping — the Delta data-skipping
     * contract on the commit log: every commit records its new files'
     * per-column min/max (from the parquet footers it just wrote), and a

@@ -153,6 +153,28 @@ class SnapshotsSpec extends SparkSpec {
       spark, path, "id", BigDecimal(5000), BigDecimal(6000)).isEmpty)
   }
 
+  test("appendClustered + readPoints: disjoint zones, point lookups touch <= k files") {
+    import spark.implicits._
+    val path = freshPath("points")
+    Snapshots.appendClustered(
+      (0L until 640L).toDF("id"), path, "id", nFiles = 8)
+    Snapshots.appendClustered(
+      (640L until 1280L).toDF("id"), path, "id", nFiles = 8)
+    // a 2-key lookup on the clustered layout opens at most 2 files
+    val hits = Seq(BigDecimal(5), BigDecimal(1200))
+    val got = Snapshots.readPoints(spark, path, "id", hits)
+    assert(ids(got) == Set(5L, 1200L))
+    // prune accounting: zones are disjoint, so each key matches one file
+    val all = Snapshots.activeFiles(spark, path, 2)
+    val (kept, total) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(5), BigDecimal(5))
+    assert(total == all.length && kept == 1,
+      s"single-point range kept $kept of $total files")
+    // a key beyond every zone reads nothing
+    assert(Snapshots.readPoints(
+      spark, path, "id", Seq(BigDecimal(999999))).isEmpty)
+  }
+
   test("appendIdempotent: replayed batchIds are no-ops; apps keep separate watermarks") {
     import spark.implicits._
     val path = freshPath("txn")
