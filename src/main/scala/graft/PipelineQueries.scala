@@ -1138,6 +1138,98 @@ object PipelineQueries {
         FROM sc JOIN dl ON dl.doc_id = sc.doc_id
       """.stripMargin.trim)),
 
+    // ── X153: STREAMING inverted-index ingest — the lexical tier's cell
+    //    in the streaming ingest-loop matrix (exact: x45; near-dup:
+    //    x122; semantic: x126; IVF: x46; HNSW: x123; CDC: x142;
+    //    snapshots: x149): a real Structured Streaming foreachBatch
+    //    drive bootstraps nothing — the FIRST wave writes the index, the
+    //    later waves append (only their term buckets gain files, meta
+    //    counters advance), then the stream-grown index compacts and
+    //    serves the same pruned BM25 search x148 proves. Appends are not
+    //    idempotent by design (the posting-list add contract — the x45
+    //    exact-dedup stage fronts production ingest, exactly as x123's
+    //    graph loop documents). FULL oracle: the x148 corpus-direct
+    //    replay — the streaming execution is invisible to the oracle ──
+    QueryDef(
+      "x153_stream_inverted_ingest",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        import graft.text.InvertedIndex
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_invidx_stream_$tag"
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(fsPath)) fs.delete(fsPath, true)
+        val terms = Seq("hash", "join", "scan")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)].collect()
+        val mem = MemoryStream[(Long, String)]
+        val q = mem.toDF().toDF("doc_id", "text").writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            if (batchId == 0L)
+              InvertedIndex.writeIndex(batch, "doc_id", "text", path,
+                nBuckets = 16)
+            else
+              InvertedIndex.appendToIndex(batch, "doc_id", "text", path)
+            (): Unit
+          }
+          .option("checkpointLocation",
+            s"${Scratch.dir}/x153_ckpt_${System.nanoTime()}")
+          .start()
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          Seq(0L, 1L, 2L).map(m => docs.filter(_._1 % 3 == m)).foreach { b =>
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("x153 stream exceeded its 120s deadline")
+            mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+          }
+        } finally q.stop()
+        val filesBefore = graft.sources.Partitioned.fileCount(s"$path/postings")
+        InvertedIndex.compactIndex(s, path)
+        val filesAfter = graft.sources.Partitioned.fileCount(s"$path/postings")
+        require(filesAfter < filesBefore,
+          s"compaction did not shrink the stream's layout: " +
+            s"$filesBefore -> $filesAfter")
+        val pruned = InvertedIndex.prunedPostings(s, path, terms)
+        val np = graft.sources.Partitioned.prunedPartitionCount(pruned)
+        require(np >= 1 && np <= terms.length,
+          s"expected <= ${terms.length} pruned posting buckets, scan " +
+            s"selected $np")
+        InvertedIndex.scoreBm25(s, path, terms)
+          .select(col("doc_id"), col("n_tokens"),
+            round(col("bm25"), 6).as("bm25"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ), tf0 AS (
+          SELECT doc_id, w FROM t WHERE length(w) > 0
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id
+        ), st AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM tf0
+          WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w
+        ), dfs AS (
+          SELECT w, count(*) AS df FROM tf GROUP BY w
+        ), sc AS (
+          SELECT tf.doc_id,
+            sum(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+          FROM tf JOIN dfs USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st
+          GROUP BY tf.doc_id
+        )
+        SELECT sc.doc_id, dl.dl AS n_tokens, round(sc.bm25, 6) AS bm25
+        FROM sc JOIN dl ON dl.doc_id = sc.doc_id
+      """.stripMargin.trim)),
+
     // ── X44: Bloom-filter decontamination screen — the 100 TB shape for
     //    x23 when the bench gram set outgrows a string broadcast: a
     //    distributed Bloom sketch of the eval grams, probed map-side by
