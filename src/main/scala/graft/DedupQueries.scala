@@ -38,8 +38,14 @@ object DedupQueries {
       s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     // keyed by applicationId (unique per context lifetime — an identity
     // hash could collide across a stopped context's address reuse and
-    // hand out a frame whose checkpoint blocks died with it)
-    sigStoreCache.computeIfAbsent(
+    // hand out a frame whose checkpoint blocks died with it); entries of
+    // DEAD applications are evicted here so a long-lived driver running
+    // several contexts never pins a stopped session's plan graph
+    {
+      val app = s.sparkContext.applicationId
+      sigStoreCache.keySet.removeIf(_._1 != app)
+      sigStoreCache
+    }.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ =>
         IncrementalNearDup.signatures(
           Tables.documents(s, dir)

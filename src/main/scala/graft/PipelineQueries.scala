@@ -531,6 +531,65 @@ object PipelineQueries {
         """.stripMargin.trim
   }
 
+  /** The inverted-index queries' shared term set (x148/x153). */
+  private val InvIdxTerms = Seq("hash", "join", "scan")
+
+  /** x148/x153 shared tail: compact the (batch- or stream-grown) index,
+    * prove term-bucket pruning, and emit the pruned BM25 scores — one
+    * code path so the twin queries cannot diverge.
+    */
+  private def invIdxCompactPruneScore(
+      s: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import graft.text.InvertedIndex
+    val filesBefore = graft.sources.Partitioned.fileCount(s"$path/postings")
+    InvertedIndex.compactIndex(s, path)
+    val filesAfter = graft.sources.Partitioned.fileCount(s"$path/postings")
+    require(filesAfter < filesBefore,
+      s"compaction did not shrink the layout: $filesBefore -> $filesAfter")
+    val pruned = InvertedIndex.prunedPostings(s, path, InvIdxTerms)
+    val np = graft.sources.Partitioned.prunedPartitionCount(pruned)
+    require(np >= 1 && np <= InvIdxTerms.length,
+      s"expected <= ${InvIdxTerms.length} pruned posting buckets, scan " +
+        s"selected $np")
+    InvertedIndex.scoreBm25(s, path, InvIdxTerms)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("bm25"), 6).as("bm25"))
+  }
+
+  /** The x148/x153 shared oracle: corpus-direct BM25 restricted to
+    * matching docs — index-path scores must equal text-path scores
+    * exactly, whatever lifecycle (batch build→append×2→compact, or
+    * streaming write→append×2→compact) produced the index.
+    */
+  private val Bm25IndexReplaySql: String = """
+        WITH t AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ), tf0 AS (
+          SELECT doc_id, w FROM t WHERE length(w) > 0
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id
+        ), st AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM tf0
+          WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w
+        ), dfs AS (
+          SELECT w, count(*) AS df FROM tf GROUP BY w
+        ), sc AS (
+          SELECT tf.doc_id,
+            sum(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+          FROM tf JOIN dfs USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st
+          GROUP BY tf.doc_id
+        )
+        SELECT sc.doc_id, dl.dl AS n_tokens, round(sc.bm25, 6) AS bm25
+        FROM sc JOIN dl ON dl.doc_id = sc.doc_id
+      """.stripMargin.trim
+
   val defs: Seq[QueryDef] = Seq(
 
     // ── X23: benchmark decontamination — word 5-gram overlap of every
@@ -1088,7 +1147,6 @@ object PipelineQueries {
         val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
         val path = s"${Scratch.dir}/graft_invidx_$tag"
         val docs = Tables.documents(s, dir)
-        val terms = Seq("hash", "join", "scan")
         InvertedIndex.writeIndex(
           docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path,
           nBuckets = 16)
@@ -1096,47 +1154,9 @@ object PipelineQueries {
           docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
         InvertedIndex.appendToIndex(
           docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", path)
-        val filesBefore = graft.sources.Partitioned.fileCount(s"$path/postings")
-        InvertedIndex.compactIndex(s, path)
-        val filesAfter = graft.sources.Partitioned.fileCount(s"$path/postings")
-        require(filesAfter < filesBefore,
-          s"compaction did not shrink the layout: $filesBefore -> $filesAfter")
-        val pruned = InvertedIndex.prunedPostings(s, path, terms)
-        val np = graft.sources.Partitioned.prunedPartitionCount(pruned)
-        require(np >= 1 && np <= terms.length,
-          s"expected <= ${terms.length} pruned posting buckets, scan " +
-            s"selected $np")
-        InvertedIndex.scoreBm25(s, path, terms)
-          .select(col("doc_id"), col("n_tokens"),
-            round(col("bm25"), 6).as("bm25"))
+        invIdxCompactPruneScore(s, path)
       },
-      Some("""
-        WITH t AS (
-          SELECT doc_id,
-            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-          FROM documents
-        ), tf0 AS (
-          SELECT doc_id, w FROM t WHERE length(w) > 0
-        ), dl AS (
-          SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id
-        ), st AS (
-          SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
-        ), tf AS (
-          SELECT doc_id, w, count(*) AS tf FROM tf0
-          WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w
-        ), dfs AS (
-          SELECT w, count(*) AS df FROM tf GROUP BY w
-        ), sc AS (
-          SELECT tf.doc_id,
-            sum(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
-              * tf.tf * 2.2
-              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
-          FROM tf JOIN dfs USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st
-          GROUP BY tf.doc_id
-        )
-        SELECT sc.doc_id, dl.dl AS n_tokens, round(sc.bm25, 6) AS bm25
-        FROM sc JOIN dl ON dl.doc_id = sc.doc_id
-      """.stripMargin.trim)),
+      Some(Bm25IndexReplaySql)),
 
     // ── X153: STREAMING inverted-index ingest — the lexical tier's cell
     //    in the streaming ingest-loop matrix (exact: x45; near-dup:
@@ -1162,7 +1182,6 @@ object PipelineQueries {
         val fsPath = new org.apache.hadoop.fs.Path(path)
         val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(fsPath)) fs.delete(fsPath, true)
-        val terms = Seq("hash", "join", "scan")
         val docs = Tables.documents(s, dir)
           .select(col("doc_id").cast("long"), col("text"))
           .as[(Long, String)].collect()
@@ -1187,48 +1206,9 @@ object PipelineQueries {
             mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
           }
         } finally q.stop()
-        val filesBefore = graft.sources.Partitioned.fileCount(s"$path/postings")
-        InvertedIndex.compactIndex(s, path)
-        val filesAfter = graft.sources.Partitioned.fileCount(s"$path/postings")
-        require(filesAfter < filesBefore,
-          s"compaction did not shrink the stream's layout: " +
-            s"$filesBefore -> $filesAfter")
-        val pruned = InvertedIndex.prunedPostings(s, path, terms)
-        val np = graft.sources.Partitioned.prunedPartitionCount(pruned)
-        require(np >= 1 && np <= terms.length,
-          s"expected <= ${terms.length} pruned posting buckets, scan " +
-            s"selected $np")
-        InvertedIndex.scoreBm25(s, path, terms)
-          .select(col("doc_id"), col("n_tokens"),
-            round(col("bm25"), 6).as("bm25"))
+        invIdxCompactPruneScore(s, path)
       },
-      Some("""
-        WITH t AS (
-          SELECT doc_id,
-            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
-          FROM documents
-        ), tf0 AS (
-          SELECT doc_id, w FROM t WHERE length(w) > 0
-        ), dl AS (
-          SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id
-        ), st AS (
-          SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
-        ), tf AS (
-          SELECT doc_id, w, count(*) AS tf FROM tf0
-          WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w
-        ), dfs AS (
-          SELECT w, count(*) AS df FROM tf GROUP BY w
-        ), sc AS (
-          SELECT tf.doc_id,
-            sum(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
-              * tf.tf * 2.2
-              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
-          FROM tf JOIN dfs USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st
-          GROUP BY tf.doc_id
-        )
-        SELECT sc.doc_id, dl.dl AS n_tokens, round(sc.bm25, 6) AS bm25
-        FROM sc JOIN dl ON dl.doc_id = sc.doc_id
-      """.stripMargin.trim)),
+      Some(Bm25IndexReplaySql)),
 
     // ── X44: Bloom-filter decontamination screen — the 100 TB shape for
     //    x23 when the bench gram set outgrows a string broadcast: a

@@ -361,18 +361,34 @@ object Hnsw {
       numShards = meta.getAs[Int]("num_shards"), m = meta.getAs[Int]("m"),
       efConstruction = meta.getAs[Int]("ef_construction"),
       levelSeed = meta.getAs[Long]("level_seed"))
+    // a deliberate full clear must drop BOTH the live list and any
+    // crashed-clear swap — a surviving swap would later be healed into
+    // place and resurrect stale tombstones over live nodes
+    dropTombstones(spark, path)
+    n
+  }
+
+  /** Delete the tombstone list AND any `__swap` leftover — the only
+    * correct way to intentionally clear tombstones once
+    * [[healTombstones]] treats a lone swap as the authoritative list.
+    */
+  private def dropTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val swap = new org.apache.hadoop.fs.Path(s"$path/tombstones__swap")
     val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tsPath)) fs.delete(tsPath, true)
-    n
+    if (fs.exists(swap)) fs.delete(swap, true)
   }
 
   /** Complete a crashed tombstone clear: the write-new-then-swap in
     * [[appendToIndex]] can die between deleting the old list and
     * renaming the new one into place — the kept list then exists ONLY in
-    * `tombstones__swap`. Finishing the rename here (before any read or
-    * mutation consults the list) closes the window: erased vectors never
-    * resurface, no matter where the clear crashed.
+    * `tombstones__swap`. MUTATION paths call this to finish the rename
+    * (single-writer, so the require holds); READ paths never mutate —
+    * [[readTombstones]] falls back to reading the swap directly, so a
+    * search works on a read-only mount and two racing readers can't
+    * fight over a rename.
     */
   private def healTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
@@ -386,12 +402,20 @@ object Hnsw {
 
   private def readTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String): Set[Long] = {
-    healTombstones(spark, path)
     val tsPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val swap = new org.apache.hadoop.fs.Path(s"$path/tombstones__swap")
     val fs = tsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(tsPath)) Set.empty
-    else spark.read.parquet(s"$path/tombstones")
-      .collect().map(_.getLong(0)).toSet
+    // pure read: the live list if present, else a crashed clear's swap
+    // (the kept list) — no rename on the read path
+    val src =
+      if (fs.exists(tsPath)) Some(tsPath)
+      else if (fs.exists(swap)) Some(swap)
+      else None
+    src match {
+      case Some(p) => spark.read.parquet(p.toString)
+        .collect().map(_.getLong(0)).toSet
+      case None => Set.empty
+    }
   }
 
   /** Search a persisted HNSW index: rebuild each shard's layered
@@ -607,7 +631,7 @@ object Hnsw {
           tsFs.delete(tsPath, true)
           require(tsFs.rename(tmp, tsPath),
             s"tombstone swap rename failed: $tmp -> $tsPath")
-        } else tsFs.delete(tsPath, true)
+        } else dropTombstones(spark, path) // live list AND any stale swap
       }
     }
     val updated = resident

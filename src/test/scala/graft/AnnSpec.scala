@@ -417,13 +417,24 @@ class AnnSpec extends SparkSpec {
     val src = new java.io.File(s"$path/tombstones")
     val dst = new java.io.File(s"$path/tombstones__swap")
     assert(src.renameTo(dst), "test setup: rename failed")
-    // any read path heals first, so the erased vector stays invisible
+    // READ paths never mutate — the search reads the swap directly, so
+    // the erased vector stays invisible even on a read-only mount
     val got = graft.similarity.Hnsw.searchIndex(
       spark, path, df.filter(col("vec_id") === victim),
       "embedding", "vec_id", k, excludeSelf = false)
       .collect().map(_.getLong(2))
     assert(!got.contains(victim), s"erased vector resurfaced: $victim")
-    assert(src.exists && !dst.exists, "heal did not complete the rename")
+    assert(!src.exists && dst.exists, "a read path mutated the index")
+    // the next MUTATION completes the crashed rename (single-writer)
+    import spark.implicits._
+    graft.similarity.Hnsw.deleteFromIndex(
+      spark, path, Seq(-12345L).toDF("vec_id"), "vec_id")
+    assert(src.exists && !dst.exists, "mutation did not heal the swap")
+    val after = graft.similarity.Hnsw.searchIndex(
+      spark, path, df.filter(col("vec_id") === victim),
+      "embedding", "vec_id", k, excludeSelf = false)
+      .collect().map(_.getLong(2))
+    assert(!after.contains(victim), "erased vector resurfaced after heal")
   }
 
   test("persisted NSW index: search recall, append touches only its shards, appended rows findable") {
