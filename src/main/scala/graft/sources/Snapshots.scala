@@ -45,6 +45,11 @@ import org.apache.spark.sql.functions._
   * as `_stats.json`) so [[readRange]] opens only the files a range
   * predicate can match, and [[appendIdempotent]] carries the Delta
   * txnAppId/txnVersion contract for exactly-once streaming sinks.
+  * Stats are loaded per commit DIRECTORY at plan time — O(commits of
+  * the queried version) driver-side reads; past ~10⁵ commit dirs the
+  * upgrade path is Delta's: fold the stats into the manifest parquet as
+  * columns so one manifest scan prices every file (the sidecar format
+  * is private, so that move is non-breaking).
   *
   * Single-writer: concurrent committers are out of scope (no
   * conditional-put primitive on plain filesystems); the driver-side
