@@ -193,6 +193,40 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.lastBatchId(spark, path, "b") == Some(0L))
   }
 
+  test("exactly-once snapshot sink survives a checkpoint reset that replays a batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = freshPath("restart")
+    val mem = MemoryStream[Long]
+    def start() = mem.toDF().toDF("id").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Snapshots.appendIdempotent(b, path, "es", batchId)
+        (): Unit
+      }
+      .option("checkpointLocation",
+        s"${Scratch.sub("snap-test")}/ckpt-${java.util.UUID.randomUUID()}")
+      .start()
+    val q1 = start()
+    try { mem.addData(0L until 10L: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    assert(Snapshots.latestVersion(spark, path) == 1)
+    // checkpoint RESET (the documented scenario for txn-id idempotence:
+    // the engine's progress is lost, the sink's watermark is not) — the
+    // fresh incarnation re-delivers the already-committed rows under the
+    // SAME batchId 0, which must be a no-op, while genuinely new data
+    // still commits
+    val q2 = start() // fresh checkpoint dir
+    try {
+      q2.processAllAvailable() // replays batch 0 -> no-op
+      mem.addData(10L until 15L: _*)
+      q2.processAllAvailable() // batch 1 -> commits
+    } finally q2.stop()
+    assert(Snapshots.latestVersion(spark, path) == 2,
+      "replayed batch double-committed")
+    assert(ids(Snapshots.read(spark, path)) == (0L until 15L).toSet)
+  }
+
   test("schema evolution: widening append, version-pinned reads, restore rolls back") {
     import spark.implicits._
     val path = freshPath("evolve")
