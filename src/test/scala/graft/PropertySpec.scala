@@ -327,4 +327,41 @@ class PropertySpec extends SparkSpec {
     val shuffled = rows.reverse.toDF("doc_id", "source", "text").repartition(7)
     assert(run(shuffled) == out, "packing must not depend on input layout")
   }
+
+  test("placeObserver: exact spectrum on random observable multi-output systems") {
+    import breeze.math.Complex
+    import graft.functions.Mat
+    import graft.observers.Observers.Gains
+    // random 3-state plants with the two-sensor selector C — observable
+    // for generic A — and well-separated stable poles: the designed gain
+    // (Sylvester full-rank, or the dyadic fallback on the solvability
+    // boundary) must realize EXACTLY the requested spectrum
+    val sys = for {
+      a <- Gen.listOfN(9, Gen.choose(-3.0, 3.0))
+      base <- Gen.choose(-9.0, -4.0)
+      gap1 <- Gen.choose(0.7, 2.0)
+      gap2 <- Gen.choose(0.7, 2.0)
+    } yield (a, Seq(base, base - gap1, base - gap1 - gap2))
+    val c = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    check(Prop.forAll(sys) { case (av, poles) =>
+      val a = av.grouped(3).map(_.toArray).toArray
+      val want = poles.sorted
+      val ok =
+        try {
+          val l = Gains.placeObserver(a, c, poles.map(Complex(_, 0)))
+          val lc = Mat.matMul(l, c)
+          val alc = Array.tabulate(3, 3)((i, j) => a(i)(j) - lc(i)(j))
+          val eigs = Gains.eigenvalues(alc)
+          eigs.forall(e => math.abs(e.imag) < 1e-5) &&
+            eigs.map(_.real).sorted.zip(want)
+              .forall { case (g, w) => math.abs(g - w) < 1e-5 }
+        } catch {
+          // a randomly unobservable (A, C) pair is a precondition
+          // failure, not a placement bug — the guard must be LOUD
+          case e: IllegalArgumentException =>
+            e.getMessage.contains("observable")
+        }
+      ok
+    }, n = 40)
+  }
 }
