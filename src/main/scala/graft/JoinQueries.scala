@@ -1191,6 +1191,141 @@ object JoinQueries {
         GROUP BY 1
       """.stripMargin.trim)),
 
+    // ── X154: DELETION VECTORS — rewrite-free erasure on the commit
+    //    log (the Delta DV contract, sources/Snapshots.scala
+    //    `deleteWhereDV`): a GDPR delete records WHICH rows of WHICH
+    //    files are dead in a tiny positional sidecar instead of
+    //    rewriting the touched files — at 100 TB the erasure costs one
+    //    predicate scan plus a kilobyte-scale sidecar write, ZERO data
+    //    rewrite; every read surface subtracts the version's DVs (an
+    //    anti-join on (file, row_index) whose right side is the erased
+    //    rows only), the CDC feed reads DV deltas at POSITION level
+    //    (never a scan), and OPTIMIZE materializes accumulated DVs
+    //    away. In-query proofs: the DV erasure's manifest is
+    //    file-for-file IDENTICAL to its parent, stacked sidecars stay
+    //    disjoint, the change feed across the DV interval is pure
+    //    retractions of exactly the erased keys, and the compacted
+    //    version carries no DVs while reading identically. FULL oracle:
+    //    each version is pure set arithmetic over `documents` ──
+    QueryDef(
+      "x154_deletion_vectors",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_dv_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val v1 = Snapshots.append(
+          docs.repartition(4, pmod(col("doc_id"), lit(5))), path)
+        val f1 = Snapshots.activeFiles(s, path, v1)
+        val v2 = Snapshots.deleteWhereDV(s, path, col("doc_id") % 5 === 0)
+        val v3 = Snapshots.deleteWhereDV(s, path, col("doc_id") % 7 === 3)
+        require(Snapshots.activeFiles(s, path, v2) == f1 &&
+          Snapshots.activeFiles(s, path, v3) == f1,
+          "DV erasure must not rewrite a single data file")
+        require(Snapshots.activeDvFiles(s, path, v3).length == 2,
+          "two erasures must stack two sidecars")
+        // the CDC feed across the DV interval: pure retractions of
+        // exactly the erased keys, read at position level
+        val c12 = Snapshots.changes(s, path, 1, 2)
+        require(c12.filter(col("__op") === 1).isEmpty,
+          "DV erasure feed produced inserts")
+        require(c12.filter(col("__op") === -1)
+          .filter(col("doc_id") % 5 =!= 0).isEmpty,
+          "DV erasure feed retracted a surviving row")
+        val v4 = Snapshots.compact(s, path, targetFiles = 2)
+        require(Snapshots.activeDvFiles(s, path, v4).isEmpty,
+          "OPTIMIZE must materialize deletion vectors away")
+        import s.implicits._
+        def stats(v: Int) = {
+          val r = Snapshots.read(s, path, Some(v)).agg(
+            count(lit(1)), coalesce(sum(col("doc_id")), lit(0L)),
+            coalesce(sum(conv(substring(md5(col("text")), 1, 8), 16, 10)
+              .cast("long")), lit(0L))).head()
+          (v.toLong, r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        val out = (1 to 4).map(stats)
+        // retention: v3 (DV-carrying) + v4 kept — the sidecars survive
+        // vacuum while any kept version references them
+        Snapshots.vacuum(s, path, keepLast = 2)
+        require(stats(3) == out(2) && stats(4) == out(3),
+          "kept versions changed under vacuum")
+        out.toDF("version", "n_docs", "id_sum", "text_crc_sum")
+      },
+      Some("""
+        WITH v2 AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0
+        ), v3 AS (
+          SELECT doc_id, text FROM v2 WHERE doc_id % 7 <> 3
+        ), stats AS (
+          SELECT 1 AS version, count(*) AS n_docs,
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) AS text_crc_sum FROM documents
+          UNION ALL
+          SELECT 2, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) FROM v2
+          UNION ALL
+          SELECT 3, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) FROM v3
+          UNION ALL
+          SELECT 4, count(*), CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(('0x' || substring(md5(text), 1, 8))::BIGINT), 0)
+              AS BIGINT) FROM v3
+        )
+        SELECT CAST(version AS BIGINT) AS version, n_docs, id_sum,
+          text_crc_sum
+        FROM stats
+      """.stripMargin.trim)),
+
+    // ── X155: BLOOM point-lookup index — the skipping device zone maps
+    //    can't provide (sources/Snapshots.scala `indexBloom`): point
+    //    lookups on a STRING digest key (dedup ids, URLs, content
+    //    hashes) over a hash-distributed layout, where min/max ranges
+    //    are useless. One distributed pass builds a per-file Bloom
+    //    filter (public spark.util.sketch, small-state shuffle keyed by
+    //    file), sidecars live beside the data files, and a k-key lookup
+    //    opens only the files whose filter might contain a probe — at
+    //    100 TB, O(k) files instead of a table scan; a false positive
+    //    opens one extra file, never returns a wrong row (the exact IN
+    //    filter and DV subtraction still apply). In-query proof: the
+    //    probe keeps strictly fewer files than the manifest total. FULL
+    //    oracle: the same digest lookup over `documents` (DuckDB and
+    //    Spark md5 agree byte-for-byte) ──
+    QueryDef(
+      "x155_bloom_point_lookup",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_bloom_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("key"),
+            col("source"), col("n_chars"))
+        Snapshots.append(docs.repartition(8, col("doc_id")), path)
+        val nIdx = Snapshots.indexBloom(s, path, "key",
+          expectedPerFile = 100000L, fpp = 0.01)
+        require(nIdx == Snapshots.activeFiles(s, path, 1).length,
+          "every active file must carry a bloom filter")
+        val probes = docs.filter(col("doc_id").isin(7L, 21L))
+          .select(col("key")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        require(probes.nonEmpty, "probe docs missing from the corpus")
+        val (kept, total) = Snapshots.bloomFileCounts(s, path, "key", probes)
+        require(kept < total,
+          s"bloom index pruned nothing: $kept/$total files " +
+            s"for ${probes.length} keys")
+        Snapshots.readPointsBloom(s, path, "key", probes)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+      },
+      Some("""
+        SELECT doc_id, source, n_chars FROM documents
+        WHERE md5(text) IN
+          (SELECT md5(text) FROM documents WHERE doc_id IN (7, 21))
+      """.stripMargin.trim)),
+
     // ── X100: exchange reuse — one shuffle, two consumers: the per-user
     //    aggregate feeds both branches of a union, and the second branch
     //    must plan a ReusedExchange over the first's shuffle instead of

@@ -51,6 +51,12 @@ import org.apache.spark.sql.functions._
   * columns so one manifest scan prices every file (the sidecar format
   * is private, so that move is non-breaking).
   *
+  * Erasure comes in two shapes: [[deleteWhere]] REWRITES the touched
+  * files (survivors land in the new commit), while [[deleteWhereDV]]
+  * records a positional DELETION VECTOR sidecar and rewrites nothing —
+  * the Delta DV contract; reads subtract the version's DVs and
+  * [[compact]] materializes them away.
+  *
   * Single-writer: concurrent committers are out of scope (no
   * conditional-put primitive on plain filesystems); the driver-side
   * commit protocol is manifest-last, so crash-safety for ONE writer
@@ -105,8 +111,12 @@ object Snapshots {
     // widening append lack the new columns and read back as nulls, and
     // a legitimately empty version (deleteWhere erased every row, or a
     // rollback to one) reads as an empty frame of its pinned schema.
-    readFiles(spark, path, activeFiles(spark, path, v),
-      readSchema(spark, path, v), s"version $v")
+    // Deletion vectors active at v are subtracted — version-isolated,
+    // like every other read surface.
+    val rels = activeFiles(spark, path, v)
+    applyDv(
+      readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v"),
+      dvFrameOpt(spark, path, activeDvFiles(spark, path, v)), rels.nonEmpty)
   }
 
   /** Schema of version `v`, from the `_schema.json` persisted beside its
@@ -144,6 +154,122 @@ object Snapshots {
       case None => spark.read.parquet(rels.map(rel => s"$path/$rel"): _*)
     }
 
+  // ─── Deletion vectors — rewrite-free erasure ────────────────────────
+  //
+  // The Delta deletion-vector device on the commit log: an erasure can
+  // record WHICH rows of WHICH files are dead (a tiny positional sidecar,
+  // parquet of (file, pos) under data/) instead of rewriting the touched
+  // files. At 100 TB a GDPR delete then costs one predicate scan plus a
+  // kilobyte-scale sidecar write — zero data rewrite; every read surface
+  // subtracts the version's DVs (an anti-join on (file, row_index) whose
+  // right side is small by construction), and OPTIMIZE/compact
+  // materializes them away. DVs are version-pinned like everything else:
+  // time travel to a pre-delete version reads the rows back.
+
+  /** The relative file path of a scanned row, derived from the
+    * `_metadata.file_path` pseudo-column — the join key DV entries are
+    * recorded under (data files always live at `data/<commit>/<part>`).
+    */
+  private def relCol: Column =
+    regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1)
+
+  /** Relative DV sidecar paths active at version `v` (from `_dv.json`
+    * beside the manifest; absent = none).
+    */
+  def activeDvFiles(spark: SparkSession, path: String, v: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_dv.json")
+    val f = fs(spark, path)
+    if (!f.exists(p)) Seq.empty
+    else org.json4s.jackson.JsonMethods.parse(readSmallFile(f, p)) match {
+      case org.json4s.JArray(xs) =>
+        xs.collect { case org.json4s.JString(s) => s }
+      case _ => Seq.empty
+    }
+  }
+
+  /** The union frame of DV entries `(file, pos)` for a sidecar list, or
+    * None when there are none (the common case pays nothing).
+    */
+  private def dvFrameOpt(
+      spark: SparkSession, path: String, rels: Seq[String]): Option[DataFrame] =
+    if (rels.isEmpty) None
+    else Some(spark.read.parquet(rels.map(r => s"$path/$r"): _*))
+
+  private def emptyDv(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("file", StringType),
+        StructField("pos", LongType))))
+  }
+
+  /** Subtract DV-dead rows from a file scan: anti-join on
+    * (relative file, row_index). The DV side is the erased rows only —
+    * small by construction, broadcast by AQE in practice.
+    */
+  private def applyDv(
+      df: DataFrame, dvOpt: Option[DataFrame], scanNonEmpty: Boolean): DataFrame =
+    dvOpt match {
+      case Some(dv) if scanNonEmpty =>
+        val keep = df.columns.toSeq
+        val keyed = df.select(col("*"), relCol.as("__dv_rel"),
+          col("_metadata.row_index").as("__dv_pos"))
+        keyed.join(dv,
+            keyed("__dv_rel") === dv("file") && keyed("__dv_pos") === dv("pos"),
+            "left_anti")
+          .select(keep.map(col): _*)
+      case _ => df
+    }
+
+  /** Commit an ERASURE of rows matching `cond` WITHOUT rewriting any
+    * data file — the Delta deletion-vector contract: the new version
+    * carries the same manifest plus a positional sidecar listing the
+    * dead rows; reads subtract it. Three-valued logic matches
+    * [[deleteWhere]]: rows where `cond` evaluates NULL never matched and
+    * survive. Rows already dead under an earlier DV never re-match (the
+    * sidecars stay disjoint). A no-match delete commits a version
+    * identical to the previous one. [[compact]] materializes accumulated
+    * DVs away; [[vacuum]] keeps sidecars alive while any kept version
+    * references them. Returns the new version.
+    */
+  def deleteWhereDV(spark: SparkSession, path: String, cond: Column): Int = {
+    val v0 = latestVersion(spark, path)
+    val prev = currentFiles(spark, path)
+    if (prev.isEmpty) return commit(spark, path, Seq.empty, None)
+    val prevDv = activeDvFiles(spark, path, v0)
+    val pinned = readSchema(spark, path, v0)
+    val scan0 = readFiles(spark, path, prev, pinned, s"dv delete at $path")
+      .select(col("*"), relCol.as("__dv_rel"),
+        col("_metadata.row_index").as("__dv_pos"))
+    val scan = dvFrameOpt(spark, path, prevDv) match {
+      case Some(dv) => scan0.join(dv,
+        scan0("__dv_rel") === dv("file") && scan0("__dv_pos") === dv("pos"),
+        "left_anti")
+      case None => scan0
+    }
+    val matched = scan.filter(coalesce(cond, lit(false)))
+      .select(col("__dv_rel").as("file"), col("__dv_pos").as("pos"))
+    val v = v0 + 1
+    val sub = s"dv${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = s"${dataDir(path)}/$sub"
+    val obs = org.apache.spark.sql.Observation()
+    matched.observe(obs, count(lit(1)).as("n")).coalesce(1)
+      .write.mode("error").parquet(dir)
+    val n = obs.get("n").asInstanceOf[Long]
+    val f = fs(spark, path)
+    if (n == 0L) {
+      // nothing matched: drop the empty sidecar, commit an identical
+      // version (prior DVs carry by default)
+      f.delete(new org.apache.hadoop.fs.Path(dir), true)
+      commitAt(spark, path, v, prev, None)
+    } else {
+      val parts = f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+        .map(nm => s"data/$sub/$nm")
+      commitAt(spark, path, v, prev, None, dvHint = Some(prevDv ++ parts))
+    }
+  }
+
   /** Commit `df` as an APPEND; returns the new version. Rewrites
     * nothing: the new manifest = previous active list + this commit's
     * freshly written files.
@@ -153,12 +279,44 @@ object Snapshots {
     commit(spark, path, keepFiles = currentFiles(spark, path), add = Some(df))
   }
 
+  /** Exact decimal value of a footer min/max, or None when the value is
+    * non-finite (float/double columns can legitimately carry NaN or
+    * ±Infinity — parquet's total-order comparator folds NaN into
+    * min/max) and a zone map over it would be meaningless. Floats widen
+    * through double EXACTLY (binary, not toString), so a stored bound is
+    * never tighter than the data — toString shortest-repr rounding could
+    * otherwise prune a file whose true max sits just above the printed
+    * max.
+    */
+  private def finiteBound(v: Any): Option[BigDecimal] = v match {
+    case f: java.lang.Float =>
+      if (java.lang.Float.isFinite(f))
+        Some(BigDecimal(new java.math.BigDecimal(f.doubleValue)))
+      else None
+    case d: java.lang.Double =>
+      if (java.lang.Double.isFinite(d))
+        Some(BigDecimal(new java.math.BigDecimal(d.doubleValue)))
+      else None
+    case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+    case l: java.lang.Long => Some(BigDecimal(l.longValue))
+    case other => scala.util.Try(BigDecimal(other.toString)).toOption
+  }
+
   /** Per-file numeric column ranges from the parquet FOOTERS of the
     * files just written — zone-map stats at metadata cost (Delta collects
     * the same at write time; reading footers of a commit's own files is
     * O(new files) driver-side metadata, never a data scan). Only
     * top-level INT32/INT64/FLOAT/DOUBLE columns participate — the id /
     * timestamp / measure columns range predicates actually hit.
+    *
+    * A column's range is recorded ONLY when every row group that holds
+    * values for it contributed valid finite statistics: a block with
+    * null/empty stats, or a NaN/±Infinity bound, poisons the column for
+    * the whole file (an absent entry already means "never prune", which
+    * is the safe direction — the Delta posture of null-ing stats for
+    * non-finite values). A partially-covered range would silently prune
+    * a file that contains matching rows; skipping must never be a
+    * correctness device.
     */
   private def footerRanges(
       conf: org.apache.hadoop.conf.Configuration,
@@ -167,28 +325,37 @@ object Snapshots {
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(abs, conf))
     try {
       val acc = scala.collection.mutable.Map.empty[String, (BigDecimal, BigDecimal)]
+      val poisoned = scala.collection.mutable.Set.empty[String]
       reader.getFooter.getBlocks.forEach { b =>
         b.getColumns.forEach { c =>
           if (c.getPath.size == 1) {
-            val st = c.getStatistics
             val numeric = c.getPrimitiveType.getPrimitiveTypeName.name match {
               case "INT32" | "INT64" | "FLOAT" | "DOUBLE" => true
               case _ => false
             }
-            if (numeric && st != null && !st.isEmpty && st.hasNonNullValue) {
+            if (numeric) {
               val name = c.getPath.toDotString
-              val mn = BigDecimal(st.genericGetMin.toString)
-              val mx = BigDecimal(st.genericGetMax.toString)
-              val merged = acc.get(name) match {
-                case Some((a, z)) => (a.min(mn), z.max(mx))
-                case None => (mn, mx)
-              }
-              acc.update(name, merged)
+              val st = c.getStatistics
+              if (st == null || st.isEmpty) {
+                // this block's content is UNKNOWN — any range built from
+                // the other blocks would under-cover the file
+                poisoned += name
+              } else if (st.hasNonNullValue) {
+                (finiteBound(st.genericGetMin), finiteBound(st.genericGetMax)) match {
+                  case (Some(mn), Some(mx)) =>
+                    val merged = acc.get(name) match {
+                      case Some((a, z)) => (a.min(mn), z.max(mx))
+                      case None => (mn, mx)
+                    }
+                    acc.update(name, merged)
+                  case _ => poisoned += name // NaN/±Infinity bound
+                }
+              } // else: all-null block — contributes no values, no range
             }
           }
         }
       }
-      acc.toMap
+      (acc -- poisoned).toMap
     } finally reader.close()
   }
 
@@ -269,6 +436,170 @@ object Snapshots {
     }
   }
 
+  // ─── Bloom point-lookup index ───────────────────────────────────────
+  //
+  // Zone maps prune RANGE predicates on numeric columns; point lookups
+  // on string/hash keys (dedup ids, URLs, content digests) need the
+  // other classic skipping device: a per-file BLOOM FILTER (the Delta
+  // bloom-filter-index contract). [[indexBloom]] builds one filter per
+  // active data file in a single distributed pass (one small-state
+  // shuffle keyed by file) and stores them beside the files as
+  // `_bloom_<col>.json`; [[readPointsBloom]] opens only the files whose
+  // filter might contain at least one probe key. An absent filter means
+  // "never prune" — skipping is superset pruning, never a correctness
+  // device (the exact IN filter and DV subtraction still apply). At
+  // 100 TB a k-key digest lookup touches the few files the keys hash
+  // into, not the table.
+
+  /** Per-file Bloom aggregator over a string key — built with the public
+    * `org.apache.spark.util.sketch.BloomFilter` so the driver-side probe
+    * (`mightContainString`) is bit-compatible with the build.
+    */
+  private class BloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    def zero: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+    def reduce(
+        b: org.apache.spark.util.sketch.BloomFilter,
+        a: String): org.apache.spark.util.sketch.BloomFilter = {
+      if (a != null) b.putString(a)
+      b
+    }
+    def merge(
+        b1: org.apache.spark.util.sketch.BloomFilter,
+        b2: org.apache.spark.util.sketch.BloomFilter)
+        : org.apache.spark.util.sketch.BloomFilter = {
+      b1.mergeInPlace(b2)
+      b1
+    }
+    def finish(b: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    def bufferEncoder
+        : org.apache.spark.sql.Encoder[org.apache.spark.util.sketch.BloomFilter] =
+      org.apache.spark.sql.Encoders.javaSerialization
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private def bloomSidecar(colName: String): String = {
+    require(colName.matches("[A-Za-z0-9_]+"),
+      s"bloom index column must be [A-Za-z0-9_]+: '$colName'")
+    s"_bloom_$colName.json"
+  }
+
+  /** Build a per-file Bloom index over `colName` (stringified) for the
+    * LATEST version's active files: one distributed pass keyed by file,
+    * sidecars written per commit directory (idempotent — re-indexing
+    * overwrites). `expectedPerFile` sizes each filter; `fpp` is the
+    * false-positive rate (a false positive opens one extra file, never
+    * returns a wrong row). Returns the number of files indexed.
+    */
+  def indexBloom(
+      spark: SparkSession, path: String, colName: String,
+      expectedPerFile: Long = 1000000L, fpp: Double = 0.01): Int = {
+    val v = latestVersion(spark, path)
+    val rels = activeFiles(spark, path, v)
+    if (rels.isEmpty) return 0
+    val agg = udaf(new BloomAgg(expectedPerFile, fpp),
+      org.apache.spark.sql.Encoders.STRING)
+    val perFile = readFiles(spark, path, rels, readSchema(spark, path, v),
+        s"bloom index at $path")
+      .select(relCol.as("__rel"), col(colName).cast("string").as("__key"))
+      .groupBy(col("__rel")).agg(agg(col("__key")).as("__bloom"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val f = fs(spark, path)
+    val b64 = java.util.Base64.getEncoder
+    perFile.keys.groupBy(r => r.substring(0, r.lastIndexOf('/'))).foreach {
+      case (dir, files) =>
+        val body = files.toSeq.sorted.map { rel =>
+          val name = rel.drop(dir.length + 1)
+          "\"" + name + "\":\"" + b64.encodeToString(perFile(rel)) + "\""
+        }.mkString("{", ",", "}")
+        val p = new org.apache.hadoop.fs.Path(
+          s"$path/$dir/${bloomSidecar(colName)}")
+        val out = f.create(p, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    perFile.size
+  }
+
+  /** Load the per-file Bloom filters for a set of active relative files
+    * (grouped by commit directory, like [[statsFor]]). Files without a
+    * filter yield no entry and are never pruned.
+    */
+  private def bloomsFor(
+      spark: SparkSession, path: String, rels: Seq[String], colName: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    import org.json4s._
+    val f = fs(spark, path)
+    val b64 = java.util.Base64.getDecoder
+    rels.groupBy(r => r.substring(0, r.lastIndexOf('/'))).flatMap {
+      case (dir, files) =>
+        val p = new org.apache.hadoop.fs.Path(
+          s"$path/$dir/${bloomSidecar(colName)}")
+        if (!f.exists(p))
+          Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
+        else {
+          val names = files.map(r => r.drop(dir.length + 1) -> r).toMap
+          org.json4s.jackson.JsonMethods.parse(readSmallFile(f, p)) match {
+            case JObject(perFile) => perFile.collect {
+              case (fname, JString(enc)) if names.contains(fname) =>
+                names(fname) -> org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(new java.io.ByteArrayInputStream(b64.decode(enc)))
+            }.toMap
+            case _ =>
+              Map.empty[String, org.apache.spark.util.sketch.BloomFilter]
+          }
+        }
+    }
+  }
+
+  /** `(files read, files total)` for a Bloom point lookup — the skipping
+    * proof surface, like [[skippingFileCounts]] for zone maps.
+    */
+  def bloomFileCounts(
+      spark: SparkSession, path: String, colName: String,
+      values: Seq[String], version: Option[Int] = None): (Int, Int) = {
+    val v = version.getOrElse(latestVersion(spark, path))
+    val rels = activeFiles(spark, path, v)
+    (bloomPrunedRels(spark, path, rels, colName, values).length, rels.length)
+  }
+
+  private def bloomPrunedRels(
+      spark: SparkSession, path: String, rels: Seq[String],
+      colName: String, values: Seq[String]): Seq[String] = {
+    val blooms = bloomsFor(spark, path, rels, colName)
+    rels.filter { r =>
+      blooms.get(r) match {
+        case Some(b) => values.exists(b.mightContainString)
+        case None => true // no filter — never prune blind
+      }
+    }
+  }
+
+  /** Point-lookup read with BLOOM file skipping on a string key: open
+    * only the files whose filter might contain at least one of `values`,
+    * then apply the exact IN filter (and the version's deletion
+    * vectors). Works on any layout — unlike zone maps, hash-distributed
+    * keys prune too.
+    */
+  def readPointsBloom(
+      spark: SparkSession, path: String, colName: String,
+      values: Seq[String], version: Option[Int] = None): DataFrame = {
+    require(values.nonEmpty, "readPointsBloom needs at least one value")
+    val v = version.getOrElse(latestVersion(spark, path))
+    val rels = bloomPrunedRels(
+      spark, path, activeFiles(spark, path, v), colName, values)
+    applyDv(
+      readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v"),
+      dvFrameOpt(spark, path, activeDvFiles(spark, path, v)), rels.nonEmpty)
+      .filter(col(colName).cast("string").isInCollection(values))
+  }
+
   /** Range-clustered append — the writer-side half of data skipping:
     * rows are range-partitioned AND sorted by `byCol` before the commit,
     * so the new files' zone maps are DISJOINT and a later [[readRange]]
@@ -303,7 +634,9 @@ object Snapshots {
       }
     }
     val c = col(colName)
-    readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v")
+    applyDv(
+      readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v"),
+      dvFrameOpt(spark, path, activeDvFiles(spark, path, v)), rels.nonEmpty)
       .filter(c.isInCollection(values.map(_.underlying())))
   }
 
@@ -328,7 +661,9 @@ object Snapshots {
     // under toDouble and the exactness contract ("the predicate is still
     // applied on top") would silently break at the boundary
     val pred = c >= lit(lo.underlying()) && c <= lit(hi.underlying())
-    readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v")
+    applyDv(
+      readFiles(spark, path, rels, readSchema(spark, path, v), s"version $v"),
+      dvFrameOpt(spark, path, activeDvFiles(spark, path, v)), rels.nonEmpty)
       .filter(pred)
   }
 
@@ -394,17 +729,26 @@ object Snapshots {
     * commits a version identical to the previous one.
     */
   def deleteWhere(spark: SparkSession, path: String, cond: Column): Int = {
+    val v0 = latestVersion(spark, path)
     val prev = currentFiles(spark, path)
     if (prev.isEmpty) return commit(spark, path, Seq.empty, None)
-    val abs = prev.map(rel => s"$path/$rel")
     // read under the VERSION-PINNED schema: after a widening append the
     // older files lack the new columns, and a raw union read would both
     // break predicates on those columns and rewrite survivors with a
-    // stale schema
-    val pinned = readSchema(spark, path, latestVersion(spark, path))
-    def scan(paths: Seq[String]) = pinned match {
-      case Some(s) => spark.read.schema(s).parquet(paths: _*)
-      case None => spark.read.parquet(paths: _*)
+    // stale schema. DV-dead rows are subtracted first: they neither mark
+    // a file as touched nor resurrect into the rewritten survivors.
+    val pinned = readSchema(spark, path, v0)
+    val dvOpt = dvFrameOpt(spark, path, activeDvFiles(spark, path, v0))
+    def scan(rels: Seq[String]) = {
+      val s0 = readFiles(spark, path, rels, pinned, s"delete at $path")
+        .select(col("*"), relCol.as("__dv_rel"),
+          col("_metadata.row_index").as("__dv_pos"))
+      dvOpt match {
+        case Some(dv) => s0.join(dv,
+          s0("__dv_rel") === dv("file") && s0("__dv_pos") === dv("pos"),
+          "left_anti")
+        case None => s0
+      }
     }
     // Three-valued logic: a row where `cond` evaluates to NULL (e.g. a
     // predicate over a nullable column) never MATCHED the delete, so it
@@ -413,15 +757,14 @@ object Snapshots {
     // contract: remove rows where the predicate is true; keep false OR
     // null).
     val matched = coalesce(cond, lit(false))
-    val touchedAbs = scan(abs)
+    val touchedRel = scan(prev)
       .filter(matched)
-      .select(col("_metadata.file_path"))
+      .select(col("__dv_rel"))
       .distinct().collect().map(_.getString(0)).toSet
-    // _metadata.file_path is an absolute URI; match on the relative tail
-    val touched = prev.filter(rel => touchedAbs.exists(_.endsWith(rel)))
+    val touched = prev.filter(touchedRel.contains)
     if (touched.isEmpty) return commit(spark, path, prev, None)
-    val survivors = scan(touched.map(rel => s"$path/$rel"))
-      .filter(!matched)
+    val survivors = scan(touched)
+      .filter(!matched).drop("__dv_rel", "__dv_pos")
     commit(spark, path, prev.filterNot(touched.contains), Some(survivors))
   }
 
@@ -432,10 +775,12 @@ object Snapshots {
   def rollback(spark: SparkSession, path: String, v: Int): Int =
     commitAt(spark, path, latestVersion(spark, path) + 1,
       activeFiles(spark, path, v), None,
-      // RESTORE republishes v's schema with its manifest (the Delta
-      // contract): rolling back a widening append rolls the columns
-      // back too
-      schemaHint = readSchema(spark, path, v))
+      // RESTORE republishes v's schema AND deletion vectors with its
+      // manifest (the Delta contract): rolling back a widening append
+      // rolls the columns back, rolling back past a DV erasure reads
+      // the rows again
+      schemaHint = readSchema(spark, path, v),
+      dvHint = Some(activeDvFiles(spark, path, v)))
 
   /** OPTIMIZE — collapse the latest version's accumulated small files
     * (one commit directory per append under a streaming ingest) into a
@@ -449,12 +794,42 @@ object Snapshots {
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Int = {
     require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
-    val before = read(spark, path)
-    val n = before.count()
-    val v = commit(spark, path, Seq.empty, Some(before.coalesce(targetFiles)))
-    val after = read(spark, path, Some(v)).count()
-    require(after == n, s"compaction changed the row count: $n -> $after")
+    // ONE data pass: the rewrite itself counts the rows it moves (an
+    // observed metric on the committed frame), and the persisted count
+    // comes from the new commit's parquet FOOTERS — driver-side
+    // metadata, not a re-scan. The row-conservation check survives at
+    // metadata cost; the old shape paid two extra full-table scans,
+    // tripling the read volume of exactly the many-small-commits
+    // streaming case OPTIMIZE exists for.
+    val obs = org.apache.spark.sql.Observation()
+    val before = read(spark, path) // DV-applied: compaction MATERIALIZES
+      .observe(obs, count(lit(1)).as("rows")) // accumulated deletion vectors away
+    val v = commitAt(spark, path, latestVersion(spark, path) + 1,
+      Seq.empty, Some(before.coalesce(targetFiles)),
+      dvHint = Some(Seq.empty))
+    val moved = obs.get("rows").asInstanceOf[Long]
+    val persisted = footerRowCount(spark, path, activeFiles(spark, path, v))
+    require(persisted == moved,
+      s"compaction changed the row count: $moved -> $persisted")
     v
+  }
+
+  /** Total row count of `rels` from their parquet footers — metadata
+    * reads only, O(files) driver-side, never a data scan.
+    */
+  private def footerRowCount(
+      spark: SparkSession, path: String, rels: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    rels.map { rel =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$path/$rel"), conf))
+      try {
+        var n = 0L
+        reader.getFooter.getBlocks.forEach { b => n += b.getRowCount }
+        n
+      } finally reader.close()
+    }.sum
   }
 
   /** File-pruned CHANGE FEED between two committed versions — the Delta
@@ -479,17 +854,75 @@ object Snapshots {
       opCol: String = "__op"): DataFrame = {
     val fa = activeFiles(spark, path, fromV).toSet
     val ta = activeFiles(spark, path, toV).toSet
-    val schema = Some(readSchema(spark, path, toV)
+    // A recorded schema is PREFERRED but only REQUIRED when a side's
+    // file set is empty (an empty frame needs one) — on pre-schema
+    // (legacy) tables with both sides non-empty the raw parquet read
+    // supplies it, keeping CDC usable there too.
+    val schema = readSchema(spark, path, toV)
       .orElse(readSchema(spark, path, fromV))
-      .getOrElse(throw new IllegalStateException(
-        s"no schema recorded for versions $fromV/$toV at $path")))
-    def rd(rels: Set[String]): DataFrame =
-      readFiles(spark, path, rels.toSeq.sorted, schema,
-        s"changes $fromV->$toV")
-    val added = rd(ta -- fa)
-    val removed = rd(fa -- ta)
+    val addRels = (ta -- fa).toSeq.sorted
+    val remRels = (fa -- ta).toSeq.sorted
+    def rd(rels: Seq[String], other: Seq[String]): DataFrame = {
+      val s = schema.orElse {
+        // borrow a schema from whatever files exist: the other side of
+        // the diff, else either version's own active list (identical
+        // manifests on a legacy table still yield a typed empty feed)
+        if (rels.nonEmpty) None
+        else (other ++ ta.toSeq.sorted ++ fa.toSeq.sorted).headOption.map { rel =>
+          readFiles(spark, path, Seq(rel), None, s"changes $fromV->$toV").schema
+        }
+      }
+      readFiles(spark, path, rels, s, s"changes $fromV->$toV")
+    }
+    // each side's exclusive files read under that side's OWN deletion
+    // vectors (a DV'd row never contributed to its version)
+    val dvF = dvFrameOpt(spark, path, activeDvFiles(spark, path, fromV))
+    val dvT = dvFrameOpt(spark, path, activeDvFiles(spark, path, toV))
+    val added0 = applyDv(rd(addRels, remRels), dvT, addRels.nonEmpty)
+    val removed0 = applyDv(rd(remRels, addRels), dvF, remRels.nonEmpty)
+    // files listed by BOTH manifests change rows only through DV DELTAS:
+    // positions newly dead in `to` are removals, positions resurrected
+    // (a rollback past a DV erasure) are additions. Only the files those
+    // deltas touch are read, and only the delta rows are kept — CDC over
+    // a DV erasure costs O(changed rows), never a scan.
+    val shared = fa & ta
+    val (addedDv, removedDv) =
+      if (shared.isEmpty || (dvF.isEmpty && dvT.isEmpty)) (None, None)
+      else {
+        def restricted(o: Option[DataFrame]) =
+          o.map(_.filter(col("file").isInCollection(shared.toSeq)))
+            .getOrElse(emptyDv(spark))
+        val rF = restricted(dvF)
+        val rT = restricted(dvT)
+        (rowsAt(spark, path, rF.exceptAll(rT), schema, s"changes $fromV->$toV"),
+          rowsAt(spark, path, rT.exceptAll(rF), schema, s"changes $fromV->$toV"))
+      }
+    val added = addedDv.map(added0.unionByName(_)).getOrElse(added0)
+    val removed = removedDv.map(removed0.unionByName(_)).getOrElse(removed0)
     added.exceptAll(removed).withColumn(opCol, lit(1))
       .unionByName(removed.exceptAll(added).withColumn(opCol, lit(-1)))
+  }
+
+  /** The data rows at explicit `(file, pos)` positions — a scan of ONLY
+    * the files the position frame names, semi-joined on
+    * (relative file, row_index). None when the frame is empty.
+    */
+  private def rowsAt(
+      spark: SparkSession, path: String, posFrame: DataFrame,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      what: String): Option[DataFrame] = {
+    val files = posFrame.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (files.isEmpty) None
+    else {
+      val scan = readFiles(spark, path, files, schema, what)
+        .select(col("*"), relCol.as("__dv_rel"),
+          col("_metadata.row_index").as("__dv_pos"))
+      Some(scan.join(posFrame,
+          scan("__dv_rel") === posFrame("file") &&
+            scan("__dv_pos") === posFrame("pos"), "left_semi")
+        .drop("__dv_rel", "__dv_pos"))
+    }
   }
 
   /** Retention GC — the VACUUM contract: keep the newest `keepLast`
@@ -507,7 +940,10 @@ object Snapshots {
     val all = versions(spark, path)
     if (all.isEmpty) return (0, 0)
     val (dropV, keepV) = all.splitAt(math.max(0, all.length - keepLast))
-    val referenced = keepV.flatMap(activeFiles(spark, path, _)).toSet
+    // a data file OR a DV sidecar stays alive while any kept version
+    // references it
+    val referenced = keepV.flatMap(activeFiles(spark, path, _)).toSet ++
+      keepV.flatMap(activeDvFiles(spark, path, _))
     val f = fs(spark, path)
     dropV.foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v"), true)
@@ -589,7 +1025,8 @@ object Snapshots {
       keepFiles: Seq[String],
       add: Option[DataFrame],
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      dvHint: Option[Seq[String]] = None): Int = {
     txn.foreach { case (app, _) =>
       require(app.matches("[A-Za-z0-9._-]+"),
         s"txn appId must be [A-Za-z0-9._-]+: '$app'")
@@ -599,8 +1036,8 @@ object Snapshots {
     // Single-writer contract, enforced loudly: if another committer
     // raced us to version v its manifest already exists — fail rather
     // than silently fork history (no conditional-put on plain
-    // filesystems, so detection is best-effort; mode("error") on the
-    // manifest write below is the backstop).
+    // filesystems, so detection is best-effort; the post-rename
+    // nested-child check below is the backstop).
     require(!f0.exists(manifestDir),
       s"manifest collision at $path version $v: concurrent writer detected " +
         "(Snapshots is single-writer; serialize committers externally)")
@@ -660,8 +1097,34 @@ object Snapshots {
       try out.write(s"""{"app":"$app","batch":$batch}""".getBytes("UTF-8"))
       finally out.close()
     }
+    // Deletion-vector sidecar list: absent hint = CARRY the previous
+    // version's DVs (an append never resurrects DV-dead rows); an
+    // explicit hint sets the list (deleteWhereDV adds one, compact and
+    // a fresh table clear them, rollback restores the target's).
+    val dvFiles = dvHint.getOrElse(
+      if (v > 1) activeDvFiles(spark, path, v - 1) else Seq.empty)
+    if (dvFiles.nonEmpty) {
+      val out = f0.create(
+        new org.apache.hadoop.fs.Path(s"$staged/_dv.json"), false)
+      val body = dvFiles.sorted
+        .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     require(f0.rename(new org.apache.hadoop.fs.Path(staged), manifestDir),
       s"manifest publish failed at $path version $v: rename refused " +
+        "(concurrent writer detected — Snapshots is single-writer)")
+    // The rename-refusal backstop is LOCAL-FS semantics: on
+    // HDFS-semantics filesystems rename(src, existingDir) "succeeds" by
+    // moving the staged dir INSIDE v=N, publishing nothing while the
+    // rival's manifest stands. Detect exactly that: our staging dir must
+    // not have survived as a child of the manifest dir. (Still
+    // best-effort vs a true conditional-put — Snapshots remains
+    // single-writer; serialize committers externally.)
+    val stagedName = staged.substring(staged.lastIndexOf('/') + 1)
+    require(!f0.exists(new org.apache.hadoop.fs.Path(s"$manifestDir/$stagedName")),
+      s"manifest collision at $path version $v: a rival manifest was " +
+        "published first and the staged commit landed inside it " +
         "(concurrent writer detected — Snapshots is single-writer)")
     v
   }

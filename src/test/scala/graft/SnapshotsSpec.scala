@@ -327,6 +327,181 @@ class SnapshotsSpec extends SparkSpec {
     assert(ids(Snapshots.read(spark, path)) == Set(9L))
   }
 
+  test("zone maps tolerate non-finite values: commit succeeds, column never prunes") {
+    import spark.implicits._
+    val path = freshPath("nanstats")
+    // a double column carrying NaN and ±Infinity — parquet's total-order
+    // comparator can fold these into min/max (or drop the stats); either
+    // way the commit must succeed and the column must simply not
+    // participate in skipping (absent zone map = never prune, the safe
+    // direction — Delta nulls stats for non-finite values too)
+    val v1 = Snapshots.append(Seq(
+      (1L, 1.0), (2L, Double.NaN), (3L, Double.PositiveInfinity),
+      (4L, Double.NegativeInfinity), (5L, 2.5)
+    ).toDF("id", "x").coalesce(1), path)
+    assert(v1 == 1)
+    // range read on the non-finite column: never pruned, still exact
+    assert(ids(Snapshots.readRange(
+      spark, path, "x", BigDecimal(0), BigDecimal(3))) == Set(1L, 5L))
+    val (kept, total) = Snapshots.skippingFileCounts(
+      spark, path, "x", BigDecimal(1000), BigDecimal(2000))
+    assert(kept == total,
+      "a column with non-finite values must never prune a file")
+    // the finite id column in the SAME commit still prunes normally
+    val (k2, t2) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(1000), BigDecimal(2000))
+    assert(t2 == total && k2 == 0,
+      s"finite sibling column lost its zone map: kept $k2 of $t2")
+  }
+
+  test("changes works on legacy tables without recorded schemas") {
+    import spark.implicits._
+    val path = freshPath("legacycdc")
+    Snapshots.append((0L until 6L).toDF("id"), path)
+    Snapshots.append((6L until 9L).toDF("id"), path)
+    // strip the schema sidecars — a pre-schema (legacy) table
+    Snapshots.versions(spark, path).foreach { v =>
+      new java.io.File(s"$path/_log/v=$v/_schema.json").delete()
+    }
+    val net = Snapshots.changes(spark, path, 1, 2)
+      .groupBy(col("id")).agg(sum(col("__op")).cast("int").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(net == (6L until 9L).map(_ -> 1).toMap,
+      "CDC must stay usable when no _schema.json was ever recorded")
+    // identical versions still produce a TYPED empty feed (schema
+    // borrowed from the version's own files)
+    val same = Snapshots.changes(spark, path, 2, 2)
+    assert(same.isEmpty && same.schema.fieldNames.contains("id"))
+  }
+
+  test("deleteWhereDV erases without rewriting a single data file") {
+    import spark.implicits._
+    val path = freshPath("dv")
+    Snapshots.append(
+      (0L until 40L).toDF("id").repartition(4, pmod(col("id"), lit(4))), path)
+    val f1 = Snapshots.activeFiles(spark, path, 1)
+    def mtimes(rels: Seq[String]): Map[String, Long] =
+      rels.map(r => r -> new java.io.File(s"$path/$r").lastModified()).toMap
+    val mt = mtimes(f1)
+    val v2 = Snapshots.deleteWhereDV(spark, path, col("id") % 4 === 0)
+    // ZERO rewrite: the manifest is file-for-file identical and no data
+    // file was touched — the erasure is one tiny positional sidecar
+    assert(Snapshots.activeFiles(spark, path, v2) == f1,
+      "DV erasure must not change the data-file manifest")
+    assert(f1.forall(r => mt(r) ==
+      new java.io.File(s"$path/$r").lastModified()),
+      "DV erasure modified a data file")
+    assert(Snapshots.activeDvFiles(spark, path, v2).length == 1)
+    // reads subtract the DV; history is version-isolated
+    assert(ids(Snapshots.read(spark, path)) ==
+      (0L until 40L).filter(_ % 4 != 0).toSet)
+    assert(ids(Snapshots.read(spark, path, Some(1))) == (0L until 40L).toSet)
+    // range / point reads subtract it too
+    assert(ids(Snapshots.readRange(
+      spark, path, "id", BigDecimal(0), BigDecimal(10))) ==
+      (0L to 10L).filter(_ % 4 != 0).toSet)
+    assert(Snapshots.readPoints(
+      spark, path, "id", Seq(BigDecimal(8))).isEmpty)
+    // stacked DV delete: already-dead rows never re-match, so the
+    // sidecars stay disjoint (total entries = distinct dead positions)
+    val v3 = Snapshots.deleteWhereDV(spark, path, col("id") % 3 === 0)
+    assert(Snapshots.activeDvFiles(spark, path, v3).length == 2)
+    val dvRows = spark.read.parquet(
+      Snapshots.activeDvFiles(spark, path, v3).map(r => s"$path/$r"): _*)
+    assert(dvRows.count() == dvRows.distinct().count())
+    assert(dvRows.count() ==
+      (0L until 40L).count(x => x % 4 == 0 || x % 3 == 0))
+    assert(ids(Snapshots.read(spark, path)) ==
+      (0L until 40L).filter(x => x % 4 != 0 && x % 3 != 0).toSet)
+    // a no-match DV delete commits an identical version
+    val v4 = Snapshots.deleteWhereDV(spark, path, col("id") === -1L)
+    assert(Snapshots.activeFiles(spark, path, v4) == f1)
+    assert(Snapshots.activeDvFiles(spark, path, v4) ==
+      Snapshots.activeDvFiles(spark, path, v3))
+    // an append after DV erasures keeps dead rows dead
+    Snapshots.append((100L until 103L).toDF("id"), path)
+    assert(ids(Snapshots.read(spark, path)) ==
+      ((0L until 40L).filter(x => x % 4 != 0 && x % 3 != 0) ++
+        (100L until 103L)).toSet)
+  }
+
+  test("compact materializes deletion vectors; rollback resurrects; CDC spans DVs") {
+    import spark.implicits._
+    val path = freshPath("dvlife")
+    Snapshots.append(
+      (0L until 30L).toDF("id").repartition(3, pmod(col("id"), lit(3))), path)
+    Snapshots.deleteWhereDV(spark, path, col("id") % 5 === 0) // v2
+    // CDC across a DV erasure: pure retractions, exactly the erased keys,
+    // read at position level (never a table scan)
+    def feed(from: Int, to: Int): Map[Long, Int] =
+      Snapshots.changes(spark, path, from, to)
+        .groupBy(col("id")).agg(sum(col("__op")).cast("int").as("net"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(feed(1, 2) == (0L until 30L).filter(_ % 5 == 0).map(_ -> -1).toMap)
+    // rollback past the DV erasure resurrects the rows (the feed inverts)
+    val v3 = Snapshots.rollback(spark, path, 1)
+    assert(Snapshots.activeDvFiles(spark, path, v3).isEmpty)
+    assert(ids(Snapshots.read(spark, path)) == (0L until 30L).toSet)
+    assert(feed(2, 3) == (0L until 30L).filter(_ % 5 == 0).map(_ -> 1).toMap)
+    // re-erase, then OPTIMIZE: the compacted version reads identically,
+    // carries no DVs, and vacuum can sweep the superseded sidecar
+    Snapshots.deleteWhereDV(spark, path, col("id") % 5 === 0) // v4
+    val v5 = Snapshots.compact(spark, path, targetFiles = 1)
+    assert(Snapshots.activeDvFiles(spark, path, v5).isEmpty,
+      "compaction must materialize deletion vectors away")
+    assert(ids(Snapshots.read(spark, path, Some(v5))) ==
+      (0L until 30L).filter(_ % 5 != 0).toSet)
+    assert(feed(4, 5).isEmpty, "compaction changed the row multiset")
+    // retention: keeping v4+v5 keeps v4's sidecar alive; read still exact
+    Snapshots.vacuum(spark, path, keepLast = 2)
+    assert(ids(Snapshots.read(spark, path, Some(4))) ==
+      (0L until 30L).filter(_ % 5 != 0).toSet)
+    // a rewriting deleteWhere after a DV erasure must not resurrect
+    val path2 = freshPath("dvrw")
+    Snapshots.append(
+      (0L until 20L).toDF("id").repartition(2, pmod(col("id"), lit(2))), path2)
+    Snapshots.deleteWhereDV(spark, path2, col("id") === 6L)
+    Snapshots.deleteWhere(spark, path2, col("id") % 2 === 0)
+    assert(ids(Snapshots.read(spark, path2)) ==
+      (0L until 20L).filter(_ % 2 != 0).toSet)
+    // and the DV'd row stays dead in history reads of the rewrite too
+    assert(!ids(Snapshots.read(spark, path2, Some(2))).contains(6L))
+  }
+
+  test("bloom point-lookup index: per-file filters prune on string keys") {
+    import spark.implicits._
+    val path = freshPath("bloom")
+    def key(i: Long) = s"key_${i}_${"%08x".format(i * 2654435761L)}"
+    // hash-distributed layout: zone maps can't prune string digests —
+    // this is exactly the lookup shape the bloom index exists for
+    Snapshots.append(
+      (0L until 400L).map(i => (i, key(i))).toDF("id", "key")
+        .repartition(8, col("id")), path)
+    val n = Snapshots.indexBloom(
+      spark, path, "key", expectedPerFile = 1000L, fpp = 0.01)
+    assert(n == Snapshots.activeFiles(spark, path, 1).length)
+    val probes = Seq(5L, 200L).map(key)
+    val (kept, total) = Snapshots.bloomFileCounts(spark, path, "key", probes)
+    assert(kept < total, s"bloom pruned nothing: $kept/$total")
+    assert(ids(Snapshots.readPointsBloom(spark, path, "key", probes)) ==
+      Set(5L, 200L))
+    // an unindexed later append is never pruned blind: its rows are found
+    Snapshots.append(
+      (400L until 410L).map(i => (i, s"fresh_$i")).toDF("id", "key")
+        .coalesce(1), path)
+    assert(ids(Snapshots.readPointsBloom(
+      spark, path, "key", Seq("fresh_405"))) == Set(405L))
+    // a key absent everywhere opens only the blind (unindexed) file
+    val (k0, t0) = Snapshots.bloomFileCounts(
+      spark, path, "key", Seq("absent_key"))
+    assert(k0 == 1 && t0 == total + 1,
+      s"absent key kept $k0 of $t0 files (expected just the unindexed one)")
+    // a DV-dead row stays dead through the bloom read path
+    Snapshots.deleteWhereDV(spark, path, col("id") === 5L)
+    assert(ids(Snapshots.readPointsBloom(spark, path, "key", probes)) ==
+      Set(200L))
+  }
+
   test("manifest collision fails loudly (single-writer contract)") {
     import spark.implicits._
     val path = freshPath("collide")
@@ -358,10 +533,10 @@ class SnapshotsSpec extends SparkSpec {
       model += cur ++ fresh
     }
     doAppend(5) // seed the table so every version carries a schema
-    (1 to 14).foreach { _ =>
-      rnd.nextInt(5) match {
+    (1 to 16).foreach { _ =>
+      rnd.nextInt(6) match {
         case 0 | 1 => doAppend(1 + rnd.nextInt(20))
-        case 2 => // erase a residue class (possibly matching nothing)
+        case 2 => // rewriting erasure of a residue class
           val m = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(m)
           Snapshots.deleteWhere(spark, path, col("id") % m === r)
@@ -373,6 +548,11 @@ class SnapshotsSpec extends SparkSpec {
         case 4 =>
           Snapshots.compact(spark, path)
           model += cur
+        case 5 => // rewrite-FREE erasure (deletion vector)
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          Snapshots.deleteWhereDV(spark, path, col("id") % m === r)
+          model += cur.filterNot(x => x % m == r)
       }
     }
     // every version reads back exactly its model state
