@@ -2039,6 +2039,56 @@ object Queries {
           SELECT qid, cid, cos,
             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
           FROM d) WHERE rank <= 3
+      """.stripMargin.trim)),
+
+    // ── X156: ColBERT-style LATE-INTERACTION (MaxSim) retrieval
+    //    (similarity/Ann.scala `maxSimTopK`; Khattab & Zaharia 2020) —
+    //    rows carry a BAG of vectors and score(q,d) = Σ_i max_j ⟨q_i,d_j⟩:
+    //    each query vector picks its best doc vector, so token-level
+    //    matches survive pooling — the retrieval tier between single-
+    //    vector cosine (x4) and cross-encoders. Multi-vector rows here
+    //    are deterministic 4×16 slices of the 64-dim embeddings (the
+    //    operator is agnostic; real per-token vectors arrive the same
+    //    shape). Plan: queries broadcast, corpus streamed once, the
+    //    whole MaxSim reduction one fused codegen'd higher-order tree —
+    //    no explode, no vector shuffle — and the bounded top-k aggregate
+    //    carries k·P rows per query. FULL oracle: DuckDB replays the
+    //    same left-fold with nested list lambdas ──
+    QueryDef(
+      "x156_maxsim_retrieval",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val mv = emb.select(col("vec_id"),
+          Ann.sliceVectors(col("embedding"), dim = 64, n = 4).as("vecs"))
+        Ann.maxSimTopK(mv, mv.filter(col("vec_id") < 20), "vecs",
+          "vec_id", "vec_id", k = 3)
+          .select(col("vec_id"), col("rank"), col("neighbor_id"),
+            round(col("score"), 6).as("score"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), mv AS (
+          SELECT vec_id, [list_slice(e, 1, 16), list_slice(e, 17, 32),
+            list_slice(e, 33, 48), list_slice(e, 49, 64)] AS vs FROM base
+        ), q AS (
+          SELECT vec_id AS qid, vs AS qvs FROM mv WHERE vec_id < 20
+        ), d AS (
+          SELECT vec_id AS cid, vs AS dvs FROM mv
+        ), s AS (
+          SELECT qid, cid,
+            list_reduce(list_transform(qvs, qv ->
+              list_reduce(list_transform(dvs, dv ->
+                list_reduce(list_transform(list_zip(qv, dv), p -> p[1] * p[2]),
+                  (x, y) -> x + y)),
+                (a, b) -> greatest(a, b))),
+              (x, y) -> x + y) AS s
+          FROM q CROSS JOIN d WHERE cid <> qid
+        )
+        SELECT qid AS vec_id, rank, cid AS neighbor_id, round(s, 6) AS score
+        FROM (SELECT qid, cid, s,
+          row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid ASC) AS rank
+          FROM s) WHERE rank <= 3
       """.stripMargin.trim))
   )
 

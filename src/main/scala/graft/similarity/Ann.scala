@@ -138,6 +138,66 @@ object Ann {
     rankTopK(cands, queryIdCol, k)
   }
 
+  /** Slice a flat embedding into `n` equal contiguous subvectors
+    * (`array<array<double>>`) — the cheap deterministic multi-vector
+    * proxy for testing late-interaction plumbing when per-token vectors
+    * aren't materialized (real ColBERT rows arrive already multi-vector;
+    * the operator below doesn't care which).
+    */
+  def sliceVectors(feat: Column, dim: Int, n: Int): Column = {
+    require(n > 0 && dim % n == 0, s"dim $dim must split into $n slices")
+    val w = dim / n
+    array((0 until n).map(i =>
+      slice(feat.cast("array<double>"), i * w + 1, w)): _*)
+  }
+
+  /** ColBERT-style LATE-INTERACTION retrieval (Khattab & Zaharia 2020,
+    * SIGIR): rows carry a BAG of vectors, and
+    * `score(q, d) = Σ_i max_j ⟨q_i, d_j⟩` — each query vector picks its
+    * best-matching doc vector, so fine-grained (token-level) matches
+    * survive pooling. Standard usage normalizes the vectors first so the
+    * dot is a cosine; the operator scores raw dots and leaves
+    * normalization to the caller.
+    *
+    * Plan shape = [[cosineTopK]]: queries broadcast, the corpus streams
+    * ONCE, the whole MaxSim reduction is a fused tree of codegen'd
+    * higher-order functions (aggregate over query vectors of a greatest-
+    * fold over doc vectors of an [[ArrayDot]]) — no explode, no shuffle
+    * of vectors — and ranking is the bounded per-query top-k aggregate,
+    * so the exchange carries k·P rows per query. The summation follows
+    * the query-vector list order (left fold), bit-reproducible by any
+    * engine that folds left — the DuckDB oracle replays it with nested
+    * list lambdas.
+    */
+  def maxSimTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecsCol: String,
+      corpusIdCol: String,
+      queryIdCol: String,
+      k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(k > 0, s"need k > 0: $k")
+    val q = broadcast(queries
+      .select(col(queryIdCol).as("__qid"), col(vecsCol).as("__qvs")))
+    val score = aggregate(col("__qvs"), lit(0.0), (acc, qv) =>
+      acc + aggregate(col("__cvs"), lit(Double.NegativeInfinity),
+        (m, dv) => greatest(m, dot(qv, dv))))
+    corpus
+      .select(col(corpusIdCol).as("__cid"), col(vecsCol).as("__cvs"))
+      .crossJoin(q)
+      .filter(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
+      .withColumn("__score", score)
+      .groupBy(col("__qid"))
+      .agg(topK(k)(-col("__score"), col("__cid").cast("long"), lit(0L))
+        .as("__tk"))
+      .select(col("__qid"),
+        posexplode(col("__tk.hits")).as(Seq("__pos", "__h")))
+      .select(col("__qid").as(queryIdCol),
+        (col("__pos") + 1).cast("int").as("rank"),
+        col("__h.id").as("neighbor_id"), (-col("__h.score")).as("score"))
+  }
+
   /** Seeded Johnson–Lindenstrauss projection matrix: `outDim × dim` iid
     * N(0,1) entries from the [[graft.functions.HashRandom]] counter-mode
     * generator — any cell reproducible on any executor (or any OTHER

@@ -222,6 +222,33 @@ class AnnSpec extends SparkSpec {
     assert(run().collect().map(_.toSeq).toSet == run().collect().map(_.toSeq).toSet)
   }
 
+  test("maxSim late interaction: analytic golden, tie-break, excludeSelf") {
+    import spark.implicits._
+    // hand-computable bags: q = {e1, e2}
+    //   d1 = {e1, e2}      -> max(1,0) + max(0,1)   = 2.0
+    //   d2 = {(.5,.5), e1} -> max(.5,1) + max(.5,0) = 1.5
+    //   d3 = {(.5,.5)}     -> .5 + .5               = 1.0
+    //   d4 = d2 (tie with d2 -> smaller id first)
+    val rows = Seq(
+      (0L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))),
+      (1L, Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))),
+      (2L, Seq(Seq(0.5, 0.5), Seq(1.0, 0.0))),
+      (3L, Seq(Seq(0.5, 0.5))),
+      (4L, Seq(Seq(0.5, 0.5), Seq(1.0, 0.0)))
+    ).toDF("id", "vecs")
+    val got = Ann.maxSimTopK(rows, rows.filter(col("id") === 0L),
+        "vecs", "id", "id", k = 4)
+      .select(col("rank"), col("neighbor_id"), col("score"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq((1, 1L, 2.0), (2, 2L, 1.5), (3, 4L, 1.5), (4, 3L, 1.0)))
+    // sliceVectors: contiguous equal slices, exact values
+    val sliced = Seq((9L, Seq(1.0f, 2.0f, 3.0f, 4.0f))).toDF("id", "e")
+      .select(Ann.sliceVectors(col("e"), dim = 4, n = 2).as("vs"))
+      .head().getSeq[Seq[Double]](0)
+    assert(sliced == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+  }
+
   test("HNSW/NSW shard row bound fails loudly instead of OOMing the build") {
     val df = clustered.cache()
     val hPath = s"${Scratch.sub("hnsw-bound")}/idx"
