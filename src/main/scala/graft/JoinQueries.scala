@@ -1326,6 +1326,85 @@ object JoinQueries {
           (SELECT md5(text) FROM documents WHERE doc_id IN (7, 21))
       """.stripMargin.trim)),
 
+    // ── X157: ATOMIC MERGE on the commit log (sources/Snapshots.scala
+    //    `merge`) — the Delta MERGE INTO core as ONE manifest publish:
+    //    x141/x142 prove the partitioned-layout upsert, but a
+    //    deleteWhere + append pair on the snapshot log would expose a
+    //    readable GAP (deletes applied, inserts not yet); merge resolves
+    //    survivors and inserts first and publishes once, so readers see
+    //    the old version or the fully merged one, never between. On the
+    //    range-clustered layout only the files holding a matched key are
+    //    rewritten (require()-pinned: untouched files carry by
+    //    reference — at 100 TB a re-crawl batch rewrites the few files
+    //    its keys land in); duplicate source keys fail loudly; a
+    //    re-merge of the same batch is content-idempotent
+    //    (require()-pinned by whole-table CRC). FULL oracle: the merged
+    //    state is set arithmetic over `documents` ──
+    QueryDef(
+      "x157_snapshot_merge",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_merge_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        Snapshots.appendClustered(docs, path, "doc_id", nFiles = 8)
+        val f1 = Snapshots.activeFiles(s, path, 1)
+        val upd = docs.filter(col("doc_id").between(100, 199))
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"),
+            col("source"))
+        val mv = docs.filter(col("doc_id").between(300, 349))
+          .select(col("doc_id"), col("text"), lit("moved").as("source"))
+        val ins = docs.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+            lit("fresh").as("source"))
+        val batch = upd.unionByName(mv).unionByName(ins)
+        val v2 = Snapshots.merge(s, path, batch, Seq("doc_id"))
+        require(v2 == 2, "merge must publish exactly ONE new version")
+        val carried = Snapshots.activeFiles(s, path, v2).toSet & f1.toSet
+        require(carried.nonEmpty,
+          "merge rewrote every file — upsert must be O(touched)")
+        // content idempotence: re-applying the same batch is a no-op
+        val v3 = Snapshots.merge(s, path, batch, Seq("doc_id"))
+        def crc(v: Int) = Snapshots.read(s, path, Some(v))
+          .agg(coalesce(sum(conv(substring(md5(concat_ws("|",
+            col("doc_id"), col("text"), col("source"))), 1, 8), 16, 10)
+            .cast("long")), lit(0L))).head().getLong(0)
+        require(crc(v3) == crc(v2), "re-merge changed the table content")
+        Snapshots.read(s, path, Some(v2))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long"))
+              .as("text_crc_sum"))
+      },
+      Some("""
+        WITH upd AS (
+          SELECT doc_id, text || ' v2' AS text, source FROM documents
+          WHERE doc_id BETWEEN 100 AND 199
+        ), mv AS (
+          SELECT doc_id, text, 'moved' AS source FROM documents
+          WHERE doc_id BETWEEN 300 AND 349
+        ), ins AS (
+          SELECT doc_id + 1000000 AS doc_id, text, 'fresh' AS source
+          FROM documents WHERE doc_id % 7 = 1
+        ), allupd AS (
+          SELECT * FROM upd UNION ALL SELECT * FROM mv
+          UNION ALL SELECT * FROM ins
+        ), merged AS (
+          SELECT doc_id, text, source FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM allupd)
+          UNION ALL
+          SELECT doc_id, text, source FROM allupd
+        )
+        SELECT source, count(*) AS n_docs,
+          CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(('0x' || substring(md5(text), 1, 8))::BIGINT) AS BIGINT)
+            AS text_crc_sum
+        FROM merged GROUP BY source
+      """.stripMargin.trim)),
+
     // ── X100: exchange reuse — one shuffle, two consumers: the per-user
     //    aggregate feeds both branches of a union, and the second branch
     //    must plan a ReusedExchange over the first's shuffle instead of

@@ -768,6 +768,62 @@ object Snapshots {
     commit(spark, path, prev.filterNot(touched.contains), Some(survivors))
   }
 
+  /** MERGE (upsert) in ONE commit — the Delta MERGE INTO core on the
+    * commit log: rows of `source` REPLACE table rows carrying the same
+    * `keyCols` tuple (whole-row replace) and INSERT otherwise. The
+    * equivalent deleteWhere + append pair publishes two manifests with
+    * a readable GAP between them (a reader could catch the deletes
+    * applied but not the inserts); merge resolves survivors and inserts
+    * first and publishes one manifest — readers see the old version or
+    * the fully merged one, never the gap. Only files holding a matching
+    * key are rewritten (their survivors move into the new commit);
+    * every other file carries by reference, so the cost is O(touched),
+    * not O(table). DV-dead rows never resurrect; a wider source widens
+    * the schema (the evolving-append contract). `source` must be
+    * key-unique — duplicate keys fail loudly (the SQL MERGE
+    * multiple-matches contract) rather than silently double-inserting.
+    * Returns the new version.
+    */
+  def merge(
+      spark: SparkSession, path: String, source: DataFrame,
+      keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val dup = source.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"merge source has duplicate keys on (${keyCols.mkString(", ")}): " +
+        s"${dup.head.toSeq.init.mkString(", ")}")
+    val v0 = latestVersion(spark, path)
+    val prev = currentFiles(spark, path)
+    if (prev.isEmpty) return commit(spark, path, Seq.empty, Some(source))
+    val pinned = readSchema(spark, path, v0)
+    val dvOpt = dvFrameOpt(spark, path, activeDvFiles(spark, path, v0))
+    def scan(rels: Seq[String]) = {
+      val s0 = readFiles(spark, path, rels, pinned, s"merge at $path")
+        .select(col("*"), relCol.as("__dv_rel"),
+          col("_metadata.row_index").as("__dv_pos"))
+      dvOpt match {
+        case Some(dv) => s0.join(dv,
+          s0("__dv_rel") === dv("file") && s0("__dv_pos") === dv("pos"),
+          "left_anti")
+        case None => s0
+      }
+    }
+    val keys = source.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+    // which files hold a matching key: ids and the file column flow
+    // through a semi join — the payload never shuffles
+    val touchedRel = scan(prev).join(keys, keyCols, "left_semi")
+      .select(col("__dv_rel")).distinct().collect().map(_.getString(0)).toSet
+    val touched = prev.filter(touchedRel.contains)
+    val add =
+      if (touched.isEmpty) source
+      else scan(touched).join(keys, keyCols, "left_anti")
+        .drop("__dv_rel", "__dv_pos")
+        .unionByName(source, allowMissingColumns = true)
+    commit(spark, path, prev.filterNot(touched.contains), Some(add))
+  }
+
   /** Restore the table to the state of version `v` by committing a NEW
     * version with v's manifest (roll-forward restore — history stays
     * readable). Returns the new version.

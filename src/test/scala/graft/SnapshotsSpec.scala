@@ -502,6 +502,50 @@ class SnapshotsSpec extends SparkSpec {
       Set(200L))
   }
 
+  test("merge: single-commit upsert replaces, inserts, rewrites only touched files") {
+    import spark.implicits._
+    val path = freshPath("merge")
+    Snapshots.append(
+      (0L until 40L).map(i => (i, "base")).toDF("id", "tag")
+        .repartition(4, pmod(col("id"), lit(4))), path)
+    val f1 = Snapshots.activeFiles(spark, path, 1)
+    def mtimes(rels: Seq[String]): Map[String, Long] =
+      rels.map(r => r -> new java.io.File(s"$path/$r").lastModified()).toMap
+    val mt = mtimes(f1)
+    // updates hit only the id%4==0 bucket; inserts are fresh keys
+    val src = Seq((0L, "upd"), (4L, "upd"), (100L, "new"), (101L, "new"))
+      .toDF("id", "tag")
+    val v2 = Snapshots.merge(spark, path, src, Seq("id"))
+    assert(v2 == 2, "merge must publish exactly ONE new version")
+    val got = Snapshots.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 42)
+    assert(got(0L) == "upd" && got(4L) == "upd" && got(100L) == "new")
+    assert(got(1L) == "base" && got(8L) == "base")
+    // O(touched): untouched bucket files carried by reference, unmodified
+    val carried = Snapshots.activeFiles(spark, path, 2).toSet & f1.toSet
+    assert(carried.nonEmpty, "merge rewrote every file")
+    assert(carried.forall(r => mt(r) ==
+      new java.io.File(s"$path/$r").lastModified()))
+    // idempotent: re-applying the same batch changes nothing
+    Snapshots.merge(spark, path, src, Seq("id"))
+    val again = Snapshots.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+    // duplicate source keys fail loudly (SQL MERGE multiple-matches)
+    intercept[IllegalArgumentException] {
+      Snapshots.merge(spark, path,
+        Seq((7L, "a"), (7L, "b")).toDF("id", "tag"), Seq("id"))
+    }
+    // DV interplay: a DV-dead row neither resurrects nor blocks a
+    // re-insert of its key through merge
+    Snapshots.deleteWhereDV(spark, path, col("id") === 8L)
+    Snapshots.merge(spark, path, Seq((8L, "back")).toDF("id", "tag"), Seq("id"))
+    val fin = Snapshots.read(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fin(8L) == "back" && fin.size == 42)
+  }
+
   test("manifest collision fails loudly (single-writer contract)") {
     import spark.implicits._
     val path = freshPath("collide")
