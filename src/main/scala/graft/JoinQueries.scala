@@ -1405,6 +1405,63 @@ object JoinQueries {
         FROM merged GROUP BY source
       """.stripMargin.trim)),
 
+    // ── X158: OPTIMIZE ZORDER on the commit log
+    //    (sources/Snapshots.scala `compactClustered`) — the missing half
+    //    of the snapshot skipping story: x152 proves zone maps prune a
+    //    layout that was WRITTEN clustered, but a streaming ingest's
+    //    hash/arrival-ordered files each span the whole key range and
+    //    prune NOTHING (require()-pinned below). One OPTIMIZE pass
+    //    re-clusters — multi-column Morton Z-order (x129's curve on the
+    //    commit log), DVs materialized away, row conservation checked
+    //    from footers — after which range reads on BOTH clustered
+    //    columns open strict subsets (require()-pinned). At 100 TB this
+    //    is the nightly OPTIMIZE that turns an append-ordered ingest
+    //    into a prunable table. FULL oracle: the same range aggregate
+    //    over `documents` ──
+    QueryDef(
+      "x158_snapshot_optimize_zorder",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_optz_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("n_chars"))
+        // three hash-bucketed waves: every file spans the full id range
+        (0 to 2).foreach { w =>
+          Snapshots.append(docs.filter(col("doc_id") % 3 === w)
+            .repartition(3, pmod(col("doc_id"), lit(4))), path)
+        }
+        val (k0, t0) = Snapshots.skippingFileCounts(
+          s, path, "doc_id", BigDecimal(25), BigDecimal(75))
+        require(k0 == t0,
+          s"hash-bucketed layout should prune nothing: $k0/$t0")
+        Snapshots.compactClustered(
+          s, path, Seq("doc_id", "n_chars"), targetFiles = 8)
+        val (k1, t1) = Snapshots.skippingFileCounts(
+          s, path, "doc_id", BigDecimal(25), BigDecimal(75))
+        require(k1 < t1,
+          s"OPTIMIZE ZORDER did not improve doc_id skipping: $k1/$t1")
+        // the second z-dimension prunes too: probe the lowest decile
+        val mm = Snapshots.read(s, path)
+          .agg(min(col("n_chars")), max(col("n_chars"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(0) +
+          (mm.getLong(1) - mm.getLong(0)) / 10)
+        val (k2, t2) = Snapshots.skippingFileCounts(
+          s, path, "n_chars", BigDecimal(lo), BigDecimal(hi))
+        require(k2 < t2,
+          s"OPTIMIZE ZORDER did not improve n_chars skipping: $k2/$t2")
+        Snapshots.readRange(s, path, "doc_id", BigDecimal(25), BigDecimal(75))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(length(col("text")).cast("long")).as("char_sum"))
+      },
+      Some("""
+        SELECT count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          CAST(sum(length(text)) AS BIGINT) AS char_sum
+        FROM documents WHERE doc_id BETWEEN 25 AND 75
+      """.stripMargin.trim)),
+
     // ── X100: exchange reuse — one shuffle, two consumers: the per-user
     //    aggregate feeds both branches of a union, and the second branch
     //    must plan a ReusedExchange over the first's shuffle instead of

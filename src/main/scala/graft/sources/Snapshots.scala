@@ -870,6 +870,48 @@ object Snapshots {
     v
   }
 
+  /** OPTIMIZE with a CLUSTERED layout — [[compact]] plus the write-side
+    * half of data skipping in one commit (Delta's
+    * `OPTIMIZE ... ZORDER BY`): one column range-sorts (the linear
+    * degenerate case), several columns take the Morton Z-order curve
+    * ([[graft.operators.ZOrder.layoutZOrder]]). A streaming ingest's
+    * arrival-ordered files have useless zone maps — every file spans
+    * the whole key range — so [[readRange]]/[[readPoints]] prune
+    * nothing; one OPTIMIZE pass re-clusters and they open O(matching
+    * files) again. Accumulated deletion vectors materialize away, like
+    * [[compact]]. Costs one extra metadata-light pass for the Z-order
+    * min/max bounds; row conservation is verified from the new footers.
+    */
+  def compactClustered(
+      spark: SparkSession, path: String, byCols: Seq[String],
+      targetFiles: Int = 8, bits: Int = 16): Int = {
+    require(byCols.nonEmpty, "compactClustered needs at least one column")
+    require(targetFiles >= 1, s"targetFiles must be >= 1: $targetFiles")
+    // row-conservation accounting is ALL metadata here: expected = old
+    // footers minus live DV entries; an Observation would double-count
+    // under repartitionByRange's boundary-sampling pass
+    val v0 = latestVersion(spark, path)
+    val prevRels = activeFiles(spark, path, v0)
+    val prevDead = dvFrameOpt(spark, path, activeDvFiles(spark, path, v0)) match {
+      case Some(dv) if prevRels.nonEmpty =>
+        dv.filter(col("file").isInCollection(prevRels)).count()
+      case _ => 0L
+    }
+    val expected = footerRowCount(spark, path, prevRels) - prevDead
+    val before = read(spark, path)
+    val laid =
+      if (byCols.length == 1)
+        before.repartitionByRange(targetFiles, col(byCols.head))
+          .sortWithinPartitions(col(byCols.head))
+      else graft.operators.ZOrder.layoutZOrder(before, byCols, targetFiles, bits)
+    val v = commitAt(spark, path, v0 + 1,
+      Seq.empty, Some(laid), dvHint = Some(Seq.empty))
+    val persisted = footerRowCount(spark, path, activeFiles(spark, path, v))
+    require(persisted == expected,
+      s"clustered compaction changed the row count: $expected -> $persisted")
+    v
+  }
+
   /** Total row count of `rels` from their parquet footers — metadata
     * reads only, O(files) driver-side, never a data scan.
     */

@@ -546,6 +546,43 @@ class SnapshotsSpec extends SparkSpec {
     assert(fin(8L) == "back" && fin.size == 42)
   }
 
+  test("compactClustered re-clusters a useless layout so skipping works again") {
+    import spark.implicits._
+    val path = freshPath("optz")
+    // hash-bucketed appends: every file spans the whole id range, so
+    // zone maps prune NOTHING — the streaming-ingest pathology
+    (0 until 3).foreach { w =>
+      Snapshots.append(
+        (0L until 600L).filter(_ % 3 == w).map(i => (i, i % 7))
+          .toDF("id", "grp").repartition(4, pmod(col("id"), lit(4))), path)
+    }
+    val (k0, t0) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(10), BigDecimal(40))
+    assert(k0 == t0, s"hash layout should not prune: $k0/$t0")
+    // single-column OPTIMIZE: range reads open a strict subset after
+    val v = Snapshots.compactClustered(spark, path, Seq("id"), targetFiles = 8)
+    val (k1, t1) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(10), BigDecimal(40))
+    assert(t1 == 8 && k1 < t1, s"OPTIMIZE did not improve skipping: $k1/$t1")
+    assert(ids(Snapshots.read(spark, path, Some(v))) == (0L until 600L).toSet)
+    assert(ids(Snapshots.readRange(
+      spark, path, "id", BigDecimal(10), BigDecimal(40))) == (10L to 40L).toSet)
+    // multi-column Z-order: BOTH dimensions prune (the x129 property on
+    // the commit log), rows conserved, DVs materialized away
+    Snapshots.deleteWhereDV(spark, path, col("id") === 11L)
+    val vz = Snapshots.compactClustered(
+      spark, path, Seq("id", "grp"), targetFiles = 8)
+    assert(Snapshots.activeDvFiles(spark, path, vz).isEmpty)
+    val (ka, ta) = Snapshots.skippingFileCounts(
+      spark, path, "id", BigDecimal(0), BigDecimal(60))
+    val (kb, tb) = Snapshots.skippingFileCounts(
+      spark, path, "grp", BigDecimal(0), BigDecimal(0))
+    assert(ka < ta && kb < tb,
+      s"z-order must prune on both dims: id $ka/$ta, grp $kb/$tb")
+    assert(ids(Snapshots.read(spark, path)) ==
+      (0L until 600L).toSet - 11L)
+  }
+
   test("manifest collision fails loudly (single-writer contract)") {
     import spark.implicits._
     val path = freshPath("collide")
