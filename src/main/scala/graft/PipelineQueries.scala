@@ -1818,6 +1818,111 @@ object PipelineQueries {
         WHERE r.rank <= 5
       """.stripMargin.trim)),
 
+    // ── X159: BM25 → MaxSim RERANK — the two-stage retrieval stack
+    //    every production RAG service runs (recall arm cheap and wide,
+    //    precision arm expensive and narrow), composed from x42's BM25
+    //    and x156's late interaction as a pseudo-relevance-feedback
+    //    rerank: stage 1 takes the BM25 top-20 for the term set (ranked
+    //    on 6-dp-rounded scores — the x58 cross-engine ranking device —
+    //    via TakeOrderedAndProject, never a global window over the
+    //    corpus), stage 2 re-scores those 20 candidates by MaxSim
+    //    against the TOP lexical hit's multi-vector. The expensive
+    //    MaxSim pays for 20 rows, not the corpus — the cost asymmetry
+    //    that makes the composition the production shape. FULL oracle:
+    //    the x42 BM25 replay feeding the x156 nested-lambda MaxSim
+    //    replay ──
+    QueryDef(
+      "x159_bm25_maxsim_rerank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val emb = Tables.embeddings(s, dir)
+        val top20 = graft.text.Quality.bm25(docs, "doc_id", "text",
+            terms = Seq("hash", "join", "scan"))
+          .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+          .filter(col("bm25") > 0)
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(20)
+          .withColumn("lex_rank", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .localCheckpoint() // 20 rows; feeds candidates, anchor, join-back
+        val mv = emb.select(col("vec_id"),
+          graft.similarity.Ann.sliceVectors(col("embedding"), 64, 4)
+            .as("vecs"))
+        val cands = top20.select(col("doc_id"))
+          .join(mv, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("vecs"))
+        val anchor = top20.filter(col("lex_rank") === 1)
+          .select(col("doc_id"))
+          .join(mv, col("doc_id") === col("vec_id"))
+          .select(col("doc_id"), col("vecs"))
+        graft.similarity.Ann.maxSimTopK(cands, anchor, "vecs",
+            "doc_id", "doc_id", k = 5)
+          .select(col("neighbor_id").as("doc_id"), col("rank"),
+            round(col("score"), 6).as("score"))
+          .join(top20.select(col("doc_id"), col("lex_rank")), Seq("doc_id"))
+          .select(col("rank"), col("doc_id"), col("lex_rank"), col("score"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id,
+            unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents
+        ), tf0 AS (
+          SELECT doc_id, w FROM t WHERE length(w) > 0
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id
+        ), st AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, w, count(*) AS tf FROM tf0
+          WHERE w IN ('hash', 'join', 'scan') GROUP BY doc_id, w
+        ), dfs AS (
+          SELECT w, count(*) AS df FROM tf GROUP BY w
+        ), sc AS (
+          SELECT tf.doc_id,
+            sum(ln((st.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS bm25
+          FROM tf JOIN dfs USING (w) JOIN dl ON tf.doc_id = dl.doc_id, st
+          GROUP BY tf.doc_id
+        ), scored AS (
+          SELECT dl.doc_id, round(COALESCE(sc.bm25, 0.0), 6) AS bm25
+          FROM dl LEFT JOIN sc ON dl.doc_id = sc.doc_id
+        ), cand AS (
+          SELECT doc_id, lex_rank FROM (
+            SELECT doc_id,
+              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+            FROM scored WHERE bm25 > 0)
+          WHERE lex_rank <= 20
+        ), mvbase AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ), mv AS (
+          SELECT vec_id, [list_slice(e, 1, 16), list_slice(e, 17, 32),
+            list_slice(e, 33, 48), list_slice(e, 49, 64)] AS vs FROM mvbase
+        ), anchor AS (
+          SELECT c.doc_id AS qid, mv.vs AS qvs
+          FROM cand c JOIN mv ON mv.vec_id = c.doc_id WHERE c.lex_rank = 1
+        ), sres AS (
+          SELECT c.doc_id AS cid,
+            list_reduce(list_transform(a.qvs, qv ->
+              list_reduce(list_transform(m.vs, dv ->
+                list_reduce(list_transform(list_zip(qv, dv),
+                  p -> p[1] * p[2]), (x, y) -> x + y)),
+                (u, v) -> greatest(u, v))),
+              (x, y) -> x + y) AS s2
+          FROM cand c JOIN mv m ON m.vec_id = c.doc_id
+          CROSS JOIN anchor a
+          WHERE c.doc_id <> a.qid
+        )
+        SELECT r.rank, r.doc_id, cand.lex_rank, r.score FROM (
+          SELECT cid AS doc_id, round(s2, 6) AS score,
+            row_number() OVER (ORDER BY s2 DESC, cid) AS rank
+          FROM sres) r
+        JOIN cand ON cand.doc_id = r.doc_id
+        WHERE r.rank <= 5
+      """.stripMargin.trim)),
+
     // ── X59: temperature-scaled mixture sampling
     //    (Pipeline.temperatureSample) — the mT5/XLM alpha-sampling rule
     //    with alpha=0.5 via sqrt (correctly-rounded IEEE, so the
