@@ -899,6 +899,11 @@ object Snapshots {
     }
     val expected = footerRowCount(spark, path, prevRels) - prevDead
     val before = read(spark, path)
+    // an empty table has no min/max to z-normalize (the Morton pass
+    // would NPE on null bounds) — commit the empty rewrite directly
+    if (expected == 0L)
+      return commitAt(spark, path, v0 + 1, Seq.empty, Some(before),
+        dvHint = Some(Seq.empty))
     val laid =
       if (byCols.length == 1)
         before.repartitionByRange(targetFiles, col(byCols.head))

@@ -581,6 +581,13 @@ class SnapshotsSpec extends SparkSpec {
       s"z-order must prune on both dims: id $ka/$ta, grp $kb/$tb")
     assert(ids(Snapshots.read(spark, path)) ==
       (0L until 600L).toSet - 11L)
+    // OPTIMIZE of a fully-erased table commits a readable empty version
+    // instead of NPEing in the z-normalize pass
+    val path2 = freshPath("optz0")
+    Snapshots.append((0L until 5L).map(i => (i, i)).toDF("id", "grp"), path2)
+    Snapshots.deleteWhere(spark, path2, lit(true))
+    val ve = Snapshots.compactClustered(spark, path2, Seq("id", "grp"))
+    assert(Snapshots.read(spark, path2, Some(ve)).isEmpty)
   }
 
   test("manifest collision fails loudly (single-writer contract)") {
@@ -615,7 +622,7 @@ class SnapshotsSpec extends SparkSpec {
     }
     doAppend(5) // seed the table so every version carries a schema
     (1 to 16).foreach { _ =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => doAppend(1 + rnd.nextInt(20))
         case 2 => // rewriting erasure of a residue class
           val m = 2 + rnd.nextInt(5)
@@ -634,6 +641,13 @@ class SnapshotsSpec extends SparkSpec {
           val r = rnd.nextInt(m)
           Snapshots.deleteWhereDV(spark, path, col("id") % m === r)
           model += cur.filterNot(x => x % m == r)
+        case 6 => // single-commit upsert: touch resident keys, insert fresh
+          val touch = cur.distinct.filter(_ % 4 == 1)
+          val k = 1 + rnd.nextInt(10)
+          val fresh = (nextId until nextId + k).toVector
+          nextId += k
+          Snapshots.merge(spark, path, (touch ++ fresh).toDF("id"), Seq("id"))
+          model += cur ++ fresh
       }
     }
     // every version reads back exactly its model state
