@@ -425,6 +425,24 @@ class SnapshotsSpec extends SparkSpec {
         (100L until 103L)).toSet)
   }
 
+  test("DV read plans a broadcast anti-join, never a shuffle of the corpus side") {
+    import spark.implicits._
+    val path = freshPath("dvplan")
+    Snapshots.append(
+      (0L until 200L).toDF("id").repartition(4, pmod(col("id"), lit(4))), path)
+    Snapshots.deleteWhereDV(spark, path, col("id") % 50 === 0)
+    val df = Snapshots.read(spark, path)
+    df.queryExecution.toRdd.count() // execute so AQE finalizes
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("LeftAnti"), s"no anti-join in the DV read:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the KB-scale DV side must broadcast, not shuffle the corpus:\n$plan")
+  }
+
   test("compact materializes deletion vectors; rollback resurrects; CDC spans DVs") {
     import spark.implicits._
     val path = freshPath("dvlife")
