@@ -1462,6 +1462,51 @@ object JoinQueries {
         FROM documents WHERE doc_id BETWEEN 25 AND 75
       """.stripMargin.trim)),
 
+    // ── X160: DESCRIBE HISTORY — operation provenance on the commit
+    //    log (sources/Snapshots.scala `describeHistory`): every commit
+    //    records WHAT produced it (`_op.json` beside the manifest), and
+    //    the history surface reports per-version operation, manifest
+    //    file-count deltas and live DV-sidecar counts from driver-side
+    //    manifest reads alone — the audit question ("what happened to
+    //    this table, in order?") a 100 TB corpus owner asks before
+    //    trusting a training run, answered without scanning a byte of
+    //    data. The scenario drives one commit of EVERY mutation kind;
+    //    the grew/shrank/dv flags are scenario-determined at any SF.
+    //    FULL oracle: the expected history as a VALUES literal ──
+    QueryDef(
+      "x160_snapshot_history",
+      (s, dir) => {
+        import graft.sources.Snapshots
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"${Scratch.dir}/graft_snap_hist_$tag"
+        Snapshots.drop(s, path)
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("source"))
+        Snapshots.append(
+          docs.repartition(4, pmod(col("doc_id"), lit(5))), path)     // v1
+        Snapshots.deleteWhereDV(s, path, col("doc_id") % 5 === 0)     // v2
+        Snapshots.merge(s, path,                                       // v3
+          docs.filter(col("doc_id").isin(7L, 21L))
+            .select(col("doc_id"), concat(col("text"), lit(" v2"))
+              .as("text"), col("source")), Seq("doc_id"))
+        Snapshots.compact(s, path, targetFiles = 2)                    // v4
+        Snapshots.rollback(s, path, 1)                                 // v5
+        Snapshots.describeHistory(s, path)
+          .select(col("version"), col("operation"),
+            (col("n_files_added") > 0).as("grew"),
+            (col("n_files_removed") > 0).as("shrank"),
+            col("n_dv_files"))
+      },
+      Some("""
+        SELECT * FROM (VALUES
+          (CAST(1 AS BIGINT), 'append',    true,           false, CAST(0 AS BIGINT)),
+          (CAST(2 AS BIGINT), 'delete-dv', false,          false, CAST(1 AS BIGINT)),
+          (CAST(3 AS BIGINT), 'merge',     true,           true,  CAST(1 AS BIGINT)),
+          (CAST(4 AS BIGINT), 'optimize',  true,           true,  CAST(0 AS BIGINT)),
+          (CAST(5 AS BIGINT), 'restore',   true,           true,  CAST(0 AS BIGINT))
+        ) AS t(version, operation, grew, shrank, n_dv_files)
+      """.stripMargin.trim)),
+
     // ── X100: exchange reuse — one shuffle, two consumers: the per-user
     //    aggregate feeds both branches of a union, and the second branch
     //    must plan a ReusedExchange over the first's shuffle instead of

@@ -235,7 +235,8 @@ object Snapshots {
   def deleteWhereDV(spark: SparkSession, path: String, cond: Column): Int = {
     val v0 = latestVersion(spark, path)
     val prev = currentFiles(spark, path)
-    if (prev.isEmpty) return commit(spark, path, Seq.empty, None)
+    if (prev.isEmpty)
+      return commit(spark, path, Seq.empty, None, op = "delete-dv")
     val prevDv = activeDvFiles(spark, path, v0)
     val pinned = readSchema(spark, path, v0)
     val scan0 = readFiles(spark, path, prev, pinned, s"dv delete at $path")
@@ -261,12 +262,13 @@ object Snapshots {
       // nothing matched: drop the empty sidecar, commit an identical
       // version (prior DVs carry by default)
       f.delete(new org.apache.hadoop.fs.Path(dir), true)
-      commitAt(spark, path, v, prev, None)
+      commitAt(spark, path, v, prev, None, op = "delete-dv")
     } else {
       val parts = f.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
         .map(_.getPath.getName).filter(_.endsWith(".parquet"))
         .map(nm => s"data/$sub/$nm")
-      commitAt(spark, path, v, prev, None, dvHint = Some(prevDv ++ parts))
+      commitAt(spark, path, v, prev, None, dvHint = Some(prevDv ++ parts),
+        op = "delete-dv")
     }
   }
 
@@ -276,7 +278,8 @@ object Snapshots {
     */
   def append(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
-    commit(spark, path, keepFiles = currentFiles(spark, path), add = Some(df))
+    commit(spark, path, keepFiles = currentFiles(spark, path),
+      add = Some(df), op = "append")
   }
 
   /** Exact decimal value of a footer min/max, or None when the value is
@@ -683,7 +686,8 @@ object Snapshots {
     val spark = df.sparkSession
     if (lastBatchId(spark, path, appId).exists(_ >= batchId)) None
     else Some(commitAt(spark, path, latestVersion(spark, path) + 1,
-      currentFiles(spark, path), Some(df), txn = Some((appId, batchId))))
+      currentFiles(spark, path), Some(df), txn = Some((appId, batchId)),
+      op = "append"))
   }
 
   /** The high-water `batchId` committed by `appId`, if any. Versions are
@@ -731,7 +735,8 @@ object Snapshots {
   def deleteWhere(spark: SparkSession, path: String, cond: Column): Int = {
     val v0 = latestVersion(spark, path)
     val prev = currentFiles(spark, path)
-    if (prev.isEmpty) return commit(spark, path, Seq.empty, None)
+    if (prev.isEmpty)
+      return commit(spark, path, Seq.empty, None, op = "delete")
     // read under the VERSION-PINNED schema: after a widening append the
     // older files lack the new columns, and a raw union read would both
     // break predicates on those columns and rewrite survivors with a
@@ -762,10 +767,12 @@ object Snapshots {
       .select(col("__dv_rel"))
       .distinct().collect().map(_.getString(0)).toSet
     val touched = prev.filter(touchedRel.contains)
-    if (touched.isEmpty) return commit(spark, path, prev, None)
+    if (touched.isEmpty)
+      return commit(spark, path, prev, None, op = "delete")
     val survivors = scan(touched)
       .filter(!matched).drop("__dv_rel", "__dv_pos")
-    commit(spark, path, prev.filterNot(touched.contains), Some(survivors))
+    commit(spark, path, prev.filterNot(touched.contains), Some(survivors),
+      op = "delete")
   }
 
   /** MERGE (upsert) in ONE commit — the Delta MERGE INTO core on the
@@ -796,7 +803,8 @@ object Snapshots {
         s"${dup.head.toSeq.init.mkString(", ")}")
     val v0 = latestVersion(spark, path)
     val prev = currentFiles(spark, path)
-    if (prev.isEmpty) return commit(spark, path, Seq.empty, Some(source))
+    if (prev.isEmpty)
+      return commit(spark, path, Seq.empty, Some(source), op = "merge")
     val pinned = readSchema(spark, path, v0)
     val dvOpt = dvFrameOpt(spark, path, activeDvFiles(spark, path, v0))
     def scan(rels: Seq[String]) = {
@@ -821,7 +829,8 @@ object Snapshots {
       else scan(touched).join(keys, keyCols, "left_anti")
         .drop("__dv_rel", "__dv_pos")
         .unionByName(source, allowMissingColumns = true)
-    commit(spark, path, prev.filterNot(touched.contains), Some(add))
+    commit(spark, path, prev.filterNot(touched.contains), Some(add),
+      op = "merge")
   }
 
   /** Restore the table to the state of version `v` by committing a NEW
@@ -836,7 +845,7 @@ object Snapshots {
       // rolls the columns back, rolling back past a DV erasure reads
       // the rows again
       schemaHint = readSchema(spark, path, v),
-      dvHint = Some(activeDvFiles(spark, path, v)))
+      dvHint = Some(activeDvFiles(spark, path, v)), op = "restore")
 
   /** OPTIMIZE — collapse the latest version's accumulated small files
     * (one commit directory per append under a streaming ingest) into a
@@ -862,7 +871,7 @@ object Snapshots {
       .observe(obs, count(lit(1)).as("rows")) // accumulated deletion vectors away
     val v = commitAt(spark, path, latestVersion(spark, path) + 1,
       Seq.empty, Some(before.coalesce(targetFiles)),
-      dvHint = Some(Seq.empty))
+      dvHint = Some(Seq.empty), op = "optimize")
     val moved = obs.get("rows").asInstanceOf[Long]
     val persisted = footerRowCount(spark, path, activeFiles(spark, path, v))
     require(persisted == moved,
@@ -903,14 +912,14 @@ object Snapshots {
     // would NPE on null bounds) — commit the empty rewrite directly
     if (expected == 0L)
       return commitAt(spark, path, v0 + 1, Seq.empty, Some(before),
-        dvHint = Some(Seq.empty))
+        dvHint = Some(Seq.empty), op = "optimize-zorder")
     val laid =
       if (byCols.length == 1)
         before.repartitionByRange(targetFiles, col(byCols.head))
           .sortWithinPartitions(col(byCols.head))
       else graft.operators.ZOrder.layoutZOrder(before, byCols, targetFiles, bits)
     val v = commitAt(spark, path, v0 + 1,
-      Seq.empty, Some(laid), dvHint = Some(Seq.empty))
+      Seq.empty, Some(laid), dvHint = Some(Seq.empty), op = "optimize-zorder")
     val persisted = footerRowCount(spark, path, activeFiles(spark, path, v))
     require(persisted == expected,
       s"clustered compaction changed the row count: $expected -> $persisted")
@@ -1076,6 +1085,39 @@ object Snapshots {
     (dropV.length, removed)
   }
 
+  /** DESCRIBE HISTORY — one row per committed version: the recorded
+    * operation (`_op.json` provenance; "unknown" for pre-provenance
+    * commits), manifest file-count deltas against the previous version,
+    * and the active deletion-vector sidecar count. Driver-side manifest
+    * reads only — never a data scan.
+    */
+  def describeHistory(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    import org.json4s._
+    val f = fs(spark, path)
+    var prev = Set.empty[String]
+    val rows = versions(spark, path).map { v =>
+      val cur = activeFiles(spark, path, v).toSet
+      val opP = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_op.json")
+      val op =
+        if (!f.exists(opP)) "unknown"
+        else org.json4s.jackson.JsonMethods.parse(readSmallFile(f, opP)) match {
+          case JObject(fields) => fields.toMap.get("op") match {
+            case Some(JString(o)) => o
+            case _ => "unknown"
+          }
+          case _ => "unknown"
+        }
+      val row = (v.toLong, op, (cur -- prev).size.toLong,
+        (prev -- cur).size.toLong,
+        activeDvFiles(spark, path, v).length.toLong)
+      prev = cur
+      row
+    }
+    rows.toDF("version", "operation", "n_files_added", "n_files_removed",
+      "n_dv_files")
+  }
+
   private def currentFiles(spark: SparkSession, path: String): Seq[String] = {
     val latest = latestVersion(spark, path)
     if (latest == 0) Seq.empty else activeFiles(spark, path, latest)
@@ -1089,8 +1131,10 @@ object Snapshots {
       spark: SparkSession,
       path: String,
       keepFiles: Seq[String],
-      add: Option[DataFrame]): Int =
-    commitAt(spark, path, latestVersion(spark, path) + 1, keepFiles, add)
+      add: Option[DataFrame],
+      op: String = "write"): Int =
+    commitAt(spark, path, latestVersion(spark, path) + 1, keepFiles, add,
+      op = op)
 
   /** Widening schema union for an evolving append (the mergeSchema
     * contract on the commit log): the previous version's columns keep
@@ -1129,7 +1173,8 @@ object Snapshots {
       add: Option[DataFrame],
       schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
       txn: Option[(String, Long)] = None,
-      dvHint: Option[Seq[String]] = None): Int = {
+      dvHint: Option[Seq[String]] = None,
+      op: String = "write"): Int = {
     txn.foreach { case (app, _) =>
       require(app.matches("[A-Za-z0-9._-]+"),
         s"txn appId must be [A-Za-z0-9._-]+: '$app'")
@@ -1199,6 +1244,12 @@ object Snapshots {
         new org.apache.hadoop.fs.Path(s"$staged/_txn.json"), false)
       try out.write(s"""{"app":"$app","batch":$batch}""".getBytes("UTF-8"))
       finally out.close()
+    }
+    // operation provenance for describeHistory (DESCRIBE HISTORY)
+    if (op != "write") {
+      val out = f0.create(
+        new org.apache.hadoop.fs.Path(s"$staged/_op.json"), false)
+      try out.write(s"""{"op":"$op"}""".getBytes("UTF-8")) finally out.close()
     }
     // Deletion-vector sidecar list: absent hint = CARRY the previous
     // version's DVs (an append never resurrects DV-dead rows); an

@@ -608,6 +608,28 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, path2, Some(ve)).isEmpty)
   }
 
+  test("describeHistory records operation provenance and manifest deltas") {
+    import spark.implicits._
+    val path = freshPath("hist")
+    Snapshots.append(
+      (0L until 40L).map(i => (i, "base")).toDF("id", "tag")
+        .repartition(4, pmod(col("id"), lit(4))), path)
+    Snapshots.deleteWhereDV(spark, path, col("id") % 5 === 0)
+    Snapshots.merge(spark, path,
+      Seq((1L, "upd"), (90L, "new")).toDF("id", "tag"), Seq("id"))
+    Snapshots.compact(spark, path, targetFiles = 1)
+    Snapshots.rollback(spark, path, 1)
+    val h = Snapshots.describeHistory(spark, path).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2) > 0, r.getLong(3) > 0,
+        r.getLong(4))).toSeq
+    assert(h == Seq(
+      (1L, "append", true, false, 0L),
+      (2L, "delete-dv", false, false, 1L),
+      (3L, "merge", true, true, 1L),
+      (4L, "optimize", true, true, 0L),
+      (5L, "restore", true, true, 0L)), s"history was $h")
+  }
+
   test("manifest collision fails loudly (single-writer contract)") {
     import spark.implicits._
     val path = freshPath("collide")
