@@ -110,11 +110,14 @@ object IncrementalSemDedup {
       StructField("__c", IntegerType)))
     val all = spark.read.schema(stSchema).parquet(snap: _*)
       .withColumn("__cell", col("__c"))
-    val before = all.count()
+    // row-conservation proof from parquet footers — exact, driver-side,
+    // no count() scans bracketing the rewrite
+    val before = graft.sources.Partitioned.footerRowCountFiles(spark, snap)
     val pinned = all.repartition(col("__cell")).localCheckpoint(true)
     pinned.write.mode("overwrite").partitionBy("__cell")
       .parquet(statePath(path))
-    val after = spark.read.parquet(statePath(path)).count()
+    val after = graft.sources.Partitioned.footerRowCount(
+      spark, statePath(path))
     require(after == before,
       s"compaction changed the state row set: $before -> $after rows")
   }
@@ -154,7 +157,9 @@ object IncrementalSemDedup {
       StructField("__vec", ArrayType(DoubleType)),
       StructField("__c", IntegerType)))
     val resident = spark.read.schema(stSchema).parquet(touchedSnap: _*)
-    val before = resident.count()
+    // whole files are read, so the pre-image count is footer metadata
+    val before = graft.sources.Partitioned.footerRowCountFiles(
+      spark, touchedSnap)
     // materialize survivors BEFORE dropping the directories they read
     val kept = resident.join(del.select(col("__id")), Seq("__id"), "left_anti")
       .withColumn("__cell", col("__c"))

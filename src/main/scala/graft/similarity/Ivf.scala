@@ -312,15 +312,19 @@ object Ivf {
     */
   def compactIndex(
       spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
-    val nlist = spark.read.parquet(s"$path/centroids").count().toInt
-    val stored = spark.read.parquet(s"$path/corpus")
-    val before = stored.count()
+    // nlist and the row-conservation proof are parquet footer metadata —
+    // driver-side, no count() scans bracketing the rewrite
+    val nlist = graft.sources.Partitioned.footerRowCount(
+      spark, s"$path/centroids").toInt
+    val before = graft.sources.Partitioned.footerRowCount(
+      spark, s"$path/corpus")
     // materialize BEFORE overwriting the directory being read
-    val pinned = stored
+    val pinned = spark.read.parquet(s"$path/corpus")
       .repartition(nlist, col("__cell"))
       .localCheckpoint(true)
     pinned.write.mode("overwrite").partitionBy("__cell").parquet(s"$path/corpus")
-    val after = spark.read.parquet(s"$path/corpus").count()
+    val after = graft.sources.Partitioned.footerRowCount(
+      spark, s"$path/corpus")
     require(after == before,
       s"compaction changed the corpus row set: $before -> $after rows")
   }
@@ -357,7 +361,11 @@ object Ivf {
     if (touched.isEmpty) return 0L
     val stored = spark.read.parquet(s"$path/corpus")
       .filter(col("__cell").isin(touched.toSeq.map(Int.box): _*))
-    val before = stored.count()
+    // whole cell directories are read: pre-image count from footers
+    // (a missing cell dir counts zero)
+    val before = touched.toSeq.map(c =>
+      graft.sources.Partitioned.footerRowCount(
+        spark, s"$path/corpus/__cell=$c")).sum
     // materialize survivors BEFORE dropping the directories they read
     val kept = stored
       .join(del.select(col("__cid")), Seq("__cid"), "left_anti")
@@ -402,7 +410,8 @@ object Ivf {
     */
   def imbalanceFactor(
       spark: org.apache.spark.sql.SparkSession, path: String): Double = {
-    val nlist = spark.read.parquet(s"$path/centroids").count()
+    val nlist = graft.sources.Partitioned.footerRowCount(
+      spark, s"$path/centroids")
     val r = cellStats(spark, path)
       .agg(sum(col("n") * col("n")).as("ss"), sum(col("n")).as("s")).head()
     val (ss, s) = (r.getLong(0).toDouble, r.getLong(1).toDouble)

@@ -63,6 +63,51 @@ object Partitioned {
     walk(new java.io.File(path))
   }
 
+  /** Exact row count of every `.parquet` file under `path`, from the
+    * parquet FOOTERS — O(files) driver-side metadata, never a data scan
+    * and never a Spark job. The row-conservation proofs the index
+    * compaction ops carry (`require(before == after)`) need exact
+    * counts, not a pass over the data; a `df.count()` pays plan +
+    * schedule + scan for a number the footers already hold.
+    */
+  def footerRowCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0L
+    var n = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !name.startsWith("."))
+        n += footerRowCountOf(conf, st.getPath)
+    }
+    n
+  }
+
+  /** [[footerRowCount]] over an explicit file list (a pinned snapshot). */
+  def footerRowCountFiles(
+      spark: org.apache.spark.sql.SparkSession, files: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.map(f =>
+      footerRowCountOf(conf, new org.apache.hadoop.fs.Path(f))).sum
+  }
+
+  private def footerRowCountOf(
+      conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      var n = 0L
+      reader.getFooter.getBlocks.forEach { b => n += b.getRowCount }
+      n
+    } finally reader.close()
+  }
+
   /** Number of partition directories the plan's file scan actually
     * selected after pruning, or -1 when no partition-filtered scan is in
     * the plan (e.g. the filter didn't reach the scan as a partition

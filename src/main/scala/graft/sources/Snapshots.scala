@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   *     commit N (a commit never rewrites another commit's files; the
   *     nonce keeps a crashed attempt's directory from colliding with
   *     the retry, so orphans never block the table);
-  *   - `_log/v=<N>/` — parquet manifest: one row per ACTIVE data file
-  *     (relative path) of version N. The manifest write IS the commit
-  *     point — readers only see versions whose manifest exists, so a
-  *     failed half-written commit is invisible (its orphaned data files
-  *     are dead weight, never wrong results).
+  *   - `_log/v=<N>/` — manifest (`_files.json`): the ACTIVE data files
+  *     (relative paths) of version N, a driver-written JSON array. The
+  *     manifest publish IS the commit point — readers only see versions
+  *     whose manifest exists, so a failed half-written commit is
+  *     invisible (its orphaned data files are dead weight, never wrong
+  *     results).
   *
   * Structural sharing is the scale property: version N+1's manifest
   * re-lists the files it keeps, so an append rewrites nothing and an
@@ -47,9 +48,9 @@ import org.apache.spark.sql.functions._
   * txnAppId/txnVersion contract for exactly-once streaming sinks.
   * Stats are loaded per commit DIRECTORY at plan time — O(commits of
   * the queried version) driver-side reads; past ~10⁵ commit dirs the
-  * upgrade path is Delta's: fold the stats into the manifest parquet as
-  * columns so one manifest scan prices every file (the sidecar format
-  * is private, so that move is non-breaking).
+  * upgrade path is Delta's: fold the stats into the manifest itself so
+  * one manifest read prices every file (the sidecar format is private,
+  * so that move is non-breaking).
   *
   * Erasure comes in two shapes: [[deleteWhere]] REWRITES the touched
   * files (survivors land in the new commit), while [[deleteWhereDV]]
@@ -93,11 +94,22 @@ object Snapshots {
   def latestVersion(spark: SparkSession, path: String): Int =
     versions(spark, path).lastOption.getOrElse(0)
 
-  /** Relative active-file list of version `v` (the manifest contents). */
+  /** Relative active-file list of version `v` (the manifest contents).
+    * Driver-side metadata read (a KB-scale JSON slurp) — the commit log
+    * is consulted on every read/commit/vacuum, and paying a Spark job
+    * per consultation (the old parquet-manifest shape) priced O(100 ms)
+    * of scheduling against O(1 ms) of actual work.
+    */
   def activeFiles(spark: SparkSession, path: String, v: Int): Seq[String] = {
     require(versions(spark, path).contains(v), s"no committed version $v at $path")
-    spark.read.parquet(s"${logDir(path)}/v=$v")
-      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"${logDir(path)}/v=$v/_files.json")
+    org.json4s.jackson.JsonMethods.parse(readSmallFile(f, p)) match {
+      case org.json4s.JArray(xs) =>
+        xs.collect { case org.json4s.JString(s) => s }.sorted
+      case other => throw new IllegalStateException(
+        s"malformed manifest at $path v=$v: $other")
+    }
   }
 
   /** Read the table as of `version` (default: latest). The plan opens
@@ -1222,18 +1234,27 @@ object Snapshots {
         parts.map(name => s"data/$sub/$name")
       case None => Seq.empty
     }
-    // STAGED publish: manifest parquet + sidecars (_schema.json,
+    // STAGED publish: manifest (_files.json) + sidecars (_schema.json,
     // _txn.json) are assembled in a staging directory whose name
     // `versions()` ignores, then RENAMED to `v=N` in one filesystem
     // move — the commit point stays a single atomic operation, so no
     // crash can publish a version whose schema or txn watermark is
     // missing (a half-written staging dir is invisible garbage; vacuum
-    // sweeps it).
-    import spark.implicits._
+    // sweeps it). The manifest is a driver-written JSON array, not a
+    // Spark parquet write: a commit's file list is KB-scale metadata,
+    // and the old `toDF.coalesce(1).write.parquet` shape spent a whole
+    // Spark job (plan + schedule + commit protocol) per commit on it.
     val staged = s"${logDir(path)}/_staged_v${v}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    (keepFiles ++ newRel).sorted.toDF("file")
-      .coalesce(1).write.mode("error").parquet(staged)
+    f0.mkdirs(new org.apache.hadoop.fs.Path(staged))
+    locally {
+      val out = f0.create(
+        new org.apache.hadoop.fs.Path(s"$staged/_files.json"), false)
+      val body = (keepFiles ++ newRel).sorted
+        .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ",", "]")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     schema.foreach { s =>
       val out = f0.create(
         new org.apache.hadoop.fs.Path(s"$staged/_schema.json"), false)

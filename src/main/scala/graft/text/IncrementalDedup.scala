@@ -96,14 +96,17 @@ object IncrementalDedup {
     if (snap.isEmpty) return
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val hashSchema = StructType(Seq(StructField("__h", StringType)))
-    val before = spark.read.schema(hashSchema).parquet(snap: _*).count()
+    // row-conservation proof from parquet footers — exact, driver-side,
+    // no count() scans bracketing the rewrite
+    val before = graft.sources.Partitioned.footerRowCountFiles(spark, snap)
     val all = spark.read.schema(hashSchema).parquet(snap: _*)
       .select(col("__h"))
       .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
       .repartition(nBuckets, col("__b"))
       .localCheckpoint(true)
     all.write.mode("overwrite").partitionBy("__b").parquet(hashesPath(path))
-    val after = spark.read.parquet(hashesPath(path)).count()
+    val after = graft.sources.Partitioned.footerRowCount(
+      spark, hashesPath(path))
     require(after == before,
       s"compaction changed the hash set: $before -> $after rows")
   }
@@ -148,7 +151,9 @@ object IncrementalDedup {
     val resident = spark.read.schema(hashSchema).parquet(touchedFiles: _*)
       .select(col("__h"))
       .withColumn("__b", pmod(crc32(col("__h")), lit(nBuckets)))
-    val before = resident.count()
+    // whole files are read, so the pre-image count is footer metadata
+    val before = graft.sources.Partitioned.footerRowCountFiles(
+      spark, touchedFiles)
     // materialize the survivors BEFORE dropping the directories they read
     val kept = resident.join(del.select(col("__h")), Seq("__h"), "left_anti")
       .repartition(math.max(touched.size, 1), col("__b"))

@@ -176,13 +176,16 @@ object IncrementalNearDup {
     val sigs = side(sigSnap, sigSchema, "s")
       .map(_.withColumn("__b", pmod(crc32(col("__id").cast("string")), lit(nb))))
     val all = (bands.toSeq ++ sigs.toSeq).reduce(_ unionAll _)
-    val before = all.count()
+    // row-conservation proof from parquet footers — exact, driver-side,
+    // no count() scans bracketing the rewrite
+    val before = graft.sources.Partitioned.footerRowCountFiles(spark, snap)
     val pinned = all
       .repartition(col("__side"), col("__b"))
       .localCheckpoint(true)
     pinned.write.mode("overwrite").partitionBy("__side", "__b")
       .parquet(statePath(path))
-    val after = spark.read.parquet(statePath(path)).count()
+    val after = graft.sources.Partitioned.footerRowCount(
+      spark, statePath(path))
     require(after == before,
       s"compaction changed the index row set: $before -> $after rows")
     // a re-bucketing compact changes the layout future bucket-pruned

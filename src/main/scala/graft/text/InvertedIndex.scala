@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted inverted index with term-bucket-pruned BM25 search — the
@@ -44,23 +44,61 @@ object InvertedIndex {
   private def postingsPath(path: String) = s"$path/postings"
   private def metaPath(path: String) = s"$path/meta"
 
-  private def toks(docs: DataFrame, idCol: String, textCol: String) =
-    graft.Tables.spread(docs)
-      .select(col(idCol).as("__id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("__w"))
-      .filter(length(col("__w")) > 0)
+  /** Tokenization shared by every ingest surface: lowercased whitespace
+    * words, empties dropped — [[Quality.bm25]]'s rule exactly.
+    */
+  private def tokArr(textCol: String): Column =
+    filter(split(lower(trim(col(textCol))), "\\s+"),
+      w => length(w) > 0)
 
-  private def postingsOf(
-      docs: DataFrame, idCol: String, textCol: String, nBuckets: Int) = {
-    val t = toks(docs, idCol, textCol)
-    val dl = t.groupBy(col("__id")).agg(count(lit(1)).as("__dl"))
-    val tf = t.groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("__tf"))
-    (tf.join(dl, "__id")
-      .select(col("__w"), col("__id"), col("__tf"), col("__dl"),
-        pmod(crc32(col("__w")), lit(nBuckets.toLong)).as("__b")), dl)
+  /** One row per doc with ≥1 token: `(__id, __runs, __dl)` where
+    * `__runs` is the doc's `(term, tf)` pairs and `__dl` its token
+    * count. A document is ONE input row, so term frequencies never need
+    * a shuffle: sort the token array and take run lengths (O(L·log L)
+    * per doc, whole-stage codegen) instead of exploding one row PER
+    * TOKEN and paying two groupBy shuffles plus a join to re-attach dl
+    * — the only shuffle left in an index build is the bucket
+    * repartition in front of the write. Run starts are found by
+    * neighbor comparison on 1-based positions; `element_at` stays
+    * in-bounds under ANSI via the short-circuiting guards.
+    */
+  private def docTermCounts(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = graft.Tables.spread(docs)
+      .select(col(idCol).as("__id"), array_sort(tokArr(textCol)).as("__s"))
+      .select(col("__id"), col("__s"), size(col("__s")).as("__n"))
+    val starts = filter(
+      when(col("__n") > 0, sequence(lit(1), col("__n")))
+        .otherwise(array().cast("array<int>")),
+      i => (i === 1) || (element_at(col("__s"), i) =!=
+        element_at(col("__s"), i - 1)))
+    val staged = base.select(
+      col("__id"), col("__s"), col("__n"), starts.as("__st"))
+    val runs = transform(col("__st"), (st, j) =>
+      struct(
+        element_at(col("__s"), st).as("__w"),
+        (when(j === size(col("__st")) - 1, col("__n") + 1)
+          .otherwise(element_at(col("__st"), j + 2)) - st)
+          .cast("long").as("__tf")))
+    staged
+      .select(col("__id"), runs.as("__runs"), col("__n").cast("long").as("__dl"))
+      .filter(col("__dl") > 0)
   }
 
-  /** Build (overwrite) the index over `docs`. */
+  /** The `(term, doc, tf, dl, bucket)` posting rows of a doc batch —
+    * a pure map-side expansion of [[docTermCounts]].
+    */
+  private def postingsOf(docLevel: DataFrame, nBuckets: Int): DataFrame =
+    docLevel
+      .select(col("__id"), col("__dl"), inline(col("__runs")))
+      .select(col("__w"), col("__id"), col("__tf"), col("__dl"),
+        pmod(crc32(col("__w")), lit(nBuckets.toLong)).as("__b"))
+
+  /** Build (overwrite) the index over `docs`. One corpus pass, one
+    * shuffle: the meta counters ride the postings write as observed
+    * metrics on the doc-level node instead of re-tokenizing the corpus
+    * in a second action.
+    */
   def writeIndex(
       docs: DataFrame,
       idCol: String,
@@ -69,14 +107,32 @@ object InvertedIndex {
       nBuckets: Int = DefaultBuckets): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
     val spark = docs.sparkSession
-    val (post, dl) = postingsOf(docs, idCol, textCol, nBuckets)
-    post.repartition(col("__b"))
-      .write.mode("overwrite").partitionBy("__b")
+    val (nDocs, totalDl) = writePostings(
+      docs, idCol, textCol, nBuckets, SaveMode.Overwrite, path)
+    writeMeta(spark, path, nDocs, totalDl, nBuckets)
+  }
+
+  /** Write a batch's postings (one pass, metered): returns the batch's
+    * exact `(n_docs, total_dl)` collected by an [[Observation]] during
+    * the write itself.
+    */
+  private def writePostings(
+      docs: DataFrame, idCol: String, textCol: String, nBuckets: Int,
+      mode: SaveMode, path: String): (Long, Long) = {
+    val obs = Observation()
+    val doc = docTermCounts(docs, idCol, textCol)
+      .observe(obs, count(lit(1)).cast("long").as("__n"),
+        coalesce(sum(col("__dl")), lit(0L)).cast("long").as("__dl"))
+    postingsOf(doc, nBuckets)
+      .repartition(col("__b"))
+      .write.mode(mode).partitionBy("__b")
       .parquet(postingsPath(path))
-    val s = dl.agg(count(lit(1)).cast("long"), sum(col("__dl")).cast("long")).head()
-    // empty corpus: sum() is NULL — same guard as appendToIndex
-    writeMeta(spark, path, s.getLong(0),
-      if (s.isNullAt(1)) 0L else s.getLong(1), nBuckets)
+    // an EMPTY batch schedules zero tasks, so CollectMetrics never runs
+    // and the observed map comes back without the keys — that is exactly
+    // the zero-counter case
+    val m = obs.get
+    (m.get("__n").map(_.asInstanceOf[Long]).getOrElse(0L),
+      m.get("__dl").map(_.asInstanceOf[Long]).getOrElse(0L))
   }
 
   /** Collapse each term bucket's accumulated append files into one file
@@ -90,15 +146,20 @@ object InvertedIndex {
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     val (_, _, nBuckets) = readMeta(spark, path)
-    val stored = spark.read.parquet(postingsPath(path))
-    val before = stored.count()
+    // row-conservation proof from parquet footers: exact, driver-side,
+    // O(files) — the old shape paid two full count() scans around the
+    // rewrite, tripling the read volume of exactly the many-small-files
+    // state compaction exists to fix
+    val before = graft.sources.Partitioned.footerRowCount(
+      spark, postingsPath(path))
     if (before == 0L) return
     // materialize BEFORE overwriting the directory being read
-    val pinned = stored
+    val pinned = spark.read.parquet(postingsPath(path))
       .repartition(nBuckets, col("__b"))
       .localCheckpoint(true)
     pinned.write.mode("overwrite").partitionBy("__b").parquet(postingsPath(path))
-    val after = spark.read.parquet(postingsPath(path)).count()
+    val after = graft.sources.Partitioned.footerRowCount(
+      spark, postingsPath(path))
     require(after == before,
       s"compaction changed the posting set: $before -> $after rows")
   }
@@ -115,13 +176,9 @@ object InvertedIndex {
       path: String): Unit = {
     val spark = docs.sparkSession
     val (n, totalDl, nBuckets) = readMeta(spark, path)
-    val (post, dl) = postingsOf(docs, idCol, textCol, nBuckets)
-    post.repartition(col("__b"))
-      .write.mode("append").partitionBy("__b")
-      .parquet(postingsPath(path))
-    val s = dl.agg(count(lit(1)).cast("long"), sum(col("__dl")).cast("long")).head()
-    writeMeta(spark, path, n + s.getLong(0),
-      totalDl + (if (s.isNullAt(1)) 0L else s.getLong(1)), nBuckets)
+    val (nDocs, dl) = writePostings(
+      docs, idCol, textCol, nBuckets, SaveMode.Append, path)
+    writeMeta(spark, path, n + nDocs, totalDl + dl, nBuckets)
   }
 
   /** Erase docs from the index — right-to-be-forgotten on the lexical
@@ -142,9 +199,12 @@ object InvertedIndex {
       idCol: String,
       textCol: String): Long = {
     val (n, totalDl, nBuckets) = readMeta(spark, path)
-    val (post, _) = postingsOf(docs, idCol, textCol, nBuckets)
-    val buckets = post.select(col("__b")).distinct()
-      .collect().map(_.getLong(0))
+    // touched buckets of the deletion batch: distinct terms map-side,
+    // bucket them, collect the (≤ nBuckets) bucket ids
+    val buckets = graft.Tables.spread(docs)
+      .select(explode(array_distinct(tokArr(textCol))).as("__w"))
+      .select(pmod(crc32(col("__w")), lit(nBuckets.toLong)).as("__b"))
+      .distinct().collect().map(_.getLong(0))
     if (buckets.isEmpty) return 0L
     val delIds = docs.select(col(idCol).cast("long").as("__id")).distinct()
     val touched = spark.read.parquet(postingsPath(path))
@@ -171,19 +231,44 @@ object InvertedIndex {
     removed
   }
 
+  /** Meta counters are KB-scale bookkeeping, written and read
+    * driver-side (the Snapshots `_files.json` discipline) — the old
+    * one-row parquet shape paid a Spark job per write and per read,
+    * and an index lifecycle touches meta on every build/append/delete
+    * and every search.
+    */
   private def writeMeta(
       spark: SparkSession, path: String,
       nDocs: Long, totalDl: Long, nBuckets: Int): Unit = {
-    import spark.implicits._
-    Seq((nDocs, totalDl, nBuckets))
-      .toDF("n_docs", "total_dl", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(
+      s"""{"n_docs":$nDocs,"total_dl":$totalDl,"n_buckets":$nBuckets}"""
+        .getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def readMeta(spark: SparkSession, path: String): (Long, Long, Int) = {
-    val r = spark.read.parquet(metaPath(path)).head()
-    (r.getAs[Long]("n_docs"), r.getAs[Long]("total_dl"),
-      r.getAs[Int]("n_buckets"))
+    import org.json4s._
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val txt =
+      try {
+        val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8")
+      } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(txt) match {
+      case JObject(fields) =>
+        val m = fields.toMap
+        (m("n_docs").asInstanceOf[JInt].num.toLong,
+          m("total_dl").asInstanceOf[JInt].num.toLong,
+          m("n_buckets").asInstanceOf[JInt].num.toInt)
+      case other => throw new IllegalStateException(
+        s"malformed index meta at $path: $other")
+    }
   }
 
   /** Bucket of `term` under the index's crc32 rule — driver-side twin of

@@ -120,9 +120,13 @@ class InvertedIndexSpec extends SparkSpec {
     val d = docs.toDF("doc_id", "text").filter(col("doc_id") < 0)
     val path = freshPath()
     InvertedIndex.writeIndex(d, "doc_id", "text", path, nBuckets = 8)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    assert(meta.getAs[Long]("n_docs") == 0L)
-    assert(meta.getAs[Long]("total_dl") == 0L)
+    // meta is a driver-written JSON sidecar (KB-scale bookkeeping)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/meta")), "UTF-8")
+    val fields = org.json4s.jackson.JsonMethods.parse(txt)
+      .asInstanceOf[org.json4s.JObject].obj.toMap
+    assert(fields("n_docs") == org.json4s.JInt(0))
+    assert(fields("total_dl") == org.json4s.JInt(0))
   }
 
   test("search reads only the query terms' buckets; top-k ranks score desc, id asc") {
