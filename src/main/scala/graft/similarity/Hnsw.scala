@@ -253,9 +253,13 @@ object Hnsw {
       efConstruction, levelSeed)
       .repartition(numShards, col("__shard"))
       .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
-    Seq((numShards, m, efConstruction, levelSeed))
-      .toDF("num_shards", "m", "ef_construction", "level_seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // meta is a driver-written JSON sidecar (graft.sources.MetaJson):
+    // search/append/rebuild consult it on every call, and a one-row
+    // parquet dataset paid a Spark job per consultation
+    graft.sources.MetaJson.write(spark, s"$path/meta", Seq(
+      "num_shards" -> numShards.toLong, "m" -> m.toLong,
+      "ef_construction" -> efConstruction.toLong,
+      "level_seed" -> levelSeed))
   }
 
   /** Per-shard HNSW graphs as ROWS `(id, vec, level, layers, __shard)` —
@@ -349,7 +353,7 @@ object Hnsw {
   def rebuildWithoutTombstones(
       spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val ts = readTombstones(spark, path)
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = graft.sources.MetaJson.read(spark, s"$path/meta")
     val survivors = spark.read.parquet(s"$path/nodes")
       .select(col("id").cast("long").as("vec_id"),
         col("vec").cast("array<double>").as("embedding"))
@@ -358,9 +362,9 @@ object Hnsw {
       .localCheckpoint(true) // pinned: the rewrite replaces its source
     val n = survivors.count()
     writeIndex(survivors, "embedding", "vec_id", path,
-      numShards = meta.getAs[Int]("num_shards"), m = meta.getAs[Int]("m"),
-      efConstruction = meta.getAs[Int]("ef_construction"),
-      levelSeed = meta.getAs[Long]("level_seed"))
+      numShards = meta("num_shards").toInt, m = meta("m").toInt,
+      efConstruction = meta("ef_construction").toInt,
+      levelSeed = meta("level_seed"))
     // a deliberate full clear must drop BOTH the live list and any
     // crashed-clear swap — a surviving swap would later be healed into
     // place and resurrect stale tombstones over live nodes
@@ -432,11 +436,11 @@ object Hnsw {
       k: Int,
       efSearch: Int = 48,
       excludeSelf: Boolean = true): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = graft.sources.MetaJson.read(spark, s"$path/meta")
     searchGraphRows(spark.read.parquet(s"$path/nodes"), queries,
       featCol, queryIdCol, k,
-      m = meta.getAs[Int]("m"),
-      efConstruction = meta.getAs[Int]("ef_construction"),
+      m = meta("m").toInt,
+      efConstruction = meta("ef_construction").toInt,
       efSearch = efSearch, excludeSelf = excludeSelf,
       tombstones = readTombstones(spark, path))
   }
@@ -581,10 +585,10 @@ object Hnsw {
       path: String): Unit = {
     val spark = newRows.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (numShards, mm, efc, seed) = (meta.getAs[Int]("num_shards"),
-      meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"),
-      meta.getAs[Long]("level_seed"))
+    val meta = graft.sources.MetaJson.read(spark, s"$path/meta")
+    val (numShards, mm, efc, seed) = (meta("num_shards").toInt,
+      meta("m").toInt, meta("ef_construction").toInt,
+      meta("level_seed"))
     val batch = newRows
       .select(col(corpusIdCol).cast("long").as("id"),
         col(featCol).cast("array<double>").as("vec"),

@@ -217,9 +217,11 @@ object Nsw {
     buildGraphRows(corpus, featCol, corpusIdCol, numShards, m, efConstruction)
       .repartition(numShards, col("__shard"))
       .write.mode("overwrite").partitionBy("__shard").parquet(s"$path/nodes")
-    Seq((numShards, m, efConstruction))
-      .toDF("num_shards", "m", "ef_construction")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // driver-written JSON sidecar — consulted per search/append, so no
+    // Spark job per consultation (graft.sources.MetaJson)
+    graft.sources.MetaJson.write(spark, s"$path/meta", Seq(
+      "num_shards" -> numShards.toLong, "m" -> m.toLong,
+      "ef_construction" -> efConstruction.toLong))
   }
 
   /** Per-shard NSW graphs as ROWS `(id, vec, neighbors, __shard)` —
@@ -279,11 +281,11 @@ object Nsw {
       k: Int,
       efSearch: Int = 48,
       excludeSelf: Boolean = true): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = graft.sources.MetaJson.read(spark, s"$path/meta")
     searchGraphRows(spark.read.parquet(s"$path/nodes"), queries,
       featCol, queryIdCol, k,
-      m = meta.getAs[Int]("m"),
-      efConstruction = meta.getAs[Int]("ef_construction"),
+      m = meta("m").toInt,
+      efConstruction = meta("ef_construction").toInt,
       efSearch = efSearch, excludeSelf = excludeSelf)
   }
 
@@ -347,9 +349,9 @@ object Nsw {
       path: String): Unit = {
     val spark = newRows.sparkSession
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val (numShards, mm, efc) = (meta.getAs[Int]("num_shards"),
-      meta.getAs[Int]("m"), meta.getAs[Int]("ef_construction"))
+    val meta = graft.sources.MetaJson.read(spark, s"$path/meta")
+    val (numShards, mm, efc) = (meta("num_shards").toInt,
+      meta("m").toInt, meta("ef_construction").toInt)
     val batch = newRows
       .select(col(corpusIdCol).cast("long").as("id"),
         col(featCol).cast("array<double>").as("vec"),

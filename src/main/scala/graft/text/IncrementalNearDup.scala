@@ -89,22 +89,20 @@ object IncrementalNearDup {
 
   private[graft] def readMeta(
       spark: SparkSession, path: String): Option[LshMeta] = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    // driver-side JSON sidecar (graft.sources.MetaJson) — every ingest
+    // batch consults the LSH parameters; no Spark job per consultation
+    if (!graft.sources.MetaJson.exists(spark, metaPath(path))) None
     else {
-      val r = spark.read.parquet(metaPath(path)).head()
-      Some(LshMeta(r.getAs[Int]("shingle_n"), r.getAs[Int]("num_hashes"),
-        r.getAs[Int]("bands"), r.getAs[Int]("n_buckets")))
+      val m = graft.sources.MetaJson.read(spark, metaPath(path))
+      Some(LshMeta(m("shingle_n").toInt, m("num_hashes").toInt,
+        m("bands").toInt, m("n_buckets").toInt))
     }
   }
 
-  private def writeMeta(spark: SparkSession, path: String, m: LshMeta): Unit = {
-    import spark.implicits._
-    Seq((m.shingleN, m.numHashes, m.bands, m.nBuckets))
-      .toDF("shingle_n", "num_hashes", "bands", "n_buckets")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(path))
-  }
+  private def writeMeta(spark: SparkSession, path: String, m: LshMeta): Unit =
+    graft.sources.MetaJson.write(spark, metaPath(path), Seq(
+      "shingle_n" -> m.shingleN.toLong, "num_hashes" -> m.numHashes.toLong,
+      "bands" -> m.bands.toLong, "n_buckets" -> m.nBuckets.toLong))
 
   /** True iff an index has been written at `path`. */
   def indexExists(spark: SparkSession, path: String): Boolean = {
