@@ -118,7 +118,9 @@ object Ann {
       .select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
       .withColumn("__qb", packSignBits(col("__qf"), dim))
       .withColumn("__qn", norm(col("__qf"))))
-    val shortlist = corpus
+    // spread: the bit-pack + hamming kernel over the whole corpus must
+    // not run in one task on a single-split scan (no-op at cluster scale)
+    val shortlist = graft.Tables.spread(corpus)
       .select(col(corpusIdCol).cast("long").as("__cid"),
         packSignBits(col(featCol), dim).as("__cb"))
       .crossJoin(qb.select(col("__qid"), col("__qb")))
@@ -183,7 +185,9 @@ object Ann {
     val score = aggregate(col("__qvs"), lit(0.0), (acc, qv) =>
       acc + aggregate(col("__cvs"), lit(Double.NegativeInfinity),
         (m, dv) => greatest(m, dot(qv, dv))))
-    corpus
+    // spread: the per-(doc, query) MaxSim fold is the heaviest per-row
+    // kernel in the family — never one task on a single-split scan
+    graft.Tables.spread(corpus)
       .select(col(corpusIdCol).as("__cid"), col(vecsCol).as("__cvs"))
       .crossJoin(q)
       .filter(if (excludeSelf) col("__cid") =!= col("__qid") else lit(true))
@@ -258,7 +262,10 @@ object Ann {
       excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col(queryIdCol).as("__qid"), col(featCol).as("__qf"))
       .withColumn("__qn", norm(col("__qf"))))
-    val cands = corpus
+    // spread: a single-file local corpus is ONE scan split, and the
+    // |queries|·dim dot-product kernel would run in one task no matter
+    // how many cores the session has (no-op on an already-parallel scan)
+    val cands = graft.Tables.spread(corpus)
       .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__cn", norm(col("__cf")))
       .crossJoin(q)
@@ -289,7 +296,7 @@ object Ann {
     val q = broadcast(bench
       .select(col(benchIdCol).as("__bid"), col(featCol).as("__bf"))
       .withColumn("__bn", norm(col("__bf"))))
-    val cands = corpus
+    val cands = graft.Tables.spread(corpus)
       .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__cn", norm(col("__cf")))
       .crossJoin(q)
@@ -326,7 +333,7 @@ object Ann {
     val q = broadcast(anchors
       .select(col(anchorIdCol).as("__qid"), col(featCol).as("__qf"))
       .withColumn("__qn", norm(col("__qf"))))
-    val cands = corpus
+    val cands = graft.Tables.spread(corpus)
       .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__cn", norm(col("__cf")))
       .crossJoin(q)
@@ -375,7 +382,9 @@ object Ann {
     val checked =
       when(assert_true(size(col(featCol)) === dim).isNull, col(featCol))
         .cast("array<double>")
-    df.select(
+    // spread: nPlanes dim-wide dots per row — parallelize a
+    // single-split local scan (no-op at cluster scale)
+    graft.Tables.spread(df).select(
       col(idCol).as("__id"),
       (0 until nPlanes).map(p =>
         when(dot(checked, typedlit(w(p))) >= 0d, lit(1L << p)).otherwise(lit(0L)))
@@ -487,7 +496,8 @@ object Ann {
       idCol: String,
       featCol: String,
       threshold: Double): DataFrame = {
-    val f = df.select(col(idCol).as("__fid"), col(featCol).as("__f"))
+    val f = graft.Tables.spread(df)
+      .select(col(idCol).as("__fid"), col(featCol).as("__f"))
       .withColumn("__n", norm(col("__f")))
     val a = f.select(col("__fid").as("id_a"), col("__f").as("__fa"), col("__n").as("__na"))
     val b = f.select(col("__fid").as("id_b"), col("__f").as("__fb"), col("__n").as("__nb"))

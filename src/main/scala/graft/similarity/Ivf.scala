@@ -118,7 +118,9 @@ object Ivf {
       nprobe: Int = 4,
       excludeSelf: Boolean = true): DataFrame = {
     require(nprobe <= centroids.length)
-    val assigned = corpus
+    // spread: per-row argmin over nlist centroid distances — parallelize
+    // a single-split local scan (no-op at cluster scale)
+    val assigned = graft.Tables.spread(corpus)
       .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__cell", probeCells(col("__cf"), centroids, 1).getItem(0))
       .withColumn("__cn", Ann.norm(col("__cf")))
@@ -226,7 +228,10 @@ object Ivf {
     // centroid literals; model.transform would route near-ties through
     // MLlib's norm-trick distance instead
     val builtCents = model.clusterCenters.map(_.toArray)
-    val assigned = vecs
+    // spread ONLY the assignment/storage pass (the per-row argmin +
+    // optional SQ8/PQ encode): the quantizer input above keeps its
+    // original partitioning so the trained centroids are unchanged
+    val assigned = graft.Tables.spread(vecs)
       .withColumn("__cell", probeCells(col("__cf"), builtCents, 1).getItem(0))
       .select(col("__cid"), col("__cf"), col("__cell"))
     val stored =
@@ -278,7 +283,7 @@ object Ivf {
     // append batches must match the index's storage format (float, SQ8
     // or PQ) — detected from the persisted corpus schema, not a caller flag
     val schema = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
-    val assigned = newRows
+    val assigned = graft.Tables.spread(newRows)
       .select(col(corpusIdCol).as("__cid"), col(featCol).as("__cf"))
       .withColumn("__cell", probeCells(col("__cf"), cents, 1).getItem(0))
     (if (schema.contains("__pqc"))

@@ -142,7 +142,10 @@ object Pq {
       k: Int,
       cb: Codebooks,
       excludeSelf: Boolean = true): DataFrame = {
-    val enc = corpus.select(col(corpusIdCol).as("__cid"),
+    // spread: the encode argmin (m·k ArraySqDist terms per row) is the
+    // expensive kernel — a single-split local scan would run it in ONE
+    // task (measured 12.5 s of a 16 s x39 run); no-op at cluster scale
+    val enc = graft.Tables.spread(corpus).select(col(corpusIdCol).as("__cid"),
       encodeCol(col(featCol), cb).as("__code"))
       .withColumn("__cn", reconNormCol(col("__code"), cb))
     val q = broadcast(queries.select(col(queryIdCol).as("__qid"),

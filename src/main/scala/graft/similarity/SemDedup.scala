@@ -89,7 +89,10 @@ object SemDedup {
       threshold: Double): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vecs = df.select(col(idCol).as("__id"),
+    // spread: per-row centroid argmin over a single-split local scan
+    // would run in one task (no-op at cluster scale); the FROZEN
+    // centroids come in as literals, so assignment values are unchanged
+    val vecs = graft.Tables.spread(df).select(col(idCol).as("__id"),
       col(featCol).cast("array<double>").as("__f"))
     val assigned = vecs
       .withColumn("__c", Ivf.probeCells(col("__f"), centroids, 1).getItem(0))
