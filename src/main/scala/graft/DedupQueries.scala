@@ -565,44 +565,71 @@ object DedupQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val queries = emb.filter(col("vec_id") < 20)
-        // the exact baseline joins against all three tier branches of
-        // the union — localCheckpoint pins its k·|queries| rows once so
-        // the brute-force scan doesn't re-execute per branch
-        val exact = Ann.cosineTopK(emb, queries, "embedding",
-          "vec_id", "vec_id", k = 3).localCheckpoint()
-        val cents = Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L)
+        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+        val nswPath = s"${Scratch.dir}/graft_nsw_eval_$tag"
+        val hnswPath = s"${Scratch.dir}/graft_hnsw_eval_$tag"
+        // The five tier builds (exact baseline, IVF quantizer, PQ
+        // codebooks, NSW graph, HNSW graph) are INDEPENDENT — overlap
+        // them from a driver pool (guide §2.6: actions are only
+        // sequential because the driver calls them sequentially) so one
+        // tier's scheduling gaps back-fill with another's tasks. Each
+        // build's own partitioning/arithmetic is untouched, so every
+        // tier's rows are bit-identical to the sequential shape.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        val (exact, cents, cb, nswGraph, hnswGraph) =
+          try {
+            // exact baseline: localCheckpoint pins its k·|queries| rows
+            // once so the brute-force scan doesn't re-execute per branch
+            val fExact = Future(Ann.cosineTopK(emb, queries, "embedding",
+              "vec_id", "vec_id", k = 3).localCheckpoint())
+            val fCents = Future(
+              Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L))
+            val fCb = Future(
+              Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, seed = 7L))
+            val fNsw = Future {
+              graft.similarity.Nsw.writeIndex(emb, "embedding", "vec_id",
+                nswPath, numShards = 8)
+              s.read.parquet(s"$nswPath/nodes")
+                .select(col("id").cast("long"), col("__shard").cast("int"),
+                  col("neighbors").cast("array<bigint>"))
+                .collect()
+                .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+                .sortBy(t => (t._2, t._1)).toSeq
+            }
+            val fHnsw = Future {
+              graft.similarity.Hnsw.writeIndex(emb, "embedding", "vec_id",
+                hnswPath, numShards = 8)
+              s.read.parquet(s"$hnswPath/nodes")
+                .select(col("id").cast("long"), col("__shard").cast("int"),
+                  col("level").cast("int"), col("layers").cast("array<array<bigint>>"))
+                .collect()
+                .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+                  r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
+                .sortBy(t => (t._2, t._1)).toSeq
+            }
+            (Await.result(fExact, Duration.Inf),
+              Await.result(fCents, Duration.Inf),
+              Await.result(fCb, Duration.Inf),
+              Await.result(fNsw, Duration.Inf),
+              Await.result(fHnsw, Duration.Inf))
+          } finally pool.shutdown()
         x119Centroids = Some(cents)
+        x119PqCb = Some(cb)
+        x119NswGraph = Some(nswGraph)
+        x119HnswGraph = Some(hnswGraph)
         val ivf = Ivf.cosineTopKIvfWith(emb, queries, "embedding",
           "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 2)
-        val cb = Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, seed = 7L)
-        x119PqCb = Some(cb)
         // localCheckpoint: the encode expression inlines 8x16 codebook
         // literals — pinned here so the union plan carries 60 rows, not
         // the giant expression tree, through planning/codegen
         val pq = Pq.cosineTopKPq(emb, queries, "embedding",
           "vec_id", "vec_id", k = 3, cb).localCheckpoint()
-        val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-        val nswPath = s"${Scratch.dir}/graft_nsw_eval_$tag"
-        graft.similarity.Nsw.writeIndex(emb, "embedding", "vec_id",
-          nswPath, numShards = 8)
-        x119NswGraph = Some(s.read.parquet(s"$nswPath/nodes")
-          .select(col("id").cast("long"), col("__shard").cast("int"),
-            col("neighbors").cast("array<bigint>"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
-          .sortBy(t => (t._2, t._1)).toSeq)
         val nsw = graft.similarity.Nsw.searchIndex(
           s, nswPath, queries, "embedding", "vec_id", k = 3)
-        val hnswPath = s"${Scratch.dir}/graft_hnsw_eval_$tag"
-        graft.similarity.Hnsw.writeIndex(emb, "embedding", "vec_id",
-          hnswPath, numShards = 8)
-        x119HnswGraph = Some(s.read.parquet(s"$hnswPath/nodes")
-          .select(col("id").cast("long"), col("__shard").cast("int"),
-            col("level").cast("int"), col("layers").cast("array<array<bigint>>"))
-          .collect()
-          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
-            r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
-          .sortBy(t => (t._2, t._1)).toSeq)
         val hnsw = graft.similarity.Hnsw.searchIndex(
           s, hnswPath, queries, "embedding", "vec_id", k = 3)
         def tierSummary(tier: String, approx: org.apache.spark.sql.DataFrame) = {
