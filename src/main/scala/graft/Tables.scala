@@ -13,6 +13,22 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   * columns verbatim; here the parquet footer is the schema registry).
   */
 object Tables {
+  /** Per-(application, path) memo of the ANALYZED source relations.
+    *
+    * `spark.read.parquet(path)` builds a fresh `InMemoryFileIndex` (an FS
+    * listing) and re-infers the schema from a parquet footer on every
+    * call; a full gate run issues 600+ loads of the same handful of
+    * read-only files, paying that driver-side metadata work each time
+    * (guide §6: listing/metadata caching is the standard remedy). The
+    * memo keeps the immutable logical plan — every action still scans
+    * the parquet data itself, nothing row-level is cached. Keyed by
+    * applicationId with dead-app eviction (the [[graft.DedupQueries]]
+    * sigStoreCache device) so tests and tools with their own sessions
+    * never share plans across contexts.
+    */
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
     * vectorized reader rejects. With this legacy conf it reads as LongType
     * epoch-nanos — which both orders identically to DuckDB's
@@ -23,7 +39,10 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Exception => }
-    spark.read.parquet(s"$dir/$name.parquet")
+    val app = spark.sparkContext.applicationId
+    loadCache.keySet.removeIf(_._1 != app)
+    loadCache.computeIfAbsent((app, s"$dir/$name.parquet"),
+      k => spark.read.parquet(k._2))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
