@@ -580,7 +580,7 @@ object DedupQueries {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutorService(pool)
-        val (exact, cents, cb, nswGraph, hnswGraph) =
+        val (exact, cents, (cb, pq), nswGraph, hnswGraph) =
           try {
             // exact baseline: localCheckpoint pins its k·|queries| rows
             // once so the brute-force scan doesn't re-execute per branch
@@ -588,8 +588,20 @@ object DedupQueries {
               "vec_id", "vec_id", k = 3).localCheckpoint())
             val fCents = Future(
               Ivf.trainQuantizer(emb, "embedding", "vec_id", nlist = 8, seed = 7L))
-            val fCb = Future(
-              Pq.train(emb, "embedding", dim = 64, m = 8, k = 16, seed = 7L))
+            // the PQ tier's ADC search (encode + crossJoin + rank) was the
+            // one SERIAL eager step left after the r14 pool — it only
+            // depends on its own codebooks, so run it inside the same
+            // future and let its ~3 s scan back-fill the other builds'
+            // scheduling gaps. localCheckpoint: the encode expression
+            // inlines 8x16 codebook literals — pinned here so the union
+            // plan carries 60 rows, not the giant expression tree,
+            // through planning/codegen.
+            val fCb = Future {
+              val cb0 = Pq.train(emb, "embedding", dim = 64, m = 8, k = 16,
+                seed = 7L)
+              (cb0, Pq.cosineTopKPq(emb, queries, "embedding",
+                "vec_id", "vec_id", k = 3, cb0).localCheckpoint())
+            }
             val fNsw = Future {
               graft.similarity.Nsw.writeIndex(emb, "embedding", "vec_id",
                 nswPath, numShards = 8)
@@ -623,11 +635,6 @@ object DedupQueries {
         x119HnswGraph = Some(hnswGraph)
         val ivf = Ivf.cosineTopKIvfWith(emb, queries, "embedding",
           "vec_id", "vec_id", k = 3, centroids = cents, nprobe = 2)
-        // localCheckpoint: the encode expression inlines 8x16 codebook
-        // literals — pinned here so the union plan carries 60 rows, not
-        // the giant expression tree, through planning/codegen
-        val pq = Pq.cosineTopKPq(emb, queries, "embedding",
-          "vec_id", "vec_id", k = 3, cb).localCheckpoint()
         val nsw = graft.similarity.Nsw.searchIndex(
           s, nswPath, queries, "embedding", "vec_id", k = 3)
         val hnsw = graft.similarity.Hnsw.searchIndex(
