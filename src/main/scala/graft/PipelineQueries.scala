@@ -2469,11 +2469,15 @@ object PipelineQueries {
           .select(col("doc_id"),
             explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
           .filter(length(col("word")) > 0)
-        (0 until 3).foreach { b =>
-          CountMin.sketch(toks.filter(pmod(col("doc_id"), lit(3)) === b),
-            "word", depth = 4, width = 1024, seed = 7L)
-            .write.mode("overwrite").parquet(s"$path/day=$b")
-        }
+        // all three per-day sketches in ONE corpus pass (CountMin.sketchBy
+        // grouped on the day key — counters per day are identical to three
+        // per-slice builds); partitionBy keeps the per-day counter FILES
+        // the rollup lifecycle is about, and the per-day read paths below
+        // are unchanged
+        CountMin.sketchBy(
+          toks.withColumn("day", pmod(col("doc_id"), lit(3))),
+          "word", Seq("day"), depth = 4, width = 1024, seed = 7L)
+          .write.mode("overwrite").partitionBy("day").parquet(path)
         // both sides are depth×width-bounded; pin them so the two
         // exceptAll arms don't re-run the corpus tokenization pass each
         val merged = CountMin.merge(
@@ -2663,11 +2667,14 @@ object PipelineQueries {
           .select(col("doc_id"), col("source"),
             explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
           .filter(length(col("word")) > 0)
-        (0 until 3).foreach { b =>
-          Hll.registersBy(toks.filter(pmod(col("doc_id"), lit(3)) === b),
-            Seq("source"), "word", p = 7, seed = 7L)
-            .write.mode("overwrite").parquet(s"$path/day=$b")
-        }
+        // all three per-day register frames in ONE corpus pass (the day
+        // key joins the group cols — per-(source,day) maxima are identical
+        // to three per-slice builds); partitionBy keeps the per-day
+        // register FILES and the per-day read paths below are unchanged
+        Hll.registersBy(
+          toks.withColumn("day", pmod(col("doc_id"), lit(3))),
+          Seq("source", "day"), "word", p = 7, seed = 7L)
+          .write.mode("overwrite").partitionBy("day").parquet(path)
         val back = (0 until 3).map(b => s.read.parquet(s"$path/day=$b"))
         val merged = Hll.merge(back, Seq("source"))
         val direct = Hll.registersBy(toks, Seq("source"), "word", p = 7, seed = 7L)

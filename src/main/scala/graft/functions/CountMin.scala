@@ -38,13 +38,27 @@ object CountMin {
     */
   def sketch(
       df: DataFrame, keyCol: String,
+      depth: Int, width: Int, seed: Long): DataFrame =
+    sketchBy(df, keyCol, Seq.empty, depth, width, seed)
+
+  /** [[sketch]] with extra grouping columns: one independent sketch per
+    * `byCols` group, built in a SINGLE pass over the keys (≤ groups ×
+    * depth × width counter rows out, map-side partial combine). Grouped
+    * counters are by construction identical to running [[sketch]] once
+    * per group slice — the one-pass shape a per-day rollup build wants
+    * (three per-day sketches previously cost three corpus tokenization
+    * passes; grouped, they cost one).
+    */
+  def sketchBy(
+      df: DataFrame, keyCol: String, byCols: Seq[String],
       depth: Int, width: Int, seed: Long): DataFrame = {
     require(depth > 0 && width > 0, s"need depth>0, width>0: $depth $width")
-    df.select(explode(array((0 until depth).map(r =>
+    df.select(byCols.map(col) :+ explode(array((0 until depth).map(r =>
         struct(lit(r).as("__row"),
-          bucket(seed, r, col(keyCol), width).as("__bucket"))): _*)).as("__rb"))
-      .select(col("__rb.__row").as("__row"), col("__rb.__bucket").as("__bucket"))
-      .groupBy(col("__row"), col("__bucket"))
+          bucket(seed, r, col(keyCol), width).as("__bucket"))): _*)).as("__rb"): _*)
+      .select(byCols.map(col) :+ col("__rb.__row").as("__row") :+
+        col("__rb.__bucket").as("__bucket"): _*)
+      .groupBy((byCols :+ "__row" :+ "__bucket").map(col): _*)
       .agg(count(lit(1)).as("__count"))
       .withColumn("__depth", lit(depth))
       .withColumn("__width", lit(width))

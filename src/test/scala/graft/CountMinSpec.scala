@@ -72,6 +72,25 @@ class CountMinSpec extends SparkSpec {
     truth.foreach { case (k, c) => assert(est(k) >= c) }
   }
 
+  test("sketchBy grouped counters equal one sketch() per group slice") {
+    import spark.implicits._
+    // the one-pass rollup-build contract (x131): grouping on the day key
+    // must yield exactly the counters of three independent per-day builds
+    val rows = (0 until 300).map(i => (i.toLong % 3, s"k${i % 13}"))
+    val df = rows.toDF("day", "k")
+    val (depth, width, seed) = (4, 32, 7L)
+    val grouped = CountMin.sketchBy(df, "k", Seq("day"), depth, width, seed)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    (0L until 3L).foreach { d =>
+      val slice = CountMin.sketch(df.filter($"day" === d), "k", depth, width, seed)
+        .collect().map(r => (d, r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val g = grouped.filter(_._1._1 == d)
+      assert(g == slice, s"day $d grouped counters diverge from per-slice build")
+    }
+  }
+
   test("parameter triple is persisted and guards merge/estimate against mismatches") {
     import spark.implicits._
     val df = (0 until 50).map(i => s"k${i % 7}").toDF("k")
