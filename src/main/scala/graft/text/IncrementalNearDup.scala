@@ -263,14 +263,21 @@ object IncrementalNearDup {
         docs.select(col(idCol), col(textCol)), idCol, textCol,
         shingleN, numHashes)
     }).localCheckpoint()
+    // band rows derive lazily from the pinned signatures (a cheap map —
+    // the former second checkpoint was a whole extra job), and BOTH
+    // sides' touched buckets come back in ONE action via a side-tagged
+    // union instead of two distinct-collect jobs
     val delBands = bandRows(delSigs, bands, numHashes / bands)
-      .localCheckpoint()
-    val bandBuckets = delBands
-      .select(pmod(crc32(col("__khash")), lit(nBuckets)).as("__b"))
-      .distinct().collect().map(_.getLong(0)).toSet
-    val sigBuckets = delSigs
-      .select(pmod(crc32(col("__id").cast("string")), lit(nBuckets)).as("__b"))
-      .distinct().collect().map(_.getLong(0)).toSet
+    val bucketRows = delBands
+      .select(lit("b").as("__sd"),
+        pmod(crc32(col("__khash")), lit(nBuckets)).as("__b"))
+      .unionAll(delSigs.select(lit("s").as("__sd"),
+        pmod(crc32(col("__id").cast("string")), lit(nBuckets)).as("__b")))
+      .distinct().collect()
+    val bandBuckets = bucketRows.filter(_.getString(0) == "b")
+      .map(_.getLong(1)).toSet
+    val sigBuckets = bucketRows.filter(_.getString(0) == "s")
+      .map(_.getLong(1)).toSet
     val bucketOf = "__b=([0-9]+)".r
     def touchedOf(files: Seq[String], buckets: Set[Long]) = files.filter(f =>
       bucketOf.findFirstMatchIn(f).exists(m => buckets.contains(m.group(1).toLong)))
@@ -297,8 +304,11 @@ object IncrementalNearDup {
       pmod(crc32(col("__khash")), lit(nBuckets)))
     val keptS = keptSide(touchedSig, "s",
       pmod(crc32(col("__id").cast("string")), lit(nBuckets)))
-    // materialize survivors BEFORE dropping the directories they read
-    val kept = (keptB.toSeq ++ keptS.toSeq)
+    // materialize survivors BEFORE dropping the directories they read —
+    // both sides in ONE union checkpoint and ONE append write (the
+    // dedupIncremental single-append device: the __side partition
+    // directory separates them), instead of a checkpoint + write per side
+    val kept = (keptB.toSeq ++ keptS.toSeq).reduceOption(_ unionAll _)
       .map(_.repartition(col("__side"), col("__b")).localCheckpoint(true))
     val fs = new org.apache.hadoop.fs.Path(statePath(path))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
