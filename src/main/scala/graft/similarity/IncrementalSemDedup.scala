@@ -54,6 +54,23 @@ object IncrementalSemDedup {
   private def statePath(path: String) = s"$path/state"
   private def centroidsPath(path: String) = s"$path/centroids"
 
+  /** Per-(application, path) memo of the FROZEN quantizer: every ingest
+    * wave and erasure consulted the centroid parquet with a full Spark
+    * job (read + sort + collect) for 8 rows that are immutable by the
+    * frozen-quantizer contract — only [[dropIndex]] removes them and only
+    * the bootstrap writes them, so both maintain the memo. Keyed by
+    * applicationId with dead-app eviction (the Tables.loadCache device);
+    * parquet stays the source of truth for a fresh session.
+    */
+  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[Array[Double]]]()
+
+  private def cacheKey(spark: SparkSession, path: String) = {
+    val app = spark.sparkContext.applicationId
+    centsCache.keySet.removeIf(_._1 != app)
+    (app, path)
+  }
+
   /** True iff an index (frozen quantizer) exists at `path`. */
   def indexExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(centroidsPath(path))
@@ -64,6 +81,7 @@ object IncrementalSemDedup {
     * retrain writes to a new path and swaps).
     */
   def dropIndex(spark: SparkSession, path: String): Unit = {
+    centsCache.remove(cacheKey(spark, path))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -71,10 +89,11 @@ object IncrementalSemDedup {
 
   /** The frozen quantizer persisted at `path` (cell-ordered). */
   def centroids(spark: SparkSession, path: String): Array[Array[Double]] =
-    spark.read.parquet(centroidsPath(path))
-      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toArray)
+    centsCache.computeIfAbsent(cacheKey(spark, path), _ =>
+      spark.read.parquet(centroidsPath(path))
+        .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+        .orderBy(col("cell")).collect()
+        .map(r => r.getSeq[Double](1).toArray))
 
   /** All parquet data files under `root` — the pinned snapshot each call
     * reads so its own append can't leak into the batch being deduped
@@ -209,6 +228,7 @@ object IncrementalSemDedup {
         c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
           .toDF("cell", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(centroidsPath(path))
+        centsCache.put(cacheKey(spark, path), c)
         c
       }
     val assigned = batch
