@@ -23,6 +23,36 @@ import graft.functions.ArraySqDist
   */
 object Ivf {
 
+  /** Per-(application, path) memo of the persisted quantizer artifacts —
+    * centroids and PQ codebooks are FROZEN by contract (only
+    * [[writeIndex]] creates them, and it refreshes the memo), yet every
+    * append / erasure / indexed search consulted the nlist-row parquet
+    * with a full Spark job. Keyed by applicationId with dead-app
+    * eviction (the Tables.loadCache device); parquet stays the source of
+    * truth for fresh sessions.
+    */
+  private val centsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[Array[Double]]]()
+  private val cbCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Pq.Codebooks]()
+
+  private def cacheKey(
+      spark: org.apache.spark.sql.SparkSession, path: String) = {
+    val app = spark.sparkContext.applicationId
+    centsCache.keySet.removeIf(_._1 != app)
+    cbCache.keySet.removeIf(_._1 != app)
+    (app, path)
+  }
+
+  /** The persisted coarse quantizer, cell-ordered (memoized — see
+    * [[centsCache]]).
+    */
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    centsCache.computeIfAbsent(cacheKey(spark, path), _ =>
+      spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
+        .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+
   /** Nearest-`nprobe` cell ids for a feature column, computed against the
     * centroid literal with the native codegen'd distance.
     */
@@ -181,19 +211,21 @@ object Ivf {
       yield (s, j, cb.centers(s)(j).toSeq))
       .toDF("sub", "code", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    cbCache.put(cacheKey(spark, path), cb)
   }
 
   private def readCodebooks(
-      spark: org.apache.spark.sql.SparkSession, path: String): Pq.Codebooks = {
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .collect().map(r => (r.getInt(0), r.getInt(1),
-        r.getSeq[Double](r.fieldIndex("center")).toArray))
-    val m = rows.map(_._1).max + 1
-    val k = rows.map(_._2).max + 1
-    val centers = Array.ofDim[Array[Double]](m, k)
-    rows.foreach { case (s, j, c) => centers(s)(j) = c }
-    Pq.Codebooks(m, k, centers(0)(0).length, centers)
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): Pq.Codebooks =
+    cbCache.computeIfAbsent(cacheKey(spark, path), _ => {
+      val rows = spark.read.parquet(s"$path/codebooks")
+        .collect().map(r => (r.getInt(0), r.getInt(1),
+          r.getSeq[Double](r.fieldIndex("center")).toArray))
+      val m = rows.map(_._1).max + 1
+      val k = rows.map(_._2).max + 1
+      val centers = Array.ofDim[Array[Double]](m, k)
+      rows.foreach { case (s, j, c) => centers(s)(j) = c }
+      Pq.Codebooks(m, k, centers(0)(0).length, centers)
+    })
 
   def writeIndex(
       corpus: DataFrame,
@@ -256,6 +288,8 @@ object Ivf {
       .map { case (c, i) => (i, c.toArray.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centsCache.put(cacheKey(spark, path),
+      model.clusterCenters.map(_.toArray))
   }
 
   /** Incrementally grow a persisted index — the 100 TB ingest path: a
@@ -277,8 +311,7 @@ object Ivf {
       corpusIdCol: String,
       path: String): Unit = {
     val spark = newRows.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
-      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val cents = readCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path/centroids — writeIndex first")
     // append batches must match the index's storage format (float, SQ8
     // or PQ) — detected from the persisted corpus schema, not a caller flag
@@ -352,8 +385,7 @@ object Ivf {
       docs: DataFrame,
       idCol: String,
       featCol: String): Long = {
-    val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
-      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val cents = readCentroids(spark, path)
     require(cents.nonEmpty, s"no centroids at $path/centroids")
     val del = docs
       .select(col(idCol).cast("long").as("__cid"),
@@ -452,8 +484,7 @@ object Ivf {
       nprobe: Int = 4,
       excludeSelf: Boolean = true,
       allowed: Option[(DataFrame, String)] = None): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids").orderBy(col("cell"))
-      .collect().map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val cents = readCentroids(spark, path)
     require(nprobe <= cents.length)
     // cache the probe assignment: it is read twice (probed-cell collect,
     // then the broadcast join) and is broadcast-small by contract
