@@ -67,8 +67,12 @@ object Upsert {
       .select(col(keyCol), col(partCol).cast("string").as("__new"))
       .join(baseKeys, Seq(keyCol), "left")
       .localCheckpoint()
-    val updated = located.filter(col("__hit")).count()
-    val inserted = located.filter(col("__hit").isNull).count()
+    // one aggregate action for both counters (was a filter+count each)
+    val cnt = located.agg(
+      sum(when(col("__hit"), 1L).otherwise(0L)),
+      sum(when(col("__hit").isNull, 1L).otherwise(0L))).head()
+    val updated = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+    val inserted = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
     val touched = located
       .select(explode(array(col("__cur"), col("__new"))).as("__p"))
       .filter(col("__p").isNotNull)
