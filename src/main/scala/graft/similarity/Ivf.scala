@@ -253,7 +253,29 @@ object Ivf {
       .setMaxIter(maxIter)
       .setFeaturesCol("__v").setPredictionCol("__cell")
     val trainSample = quantizerInput(vecs, "__cid")
-    val model = km.fit(trainSample)
+    // the coarse quantizer and the PQ sub-quantizer codebooks are
+    // INDEPENDENT trainings over the same bounded sample — overlap them
+    // from a 2-thread pool (guide §2.6; the x119 device). Each fit keeps
+    // its own partitioning and arithmetic, so centroids and codebooks are
+    // bit-identical to the sequential shape. The vector width comes from
+    // one sample row (the model previously supplied it, but the PQ fit no
+    // longer waits for the model).
+    val (model, cbOpt) =
+      if (pqM > 0) {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(pool)
+        try {
+          val dim = trainSample.select(col("__cf")).head.getSeq[Any](0).length
+          val fKm = Future(km.fit(trainSample))
+          val fCb = Future(
+            Pq.train(trainSample, "__cf", dim, m = pqM, k = pqK, seed = seed))
+          (Await.result(fKm, Duration.Inf),
+            Some(Await.result(fCb, Duration.Inf)))
+        } finally pool.shutdown()
+      } else (km.fit(trainSample), None)
     // assignment via the SAME codegen'd argmin as appendToIndex and
     // cosineTopKIvfWith — one arithmetic rule (squared euclidean,
     // cell-asc ties) across build, append and query, replayable from the
@@ -266,15 +288,12 @@ object Ivf {
     val assigned = graft.Tables.spread(vecs)
       .withColumn("__cell", probeCells(col("__cf"), builtCents, 1).getItem(0))
       .select(col("__cid"), col("__cf"), col("__cell"))
-    val stored =
-      if (pqM > 0) {
-        val dim = model.clusterCenters.head.size
-        // sub-quantizers train on the SAME bounded sample as the coarse
-        // quantizer — one sampling pass feeds both trainings
-        val cb = Pq.train(trainSample, "__cf", dim, m = pqM, k = pqK, seed = seed)
+    val stored = cbOpt match {
+      case Some(cb) =>
         writeCodebooks(corpus.sparkSession, path, cb)
         storageColumnsPq(assigned, cb)
-      } else storageColumns(assigned, quantize)
+      case None => storageColumns(assigned, quantize)
+    }
     stored
       // one shuffle keyed by cell before the partitioned write: without
       // it every upstream task writes a file into every cell directory
