@@ -39,6 +39,11 @@ object Profile {
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    // stage→job map built at job start: concurrent jobs (the x119/x40
+    // driver pools) would mis-credit tasks under any "most recent active
+    // job" heuristic, and those pooled queries are exactly the ones worth
+    // profiling
+    val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
@@ -47,24 +52,19 @@ object Profile {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         jobs.put(e.jobId, JobRow(e.jobId, e.time, desc = desc))
+        e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
         order.add(e.jobId): Unit
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val r = jobs.get(e.jobId); if (r != null) r.t1 = e.time
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        // attribute tasks to the job via stage→job is indirect; use the
-        // active-job heuristic: tag by the most recent unfinished job
-        val it = jobs.values().iterator()
-        var best: JobRow = null
-        while (it.hasNext) {
-          val r = it.next()
-          if (r.t1 == 0L && (best == null || r.t0 > best.t0)) best = r
-        }
-        if (best != null && e.taskMetrics != null) {
-          best.tasks += 1
-          best.shufR += e.taskMetrics.shuffleReadMetrics.totalBytesRead
-          best.shufW += e.taskMetrics.shuffleWriteMetrics.bytesWritten
+        val jid = stageToJob.getOrDefault(e.stageId, -1)
+        val r = if (jid >= 0) jobs.get(jid) else null
+        if (r != null && e.taskMetrics != null) {
+          r.tasks += 1
+          r.shufR += e.taskMetrics.shuffleReadMetrics.totalBytesRead
+          r.shufW += e.taskMetrics.shuffleWriteMetrics.bytesWritten
         }
       }
     }
@@ -79,7 +79,7 @@ object Profile {
             .agg(expr("bit_xor(__h)")).collect()
         } catch { case e: Throwable => println(s"warm failed: $e") }
       }
-      jobs.clear(); order.clear()
+      jobs.clear(); order.clear(); stageToJob.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -89,7 +89,7 @@ object Profile {
       val t1 = System.nanoTime()
       spark.sparkContext.removeSparkListener(listener)
       Thread.sleep(200) // let straggler listener events drain
-      println(s"\n===== $n  total=${(t1 - t0) / 1e9}%s build=${(tPlan - t0) / 1e9}")
+      println(f"\n===== $n  total=${(t1 - t0) / 1e9}%.3fs build=${(tPlan - t0) / 1e9}%.3fs")
       var sum = 0L
       val it = order.iterator()
       while (it.hasNext) {

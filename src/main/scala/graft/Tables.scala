@@ -25,6 +25,17 @@ object Tables {
     * applicationId with dead-app eviction (the [[graft.DedupQueries]]
     * sigStoreCache device) so tests and tools with their own sessions
     * never share plans across contexts.
+    *
+    * CONTRACT (why applicationId, not session, is a safe key): the memo
+    * pins both the parquet file listing and the SparkSession that
+    * analyzed the plan, so it requires (a) source tables are write-once
+    * for the life of the application — every generator in this repo
+    * writes them with `mode("error")` and nothing regenerates in-process
+    * — and (b) one SparkSession per application, which every driver,
+    * bench and test main here satisfies. A second live session in the
+    * same application, or in-process table regeneration, would read
+    * stale/foreign-session plans and must not be introduced without
+    * re-keying this memo by session.
     */
   private val loadCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()

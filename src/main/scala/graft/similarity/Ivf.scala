@@ -44,6 +44,21 @@ object Ivf {
     (app, path)
   }
 
+  /** Delete the index at `path` and evict its memoized quantizer
+    * artifacts (the [[IncrementalSemDedup.dropIndex]] contract): without
+    * the eviction, an out-of-band index removal within one application
+    * would leave [[readCentroids]] serving stale centroids and the
+    * `require(cents.nonEmpty)` guards passing spuriously.
+    */
+  def dropIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    centsCache.remove(cacheKey(spark, path))
+    cbCache.remove(cacheKey(spark, path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** The persisted coarse quantizer, cell-ordered (memoized — see
     * [[centsCache]]).
     */
