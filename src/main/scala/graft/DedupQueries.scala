@@ -2074,10 +2074,8 @@ object DedupQueries {
         val sink = "x53_sink"
         s.catalog.dropTempView(sink)
         val mem = MemoryStream[(Long, String, Long, Double)]
-        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        val q =
-          try mem.toDF().toDF("event_id", "event_type", "t", "value")
+        val q = graft.streaming.StreamingOps.withBatchConfs(s) {
+          mem.toDF().toDF("event_id", "event_type", "t", "value")
             .withColumn("event_time", timestamp_micros(expr("t div 1000")))
             .withWatermark("event_time", "40 days")
             .dropDuplicatesWithinWatermark("event_id")
@@ -2086,7 +2084,7 @@ object DedupQueries {
             .option("checkpointLocation",
               s"${Scratch.dir}/x53_ckpt_${System.nanoTime()}")
             .outputMode("append").start()
-          finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        }
         try {
           val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
           val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)

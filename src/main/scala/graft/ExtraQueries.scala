@@ -878,10 +878,10 @@ object ExtraQueries {
     val sink = "x93_sink"
     s.catalog.dropTempView(sink)
     val mem = MemoryStream[(String, Long, Double)]
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
-      try {
+      // keepNoData: x93's oracle pins the watermark-effective-during-
+      // batch-k drop rule, which needs the between-batch no-data runs
+      graft.streaming.StreamingOps.withBatchConfs(s, keepNoData = true) {
         val in = mem.toDF().toDF("event_type", "t", "value")
           .withColumn("event_time", timestamp_micros(expr("t div 1000")))
         graft.streaming.StreamingOps.tumblingAgg(
@@ -890,7 +890,7 @@ object ExtraQueries {
           .option("checkpointLocation",
             s"${Scratch.dir}/x93_ckpt_${System.nanoTime()}")
           .outputMode("append").start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     try {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       val all = batches.map(_.result()).filter(_.nonEmpty) ++ Seq(
@@ -932,10 +932,8 @@ object ExtraQueries {
     val sink = s"${tag}_sink"
     s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
     val mem = MemoryStream[(String, Long, Double)]
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
-      try {
+      graft.streaming.StreamingOps.withBatchConfs(s) {
         val in = mem.toDF().toDF("event_type", "t", "value")
           .withColumn("event_time", timestamp_micros(expr("t div 1000")))
         agg(in)
@@ -943,7 +941,7 @@ object ExtraQueries {
           .option("checkpointLocation",
             s"${Scratch.dir}/${tag}_ckpt_${System.nanoTime()}")
           .outputMode("append").start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     try {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)
@@ -997,15 +995,14 @@ object ExtraQueries {
     val sink = s"${tag}_sink"
     s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
     val mem = MemoryStream[StreamingOps.SeriesPoint]
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
-      try kernel(mem.toDS())
-        .writeStream.format("memory").queryName(sink)
-        .option("checkpointLocation",
-          s"${Scratch.dir}/${tag}_ckpt_${System.nanoTime()}")
-        .outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      StreamingOps.withBatchConfs(s) {
+        kernel(mem.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation",
+            s"${Scratch.dir}/${tag}_ckpt_${System.nanoTime()}")
+          .outputMode("append").start()
+      }
     try {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       val chunk = math.max(1, math.ceil(pts.length / 3.0).toInt)

@@ -1674,10 +1674,8 @@ object JoinQueries {
     s.catalog.dropTempView(sink) // re-invocation safety (smoke tests)
     val memE = MemoryStream[(Long, Long, Long, Double)]
     val memC = MemoryStream[(Long, Long, Long, Double)]
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
-      try {
+      graft.streaming.StreamingOps.withBatchConfs(s) {
         // each side buffers only what the output needs — join state holds
         // full rows, so the payload is trimmed before the watermark
         def in(m: MemoryStream[(Long, Long, Long, Double)], p: String,
@@ -1705,7 +1703,7 @@ object JoinQueries {
           .option("checkpointLocation",
             s"${Scratch.dir}/${tag}_ckpt_${System.nanoTime()}")
           .outputMode("append").start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
     try {
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       def chunks(a: Array[(Long, Long, Long, Double)]) =

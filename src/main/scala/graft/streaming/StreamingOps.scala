@@ -24,6 +24,56 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Run `start` (a `writeStream...start()` call) under the micro-batch
+    * session confs every stateful harness in this repo wants, restoring
+    * the caller's values afterwards (streaming queries clone the session
+    * at start, so the pinned values stick to the query):
+    *
+    *  - `spark.sql.shuffle.partitions` = `parts` (default 2): one state
+    *    store open/commit PER partition PER micro-batch — 32 partitions
+    *    hung the round-6 gates on MB-scale batches; a deployment sizes
+    *    this to its state volume, not its core count.
+    *  - `spark.sql.streaming.noDataMicroBatches.enabled` = false: the
+    *    engine otherwise runs an EXTRA zero-row micro-batch after every
+    *    data batch that advances the watermark — full per-batch planning
+    *    + a state-store commit cycle each, for queries whose flush
+    *    device is already the explicit far-future sentinel BATCHES (the
+    *    x33 sentinel-closure contract: sentinel 1 advances the
+    *    watermark, sentinel 2 is the batch that emits). Every kernel
+    *    here is `GroupStateTimeout.NoTimeout` or watermark-append, so a
+    *    no-data batch can only re-run planning and eviction the next
+    *    data batch performs anyway; measured ~0.5 s per no-data batch at
+    *    bench SF (≈half of x101's micro-batches were no-data). Output
+    *    row sets are oracle-identical by construction and verified.
+    *
+    * `keepNoData = true` opts a harness back into the engine default:
+    * watermark updates only become EFFECTIVE for the drop rule once a
+    * batch runs after the update, and the no-data batch is what runs
+    * "between" data batches — so a query whose ORACLE pins the
+    * watermark-during-batch-k = max-event-time-of-batches-<k drop rule
+    * (x93's late-data accounting) needs the no-data batches to keep its
+    * row set; without them late rows are judged one batch staler
+    * (measured: x93 3298 → 3385 rows, oracle FAIL). Emission-only
+    * consumers (x33/x34/x50/x53/x101: every window eventually closed by
+    * the sentinel data batches, whole-sink aggregation) are
+    * timing-invariant and keep the default false.
+    */
+  def withBatchConfs[T](
+      s: org.apache.spark.sql.SparkSession, parts: String = "2",
+      keepNoData: Boolean = false)(start: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", parts)
+    if (!keepNoData)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try start
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
   /** Long-format streaming sample: one point of one series. */
   case class SeriesPoint(series_id: String, t: Long, value: Double)
 
