@@ -283,12 +283,23 @@ object Ivf {
         implicit val ec: ExecutionContext =
           ExecutionContext.fromExecutorService(pool)
         try {
-          val dim = trainSample.select(col("__cf")).head.getSeq[Any](0).length
-          val fKm = Future(km.fit(trainSample))
-          val fCb = Future(
-            Pq.train(trainSample, "__cf", dim, m = pqM, k = pqK, seed = seed))
-          (Await.result(fKm, Duration.Inf),
-            Some(Await.result(fCb, Duration.Inf)))
+          // cache the shared bounded sample ONCE: uncached, its lineage
+          // (corpus scan + hash-gate + coalesce) re-ran for the dim
+          // probe, again under the coarse fit's internal persist, and a
+          // third time for Pq.train's own count + cache. cache() changes
+          // neither rows nor partitioning, so both trainings stay
+          // bit-identical; preBounded skips Pq.train's count, which
+          // could only re-prove what quantizerInput already enforced.
+          trainSample.cache()
+          try {
+            val dim = trainSample.select(col("__cf")).head.getSeq[Any](0).length
+            val fKm = Future(km.fit(trainSample))
+            val fCb = Future(
+              Pq.train(trainSample, "__cf", dim, m = pqM, k = pqK, seed = seed,
+                preBounded = true))
+            (Await.result(fKm, Duration.Inf),
+              Some(Await.result(fCb, Duration.Inf)))
+          } finally trainSample.unpersist(blocking = false)
         } finally pool.shutdown()
       } else (km.fit(trainSample), None)
     // assignment via the SAME codegen'd argmin as appendToIndex and

@@ -39,6 +39,14 @@ object Pq {
 
   /** Train `m` independent sub-quantizers of `k` centroids each on (a
     * bounded sample of) the corpus. `dim` must divide evenly by `m`.
+    *
+    * `preBounded = true` asserts the caller already bounded `df` to at
+    * most the 65536-row training cap (the [[Ivf.writeIndex]] path, whose
+    * `quantizerInput` applied the SAME hash-gate device): the redundant
+    * full-lineage `count()` that would only re-prove `n <= cap` — and
+    * therefore take the identity branch — is skipped. Rows and
+    * partitioning are untouched either way, so the trained codebooks
+    * are bit-identical to the counted path.
     */
   def train(
       df: DataFrame,
@@ -47,7 +55,8 @@ object Pq {
       m: Int = 8,
       k: Int = 16,
       seed: Long = 7L,
-      maxIter: Int = 10): Codebooks = {
+      maxIter: Int = 10,
+      preBounded: Boolean = false): Codebooks = {
     require(dim % m == 0, s"dim $dim must divide by m $m")
     val dsub = dim / m
     // one bounded-sample materialization feeds all m sub-fits. The
@@ -57,7 +66,7 @@ object Pq {
     // run to run.
     val cap = 65536L
     val all = df.select(col(featCol).cast("array<double>").as("__v"))
-    val n = all.count()
+    val n = if (preBounded) 0L else all.count()
     val sample = (
       if (n <= cap) all
       else all.filter(pmod(xxhash64(col("__v")), lit(math.max(1L, n / cap))) === 0)

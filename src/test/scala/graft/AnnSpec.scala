@@ -859,6 +859,22 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"PQ recall $recall (${(exact & pq).size}/${exact.size})")
   }
 
+  test("Pq.train preBounded skips the count but trains identical codebooks") {
+    import graft.similarity.Pq
+    val df = clustered.cache()
+    // the writeIndex path asserts its input is already under the 65536
+    // training cap and skips the re-proving count; the codebooks must be
+    // bit-identical to the counted path (same rows, same partitioning)
+    val counted = Pq.train(df, "embedding", dim = 16, m = 4, k = 16, seed = 7L)
+    val bounded = Pq.train(df, "embedding", dim = 16, m = 4, k = 16, seed = 7L,
+      preBounded = true)
+    assert(counted.m == bounded.m && counted.k == bounded.k &&
+      counted.dsub == bounded.dsub)
+    for (s <- 0 until counted.m; j <- 0 until counted.k)
+      assert(java.util.Arrays.equals(counted.centers(s)(j), bounded.centers(s)(j)),
+        s"sub-centroid ($s,$j) drifted under preBounded")
+  }
+
   test("IVF-PQ persisted index: full-probe ADC recall >= 0.9, appends keep the code format") {
     import spark.implicits._
     import graft.similarity.Ivf
